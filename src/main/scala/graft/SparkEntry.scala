@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Scalars
+import graft.operators.{AttrsTransform, Dedup, FoldGroup, Tokenize, WordStats}
+import graft.sinks.Projection
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY §2 (or an
+  * extension operator) against the parquet fixtures in the given sf dir;
+  * `oracleSql` holds the DuckDB-equivalent SQL the driver diff-tests
+  * against. Money/measure aggregates go through decimal casts and a final
+  * round→double so both engines produce bit-identical values regardless
+  * of float summation order (SURVEY §5 differential-testing plan).
+  */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal for prices / balances / values (≤ 10^10, 2 dp). */
+  private def decP(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Exact decimal for small measures (quantity, discount, tax: 2 dp). */
+  private def decQ(c: Column): Column = c.cast("decimal(4,2)")
+
+  /** Deterministic money output: exact decimal sum → round(2) → double. */
+  private def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses by default (no nanosecond TimestampType). Read nanos as long
+    * and convert to microsecond timestamps explicitly (`div`, not `/`, to
+    * stay in exact integer arithmetic — epoch-nanos exceed 2^53 and would
+    * lose precision through a double). Fixture values are µs-aligned, so
+    * the conversion is lossless and matches DuckDB's view of the column.
+    */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** doc_id + 0-based token position + word, blanks dropped — the shared
+    * tokenized view of `documents` used by the parity queries. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tokenize.splitTokens(inputCol = "text")(
+      T(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** DuckDB CTE equivalent of [[docTokens]] (pos is 1-based there; the
+    * oracles subtract 1 where pos is emitted). */
+  private val toksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, trim(w) AS word, p AS pos FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split_regex(text, '\s+')) AS w,
+      |           generate_subscripts(string_split_regex(text, '\s+'), 1) AS p
+      |    FROM documents)
+      |  WHERE trim(w) <> '' AND NOT regexp_matches(trim(w), '^\s+$'))""".stripMargin
+
+  private val diac = Scalars.ArabicDiacritics
+
+  // ---------------------------------------------------------------- contract
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    WordStats(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------- canonical reference pipeline (SURVEY §3.4)
+    "wordstats" -> ((s, dir) => WordStats(T(s, dir, "documents"))),
+
+    // -------- tokenizer (transformers/text.py:43-71)
+    "tokenize" -> ((s, dir) =>
+      docTokens(s, dir)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))),
+
+    // -------- per-group fold / count (transformers/aggregators.py:13-67)
+    "token_count" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        FoldGroup.tokenCountExpr(col("text")).as("words_count"))),
+
+    // -------- keyed dedup, first-seen (aggregators.py:71-132, yield=True)
+    "dedup_first_seen" -> ((s, dir) =>
+      Dedup
+        .keepFirst(Seq("doc_id"), "word", "pos")(docTokens(s, dir))
+        .select(col("doc_id"), col("word"), col("pos").cast("long").as("pos"))),
+
+    // -------- keyed dedup, duplicates-only (yield_unique_values=False)
+    "dedup_duplicates_only" -> ((s, dir) =>
+      Dedup
+        .duplicatesOnly(Seq("doc_id"), "word", "pos")(docTokens(s, dir))
+        .select(col("doc_id"), col("word"), col("pos").cast("long").as("pos"))),
+
+    // -------- golden uniqueness audit (example/readme.md:68) — MUST be empty
+    "dedup_audit" -> ((s, dir) =>
+      Dedup
+        .keepFirst(Seq("doc_id"), "word", "pos")(docTokens(s, dir))
+        .groupBy(concat(Scalars.wordNorm(col("word")), lit("|"),
+          col("doc_id").cast("string")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)),
+
+    // -------- projection/derivation ops (transformers/one_to_one.py:9-66)
+    // Pre-image semantics on display: name_len reads the ORIGINAL c_name
+    // even though c_name is truncated in place in the same transform.
+    "attrs_project" -> ((s, dir) =>
+      AttrsTransform(
+        static = Seq("engine_ver" -> "graft-0.1"),
+        derived = Seq(("name_len", "c_name", c => length(c).cast("long"))),
+        inPlace = Seq(("c_name", c => substring(c, 1, 5))),
+        remove = Seq("c_acctbal")
+      )(T(s, dir, "customer"))),
+
+    // -------- loader required-column projection (loaders/commons.py:55-62)
+    "required_projection" -> ((s, dir) =>
+      Projection(
+        T(s, dir, "orders"),
+        Seq(
+          ("order_key", col("o_orderkey"), true),
+          ("status",
+            when(col("o_orderstatus") === "F", lit(null))
+              .otherwise(col("o_orderstatus")), true),
+          ("price", col("o_totalprice"), true)))),
+
+    // -------- scalar function library (commons.py:138-173)
+    "scalar_funcs" -> ((s, dir) => {
+      val path = concat(
+        lit("data/corpus/"), col("source"), lit("/"), col("lang"),
+        lit("/doc_"), col("doc_id").cast("string"), lit(".txt"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        Scalars.lastPathComponents(path, 5).as("file5"),
+        Scalars.truncate269(path).as("path269"),
+        length(path).cast("long").as("path_len"),
+        Scalars.lenGt270(path).as("path_gt_270"),
+        Scalars.truncate254(col("text")).as("text254"),
+        Scalars.lenGt255(col("text")).as("text_gt_255"),
+        length(Scalars.removeDiac(col("text"))).cast("long").as("text_len_nodiac"))
+    }),
+
+    // -------- §2.6 downstream SQL shapes (example/readme.md:41-69)
+    "rel_count" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+    "rel_filtered_count" -> ((s, dir) =>
+      T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n"))),
+    "rel_sum_distinct_pairs" -> ((s, dir) =>
+      WordStats(T(s, dir, "documents"))
+        .select("doc_id", "words_count").distinct()
+        .agg(sum("words_count").as("total"))),
+    "rel_count_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("n"))),
+    "rel_limit" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)),
+
+    // -------- analytics: TPC-H-shaped aggregation (bench headliners)
+    "q1_pricing" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(sum(decQ(col("l_quantity")))).as("sum_qty"),
+          money(sum(decP(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(decP(col("l_extendedprice")) *
+            (lit(1) - decQ(col("l_discount"))))).as("sum_disc_price"),
+          money(sum(decP(col("l_extendedprice")) *
+            (lit(1) - decQ(col("l_discount"))) *
+            (lit(1) + decQ(col("l_tax"))))).as("sum_charge"),
+          (money(sum(decQ(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (money(sum(decP(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (money(sum(decQ(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val cutoff = to_timestamp(lit("1998-07-01"))
+      T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(money(sum(decP(col("l_extendedprice")) *
+          (lit(1) - decQ(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = T(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = T(s, dir, "nation")
+      val supplier = T(s, dir, "supplier")
+      T(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(money(sum(decP(col("l_extendedprice")) *
+          (lit(1) - decQ(col("l_discount"))))).as("revenue"))
+    }),
+
+    "join_broadcast" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          money(sum(decP(col("c_acctbal")))).as("acctbal_sum"))),
+
+    // -------- events: tumbling event-time window + JSON-ish extraction
+    "events_window" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          money(sum(decP(col("value")))).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    "events_json" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wordstats" ->
+      s"""$toksCte,
+         |counts AS (SELECT doc_id, count(*) AS words_count FROM toks GROUP BY doc_id),
+         |firsts AS (SELECT doc_id, arg_min(word, pos) AS word
+         |           FROM toks GROUP BY doc_id, lower(trim(word)))
+         |SELECT f.doc_id,
+         |       substring(f.word, 1, 254) AS word,
+         |       CAST(length(translate(f.word, '$diac', '')) AS BIGINT) AS word_len,
+         |       length(f.word) > 255 AS word_truncated,
+         |       c.words_count
+         |FROM firsts f JOIN counts c USING (doc_id)""".stripMargin,
+
+    "tokenize" ->
+      s"""$toksCte
+         |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, word FROM toks""".stripMargin,
+
+    "token_count" ->
+      s"""$toksCte
+         |SELECT d.doc_id, coalesce(c.words_count, 0) AS words_count
+         |FROM documents d LEFT JOIN
+         |  (SELECT doc_id, count(*) AS words_count FROM toks GROUP BY doc_id) c
+         |  USING (doc_id)""".stripMargin,
+
+    "dedup_first_seen" ->
+      s"""$toksCte
+         |SELECT doc_id, arg_min(word, pos) AS word,
+         |       CAST(min(pos) - 1 AS BIGINT) AS pos
+         |FROM toks GROUP BY doc_id, lower(trim(word))""".stripMargin,
+
+    "dedup_duplicates_only" ->
+      s"""$toksCte
+         |SELECT doc_id, word, CAST(pos - 1 AS BIGINT) AS pos FROM (
+         |  SELECT doc_id, word, pos, row_number() OVER (
+         |    PARTITION BY doc_id, lower(trim(word)) ORDER BY pos) AS rn
+         |  FROM toks) WHERE rn > 1""".stripMargin,
+
+    "dedup_audit" ->
+      s"""$toksCte,
+         |firsts AS (SELECT doc_id, arg_min(word, pos) AS word
+         |           FROM toks GROUP BY doc_id, lower(trim(word)))
+         |SELECT k, n FROM (
+         |  SELECT lower(trim(word)) || '|' || CAST(doc_id AS VARCHAR) AS k,
+         |         count(*) AS n
+         |  FROM firsts GROUP BY 1) WHERE n > 1""".stripMargin,
+
+    "attrs_project" ->
+      """SELECT c_custkey, substring(c_name, 1, 5) AS c_name, c_nationkey,
+        |       c_mktsegment, 'graft-0.1' AS engine_ver,
+        |       CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer""".stripMargin,
+
+    "required_projection" ->
+      """SELECT o_orderkey AS order_key,
+        |       nullif(o_orderstatus, 'F') AS status,
+        |       o_totalprice AS price
+        |FROM orders WHERE nullif(o_orderstatus, 'F') IS NOT NULL""".stripMargin,
+
+    "scalar_funcs" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |         'data/corpus/' || source || '/' || lang || '/doc_' ||
+         |         CAST(doc_id AS VARCHAR) || '.txt' AS path
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_slice(string_split(path, '/'),
+         |    greatest(1, len(string_split(path, '/')) - 4),
+         |    len(string_split(path, '/'))), '/') AS file5,
+         |  substring(path, 1, 269) AS path269,
+         |  CAST(length(path) AS BIGINT) AS path_len,
+         |  length(path) > 270 AS path_gt_270,
+         |  substring(text, 1, 254) AS text254,
+         |  length(text) > 255 AS text_gt_255,
+         |  CAST(length(translate(text, '$diac', '')) AS BIGINT) AS text_len_nodiac
+         |FROM p""".stripMargin,
+
+    "rel_count" -> "SELECT count(*) AS n FROM lineitem",
+    "rel_filtered_count" ->
+      "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'",
+    "rel_sum_distinct_pairs" ->
+      s"""$toksCte,
+         |counts AS (SELECT doc_id, count(*) AS words_count FROM toks GROUP BY doc_id)
+         |SELECT SUM(words_count) AS total
+         |FROM (SELECT DISTINCT doc_id, words_count FROM counts)""".stripMargin,
+    "rel_count_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS n FROM lineitem",
+    "rel_limit" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2))) *
+        |    (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(4,2))), 2) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
+  )
 }
