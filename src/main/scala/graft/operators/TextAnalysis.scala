@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines —
+  * language ID, quality scoring, token counting. Extensions beyond the
+  * reference's surface (BASELINE.json north star); all built from
+  * codegen'd built-ins, no UDFs.
+  *
+  * Determinism contract: every ratio is emitted as integer fixed-point
+  * (`x * scale div y`) so the DuckDB oracle matches bit-for-bit — no
+  * float division anywhere.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic; real corpora would
+    * load a bigger lexicon through the same join.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "in" -> "en",
+    "el" -> "es", "la" -> "es", "de" -> "es", "y" -> "es", "que" -> "es",
+    "der" -> "de", "die" -> "de", "und" -> "de", "das" -> "de", "ist" -> "de",
+    "le" -> "fr", "les" -> "fr", "et" -> "fr", "un" -> "fr", "est" -> "fr",
+    "的" -> "zh", "是" -> "zh", "了" -> "zh", "在" -> "zh", "我" -> "zh")
+
+  /** Deterministic tie-break priority (smaller wins ties). */
+  val LangPriority: Seq[(String, Int)] =
+    Seq("de" -> 0, "en" -> 1, "es" -> 2, "fr" -> 3, "zh" -> 4)
+
+  /** Language ID: count marker-stopword hits per candidate language,
+    * pick the argmax (ties → LangPriority order); no hits → "und".
+    *
+    * Plan shape: explode tokens → broadcast-join the 25-row marker
+    * table → two-level aggregation. The marker join is a broadcast hash
+    * join, so the only shuffle is the per-doc aggregation — scales to
+    * arbitrary corpus size.
+    */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val markers = LangMarkers.toDF("marker", "cand_lang")
+      .join(LangPriority.toDF("cand_lang", "prio"), "cand_lang")
+
+    val tokens = Tokenize.splitTokens(inputCol = textCol)(
+      docs.select(col(idCol), col(textCol)))
+
+    val hits = tokens
+      .join(broadcast(markers), col("word") === col("marker"))
+      .groupBy(col(idCol), col("cand_lang"), col("prio"))
+      .agg(count(lit(1)).as("n_hits"))
+
+    val best = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("n_hits").desc, col("prio"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cand_lang"), col("n_hits"))
+
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Quality scoring: structural signals a pretraining filter would use
+    * (length, mean token length, stopword density, digit/punct density),
+    * all integer fixed-point. `score_milli` is a bounded composite in
+    * [0, 1000]. Single narrow projection — no shuffle at all.
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = filter(split(text, "\\s+"), t => !(t === "" || t.rlike("^\\s+$")))
+    val nTokens = size(toks).cast("long")
+    val sumTokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val stopSet = LangMarkers.map(_._1)
+    val nStop = size(filter(toks, t => lower(t).isInCollection(stopSet))).cast("long")
+    val nDigits = length(regexp_replace(text, "[^0-9]", "")).cast("long")
+    val nPunct = length(regexp_replace(text, "[\\p{Alnum}\\s]", "")).cast("long")
+    val nChars = length(text).cast("long")
+
+    val avgTokLenX100 = when(nTokens > 0, (sumTokChars * 100).div(nTokens)).otherwise(lit(0L))
+    val stopRatioX1000 = when(nTokens > 0, (nStop * 1000).div(nTokens)).otherwise(lit(0L))
+    val punctRatioX1000 = when(nChars > 0, (nPunct * 1000).div(nChars)).otherwise(lit(0L))
+    // Composite: reward stopword density and 3..10-char mean tokens,
+    // penalize punctuation/digit noise; clamp to [0, 1000].
+    val raw = lit(500L) +
+      least(stopRatioX1000, lit(250L)) +
+      when(avgTokLenX100.between(300, 1000), lit(250L)).otherwise(lit(0L)) -
+      least(punctRatioX1000, lit(250L)) -
+      least(when(nChars > 0, (nDigits * 1000).div(nChars)).otherwise(lit(0L)), lit(250L))
+
+    docs.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars_text"),
+      avgTokLenX100.as("avg_token_len_x100"),
+      stopRatioX1000.as("stop_ratio_x1000"),
+      punctRatioX1000.as("punct_ratio_x1000"),
+      greatest(lit(0L), least(lit(1000L), raw)).as("score_milli"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer (letter runs | digit runs | single non-space symbol) — the
+    * usual pre-tokenizer shape for byte-pair encoders. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    docs.select(
+      col(idCol),
+      FoldGroup.tokenCountExpr(text).as("ws_tokens"),
+      size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+        .as("bpe_tokens"))
+  }
+}
