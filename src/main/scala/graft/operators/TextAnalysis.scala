@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Exact integer division for the fixed-point contract. All operands
+    * here are non-negative longs far below 2^53, so the double round-trip
+    * of `a / b` is exact and `floor` == integer division (DuckDB `//`).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    floor(a / b).cast("long")
+
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic; real corpora would
     * load a bigger lexicon through the same join.
@@ -49,7 +56,8 @@ object TextAnalysis {
       docs.select(col(idCol), col(textCol)))
 
     val hits = tokens
-      .join(broadcast(markers), col("word") === col("marker"))
+      .join(broadcast(markers),
+        graft.functions.Scalars.wordNorm(col("word")) === col("marker"))
       .groupBy(col(idCol), col("cand_lang"), col("prio"))
       .agg(count(lit(1)).as("n_hits"))
 
@@ -84,16 +92,16 @@ object TextAnalysis {
     val nPunct = length(regexp_replace(text, "[\\p{Alnum}\\s]", "")).cast("long")
     val nChars = length(text).cast("long")
 
-    val avgTokLenX100 = when(nTokens > 0, (sumTokChars * 100).div(nTokens)).otherwise(lit(0L))
-    val stopRatioX1000 = when(nTokens > 0, (nStop * 1000).div(nTokens)).otherwise(lit(0L))
-    val punctRatioX1000 = when(nChars > 0, (nPunct * 1000).div(nChars)).otherwise(lit(0L))
+    val avgTokLenX100 = when(nTokens > 0, idiv(sumTokChars * 100, nTokens)).otherwise(lit(0L))
+    val stopRatioX1000 = when(nTokens > 0, idiv(nStop * 1000, nTokens)).otherwise(lit(0L))
+    val punctRatioX1000 = when(nChars > 0, idiv(nPunct * 1000, nChars)).otherwise(lit(0L))
     // Composite: reward stopword density and 3..10-char mean tokens,
     // penalize punctuation/digit noise; clamp to [0, 1000].
     val raw = lit(500L) +
       least(stopRatioX1000, lit(250L)) +
       when(avgTokLenX100.between(300, 1000), lit(250L)).otherwise(lit(0L)) -
       least(punctRatioX1000, lit(250L)) -
-      least(when(nChars > 0, (nDigits * 1000).div(nChars)).otherwise(lit(0L)), lit(250L))
+      least(when(nChars > 0, idiv(nDigits * 1000, nChars)).otherwise(lit(0L)), lit(250L))
 
     docs.select(
       col(idCol),
