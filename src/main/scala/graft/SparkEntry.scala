@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Dedup, FoldGroup, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Dedup, FoldGroup, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,26 @@ object SparkEntry {
       |  WHERE trim(w) <> '' AND NOT regexp_matches(trim(w), '^\s+$'))""".stripMargin
 
   private val diac = Scalars.ArabicDiacritics
+
+  /** DuckDB VALUES literal of [[TextAnalysis.LangMarkers]] (+ priority),
+    * generated from the same Scala constant so engine and oracle can never
+    * drift. */
+  private val markersValues: String = {
+    val prio = TextAnalysis.LangPriority.toMap
+    TextAnalysis.LangMarkers
+      .map { case (m, l) => s"('$m', '$l', ${prio(l)})" }
+      .mkString(", ")
+  }
+
+  /** DuckDB list literal of the marker stopwords (quality()'s stop set). */
+  private val stopList: String =
+    TextAnalysis.LangMarkers.map(m => s"'${m._1}'").mkString(", ")
+
+  /** DuckDB lambda-filtered token list — element-for-element the same
+    * token stream as quality()/tokenCounts()' `filter(split(...))`. */
+  private val tokList: String =
+    """list_filter(string_split_regex(text, '\s+'),
+      | t -> t <> '' AND NOT regexp_matches(t, '^\s+$'))""".stripMargin.replace("\n", "")
 
   // ---------------------------------------------------------------- contract
 
@@ -238,7 +258,15 @@ object SparkEntry {
         .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
           .cast("long").as("k"))
         .groupBy(col("k"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))),
+
+    // -------- text analysis extensions (training-data pipeline ops)
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(T(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(T(s, dir, "documents"))),
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(T(s, dir, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -392,6 +420,55 @@ object SparkEntry {
     "events_json" ->
       """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
         |       count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "text_langid" ->
+      s"""$toksCte,
+         |markers(marker, cand_lang, prio) AS (VALUES $markersValues),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, prio, count(*) AS n_hits
+         |  FROM toks JOIN markers ON lower(trim(word)) = marker
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT doc_id, cand_lang, n_hits, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY n_hits DESC, prio) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id,
+         |       coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len($tokList) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform($tokList, t -> length(t))), 0) AS BIGINT) AS sum_tok_chars,
+         |    CAST(len(list_filter($tokList, t -> lower(t) IN ($stopList))) AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(length(text) AS BIGINT) AS n_chars_text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens, n_chars_text,
+         |    CASE WHEN n_tokens > 0 THEN (sum_tok_chars * 100) // n_tokens ELSE 0 END AS avg_token_len_x100,
+         |    CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens ELSE 0 END AS stop_ratio_x1000,
+         |    CASE WHEN n_chars_text > 0 THEN (n_punct * 1000) // n_chars_text ELSE 0 END AS punct_ratio_x1000,
+         |    CASE WHEN n_chars_text > 0 THEN (n_digits * 1000) // n_chars_text ELSE 0 END AS digit_ratio_x1000
+         |  FROM q)
+         |SELECT doc_id, n_tokens, n_chars_text, avg_token_len_x100,
+         |       stop_ratio_x1000, punct_ratio_x1000,
+         |       greatest(0, least(1000,
+         |         500 + least(stop_ratio_x1000, 250)
+         |             + CASE WHEN avg_token_len_x100 BETWEEN 300 AND 1000 THEN 250 ELSE 0 END
+         |             - least(punct_ratio_x1000, 250)
+         |             - least(digit_ratio_x1000, 250))) AS score_milli
+         |FROM r""".stripMargin,
+
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokList) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin
   )
 }

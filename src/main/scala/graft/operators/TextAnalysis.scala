@@ -89,7 +89,9 @@ object TextAnalysis {
     val stopSet = LangMarkers.map(_._1)
     val nStop = size(filter(toks, t => lower(t).isInCollection(stopSet))).cast("long")
     val nDigits = length(regexp_replace(text, "[^0-9]", "")).cast("long")
-    val nPunct = length(regexp_replace(text, "[\\p{Alnum}\\s]", "")).cast("long")
+    // Explicit ASCII class (not \p{Alnum}) so the Java and RE2 (DuckDB
+    // oracle) regex engines agree character-for-character.
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
     val nChars = length(text).cast("long")
 
     val avgTokLenX100 = when(nTokens > 0, idiv(sumTokChars * 100, nTokens)).otherwise(lit(0L))
