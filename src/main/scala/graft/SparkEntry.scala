@@ -116,12 +116,13 @@ object SparkEntry {
         .duplicatesOnly(Seq("doc_id"), "word", "pos")(docTokens(s, dir))
         .select(col("doc_id"), col("word"), col("pos").cast("long").as("pos"))),
 
-    // -------- golden uniqueness audit (example/readme.md:68) — MUST be empty
+    // -------- golden uniqueness audit (example/readme.md:68) — MUST be empty.
+    // Grouped on the two key columns directly (no throwaway concat key —
+    // the reference's concat() is a MySQL-ism, not a semantic).
     "dedup_audit" -> ((s, dir) =>
       Dedup
         .keepFirst(Seq("doc_id"), "word", "pos")(docTokens(s, dir))
-        .groupBy(concat(Scalars.wordNorm(col("word")), lit("|"),
-          col("doc_id").cast("string")).as("k"))
+        .groupBy(Scalars.wordNorm(col("word")).as("word_norm"), col("doc_id"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)),
 
@@ -310,10 +311,9 @@ object SparkEntry {
       s"""$toksCte,
          |firsts AS (SELECT doc_id, arg_min(word, pos) AS word
          |           FROM toks GROUP BY doc_id, lower(trim(word)))
-         |SELECT k, n FROM (
-         |  SELECT lower(trim(word)) || '|' || CAST(doc_id AS VARCHAR) AS k,
-         |         count(*) AS n
-         |  FROM firsts GROUP BY 1) WHERE n > 1""".stripMargin,
+         |SELECT word_norm, doc_id, n FROM (
+         |  SELECT lower(trim(word)) AS word_norm, doc_id, count(*) AS n
+         |  FROM firsts GROUP BY 1, 2) WHERE n > 1""".stripMargin,
 
     "attrs_project" ->
       """SELECT c_custkey, substring(c_name, 1, 5) AS c_name, c_nationkey,
@@ -351,7 +351,7 @@ object SparkEntry {
     "rel_sum_distinct_pairs" ->
       s"""$toksCte,
          |counts AS (SELECT doc_id, count(*) AS words_count FROM toks GROUP BY doc_id)
-         |SELECT SUM(words_count) AS total
+         |SELECT CAST(SUM(words_count) AS BIGINT) AS total
          |FROM (SELECT DISTINCT doc_id, words_count FROM counts)""".stripMargin,
     "rel_count_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n FROM lineitem",

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines —
@@ -61,12 +60,16 @@ object TextAnalysis {
       .groupBy(col(idCol), col("cand_lang"), col("prio"))
       .agg(count(lit(1)).as("n_hits"))
 
+    // argmax(n_hits) with prio tie-break as a single hash aggregation:
+    // max_by over the ordering struct (n_hits asc, -prio asc) replaces the
+    // window row_number — no per-doc sort, partial agg map-side.
     val best = hits
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("n_hits").desc, col("prio"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cand_lang"), col("n_hits"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("cand_lang"), col("n_hits")),
+        struct(col("n_hits"), -col("prio"))).as("__best"))
+      .select(col(idCol), col("__best.cand_lang").as("cand_lang"),
+        col("__best.n_hits").as("n_hits"))
 
     docs.select(col(idCol))
       .join(best, Seq(idCol), "left")

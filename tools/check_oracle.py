@@ -59,6 +59,18 @@ def main():
             print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
             failed.append(name)
             continue
+        # dtype drift (e.g. DuckDB SUM(BIGINT) -> HUGEINT/object vs Spark
+        # int64) hashes differently on the driver even when values match —
+        # compare pandas dtypes per column, not just values.
+        dt_bad = [
+            (c, str(got[c].dtype), str(exp[c].dtype))
+            for c in sorted(got.columns)
+            if str(got[c].dtype) != str(exp[c].dtype)
+        ]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            failed.append(name)
+            continue
         g, e = rows_key(got), rows_key(exp)
         if g != e:
             diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
