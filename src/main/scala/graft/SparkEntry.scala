@@ -63,6 +63,26 @@ object SparkEntry {
 
   private val diac = Scalars.ArabicDiacritics
 
+  /** Arabic sample texts for the tokenizer parity query — the fixture
+    * corpus has no Arabic docs (the reference was built for Arabic text,
+    * /root/reference/readme.md:14), so the query tokenizes this constant
+    * table and the oracle re-derives it as a VALUES literal: engine and
+    * oracle see byte-identical input. The samples pin the reference
+    * class's edges: teh marbuta (U+0629) splits runs, Arabic-Indic
+    * digits are excluded, tatweel and diacritics are included.
+    */
+  val ArabicSamples: Seq[(Long, String)] = Seq(
+    0L -> "السَّلامُ عَلَيْكُمْ وَرَحْمَةُ اللهِ وَبَرَكاتُهُ",
+    1L -> "مدرسة كبيرة ومكتبة قديمة",
+    2L -> "العدد ١٢٣ كبير جدا",
+    3L -> "hello مرحبا world والـكتاب على الطاولة",
+    4L -> "لا شيء",
+    5L -> "no arabic at all 123")
+
+  /** DuckDB VALUES literal of [[ArabicSamples]]. */
+  private val arabicValues: String =
+    ArabicSamples.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+
   /** DuckDB VALUES literal of [[TextAnalysis.LangMarkers]] (+ priority),
     * generated from the same Scala constant so engine and oracle can never
     * drift. */
@@ -97,6 +117,17 @@ object SparkEntry {
     "tokenize" -> ((s, dir) =>
       docTokens(s, dir)
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))),
+
+    // -------- Arabic tokenizer (example/arabic_transformers.py:6-30).
+    // Raw tokenizer parity (stripDiacritics=false — the reference keeps
+    // remove_diac a separate mapper); word_nodiac shows the mapper.
+    "tokenize_arabic" -> ((s, _) => {
+      import s.implicits._
+      Tokenize.arabicTokens(inputCol = "text", stripDiacritics = false)(
+        ArabicSamples.toDF("id", "text"))
+        .select(col("id"), col("pos").cast("long").as("pos"), col("word"),
+          Scalars.removeDiac(col("word")).as("word_nodiac"))
+    }),
 
     // -------- per-group fold / count (transformers/aggregators.py:13-67)
     "token_count" -> ((s, dir) =>
@@ -286,6 +317,17 @@ object SparkEntry {
     "tokenize" ->
       s"""$toksCte
          |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, word FROM toks""".stripMargin,
+
+    "tokenize_arabic" ->
+      s"""WITH src(id, text) AS (VALUES $arabicValues),
+         |runs AS (
+         |  SELECT id,
+         |         unnest(regexp_extract_all(text, '${Tokenize.ArabicRunPattern}')) AS word,
+         |         generate_subscripts(regexp_extract_all(text, '${Tokenize.ArabicRunPattern}'), 1) AS p
+         |  FROM src)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(p - 1 AS BIGINT) AS pos, word,
+         |       translate(word, '$diac', '') AS word_nodiac
+         |FROM runs""".stripMargin,
 
     "token_count" ->
       s"""$toksCte

@@ -36,11 +36,12 @@ object Dedup {
       orderCol: String,
       normalizer: Column => Column = graft.functions.Scalars.wordNorm): Transform = { df =>
     val payload = df.columns.toSeq
-    val normed = df.withColumn("__norm", normalizer(col(valueCol)))
-    normed
-      .groupBy((bagKeys :+ "__norm").map(col): _*)
-      .agg(min_by(struct(payload.map(col): _*), col(orderCol)).as("__first"))
-      .select(payload.map(c => col(s"__first.$c").as(c)): _*)
+    val normC = graft.core.Cols.fresh("__norm", payload)
+    val firstC = graft.core.Cols.fresh("__first", payload)
+    df.withColumn(normC, normalizer(col(valueCol)))
+      .groupBy((bagKeys :+ normC).map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), col(orderCol)).as(firstC))
+      .select(payload.map(c => col(firstC).getField(c).as(c)): _*)
   }
 
   /** Re-occurrences only (the yield_unique_values=False branch): every
@@ -53,11 +54,12 @@ object Dedup {
       orderCol: String,
       normalizer: Column => Column = graft.functions.Scalars.wordNorm): Transform = { df =>
     val payload = df.columns.toSeq
+    val rnC = graft.core.Cols.fresh("__rn", payload)
     val w = Window
       .partitionBy((bagKeys.map(col) :+ normalizer(col(valueCol))): _*)
       .orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+    df.withColumn(rnC, row_number().over(w))
+      .filter(col(rnC) > 1)
       .select(payload.map(col): _*)
   }
 
