@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Dedup, FoldGroup, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Dedup, Embeddings, FoldGroup, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -102,6 +102,29 @@ object SparkEntry {
   private val tokList: String =
     """list_filter(string_split_regex(text, '\s+'),
       | t -> t <> '' AND NOT regexp_matches(t, '^\s+$'))""".stripMargin.replace("\n", "")
+
+  /** Shared embeddings-oracle prelude: int64 fixed-point quantization +
+    * exact squared norms, mirroring Embeddings.prepped — all constants
+    * come from [[Embeddings]] so engine and oracle can't drift. */
+  private val embCte: String = {
+    val sc = f"${Embeddings.Scale}%.1f"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * $sc) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, qv,
+       |           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+       |    FROM q)
+       |  WHERE nsq > 0)""".stripMargin
+  }
+
+  /** DuckDB expression for the sign-LSH hyperplane weight w(p, j) —
+    * same integer formula as Embeddings.weight. */
+  private def weightSql(p: String, j: String): String =
+    s"((($p * ${Embeddings.WeightA} + $j * ${Embeddings.WeightB}) % ${Embeddings.WeightMod}) - ${(Embeddings.WeightMod - 1) / 2})"
 
   // ---------------------------------------------------------------- contract
 
@@ -292,6 +315,15 @@ object SparkEntry {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))),
 
+    // -------- similarity search over embeddings (north-star extension)
+    // Exact brute-force top-5 for a 1-in-20 query subset (broadcast NLJ,
+    // corpus never shuffles) …
+    "emb_topk" -> ((s, dir) =>
+      Embeddings.cosineTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
+    // … and the scale path: sign-LSH bucketing + bucket equijoin.
+    "emb_ann_lsh" -> ((s, dir) =>
+      Embeddings.annLsh(T(s, dir, "embeddings"))),
+
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -463,6 +495,53 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "emb_topk" ->
+      s"""$embCte,
+         |pairs AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(range(len(qq.qv)),
+         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+         |         qq.nsq AS qn, c.nsq AS cn
+         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS c2
+         |  FROM pairs),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c2,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY c2 DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+         |       CAST(round(c2 * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "emb_ann_lsh" ->
+      s"""$embCte,
+         |bits AS (
+         |  SELECT n.vec_id, p.p,
+         |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
+         |                j -> n.qv[j+1] * ${weightSql("p.p", "j")})) AS BIGINT) > 0
+         |              THEN (1 << p.p) ELSE 0 END AS bv
+         |  FROM n, range(${Embeddings.Planes}) p(p)),
+         |buckets AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+         |nb AS (SELECT n.vec_id, n.qv, n.nsq, b.bucket FROM n JOIN buckets b USING (vec_id)),
+         |cand AS (
+         |  SELECT a.vec_id AS vid, c.vec_id AS nid,
+         |         CAST(list_sum(list_transform(range(len(a.qv)),
+         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+         |         a.nsq AS an, c.nsq AS cn
+         |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+         |best AS (
+         |  SELECT vid, nid,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS c2,
+         |         row_number() OVER (PARTITION BY vid
+         |           ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, nid) AS rn
+         |  FROM cand)
+         |SELECT nb.vec_id, nb.bucket,
+         |       coalesce(b.nid, -1) AS neighbor_id,
+         |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
+         |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
 
     "text_langid" ->
       s"""$toksCte,

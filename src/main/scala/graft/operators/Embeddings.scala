@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ArrayType(FloatType)) —
+  * the north-star extension beyond the reference's surface (the
+  * reference has no vector ops at all; BASELINE.json names similarity
+  * search as a target capability).
+  *
+  * Two paths:
+  *   - [[cosineTopK]] — exact brute-force top-k for a (small) query
+  *     set: broadcast the queries, stream the candidate corpus through
+  *     a BroadcastNestedLoopJoin. This is the correctness baseline and
+  *     the right physical shape when |queries| ≪ |corpus| (the corpus
+  *     side never shuffles, never collects).
+  *   - [[annLsh]] — sign-random-hyperplane LSH: every vector gets a
+  *     small bucket id from deterministic integer hyperplanes, then
+  *     candidates come from a bucket-equijoin (shuffle hash join on the
+  *     bucket key) — NO all-pairs product anywhere, so the plan
+  *     survives corpus² growth at 100 TB.
+  *
+  * Determinism contract (shared with the DuckDB oracle): float
+  * components are quantized to int64 fixed-point (×1e7) so every dot
+  * product and norm is an EXACT integer sum (order-independent, no
+  * float summation drift); the cosine is then derived in double from
+  * those exact integers — bit-identical in any engine that follows the
+  * same formula. Quantization error (~1e-7 relative) is irrelevant for
+  * similarity ranking and bounded, unlike cross-engine float-sum drift
+  * which is unbounded in ulps.
+  */
+object Embeddings {
+
+  /** Fixed-point scale: |component| ≤ ~0.6 in the fixtures; 0.6e7
+    * squared × 64 dims ≈ 2.3e15 < 2^53, so norms and dots stay exactly
+    * representable both as int64 and as double. */
+  val Scale: Double = 1e7
+
+  /** int64 fixed-point quantization of a float/double array column. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(Scale)).cast("long"))
+
+  /** Exact integer dot product of two quantized (long) array columns. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from exact integer dot + squared norms (double division —
+    * deterministic given identical integer inputs). */
+  def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** vec_id, quantized vector, exact squared norm — the shared prep
+    * projection (narrow, codegen'd, computed once before any join). */
+  private def prepped(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qv = quantize(col(vecCol))
+    emb.select(col(idCol), qv.as("__qv"))
+      .withColumn("__nsq", dotQ(col("__qv"), col("__qv")))
+      .filter(col("__nsq") > 0)
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector (rows
+    * matching `queryPred`), the k nearest corpus vectors (self
+    * excluded). Output: (query_id, neighbor_id, rank, cos_x1e6).
+    *
+    * Physical shape: queries are broadcast (they are the small side by
+    * construction); the corpus side is a single narrow scan. The only
+    * wide operation is the per-query top-k window, keyed by query — at
+    * 1000 executors that is |queries| independent sorts of corpus
+    * partitions, which AQE splits fine. For huge k·|queries| use
+    * [[annLsh]] instead.
+    */
+  def cosineTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = prepped(emb, idCol, vecCol)
+    val queries = prepped(emb.filter(queryPred), idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qqv"), col("__nsq").as("__qnsq"))
+
+    val pairs = corpus
+      .join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .withColumn("__cos", cosine(dotQ(col("__qqv"), col("__qv")), col("__qnsq"), col("__nsq")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col(idCol))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("__cos") * 1e6).cast("long").as("cos_x1e6"))
+  }
+
+  /** Number of sign-hyperplanes (buckets = 2^Planes). 4 ⇒ 16 buckets —
+    * sized for the fixture corpus; a real deployment raises this with
+    * corpus size (buckets ≈ corpus / desired candidate-set size). */
+  val Planes: Int = 4
+
+  /** Deterministic integer hyperplane weight w(p, j) for plane p,
+    * 0-based dimension j — a fixed LCG-ish mix, no RNG state, so every
+    * engine (and the DuckDB oracle) derives identical planes. */
+  val WeightA = 73856093L
+  val WeightB = 19349663L
+  val WeightMod = 2001L
+
+  private def weight(p: Int, j: Column): Column =
+    (lit(p.toLong * WeightA) + j.cast("long") * WeightB) % WeightMod - lit((WeightMod - 1) / 2)
+
+  /** Bucket id from sign bits of the quantized vector against the
+    * [[Planes]] hyperplanes — pure integer arithmetic, exact. */
+  def bucketOf(qv: Column): Column =
+    (0 until Planes).map { p =>
+      val dot = aggregate(
+        transform(qv, (x, j) => x * weight(p, j)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: every vector is assigned a sign-LSH bucket; its
+    * candidate set is its bucket-mates (shuffle hash equijoin on the
+    * bucket — no cross product). Emits each vector's best bucket-mate
+    * by exact cosine: (vec_id, bucket, neighbor_id, cos_x1e6), with
+    * neighbor_id = -1 / cos_x1e6 = 0 when the vector is alone in its
+    * bucket (the honest ANN answer — recall < 1 is the price of never
+    * doing all-pairs; a sentinel, not NULL, so output dtypes stay
+    * stable for the differential harness).
+    */
+  def annLsh(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = prepped(emb, idCol, vecCol)
+      .withColumn("__bucket", bucketOf(col("__qv")))
+
+    val a = base.select(
+      col(idCol), col("__bucket"), col("__qv"), col("__nsq"))
+    val b = base.select(
+      col(idCol).as("__nid"), col("__bucket").as("__nbucket"),
+      col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
+
+    val scored = a
+      .join(b, col("__bucket") === col("__nbucket") && col(idCol) =!= col("__nid"))
+      .withColumn("__cos", cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__nid"))
+    val best = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__nid"), col("__cos"))
+
+    base.select(col(idCol), col("__bucket"))
+      .join(best, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("__bucket").as("bucket"),
+        coalesce(col("__nid"), lit(-1L)).as("neighbor_id"),
+        coalesce(round(col("__cos") * 1e6).cast("long"), lit(0L)).as("cos_x1e6"))
+  }
+}
