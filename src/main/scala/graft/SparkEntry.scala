@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Dedup, Embeddings, FoldGroup, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Dedup, Embeddings, FoldGroup, NearDup, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -102,6 +102,33 @@ object SparkEntry {
   private val tokList: String =
     """list_filter(string_split_regex(text, '\s+'),
       | t -> t <> '' AND NOT regexp_matches(t, '^\s+$'))""".stripMargin.replace("\n", "")
+
+  /** Ground-truth near-dup oracle: exact n-gram-shingle Jaccard over
+    * all pairs sharing ≥1 shingle (complete for J ≥ threshold since
+    * J > 0 ⇒ a shared shingle). All three Spark candidate paths
+    * (exact / MinHash / SimHash) are confirmed against exact Jaccard,
+    * so they share this single oracle; constants come from [[NearDup]].
+    */
+  private val neardupSql: String = {
+    val n = NearDup.ShingleN
+    val t = NearDup.ThresholdMilli
+    val gram = (0 until n).map(o => s"ts[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, $gram AS s
+       |  FROM t2, unnest(range(1, greatest(len(ts) - ${n - 2}, 1))) AS u(i)),
+       |sizes AS (SELECT doc_id, count(*) AS nn FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST((1000 * ic) // (sa.nn + sb.nn - ic) AS BIGINT) AS jaccard_x1000
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
+  }
 
   /** Shared embeddings-oracle prelude: int64 fixed-point quantization +
     * exact squared norms, mirroring Embeddings.prepped — all constants
@@ -315,6 +342,17 @@ object SparkEntry {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))),
 
+    // -------- near-duplicate detection (north-star extension). Three
+    // candidate paths, one confirmed-output contract — all must equal
+    // the exact ground truth on this corpus (planted near-dups have
+    // J ≥ 0.9, far above the LSH false-negative floors).
+    "neardup_ngram" -> ((s, dir) =>
+      NearDup.ngramJaccardPairs(T(s, dir, "documents"))),
+    "neardup_minhash" -> ((s, dir) =>
+      NearDup.minHashPairs(T(s, dir, "documents"))),
+    "neardup_simhash" -> ((s, dir) =>
+      NearDup.simHashPairs(T(s, dir, "documents"))),
+
     // -------- similarity search over embeddings (north-star extension)
     // Exact brute-force top-5 for a 1-in-20 query subset (broadcast NLJ,
     // corpus never shuffles) …
@@ -495,6 +533,10 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "neardup_ngram" -> neardupSql,
+    "neardup_minhash" -> neardupSql,
+    "neardup_simhash" -> neardupSql,
 
     "emb_topk" ->
       s"""$embCte,
