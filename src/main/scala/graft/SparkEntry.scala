@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Dedup, Embeddings, FoldGroup, NearDup, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Dedup, Embeddings, FoldGroup, Multimodal, NearDup, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -362,6 +362,26 @@ object SparkEntry {
     "emb_ann_lsh" -> ((s, dir) =>
       Embeddings.annLsh(T(s, dir, "embeddings"))),
 
+    // -------- multimodal binary ops (north-star extension): the
+    // documents text cast to binary stands in for an opaque payload;
+    // byte length, SHA-256 fingerprint, header sniff, frame sample and
+    // the stub decoder all run on real BinaryType columns. (The
+    // file-ingest path — BinaryFilesSource over real files — is
+    // exercised by the test suite; parquet fixtures keep the oracle.)
+    "multimodal_binary" -> ((s, dir) => {
+      val payload = T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.describe(payload, "payload")
+        .select(
+          col("doc_id"), col("byte_len"), col("sha256"), col("header_hex"),
+          element_at(col("frames_hex"), 1).as("frame0"),
+          element_at(col("frames_hex"), 2).as("frame1"),
+          element_at(col("frames_hex"), 3).as("frame2"),
+          col("decoded.width").as("img_w"),
+          col("decoded.height").as("img_h"),
+          col("decoded.channels").as("img_c"))
+    }),
+
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -584,6 +604,27 @@ object SparkEntry {
          |       coalesce(b.nid, -1) AS neighbor_id,
          |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
          |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
+
+    "multimodal_binary" -> {
+      // hex-string offset for byte offset 1 + (bl*i)//3: (off-1)*2 + 1
+      val frames = (0 until 3).map { i =>
+        s"substring(hx, ((bl * $i) // 3) * 2 + 1, 16) AS frame$i"
+      }.mkString(",\n         |       ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |         lower(hex(encode(text))) AS hx,
+         |         octet_length(encode(text)) AS bl
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(bl AS BIGINT) AS byte_len,
+         |       sha256(text) AS sha256,
+         |       substring(hx, 1, 32) AS header_hex,
+         |       $frames,
+         |       CAST(bl % 640 AS BIGINT) AS img_w,
+         |       CAST(bl % 480 AS BIGINT) AS img_h,
+         |       CAST(3 AS BIGINT) AS img_c
+         |FROM b""".stripMargin
+    },
 
     "text_langid" ->
       s"""$toksCte,

@@ -65,6 +65,27 @@ final case class WholeTextSource(dirs: Seq[String], glob: String = "*.txt")
         col("value").as("content"))
 }
 
+/** One row per file WITH the raw bytes — the multimodal ingest path
+  * (image/audio/video payloads as opaque binary + metadata; see
+  * graft.operators.Multimodal). The reference never reads bytes
+  * (extractors/files.py stops at paths); this is the extension a
+  * training-data pipeline needs. Content is read executor-side per
+  * split — the driver only lists paths.
+  */
+final case class BinaryFilesSource(dirs: Seq[String], glob: String = "*")
+    extends Source {
+  def load(spark: SparkSession): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(dirs: _*)
+      .select(
+        col("path").as("file_path"),
+        col("length").as("file_size"),
+        col("content"))
+}
+
 /** Parquet table source for the fixture star schema (TESTDATA.md). */
 final case class ParquetSource(path: String) extends Source {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
