@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Pipeline
+import graft.core.api._
+import graft.functions.Scalars
+import graft.operators.{Tokenize, WordStats}
+import graft.sinks.{ConditionalSink, CsvSink, FilteredSink, ParquetSink, RepartitionedSink}
+import graft.sources.{FileLinesSource, FilesListSource, WholeTextSource}
+
+/** End-to-end golden test over the reference's own corpus
+  * (/root/reference/example/sample_data/books/ — Project Gutenberg
+  * .txt files), asserting the A.3 invariants from FIXTURES.md, i.e.
+  * the audit SQL the reference documents at example/readme.md:41-69.
+  * This is the run a reference user would do first: point the engine
+  * at a directory of text files, get the word-stats table out.
+  */
+class GoldenCorpusSpec extends SparkSpecBase {
+
+  private val booksDir = "/root/reference/example/sample_data/books"
+
+  private lazy val nTxtFiles: Long = {
+    val d = new java.io.File(booksDir)
+    d.listFiles().count(f => f.isFile && f.getName.endsWith(".txt")).toLong
+  }
+
+  /** The canonical §3.4 output over the corpus: WordStats keyed by
+    * file_path + the reference's `file` projection (last 5 path
+    * components, 269-truncated). */
+  private lazy val stats = {
+    val docs = WholeTextSource(Seq(booksDir)).load(spark)
+    WordStats(docs, idCol = "file_path", textCol = "content")
+      .withColumn("file",
+        Scalars.truncate269(Scalars.lastPathComponents(col("file_path"), 5)))
+      .drop("file_path")
+      .cache()
+  }
+
+  test("sources: file listing matches the directory walk") {
+    val listed = FilesListSource(Seq(booksDir)).load(spark)
+    assert(listed.count() === nTxtFiles)
+    assert(listed.filter(col("file_size") <= 0).count() === 0)
+  }
+
+  test("sources: lines source emits only trimmed non-blank lines") {
+    val lines = FileLinesSource(Seq(booksDir)).load(spark)
+    val bad = lines.filter(
+      length(col("line")) === 0 || col("line").rlike("^\\s") || col("line").rlike("\\s$"))
+    assert(bad.count() === 0)
+    assert(lines.select(countDistinct(col("file_path"))).head.getLong(0) === nTxtFiles)
+  }
+
+  test("invariant 1: no duplicate (file, normalized word) pair in the output") {
+    val dups = stats
+      .groupBy(col("file"), Scalars.wordNorm(col("word")))
+      .count()
+      .filter(col("count") > 1)
+    assert(dups.count() === 0)
+  }
+
+  test("invariant 2: COUNT(DISTINCT file) equals the number of input files") {
+    assert(stats.select(countDistinct(col("file"))).head.getLong(0) === nTxtFiles)
+  }
+
+  test("invariant 3: sum of words_count over distinct (file, words_count) = corpus token count") {
+    val viaStats = stats
+      .select(col("file"), col("words_count")).distinct()
+      .agg(sum("words_count")).head.getLong(0)
+    // Independent recount: tokenize the corpus directly.
+    val direct = Tokenize
+      .splitTokens(inputCol = "content")(WholeTextSource(Seq(booksDir)).load(spark))
+      .count()
+    assert(viaStats === direct)
+  }
+
+  test("invariant 4: truncation flag and lengths are consistent") {
+    // No word survives longer than the 254-char truncation…
+    assert(stats.filter(length(col("word")) > 254).count() === 0)
+    // …and (diacritic-free corpus ⇒ word_len = pre-truncation length)
+    // the flag agrees with the pre-image length everywhere.
+    val bad = stats.filter(col("word_truncated") =!= (col("word_len") > 255))
+    assert(bad.count() === 0)
+    // This corpus genuinely has both short words and no >255 monsters:
+    assert(stats.filter(col("word_truncated")).count() === 0)
+  }
+
+  test("pipeline: multi-sink fan-out writes the same rows to csv and parquet") {
+    val out = Files.createTempDirectory("graft_e2e").toString
+    val src = new Source {
+      def load(s: org.apache.spark.sql.SparkSession) = stats
+    }
+    Pipeline(src)
+      .to(CsvSink(s"$out/csv"))
+      .to(ParquetSink(s"$out/parquet"))
+      .run(spark)
+
+    val n = stats.count()
+    val csvBack = spark.read
+      .option("delimiter", ";").option("header", "false")
+      .csv(s"$out/csv")
+    assert(csvBack.count() === n)
+    assert(spark.read.parquet(s"$out/parquet").count() === n)
+  }
+
+  test("sinks: conditional, filtered and repartitioned delegate correctly") {
+    val out = Files.createTempDirectory("graft_sinks").toString
+
+    ConditionalSink(() => false, ParquetSink(s"$out/never")).write(stats)
+    assert(!Files.exists(Paths.get(s"$out/never")))
+
+    FilteredSink(col("words_count") > 100000, ParquetSink(s"$out/big")).write(stats)
+    val big = spark.read.parquet(s"$out/big")
+    assert(big.count() === stats.filter(col("words_count") > 100000).count())
+
+    RepartitionedSink(3, ParquetSink(s"$out/parts")).write(stats.limit(1000))
+    val parts = new java.io.File(s"$out/parts")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts === 3)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Embeddings, NearDup}
+
+/** Crafted-input tests for the scale operators: all three near-dup
+  * candidate paths must produce the exact confirmed pair set (and the
+  * Jaccard value is checked against a hand model); cosine top-k must
+  * rank by true cosine; LSH ANN must only ever pair bucket-mates.
+  */
+class NearDupEmbeddingsSpec extends SparkSpecBase {
+
+  private def shingleSet(text: String): Set[String] =
+    text.split("\\s+").filter(_.nonEmpty).sliding(NearDup.ShingleN)
+      .filter(_.length == NearDup.ShingleN).map(_.mkString(" ")).toSet
+
+  // 40 distinct tokens → 38 shingles; one changed word kills 3 of them:
+  // J = 35 / 41 ≈ 0.853 ≥ 0.8 — a genuine near-dup under the threshold.
+  private val base =
+    (1 to 40).map(i => s"tok$i").mkString(" ")
+  private val nearDup = base.replace("tok20", "CHANGED")
+  private val unrelated =
+    "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+  }
+
+  private lazy val expectedPairs: Set[(Long, Long, Long)] = {
+    val sets = Map(1L -> shingleSet(base), 2L -> shingleSet(nearDup),
+      3L -> shingleSet(unrelated), 4L -> shingleSet(base))
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if union > 0 && inter * 1000 >= NearDup.ThresholdMilli * union
+    } yield (a, b, (1000L * inter) / union)).toSet
+  }
+
+  private def runPath(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long)] =
+    f(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("exact n-gram path equals the set model (incl. an identical-doc pair)") {
+    // sanity on the fixture itself: 1-4 identical, 1-2 near, 3 unrelated
+    assert(expectedPairs.contains((1L, 4L, 1000L)))
+    assert(expectedPairs.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+    assert(!expectedPairs.exists { case (a, b, _) => b == 3L || a == 3L })
+    assert(runPath(NearDup.ngramJaccardPairs(_)) === expectedPairs)
+  }
+
+  test("minhash and simhash paths confirm to the same exact pair set") {
+    assert(runPath(NearDup.minHashPairs(_)) === expectedPairs)
+    assert(runPath(NearDup.simHashPairs(_)) === expectedPairs)
+  }
+
+  test("cosine top-k ranks by true cosine, self excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), // closest to 0
+      (2L, Array(0.5f, 0.5f, 0f, 0f)), // second
+      (3L, Array(0f, 1f, 0f, 0f)),     // orthogonal-ish third
+      (4L, Array(-1f, 0f, 0f, 0f)))    // opposite, last
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.cosineTopK(emb, col("vec_id") === 0, k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.reverse) // cos desc
+    // true cosines: 1↦0.9938…, 2↦0.7071…, 3↦0, 4↦-1
+    assert(math.abs(got(0)._2 - 993884) <= 1)
+    assert(math.abs(got(1)._2 - 707107) <= 1)
+    assert(got(2)._2 === 0L)
+    assert(got(3)._2 === -1000000L)
+  }
+
+  test("LSH ANN pairs only bucket-mates; identical vectors are mutual top-1") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4f)),      // identical to 0 → same bucket
+      (2L, Array(-1f, -2f, -3f, -4f)))  // opposite → different bucket
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.annLsh(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    assert(rows(0L)._1 === rows(1L)._1)        // same bucket
+    assert(rows(0L)._2 === 1L && rows(1L)._2 === 0L)
+    assert(rows(0L)._3 === 1000000L)           // exact cosine 1.0
+    assert(rows(2L)._1 !== rows(0L)._1)        // opposite signs → other bucket
+    assert(rows(2L)._2 === -1L && rows(2L)._3 === 0L) // lonely-bucket sentinel
+  }
+}
