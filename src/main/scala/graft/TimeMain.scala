@@ -1,0 +1,24 @@
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run named SparkEntry queries N times in one session to
+  * separate steady-state cost from first-run planning/codegen cost.
+  * Usage: runMain TimeMain <sfDir> <reps> <query...> */
+object TimeMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args.drop(2)) {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME $q: ${times.map(t => f"$t%.2f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

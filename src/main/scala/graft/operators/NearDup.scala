@@ -40,15 +40,21 @@ object NearDup {
   /** MinHash signature length (= band count at r=1). */
   val NumMinHashes = 16
 
-  /** SimHash banding: 16 bands × 4 bits, plus a Hamming cutoff.
-    * Cutoff calibration: a J ≈ 0.9 pair flips each signature bit with
-    * p ≈ 0.1 (Hamming mean ≈ 6.5, tail into the low teens), while
-    * unrelated pairs sit at ≈ 32 ± 4 — 16 separates the two cleanly
-    * (miss rate ~5e-4 at J = 0.9, random-pair pass rate ~3e-5, and
-    * exact confirmation removes any false positive that does pass). */
+  /** SimHash banding: 16 bands × 4 bits with a Hamming ≤ 15 cutoff.
+    * This pairing is EXACT, not probabilistic: by pigeonhole, h bit
+    * flips can touch at most h of the 16 bands, so any pair within
+    * Hamming 15 is guaranteed to agree on ≥ 1 band — the candidate
+    * stage finds exactly the Hamming-≤15 ball (wider bands would break
+    * the guarantee: 8×8 bands structurally miss h ≥ 8 pairs, and
+    * measured planted near-dups sit at h up to 10). Near-dup pairs at
+    * J ≈ 0.9 land around h ≈ 6.5 on this corpus; unrelated pairs at
+    * ≈ 32 ± 4, far outside the ball, and exact confirmation removes
+    * any false positive inside it. The 100 TB dial is signature WIDTH
+    * (128-bit simhash ⇒ 16 bands × 8 bits keeps the same guarantee
+    * with 256-value bands), not band count. */
   val SimHashBands = 16
   val SimHashBandBits = 4
-  val HammingMax = 16
+  val HammingMax = 15
 
   /** (idCol, shingle) — DISTINCT word-n-gram shingles per doc, built
     * narrowly: token array → sequence-indexed concat → array_distinct →
