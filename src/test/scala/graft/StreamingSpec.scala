@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** MemoryStream-driven tests for the streaming operators: window agg,
+  * watermark dedup, and custom mapGroupsWithState state. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(hour: Int, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed counts aggregate by event-time tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams
+      .windowedCounts(in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("win").outputMode("complete")
+      .start()
+    try {
+      in.addData((ts(1, 10), "a"), (ts(1, 20), "a"), (ts(1, 30), "b"), (ts(2, 5), "a"))
+      q.processAllAvailable()
+      val got = spark.table("win")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(
+        (ts(1), "a", 2L), (ts(1), "b", 1L), (ts(2), "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark is the streaming dedup bag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = Streams
+      .dedupWithinWatermark(in.toDF().toDF("ts", "doc", "word"), Seq("doc", "word"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (ts(1), "d1", "w"), (ts(1, 5), "d1", "w"), // dup within watermark
+        (ts(1), "d1", "x"), (ts(1), "d2", "w"))
+      q.processAllAvailable()
+      val got = spark.table("dedup")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got === Set(("d1", "w"), ("d1", "x"), ("d2", "w")))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.runningCounts(in.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update")
+      .start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      in.addData(("a", 4L)) // second micro-batch accumulates onto state
+      q.processAllAvailable()
+      val latest = spark.table("totals")
+        .groupBy("key").agg(max("total").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(latest === Set(("a", 7L), ("b", 10L)))
+    } finally q.stop()
+  }
+}
