@@ -388,7 +388,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents"))),
     "text_token_counts" -> ((s, dir) =>
-      TextAnalysis.tokenCounts(T(s, dir, "documents")))
+      TextAnalysis.tokenCounts(T(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(T(s, dir, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -673,6 +675,25 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len($tokList) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "text_fingerprint" -> {
+      val w = TextAnalysis.FingerprintWindow
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         sha256(array_to_string(ts, ' ')) AS full_fp,
+         |         CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+         |              WHEN len(ts) < $w THEN [sha256(array_to_string(ts, ' '))]
+         |              ELSE list_transform(range(1, len(ts) - $w + 2),
+         |                     i -> sha256(array_to_string(ts[i:i+${w - 1}], ' ')))
+         |         END AS chunks
+         |  FROM t2)
+         |SELECT doc_id, full_fp,
+         |       CAST(len(chunks) AS BIGINT) AS n_chunks,
+         |       coalesce(list_min(chunks), '') AS min_chunk_fp,
+         |       coalesce(list_max(chunks), '') AS max_chunk_fp
+         |FROM c""".stripMargin
+    }
   )
 }

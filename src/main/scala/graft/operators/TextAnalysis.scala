@@ -118,6 +118,44 @@ object TextAnalysis {
       greatest(lit(0L), least(lit(1000L), raw)).as("score_milli"))
   }
 
+  /** Chunk window (tokens) for [[fingerprint]]'s rolling fingerprints. */
+  val FingerprintWindow = 8
+
+  /** Document fingerprinting: a canonical whole-document fingerprint
+    * (SHA-256 of the space-joined token stream — whitespace-
+    * normalization-invariant exact-dup key) plus rolling chunk
+    * fingerprints (one hash per sliding [[FingerprintWindow]]-token
+    * window — the shift-resistant shape used for partial-overlap /
+    * winnowing detection). Emits the chunk-set summary (count, lexical
+    * min/max) so output stays one row per doc; the full chunk array is
+    * available via the intermediate columns if a caller wants the
+    * postings. Narrow, shuffle-free, codegen'd.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = FingerprintWindow
+    // Materialize the token array first (same CollapseProject reasoning
+    // as NearDup.shingles — the window lambda references it ~3× each).
+    val toksC = graft.core.Cols.fresh("__toks", Seq(idCol))
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    val toks = col(toksC)
+    val fullFp = sha2(concat_ws(" ", toks), 256)
+    val windows = transform(
+      sequence(lit(0), size(toks) - w),
+      i => sha2(concat_ws(" ", slice(toks, i + 1, lit(w))), 256))
+    val chunks = when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < w, array(fullFp))
+      .otherwise(windows)
+
+    docs.select(col(idCol), tokArr.as(toksC))
+      .select(
+        col(idCol),
+        fullFp.as("full_fp"),
+        size(chunks).cast("long").as("n_chunks"),
+        coalesce(array_min(chunks), lit("")).as("min_chunk_fp"),
+        coalesce(array_max(chunks), lit("")).as("max_chunk_fp"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * lexer (letter runs | digit runs | single non-space symbol) — the
     * usual pre-tokenizer shape for byte-pair encoders. */
