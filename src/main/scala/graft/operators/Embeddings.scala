@@ -146,11 +146,16 @@ object Embeddings {
     val scored = a
       .join(b, col("__bucket") === col("__nbucket") && col(idCol) =!= col("__nid"))
       .withColumn("__cos", cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__nid"))
+    // top-1 as a max_by hash aggregation (cos desc, neighbor id asc on
+    // ties) — no per-partition sort, partial agg map-side, unlike the
+    // window row_number formulation.
     val best = scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__nid"), col("__cos"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("__nid"), col("__cos")),
+        struct(col("__cos"), -col("__nid"))).as("__top"))
+      .select(col(idCol),
+        col("__top.__nid").as("__nid"), col("__top.__cos").as("__cos"))
 
     base.select(col(idCol), col("__bucket"))
       .join(best, Seq(idCol), "left")

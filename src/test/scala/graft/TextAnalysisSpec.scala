@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Behavioral tests for the text-analysis operators on crafted docs —
+  * these are oracle-checked end-to-end by Verify; here we pin the
+  * SEMANTICS a reader should be able to rely on.
+  */
+class TextAnalysisSpec extends SparkSpecBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat and the dog sat in a chair of note"),  // english markers
+      (2L, "el gato y la casa de que si no porque"),       // spanish markers
+      (3L, "zzz qqq xxx www"),                             // no markers
+      (4L, ""),                                            // empty
+      (5L, "1234 5678 !!! ???"))                           // digits + punct
+      .toDF("doc_id", "text")
+  }
+
+  test("langId picks the majority marker language, und on no hits") {
+    val got = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._1 === "en")
+    assert(got(2L)._1 === "es")
+    assert(got(3L) === ("und", 0L))
+    assert(got(4L) === ("und", 0L))
+  }
+
+  test("quality: digit/punct-heavy docs score below plain prose") {
+    val got = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(got(1L) > got(5L))
+    // scores stay in [0, 1000]
+    assert(got.values.forall(s => s >= 0L && s <= 1000L))
+  }
+
+  test("tokenCounts: bpe lexer splits letter/digit/symbol runs") {
+    import spark.implicits._
+    val one = Seq((1L, "ab12!cd  ef")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(one).head()
+    assert(r.getLong(1) === 2L) // ws tokens: "ab12!cd", "ef"
+    assert(r.getLong(2) === 5L) // ab | 12 | ! | cd | ef
+  }
+
+  test("fingerprint: whitespace-normalization-invariant; chunks slide per token") {
+    import spark.implicits._
+    val pair = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a  b\tc d e f g h i j"), // same tokens, different whitespace
+      (3L, "a b c d e f g h i j K")) // one extra token
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprint(pair).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === got(2L))                 // identical fp + chunk count
+    assert(got(1L)._1 !== got(3L)._1)           // content-sensitive
+    assert(got(1L)._2 === 3L)                   // 10 tokens, window 8 → 3 windows
+    assert(got(3L)._2 === 4L)                   // 11 tokens → 4 windows
+  }
+}
