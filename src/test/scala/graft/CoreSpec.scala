@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.api
+import graft.operators.{AttrsTransform, FoldGroup, Tokenize}
+import graft.sinks.{ConsoleSink, CsvSink, Projection}
+
+/** Contract tests for the core API pieces and the small operators the
+  * oracle queries exercise only implicitly: noop transform, transform
+  * chaining, per-group folds, tokenizer per-token pipeline
+  * (remove_chars → mappers → ignore predicate), projection
+  * required-ness, and sink append/console behavior.
+  */
+class CoreSpec extends SparkSpecBase {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 5L)).toDF("id", "k", "v")
+  }
+
+  test("noop transform is identity (OneToOneNoopTransformer)") {
+    val out = AttrsTransform.noop(df)
+    assert(out.schema === df.schema)
+    assert(out.collect().toSeq === df.collect().toSeq)
+  }
+
+  test("chain composes transforms left-to-right") {
+    val t = api.chain(
+      d => d.withColumn("v", col("v") + 1),
+      d => d.withColumn("v", col("v") * 2))
+    // (v + 1) * 2 — order matters
+    assert(t(df).select(sum("v")).head.getLong(0) === (11 + 21 + 6) * 2)
+  }
+
+  test("foldGroup and countPerGroup are the ReduceItemTransformer forms") {
+    val counts = FoldGroup.countPerGroup(Seq("k"), "n")(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("x" -> 2L, "y" -> 1L))
+    val sums = FoldGroup.foldGroup(Seq("k"), Seq(sum("v").as("s")))(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums === Map("x" -> 30L, "y" -> 5L))
+  }
+
+  test("tokenizer per-token pipeline: remove_chars, mapper chain, ignore predicate") {
+    import spark.implicits._
+    val docs = Seq((1L, "Foo, bar! foo-baz skip")).toDF("doc", "text")
+    val out = Tokenize.splitTokens(
+      inputCol = "text",
+      removeChars = ",!",                       // strip literal chars per token
+      mappers = Seq(c => lower(c), c => regexp_replace(c, "-", "_")),
+      keep = c => c =!= "skip")(docs)           // custom ignore_word_fn
+      .select("pos", "word").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out === Set((0, "foo"), (1, "bar"), (2, "foo_baz")))
+  }
+
+  test("projection drops rows with null REQUIRED fields, keeps optional nulls") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, Some("a"), Some("x")),
+      (2L, None, Some("y")),       // required null → dropped
+      (3L, Some("c"), None))       // optional null → kept
+      .toDF("id", "req", "opt")
+    val out = Projection(src, Seq(
+      ("id", col("id"), true),
+      ("r", col("req"), true),
+      ("o", col("opt"), false)))
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("csv sink appends across writes (reference buffered-append contract)") {
+    val out = Files.createTempDirectory("graft_csv").toString + "/data"
+    CsvSink(out).write(df)
+    CsvSink(out).write(df)
+    val back = spark.read.option("delimiter", ";").csv(out)
+    assert(back.count() === df.count() * 2)
+  }
+
+  test("console sink smoke (NoopLoader)") {
+    ConsoleSink(numRows = 2).write(df) // must not throw
+  }
+}
