@@ -61,6 +61,29 @@ final case class ParquetSink(
   }
 }
 
+/** Bucketed managed table — the co-located-join strategy at scale: two
+  * tables bucketed (and sorted) on the same key join WITHOUT a shuffle
+  * on either side, so a fact-to-fact join that would otherwise exchange
+  * 100 TB becomes a per-bucket merge. Nothing like it exists in the
+  * reference (its one table is a flat CSV/MySQL dump); this is the
+  * Spark-native answer to "reuse a partitioning across stages".
+  */
+final case class BucketedTableSink(
+    table: String,
+    bucketCols: Seq[String],
+    numBuckets: Int,
+    sortCols: Seq[String] = Nil,
+    mode: String = "overwrite")
+    extends Sink {
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}
+
 /** MySQL_DBLoader (tiny_etl/loaders/mysql.py:10-135): batched JDBC append.
   * `numPartitions` is the LoadBalanceLoader replacement — N concurrent
   * connections, each batching `batchsize` rows per round trip; retry and

@@ -50,7 +50,15 @@ final case class FileLinesSource(dirs: Seq[String], glob: String = "*.txt")
 }
 
 /** One row per file with the whole UTF-8 content — FileTextReaderTransformer
-  * (tiny_etl/transformers/files.py:56-88). */
+  * (tiny_etl/transformers/files.py:56-88).
+  *
+  * Scale note: one row per file means one task holds one file's entire
+  * content — right for file-granular semantics (per-file word stats)
+  * over many ordinary files, wrong for multi-GB single files. For
+  * those, use [[FileLinesSource]] (splittable line scan) and aggregate
+  * by file_path, which computes the same per-file results without any
+  * single task materializing a whole file.
+  */
 final case class WholeTextSource(dirs: Seq[String], glob: String = "*.txt")
     extends Source {
   def load(spark: SparkSession): DataFrame =

@@ -81,4 +81,23 @@ class CoreSpec extends SparkSpecBase {
   test("console sink smoke (NoopLoader)") {
     ConsoleSink(numRows = 2).write(df) // must not throw
   }
+
+  test("bucketed tables join with NO exchange on either side") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i, s"l$i")).toDF("id", "lv")
+    val right = (1L to 200L).map(i => (i, i * 2)).toDF("id", "rv")
+    graft.sinks.BucketedTableSink("t_left", Seq("id"), 4, Seq("id")).write(left)
+    graft.sinks.BucketedTableSink("t_right", Seq("id"), 4, Seq("id")).write(right)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("t_left").join(spark.table("t_right"), "id")
+      assert(j.count() === 200L)
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located bucketed join: no shuffle, no broadcast, anywhere
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(!plan.contains("BroadcastExchange"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
