@@ -58,6 +58,45 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(runPath(NearDup.simHashPairs(_)) === expectedPairs)
   }
 
+  test("all three paths equal the model on a randomized corpus (fixed seed)") {
+    import spark.implicits._
+    // 12 base docs (80-120 tokens over a 50-word vocab), each with an
+    // exact copy or a 1-3-token mutation — a deterministic minefield of
+    // planted near-dups plus random background similarity.
+    val rnd = new scala.util.Random(1234)
+    val vocab = (1 to 50).map(i => s"w$i")
+    def randDoc(): Seq[String] =
+      Seq.fill(80 + rnd.nextInt(41))(vocab(rnd.nextInt(vocab.size)))
+    val corpus = (0 until 12).flatMap { i =>
+      val base = randDoc()
+      val variantTokens = {
+        val muts = 1 + rnd.nextInt(3)
+        val idxs = Seq.fill(muts)(rnd.nextInt(base.size)).distinct
+        base.zipWithIndex.map { case (w, j) =>
+          if (idxs.contains(j)) s"MUT${i}_$j" else w
+        }
+      }
+      val variant = if (i % 3 == 0) base else variantTokens
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1L, variant.mkString(" ")))
+    }
+    val df = corpus.toDF("doc_id", "text")
+
+    val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val model = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if union > 0 && inter * 1000 >= NearDup.ThresholdMilli * union
+    } yield (a, b, (1000L * inter) / union)).toSet
+    assert(model.nonEmpty) // the fixture must actually plant pairs
+
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(df).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(NearDup.ngramJaccardPairs(_)) === model)
+    assert(run(NearDup.minHashPairs(_)) === model)
+    assert(run(NearDup.simHashPairs(_)) === model)
+  }
+
   test("cosine top-k ranks by true cosine, self excluded") {
     import spark.implicits._
     val emb = Seq(
