@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming windowed counts over the events fixture equal the batch result") {
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(dir)
+    def toTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val expected = Streams.windowedCounts(toTs(raw))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // FileStreamSource wants a directory: stream the sf dir, glob to
+    // the single events file.
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+    val q = Streams.windowedCounts(toTs(stream))
+      .writeStream.format("memory").queryName("evwin").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evwin")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
