@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Failure-honest: a query
@@ -7,8 +7,19 @@ import org.apache.spark.sql.SparkSession
   * total only sums successful queries, so a half-broken build can never
   * report plausible-looking numbers. One untimed warmup pass (flagship
   * entry at sf0.001) absorbs JVM/codegen startup cost.
+  *
+  * The timed action is [[Bench.materialize]], NOT `count()`: count()
+  * plans an empty-column aggregate, and for a pure-projection query
+  * ColumnPruning then deletes every projected expression — the bench
+  * would measure a bare parquet scan. Iterating the executed plan's
+  * own RDD forces every output column of the real plan to be computed.
   */
 object Bench {
+
+  /** Full materialization of a query: produce every UnsafeRow of the
+    * physical plan (all projections evaluated), driver only counts. */
+  def materialize(df: DataFrame): Long =
+    df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,7 +31,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try SparkEntry.entry(spark).count()
+    try materialize(SparkEntry.entry(spark))
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
@@ -35,7 +46,7 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { materialize(fn(spark, sfDir)); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, sec, err)

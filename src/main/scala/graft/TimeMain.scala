@@ -14,7 +14,9 @@ object TimeMain {
     for (q <- args.drop(2)) {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, sfDir).count()
+        // same full-materialization action as graft.Bench — count() would
+        // let ColumnPruning delete pure-projection work
+        graft.Bench.materialize(graft.SparkEntry.queries(q)(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"TIME $q: ${times.map(t => f"$t%.2f").mkString(", ")}")

@@ -96,10 +96,24 @@ object Embeddings {
         round(col("__cos") * 1e6).cast("long").as("cos_x1e6"))
   }
 
-  /** Number of sign-hyperplanes (buckets = 2^Planes). 4 ⇒ 16 buckets —
-    * sized for the fixture corpus; a real deployment raises this with
-    * corpus size (buckets ≈ corpus / desired candidate-set size). */
+  /** Default number of sign-hyperplanes (buckets = 2^planes). 4 ⇒ 16
+    * buckets — sized for the fixture corpus; a real deployment derives
+    * it from corpus size via [[planesFor]] (buckets ≈ corpus / desired
+    * candidate-set size). With a FIXED plane count the bucket equijoin
+    * is n²/2^planes — still quadratic — so the dial must actually be
+    * turned at scale; [[annLsh]] takes it as a parameter. */
   val Planes: Int = 4
+
+  /** Planes sized so the expected bucket population ≈ targetBucketSize:
+    * ceil(log₂(corpusSize / targetBucketSize)), clamped to [1, 62].
+    * Expected candidate rows ≈ n · targetBucketSize — linear in n. */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    val buckets = math.max(1L, corpusSize / math.max(1L, targetBucketSize))
+    val ceilLog2 =
+      if (buckets <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(62, math.max(1, ceilLog2))
+  }
 
   /** Deterministic integer hyperplane weight w(p, j) for plane p,
     * 0-based dimension j — a fixed LCG-ish mix, no RNG state, so every
@@ -111,12 +125,15 @@ object Embeddings {
   private def weight(p: Int, j: Column): Column =
     (lit(p.toLong * WeightA) + j.cast("long") * WeightB) % WeightMod - lit((WeightMod - 1) / 2)
 
-  /** Bucket id from sign bits of the quantized vector against the
-    * [[Planes]] hyperplanes — pure integer arithmetic, exact. */
-  def bucketOf(qv: Column): Column =
-    (0 until Planes).map { p =>
+  /** Bucket id from sign bits of the quantized vector against `planes`
+    * hyperplanes — pure integer arithmetic, exact. `table` selects an
+    * independent hyperplane family (global plane index = table·planes
+    * + p), so k tables give k independent bucketings for multi-probe
+    * recall; table 0 reproduces the original single-family buckets. */
+  def bucketOf(qv: Column, planes: Int = Planes, table: Int = 0): Column =
+    (0 until planes).map { p =>
       val dot = aggregate(
-        transform(qv, (x, j) => x * weight(p, j)),
+        transform(qv, (x, j) => x * weight(table * planes + p, j)),
         lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -129,22 +146,45 @@ object Embeddings {
     * bucket (the honest ANN answer — recall < 1 is the price of never
     * doing all-pairs; a sentinel, not NULL, so output dtypes stay
     * stable for the differential harness).
+    *
+    * Scale dials: `planes` (bucket granularity — wire it from corpus
+    * size via [[planesFor]] so candidates stay ≈ n · targetBucketSize)
+    * and `tables` (recall — k independent hyperplane families; a true
+    * near-neighbor split by one family's planes is recovered when ANY
+    * family buckets the pair together, miss rate ≈ (1−(1−θ/π)^planes)^k
+    * at angle θ). Defaults keep the fixture-sized single-family form.
     */
   def annLsh(
       emb: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      planes: Int = Planes,
+      tables: Int = 1): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    // One bucket per table; the reported `bucket` column is table 0's
+    // (identical to the single-family form). Candidates = bucket-mates
+    // in ANY table — the (table, bucket) equijoin unions the k
+    // independent bucketings; a pair sharing a bucket in several
+    // tables is scored more than once, which the top-1 max_by absorbs
+    // (max over duplicates is the max).
     val base = prepped(emb, idCol, vecCol)
-      .withColumn("__bucket", bucketOf(col("__qv")))
+      .withColumn("__tb",
+        array((0 until tables).map(t => bucketOf(col("__qv"), planes, t)): _*))
+      .withColumn("__bucket", col("__tb")(0))
 
-    val a = base.select(
-      col(idCol), col("__bucket"), col("__qv"), col("__nsq"))
-    val b = base.select(
-      col(idCol).as("__nid"), col("__bucket").as("__nbucket"),
+    val exploded = base.select(
+      col(idCol), col("__qv"), col("__nsq"),
+      posexplode(col("__tb")).as(Seq("__ti", "__b")))
+    val a = exploded.select(
+      col(idCol), col("__ti"), col("__b"), col("__qv"), col("__nsq"))
+    val b = exploded.select(
+      col(idCol).as("__nid"), col("__ti").as("__nti"), col("__b").as("__nb"),
       col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
 
     val scored = a
-      .join(b, col("__bucket") === col("__nbucket") && col(idCol) =!= col("__nid"))
+      .join(b, col("__ti") === col("__nti") && col("__b") === col("__nb") &&
+        col(idCol) =!= col("__nid"))
       .withColumn("__cos", cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
     // top-1 as a max_by hash aggregation (cos desc, neighbor id asc on
     // ties) — no per-partition sort, partial agg map-side, unlike the

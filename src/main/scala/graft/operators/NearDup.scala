@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *     hash value), i.e. k·|docs| rows, never all-pairs. One-row bands
   *     (r=1, b=k) make the false-negative rate (1−J)^k — ≤ 1e-16 at
   *     J ≥ 0.9, k = 16 — so confirmed output matches exact ground truth.
-  *   - [[simHashPairs]]: 64-bit sign fingerprint of the shingle-hash
-  *     set; candidates = pairs sharing a 4-bit band (16 bands) AND
-  *     within Hamming ≤ 8, then exact-confirm. Cheapest signature
-  *     (8 bytes/doc), the usual web-dedup trade.
+  *   - [[simHashPairs]]: sign fingerprint of the shingle-hash set;
+  *     candidates = pairs sharing a band AND within the Hamming
+  *     cutoff, then exact-confirm. Cheapest signature (widthBits/8
+  *     bytes per doc); width and band count are the scale dials —
+  *     see the banding scaladoc at [[SimHashBands]].
   *
   * Every ratio is integer fixed-point (jaccard_x1000 = 1000·|∩| div
   * |∪|; the threshold test is cross-multiplied) — no float division, so
@@ -40,21 +41,44 @@ object NearDup {
   /** MinHash signature length (= band count at r=1). */
   val NumMinHashes = 16
 
-  /** SimHash banding: 16 bands × 4 bits with a Hamming ≤ 15 cutoff.
-    * This pairing is EXACT, not probabilistic: by pigeonhole, h bit
-    * flips can touch at most h of the 16 bands, so any pair within
-    * Hamming 15 is guaranteed to agree on ≥ 1 band — the candidate
-    * stage finds exactly the Hamming-≤15 ball (wider bands would break
-    * the guarantee: 8×8 bands structurally miss h ≥ 8 pairs, and
-    * measured planted near-dups sit at h up to 10). Near-dup pairs at
-    * J ≈ 0.9 land around h ≈ 6.5 on this corpus; unrelated pairs at
-    * ≈ 32 ± 4, far outside the ball, and exact confirmation removes
-    * any false positive inside it. The 100 TB dial is signature WIDTH
-    * (128-bit simhash ⇒ 16 bands × 8 bits keeps the same guarantee
-    * with 256-value bands), not band count. */
+  /** Default SimHash banding: 64-bit signature, 16 bands × 4 bits with
+    * a Hamming ≤ 15 cutoff. This default pairing is EXACT, not
+    * probabilistic: by pigeonhole, h bit flips can touch at most h of
+    * the 16 bands, so any pair within Hamming 15 is guaranteed to agree
+    * on ≥ 1 band — the candidate stage finds exactly the Hamming-≤15
+    * ball, and exact confirmation removes any false positive inside it.
+    *
+    * The exactness guarantee and sub-quadratic candidates are in
+    * TENSION: `bands > hammingMax` forces `widthBits / bands` band bits,
+    * and 4-bit bands mean 16 possible values per band — for unrelated
+    * docs the expected candidate fraction is 1−(1−2⁻⁴)¹⁶ ≈ 64 % of ALL
+    * pairs, i.e. Θ(n²) join output regardless of corpus size. That is
+    * acceptable only on corpora small enough to all-pairs anyway.
+    *
+    * The 100 TB path therefore gives up pigeonhole exactness for the
+    * same probabilistic-recall contract MinHash banding uses: size the
+    * band ENTROPY to the corpus via [[simHashBandBitsFor]]
+    * (bandBits ≈ log₂ n + margin ⇒ expected band collisions between
+    * unrelated docs ≈ bands · n²/2 · 2^−bandBits = O(n · bands /
+    * 2^margin) — linear in n), with recall for a pair at per-bit
+    * disagreement rate p of 1−(1−(1−p)^bandBits)^bands. Both dials
+    * (signature width, band count) are parameters of
+    * [[simHashCandidates]] / [[simHashPairs]]; the defaults keep the
+    * small-corpus exact mode. */
   val SimHashBands = 16
   val SimHashBandBits = 4
   val HammingMax = 15
+  val SimHashWidthBits = 64
+
+  /** Band bits sized so unrelated-pair band collisions stay O(n):
+    * ceil(log₂ corpusSize) + marginBits (capped at 60 so a band always
+    * fits a long with room for the mask). */
+  def simHashBandBitsFor(corpusSize: Long, marginBits: Int = 3): Int = {
+    val ceilLog2 =
+      if (corpusSize <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(corpusSize - 1)
+    math.min(60, math.max(1, ceilLog2 + marginBits))
+  }
 
   /** (idCol, shingle) — DISTINCT word-n-gram shingles per doc, built
     * narrowly: token array → sequence-indexed concat → array_distinct →
@@ -126,21 +150,66 @@ object NearDup {
         floor((col("__i") * 1000) / union).cast("long").as("jaccard_x1000"))
   }
 
+  /** Shingle table restricted to shingles whose document frequency is
+    * ≤ `maxDocFreq` — the standard web-dedup hot-shingle cap. The
+    * self-join on a shingle with df = d emits d(d−1)/2 rows, so a
+    * single stop-shingle ("of the and") shared by n docs makes the
+    * exact path Θ(n²); capping df bounds the join at
+    * |shingles| · maxDocFreq²/2 rows. Exposed for candidate-count
+    * tests. */
+  def shinglesWithDfCap(
+      sh: DataFrame,
+      idCol: String = "doc_id",
+      maxDocFreq: Long): DataFrame = {
+    val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("s"))
+    sh.join(dfTab, Seq("s"))
+  }
+
   /** Exact path: candidates = docs sharing ≥ 1 shingle (equijoin on the
-    * shingle), intersection counted directly by the join. */
+    * shingle), intersection counted directly by the join.
+    *
+    * `maxDocFreq`: optional hot-shingle cap. With it set, candidate
+    * pairs come only from shingles appearing in ≤ maxDocFreq docs, and
+    * the Jaccard is then confirmed EXACTLY on the full (uncapped)
+    * shingle sets — so any emitted pair carries its true Jaccard.
+    * Completeness trade: a pair whose shared shingles are ALL hot is
+    * missed. For genuine near-dups at J ≥ 0.8 that requires every one
+    * of their (many) shared shingles to be corpus-wide stop-shingles —
+    * vanishingly rare for natural text, which is why df-capping is the
+    * standard web-dedup trick. Without the cap the plan is unchanged
+    * from the complete exact baseline (the CORRECTNESS oracle path). */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      thresholdMilli: Int = ThresholdMilli): DataFrame = {
+      thresholdMilli: Int = ThresholdMilli,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
-    val a = sh.select(col(idCol).as("doc_a"), col("s"))
-    val b = sh.select(col(idCol).as("doc_b"), col("s"))
-    val inter = a.join(b, Seq("s"))
+    maxDocFreq match {
+      case None =>
+        val a = sh.select(col(idCol).as("doc_a"), col("s"))
+        val b = sh.select(col(idCol).as("doc_b"), col("s"))
+        val inter = a.join(b, Seq("s"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("__i"))
+        emit(inter, sizesOf(sh, idCol), idCol, thresholdMilli)
+      case Some(cap) =>
+        confirm(ngramCandidates(sh, idCol, cap), sh, idCol, thresholdMilli)
+    }
+  }
+
+  /** Candidate pairs of the df-capped exact path (doc_a < doc_b,
+    * distinct) — exposed so the cap's candidate bound is testable. */
+  def ngramCandidates(sh: DataFrame, idCol: String, maxDocFreq: Long): DataFrame = {
+    val capped = shinglesWithDfCap(sh, idCol, maxDocFreq)
+    capped.select(col(idCol).as("doc_a"), col("s"))
+      .join(capped.select(col(idCol).as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("__i"))
-    emit(inter, sizesOf(sh, idCol), idCol, thresholdMilli)
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** MinHash signatures: (doc, hash index i, min over shingles of
@@ -173,41 +242,117 @@ object NearDup {
     confirm(cand, sh, idCol, thresholdMilli)
   }
 
-  /** 64-bit SimHash of the doc's shingle-hash set: bit j is the sign of
-    * Σ over shingles of ±1 by bit j of xxhash64(shingle). */
-  def simHashSignatures(sh: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val h = xxhash64(col("s"))
-    val sums = (0 until 64).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+  /** SimHash of the doc's shingle-hash set, `widthBits` wide: bit j is
+    * the sign of Σ over shingles of ±1 by bit (j mod 64) of the word's
+    * shingle hash. The signature is emitted as ⌈widthBits/64⌉ long
+    * columns `__sig0..__sigW`. Word 0 hashes with the unseeded
+    * `xxhash64(s)` — byte-identical to the original 64-bit signature,
+    * so the default configuration (and the DuckDB-oracle-confirmed
+    * candidate set) is unchanged; words ≥ 1 hash with `xxhash64(w, s)`
+    * for independent bits. One hash-agg, widthBits conditional sums,
+    * map-side partials. */
+  def simHashSignatures(
+      sh: DataFrame,
+      idCol: String = "doc_id",
+      widthBits: Int = SimHashWidthBits): DataFrame = {
+    require(widthBits >= 1, s"widthBits must be >= 1, got $widthBits")
+    val words = (widthBits + 63) / 64
+    val bitsOf = (w: Int) => math.min(64, widthBits - 64 * w)
+    val sums = (0 until words).flatMap { w =>
+      val h = if (w == 0) xxhash64(col("s")) else xxhash64(lit(w), col("s"))
+      (0 until bitsOf(w)).map { j =>
+        sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b${w}_$j")
+      }
     }
     sh.groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map { j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as("__sig"))
+      .select(col(idCol) +: (0 until words).map { w =>
+        (0 until bitsOf(w)).map { j =>
+          when(col(s"__b${w}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _).as(s"__sig$w")
+      }: _*)
   }
 
-  /** SimHash LSH: candidates share a [[SimHashBandBits]]-bit band and
-    * pass the Hamming cutoff, then exact-confirm. */
+  /** Value of band `b` (bandBits wide) out of a multi-word signature —
+    * logical bit range [b·bandBits, (b+1)·bandBits), possibly spanning
+    * two words. Unsigned shifts: an arithmetic shift would smear the
+    * sign bit over the high word's contribution. */
+  private def bandValue(sigWord: Int => Column, bandBits: Int, b: Int): Column = {
+    val lo = b * bandBits
+    val off = lo % 64
+    val wlo = lo / 64
+    val whi = (lo + bandBits - 1) / 64
+    val mask = (1L << bandBits) - 1
+    val low = shiftrightunsigned(sigWord(wlo), off)
+    val v = if (whi == wlo) low
+            else low.bitwiseOR(shiftleft(sigWord(whi), 64 - off))
+    v.bitwiseAND(lit(mask))
+  }
+
+  /** SimHash candidate pairs (doc_a < doc_b) over a shingle table:
+    * band equijoin + Hamming cutoff. Exposed (docs form below) so the
+    * candidate COUNT is testable — the scale property of this operator
+    * is the size of this join's output, not the confirmed pairs.
+    *
+    * Recall contract: exact (all Hamming ≤ hammingMax pairs) iff
+    * `bands > hammingMax` (pigeonhole); otherwise probabilistic, with
+    * per-pair miss rate (1−(1−p)^bandBits)^bands at per-bit
+    * disagreement p. Pass `hammingMax = widthBits` to disable the
+    * Hamming filter (then candidates = raw band collisions). */
+  def simHashCandidatesFromShingles(
+      sh: DataFrame,
+      idCol: String = "doc_id",
+      widthBits: Int = SimHashWidthBits,
+      bands: Int = SimHashBands,
+      hammingMax: Int = HammingMax): DataFrame = {
+    require(bands >= 1 && widthBits % bands == 0,
+      s"bands ($bands) must divide widthBits ($widthBits)")
+    val bandBits = widthBits / bands
+    require(bandBits <= 60, s"bandBits ($bandBits) must be <= 60")
+    val words = (widthBits + 63) / 64
+    val sigCols = (0 until words).map(w => s"__sig$w")
+    val sig = simHashSignatures(sh, idCol, widthBits)
+      .select(col(idCol) +: sigCols.map(col) :+
+        posexplode(array((0 until bands).map { b =>
+          bandValue(w => col(s"__sig$w"), bandBits, b)
+        }: _*)).as(Seq("__bi", "__bv")): _*)
+    val a = sig.select(col(idCol).as("doc_a") +:
+      sigCols.map(c => col(c).as(s"__a$c")) :+ col("__bi") :+ col("__bv"): _*)
+    val b = sig.select(col(idCol).as("doc_b") +:
+      sigCols.map(c => col(c).as(s"__b$c")) :+ col("__bi") :+ col("__bv"): _*)
+    val hamming = sigCols.map(c =>
+      bit_count(col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
+    a.join(b, Seq("__bi", "__bv"))
+      .filter(col("doc_a") < col("doc_b") && hamming <= hammingMax)
+      .select("doc_a", "doc_b")
+  }
+
+  /** [[simHashCandidatesFromShingles]] straight from a documents table. */
+  def simHashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      widthBits: Int = SimHashWidthBits,
+      bands: Int = SimHashBands,
+      hammingMax: Int = HammingMax): DataFrame =
+    simHashCandidatesFromShingles(
+      shingles(docs, idCol, textCol), idCol, widthBits, bands, hammingMax)
+
+  /** SimHash LSH: candidates share a band and pass the Hamming cutoff,
+    * then exact-confirm. Defaults = the exact small-corpus mode
+    * (64-bit, 16×4 bands, pigeonhole-complete for Hamming ≤ 15); at
+    * scale pass `widthBits = bands · simHashBandBitsFor(n)` so the
+    * candidate join stays O(n · bands) — see the banding scaladoc. */
   def simHashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      thresholdMilli: Int = ThresholdMilli): DataFrame = {
+      thresholdMilli: Int = ThresholdMilli,
+      widthBits: Int = SimHashWidthBits,
+      bands: Int = SimHashBands,
+      hammingMax: Int = HammingMax): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
-    val mask = (1L << SimHashBandBits) - 1
-    val sig = simHashSignatures(sh, idCol)
-      .select(col(idCol), col("__sig"),
-        posexplode(array((0 until SimHashBands).map { b =>
-          shiftright(col("__sig"), b * SimHashBandBits).bitwiseAND(mask)
-        }: _*)).as(Seq("__bi", "__bv")))
-    val cand = sig.select(col(idCol).as("doc_a"), col("__sig").as("__siga"), col("__bi"), col("__bv"))
-      .join(sig.select(col(idCol).as("doc_b"), col("__sig").as("__sigb"), col("__bi"), col("__bv")),
-        Seq("__bi", "__bv"))
-      .filter(col("doc_a") < col("doc_b") &&
-        bit_count(col("__siga").bitwiseXOR(col("__sigb"))) <= HammingMax)
-      .select("doc_a", "doc_b")
+    val cand = simHashCandidatesFromShingles(sh, idCol, widthBits, bands, hammingMax)
     confirm(cand, sh, idCol, thresholdMilli)
   }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Embeddings, NearDup}
+
+/** Tests for the SCALE dials of the candidate-generation operators —
+  * the properties that decide whether a plan survives 100 TB, asserted
+  * on synthetic corpora small enough to count exactly:
+  *
+  *   - SimHash: with band entropy sized to the corpus
+  *     ([[NearDup.simHashBandBitsFor]]), candidate-join output grows
+  *     ~linearly in n on unrelated docs (the frozen 4-bit default is
+  *     Θ(n²) by construction — that mode is for small corpora only).
+  *   - Exact n-gram: the `maxDocFreq` cap bounds the candidate join on
+  *     stop-shingle-heavy corpora without losing planted near-dups.
+  *   - ANN LSH: `planes` actually changes bucket granularity, and
+  *     multi-`tables` recall recovers a planted neighbor via an
+  *     independent hyperplane family.
+  */
+class ScaleDialsSpec extends SparkSpecBase {
+
+  // ---------------------------------------------------------- SimHash
+
+  /** n docs of 10 globally-unique tokens each → disjoint shingle sets,
+    * so signatures are iid and candidates are pure band collisions. */
+  private def unrelatedDocs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, (0 until 10).map(j => s"d${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("simhash candidates grow ~linearly when band bits track corpus size") {
+    val bands = 8
+    def candCount(n: Int): Long = {
+      val bandBits = NearDup.simHashBandBitsFor(n)
+      // hammingMax = widthBits disables the Hamming filter: what we are
+      // counting is the JOIN OUTPUT — the thing that explodes at scale.
+      NearDup.simHashCandidates(
+        unrelatedDocs(n),
+        widthBits = bands * bandBits, bands = bands,
+        hammingMax = bands * bandBits).count()
+    }
+    val c1k = candCount(1000) // bandBits = 13 → E ≈ 8·C(1000,2)/2^13 ≈ 490
+    val c2k = candCount(2000) // bandBits = 14 → E ≈ 8·C(2000,2)/2^14 ≈ 975
+    assert(c1k > 50, s"collision counting degenerate: c1k=$c1k")
+    val ratio = c2k.toDouble / c1k
+    // Linear scaling doubles (≈2); a quadratic join would quadruple.
+    assert(ratio < 3.0, s"candidate growth not linear: $c1k -> $c2k (x$ratio)")
+  }
+
+  test("simhash default banding is the quadratic mode (the documented trade)") {
+    // Sanity-check the premise of the dial: at the frozen 4-bit default
+    // the same unrelated corpus yields ~64 % of ALL pairs as candidates.
+    val n = 200
+    val cand = NearDup.simHashCandidates(
+      unrelatedDocs(n), hammingMax = 64).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cand > allPairs / 2,
+      s"expected ≥ half of all pairs at 4-bit bands, got $cand of $allPairs")
+  }
+
+  test("wide-signature simhash still confirms the exact planted pairs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "CHANGED") // J = 35/41 ≈ 0.853
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+    val got = NearDup.simHashPairs(
+      docs, widthBits = 128, bands = 16, hammingMax = 127)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 853L), (1L, 4L, 1000L), (2L, 4L, 853L)))
+  }
+
+  // ----------------------------------------------------- n-gram df cap
+
+  /** Every doc opens with the same 4 stop tokens (2 corpus-wide hot
+    * shingles) and continues with unique filler; docs 100/101 are
+    * identical (the planted exact near-dup). */
+  private lazy val hotCorpus = {
+    import spark.implicits._
+    val prefix = "stopa stopb stopc stopd"
+    val planted = prefix + " " + (1 to 40).map(i => s"pl$i").mkString(" ")
+    val background = (0 until 30).map { i =>
+      (i.toLong, prefix + " " + (0 until 40).map(j => s"bg${i}u$j").mkString(" "))
+    }
+    (background ++ Seq((100L, planted), (101L, planted))).toDF("doc_id", "text")
+  }
+
+  test("maxDocFreq bounds the hot-shingle candidate join, keeps planted pairs") {
+    val sh = NearDup.shingles(hotCorpus)
+    val uncapped = NearDup.ngramCandidates(sh, "doc_id", Long.MaxValue).count()
+    val capped = NearDup.ngramCandidates(sh, "doc_id", 5L).count()
+    val n = 32L
+    assert(uncapped === n * (n - 1) / 2) // hot shingles pair EVERY doc
+    assert(capped === 1L)                // cap leaves only the planted pair
+    val got = NearDup.ngramJaccardPairs(hotCorpus, maxDocFreq = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((100L, 101L, 1000L)))
+    // and the capped exact path agrees with the complete baseline here
+    val baseline = NearDup.ngramJaccardPairs(hotCorpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === baseline)
+  }
+
+  // ------------------------------------------------------ ANN dials
+
+  private lazy val randomEmb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 256).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("planes is a real dial: bucket count grows with it, bounded by 2^planes") {
+    def nBuckets(planes: Int): Long =
+      Embeddings.annLsh(randomEmb, planes = planes)
+        .select("bucket").distinct().count()
+    val b2 = nBuckets(2)
+    val b6 = nBuckets(6)
+    assert(b2 <= 4 && b6 <= 64)
+    assert(b6 > b2, s"bucket count must grow with planes: planes=2 -> $b2, planes=6 -> $b6")
+  }
+
+  test("planesFor sizes buckets to the corpus") {
+    assert(Embeddings.planesFor(1000000L, 1024L) === 10)   // 2^10 buckets of ~1k
+    assert(Embeddings.planesFor(100L, 1024L) === 1)        // tiny corpus → min
+    assert(Embeddings.planesFor(1L << 40, 1024L) === 30)
+  }
+
+  test("multi-table ANN recovers a planted neighbor via an independent family") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val planted = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val twin = planted.map(x => x * 1.0001f) // cosine ≈ 1 − ε
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    } ++ Seq((1000L, planted), (1001L, twin))
+    val emb = corpus.toDF("vec_id", "embedding")
+
+    val rows = Embeddings.annLsh(emb, planes = 6, tables = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // the twins are near-identical → same sign pattern in EVERY family,
+    // so any table buckets them together and they are mutual top-1
+    assert(rows(1000L)._1 === 1001L)
+    assert(rows(1001L)._1 === 1000L)
+    assert(rows(1000L)._2 > 999000L) // cos ≈ 1.0
+
+    // the families are genuinely independent bucketings: table 1
+    // assigns different buckets than table 0 for at least one vector
+    val b0 = Embeddings.annLsh(emb, planes = 6, tables = 1).select("vec_id", "bucket")
+    val prep = emb.select(col("vec_id"),
+      Embeddings.bucketOf(Embeddings.quantize(col("embedding")), 6, 1).as("b1"))
+    val joined = b0.join(prep, "vec_id")
+      .filter(col("bucket") =!= col("b1")).count()
+    assert(joined > 0, "table-1 buckets must differ from table-0 somewhere")
+  }
+}
