@@ -45,6 +45,21 @@ class GoldenCorpusSpec extends SparkSpecBase {
     assert(listed.filter(col("file_size") <= 0).count() === 0)
   }
 
+  test("sources: multi-root listing walks every root (FoldersFilesListExtractor parity)") {
+    // The reference's FoldersFilesListExtractor chains one walk per root
+    // dir (extractors/files.py:28-49); here multiple roots are one load.
+    val oneBookDir = "/root/reference/example/sample_data/one_book"
+    val nOneBook = new java.io.File(oneBookDir)
+      .listFiles().count(f => f.isFile && f.getName.endsWith(".txt")).toLong
+    assert(nOneBook > 0)
+    val listed = FilesListSource(Seq(booksDir, oneBookDir)).load(spark)
+    assert(listed.select(countDistinct(col("file_path"))).head.getLong(0)
+      === nTxtFiles + nOneBook)
+    // both roots contribute rows
+    assert(listed.filter(col("file_path").contains("/one_book/")).count() === nOneBook)
+    assert(listed.filter(col("file_path").contains("/books/")).count() === nTxtFiles)
+  }
+
   test("sources: lines source emits only trimmed non-blank lines") {
     val lines = FileLinesSource(Seq(booksDir)).load(spark)
     val bad = lines.filter(

@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming watermark dedup over the events fixture equals batch dropDuplicates") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def toTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val keys = Seq("user_id", "event_type")
+
+    // batch ground truth: the distinct key set (first-seen row choice is
+    // engine-dependent; the dedup CONTRACT is one row per key)
+    val expectedKeys = toTs(raw).select(keys.map(col): _*).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+    val q = Streams.dedupWithinWatermark(toTs(stream), keys)
+      .writeStream.format("memory").queryName("evdedup").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evdedup").select(keys.map(col): _*)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.length === got.toSet.size) // exactly one row per key
+      assert(got.toSet === expectedKeys)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
