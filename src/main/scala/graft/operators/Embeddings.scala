@@ -41,9 +41,19 @@ object Embeddings {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(Scale)).cast("long"))
 
-  /** Exact integer dot product of two quantized (long) array columns. */
+  /** Exact integer dot product of two quantized (long) array columns —
+    * a native codegen'd expression ([[graft.expressions.DotProductLong]]).
+    * Same exact int64 sum as the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` it replaced, but with no
+    * per-row array allocation and no WholeStageCodegen break: this runs
+    * once per candidate PAIR in every similarity operator, and the HOF
+    * form (CodegenFallback) was the hottest interpreted code in the
+    * library. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.DotProductLong(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(a),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(b)))
 
   /** Cosine from exact integer dot + squared norms (double division —
     * deterministic given identical integer inputs). */
