@@ -153,6 +153,27 @@ object SparkEntry {
   private def weightSql(p: String, j: String): String =
     s"((($p * ${Embeddings.WeightA} + $j * ${Embeddings.WeightB}) % ${Embeddings.WeightMod}) - ${(Embeddings.WeightMod - 1) / 2})"
 
+  /** Shared LSH prelude (quantized vectors + table-0 sign-LSH buckets)
+    * for the emb_ann_lsh / emb_neardup oracles — mirrors
+    * Embeddings.bucketOf at the default planes. */
+  private val lshBucketsCte: String =
+    s"""$embCte,
+       |bits AS (
+       |  SELECT n.vec_id, p.p,
+       |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
+       |                j -> n.qv[j+1] * ${weightSql("p.p", "j")})) AS BIGINT) > 0
+       |              THEN (1 << p.p) ELSE 0 END AS bv
+       |  FROM n, range(${Embeddings.Planes}) p(p)),
+       |buckets AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+       |nb AS (SELECT n.vec_id, n.qv, n.nsq, b.bucket FROM n JOIN buckets b USING (vec_id))""".stripMargin
+
+  /** Fixed-point cosine threshold of the emb_neardup query: the fixture
+    * embeddings are random (no planted near-identical pairs — max
+    * pairwise cosine ≈ 0.51/0.60 at sf0.01/sf0.1), so the query
+    * thresholds where the corpus has mass to keep the differential
+    * test non-trivial; a deployment would run ≥ 950000. */
+  val NearDupCosMicro: Long = 350000L
+
   // ---------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -361,6 +382,14 @@ object SparkEntry {
     // … and the scale path: sign-LSH bucketing + bucket equijoin.
     "emb_ann_lsh" -> ((s, dir) =>
       Embeddings.annLsh(T(s, dir, "embeddings"))),
+    // IVF-style ANN: deterministic coarse quantizer (seed-by-id
+    // centroids, broadcast n·K assignment) + cell equijoin.
+    "emb_ann_ivf" -> ((s, dir) =>
+      Embeddings.annIvf(T(s, dir, "embeddings"))),
+    // embedding-cosine near-dup — the vector-space dedup family member:
+    // LSH-bucket candidates, fixed-point cosine threshold.
+    "emb_neardup" -> ((s, dir) =>
+      Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro)),
 
     // -------- multimodal binary ops (north-star extension): the
     // documents text cast to binary stands in for an opaque payload;
@@ -581,15 +610,7 @@ object SparkEntry {
          |FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "emb_ann_lsh" ->
-      s"""$embCte,
-         |bits AS (
-         |  SELECT n.vec_id, p.p,
-         |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
-         |                j -> n.qv[j+1] * ${weightSql("p.p", "j")})) AS BIGINT) > 0
-         |              THEN (1 << p.p) ELSE 0 END AS bv
-         |  FROM n, range(${Embeddings.Planes}) p(p)),
-         |buckets AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1),
-         |nb AS (SELECT n.vec_id, n.qv, n.nsq, b.bucket FROM n JOIN buckets b USING (vec_id)),
+      s"""$lshBucketsCte,
          |cand AS (
          |  SELECT a.vec_id AS vid, c.vec_id AS nid,
          |         CAST(list_sum(list_transform(range(len(a.qv)),
@@ -606,6 +627,60 @@ object SparkEntry {
          |       coalesce(b.nid, -1) AS neighbor_id,
          |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
          |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
+
+    "emb_neardup" ->
+      s"""$lshBucketsCte,
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |         CAST(list_sum(list_transform(range(len(a.qv)),
+         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+         |         a.nsq AS an, c.nsq AS cn
+         |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |         CAST(round(CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+         |           * 1000000.0) AS BIGINT) AS cos_x1e6
+         |  FROM p)
+         |SELECT vec_a, vec_b, cos_x1e6 FROM scored
+         |WHERE cos_x1e6 >= $NearDupCosMicro""".stripMargin,
+
+    "emb_ann_ivf" -> {
+      val step = Embeddings.CentroidStep
+      s"""$embCte,
+         |cents AS (
+         |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+         |  FROM n WHERE vec_id % $step = 0),
+         |ac AS (
+         |  SELECT n.vec_id, c.cid,
+         |         CAST(list_sum(list_transform(range(len(n.qv)),
+         |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
+         |         n.nsq AS an, c.cnsq AS cn
+         |  FROM n, cents c),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(d AS DOUBLE) /
+         |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |nb2 AS (SELECT n.vec_id, n.qv, n.nsq, a.cell FROM n JOIN assign a USING (vec_id)),
+         |cand AS (
+         |  SELECT a.vec_id AS vid, c.vec_id AS nid,
+         |         CAST(list_sum(list_transform(range(len(a.qv)),
+         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+         |         a.nsq AS an, c.nsq AS cn
+         |  FROM nb2 a JOIN nb2 c ON a.cell = c.cell AND a.vec_id <> c.vec_id),
+         |best AS (
+         |  SELECT vid, nid,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS c2,
+         |         row_number() OVER (PARTITION BY vid
+         |           ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, nid) AS rn
+         |  FROM cand)
+         |SELECT nb2.vec_id, nb2.cell,
+         |       coalesce(b.nid, -1) AS neighbor_id,
+         |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
+         |FROM nb2 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb2.vec_id = b.vid""".stripMargin
+    },
 
     "multimodal_binary" -> {
       // hex-string offset for byte offset 1 + (bl*i)//3: (off-1)*2 + 1

@@ -215,4 +215,115 @@ object Embeddings {
         coalesce(col("__nid"), lit(-1L)).as("neighbor_id"),
         coalesce(round(col("__cos") * 1e6).cast("long"), lit(0L)).as("cos_x1e6"))
   }
+
+  /** Embedding-cosine near-duplicate detection — the vector-space member
+    * of the dedup family (exact / n-gram / MinHash / SimHash live in
+    * [[NearDup]]): emit pairs whose cosine is ≥ thresholdMicro/1e6,
+    * candidates drawn from the sign-LSH buckets. Output:
+    * (vec_a < vec_b, cos_x1e6), one row per qualifying pair.
+    *
+    * Contract (and what the differential oracle replicates): candidates
+    * are BUCKET-MATES in any of the `tables` hyperplane families — the
+    * deliberate LSH recall trade, not all-pairs. A pair split by every
+    * family is not emitted even if its true cosine passes the
+    * threshold; raise `tables` (or `planes` via [[planesFor]]) to push
+    * the miss rate down. The threshold compare is on the rounded
+    * fixed-point cos_x1e6, so both engines threshold identical
+    * integers. */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      thresholdMicro: Long = 950000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = Planes,
+      tables: Int = 1): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val base = prepped(emb, idCol, vecCol)
+      .withColumn("__tb",
+        array((0 until tables).map(t => bucketOf(col("__qv"), planes, t)): _*))
+    val exploded = base.select(
+      col(idCol), col("__qv"), col("__nsq"),
+      posexplode(col("__tb")).as(Seq("__ti", "__b")))
+    val a = exploded.select(
+      col(idCol).as("vec_a"), col("__ti"), col("__b"),
+      col("__qv"), col("__nsq"))
+    val b = exploded.select(
+      col(idCol).as("vec_b"), col("__ti").as("__nti"), col("__b").as("__nb"),
+      col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
+    a.join(b, col("__ti") === col("__nti") && col("__b") === col("__nb") &&
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos_x1e6",
+        round(cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")) * 1e6)
+          .cast("long"))
+      .filter(col("cos_x1e6") >= thresholdMicro)
+      .select(col("vec_a"), col("vec_b"), col("cos_x1e6"))
+      .distinct() // a pair bucketed together by several tables emits once
+  }
+
+  /** Default IVF centroid sampling step: every `CentroidStep`-th vec_id
+    * seeds a cell, so |centroids| ≈ n / step and cells hold ≈ step
+    * vectors — candidates ≈ n · step, linear in n at fixed step. */
+  val CentroidStep: Long = 32L
+
+  /** IVF-style ANN: a deterministic coarse quantizer instead of random
+    * hyperplanes. Every vector whose id divides `centroidStep` seeds a
+    * cell; each vector is assigned to its maximum-cosine centroid (the
+    * nprobe=1 inverted-file shape), and its candidate set is its
+    * cell-mates. Output: (vec_id, cell = centroid id, neighbor_id,
+    * cos_x1e6), sentinel −1/0 for a vector alone in its cell.
+    *
+    * vs [[annLsh]]: data-dependent cells adapt to clustered corpora
+    * (hyperplane buckets are data-oblivious), at the cost of the
+    * assignment pass. A production system would k-means-refine the
+    * centroids; the deterministic seed-by-id quantizer keeps every
+    * engine (and the DuckDB oracle) bit-identical with no RNG state,
+    * and the plan shape — broadcast K centroids, n·K assignment scores,
+    * cell equijoin — is the one that scales.
+    *
+    * The assignment is an explicit crossJoin against the BROADCAST
+    * centroid table: K = n/step rows on the build side, so this is the
+    * canonical n·K nested-loop scoring pass of IVF assignment, not an
+    * n² Cartesian. */
+  def annIvf(
+      emb: DataFrame,
+      centroidStep: Long = CentroidStep,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
+    val base = prepped(emb, idCol, vecCol)
+    val cents = base.filter(col(idCol) % centroidStep === 0)
+      .select(col(idCol).as("__cid"), col("__qv").as("__cqv"), col("__nsq").as("__cnsq"))
+
+    // n·K assignment scores → argmax-cos centroid (ties → smaller id),
+    // as one map-side-partial max_by hash agg; qv/nsq ride along as
+    // grouping keys to avoid a re-join.
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
+      .groupBy(col(idCol), col("__qv"), col("__nsq"))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+
+    val a = assigned.select(col(idCol), col("__cell"), col("__qv"), col("__nsq"))
+    val b = assigned.select(
+      col(idCol).as("__nid"), col("__cell").as("__ncell"),
+      col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
+    val best = a
+      .join(b, col("__cell") === col("__ncell") && col(idCol) =!= col("__nid"))
+      .withColumn("__cos", cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("__nid"), col("__cos")),
+        struct(col("__cos"), -col("__nid"))).as("__top"))
+      .select(col(idCol),
+        col("__top.__nid").as("__nid"), col("__top.__cos").as("__cos"))
+
+    assigned.select(col(idCol), col("__cell"))
+      .join(best, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("__cell").as("cell"),
+        coalesce(col("__nid"), lit(-1L)).as("neighbor_id"),
+        coalesce(round(col("__cos") * 1e6).cast("long"), lit(0L)).as("cos_x1e6"))
+  }
 }

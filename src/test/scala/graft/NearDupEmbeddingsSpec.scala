@@ -118,6 +118,46 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(got(3)._2 === -1000000L)
   }
 
+  test("cosine near-dup emits exactly the above-threshold bucket-mate pairs") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1.0001f, 2.0002f, 3.0003f, 4.0004f)), // twin of 0: cos ≈ 1
+      (2L, Array(-1f, -2f, -3f, -4f)))                 // opposite bucket
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.cosineNearDupPairs(emb, thresholdMicro = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    assert(got.head._3 >= 999000L) // cos ≈ 1.0
+    // threshold actually filters: at an impossible threshold, no rows
+    assert(Embeddings.cosineNearDupPairs(emb, thresholdMicro = 1000001L).count() === 0)
+  }
+
+  test("IVF ANN assigns to the max-cosine centroid and pairs within cells") {
+    import spark.implicits._
+    // centroidStep = 10 → centroids are ids 0 and 10. Hand-computable
+    // 2-D geometry: {0, 1, 2} land in cell 0, {10, 11} in cell 10.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),        // centroid of cell 0
+      (1L, Array(0.95f, 0.05f, 0f, 0f)),  // cos(1,0)=.99868 > cos(1,10)
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),    // best mate is 1, not centroid 0
+      (10L, Array(0f, 1f, 0f, 0f)),       // centroid of cell 10
+      (11L, Array(0.05f, 0.95f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.annIvf(emb, centroidStep = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    assert(rows.keySet === Set(0L, 1L, 2L, 10L, 11L))
+    assert(rows(0L)._1 === 0L && rows(1L)._1 === 0L && rows(2L)._1 === 0L)
+    assert(rows(10L)._1 === 10L && rows(11L)._1 === 10L)
+    // top-1 by true cosine within the cell:
+    assert(rows(0L)._2 === 1L)  // cos(0,1)=.99868 > cos(0,2)=.99388
+    assert(rows(1L)._2 === 0L)  // cos(1,0)=.99868 > cos(1,2)=.99827
+    assert(rows(2L)._2 === 1L)  // cos(2,1)=.99827 > cos(2,0)=.99388
+    assert(rows(10L)._2 === 11L && rows(11L)._2 === 10L)
+    assert(rows(1L)._3 === 998618L) // exact fixed-point cosine 9.5e13/√(9.05e13·1e14)
+  }
+
   test("LSH ANN pairs only bucket-mates; identical vectors are mutual top-1") {
     import spark.implicits._
     val emb = Seq(
