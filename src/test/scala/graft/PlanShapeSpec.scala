@@ -1,0 +1,70 @@
+package graft
+
+/** Physical-plan assertions for the scale claims in SCALE.md — these
+  * lock the plan SHAPE, which is what survives (or dies at) 100 TB:
+  * filters pushed to the scan, columns pruned, one shuffle where one is
+  * claimed, dims broadcast but facts never, the dot product native, and
+  * no Cartesian product anywhere. Planning only — nothing executes.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(3000))
+  }
+
+  test("tokenize prunes the documents scan to doc_id + text") {
+    val p = plan("tokenize")
+    assert(p.contains("ReadSchema") && p.contains("text:string"), p.take(2000))
+    assert(!p.contains("source:string") && !p.contains("lang:string"),
+      "scan reads columns the query never uses:\n" + p.take(2000))
+  }
+
+  test("wordstats is one scan + one hash-partition exchange") {
+    val p = plan("wordstats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("q5 broadcasts the three dims and shuffles the fact-fact joins") {
+    // At the toy SF the size-based planner would broadcast the facts
+    // too; disabling auto-broadcast exposes the STRUCTURAL shape — the
+    // explicit broadcast() hints survive, size-based ones don't. This
+    // is exactly the 100 TB situation, where no fact fits an executor.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q5_region_revenue")
+      val bcast = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(bcast === 3, s"expected nation/region/supplier broadcast, got $bcast")
+      val shuffleJoins =
+        "SortMergeJoin".r.findAllIn(p).size + "ShuffledHashJoin".r.findAllIn(p).size
+      assert(shuffleJoins >= 2, s"fact-fact joins must stay shuffle joins:\n${p.take(3000)}")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("similarity operators use the native dot product, not HOFs") {
+    for (q <- Seq("emb_topk", "emb_ann_lsh", "emb_ann_ivf", "emb_neardup")) {
+      val p = plan(q)
+      assert(p.contains("dot_product_long"), s"$q lost the codegen dot:\n${p.take(2000)}")
+      assert(!p.contains("zip_with"), s"$q still has the HOF dot:\n${p.take(2000)}")
+    }
+  }
+
+  test("no CartesianProduct in any query; BNLJ only where designed") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a Cartesian product")
+      val bnljOk = Set("emb_topk", "emb_ann_ivf") // broadcast K-row scoring passes
+      if (!bnljOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
+    }
+  }
+}
