@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Tests for the session-extension hook and the skew-salting utility. */
+class ExtensionsSkewSpec extends SparkSpecBase {
+
+  test("GraftExtensions makes dot_product_long a SQL function") {
+    val base = spark // force init of the shared session first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // reuses the existing SparkContext; only the session (and its
+    // function registry, built through the extensions) is new
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val d = s2.sql(
+        "SELECT dot_product_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      assert(d.head.getLong(0) === 32L)
+      // and it participates in real query shapes
+      val viaTable = s2.sql(
+        """SELECT id, dot_product_long(v, v) AS nsq FROM
+          |  (SELECT 1L AS id, array(3L, 4L) AS v)""".stripMargin)
+      assert(viaTable.head.getLong(1) === 25L)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("saltedJoin equals the plain join on a skewed corpus") {
+    import spark.implicits._
+    // 10k rows, 90 % on key 1 — the classic hot-key shape
+    val left = (0 until 10000)
+      .map(i => (if (i % 10 == 0) (i % 7).toLong + 2L else 1L, i.toLong))
+      .toDF("k", "lv")
+    val right = (1 to 8).map(k => (k.toLong, s"attr_$k")).toDF("k", "rv")
+
+    def checksum(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)),
+        sum(pmod(xxhash64(col("k"), col("lv"), col("rv")), lit(1000000007L))))
+      .head
+    val plain = checksum(left.join(right, Seq("k"), "inner"))
+    val salted = checksum(Skew.saltedJoin(left, right, Seq("k"), saltN = 8))
+    assert(salted === plain)
+
+    // the join key really is (k, salt): the hot key spreads over
+    // multiple shuffle partitions instead of one
+    val p = Skew.saltedJoin(left, right, Seq("k"), saltN = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.take(2000))
+  }
+
+  test("saltedJoin left_outer keeps unmatched probe rows exactly once") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (99L, "nomatch")).toDF("k", "lv")
+    val right = Seq((1L, "r1")).toDF("k", "rv")
+    val got = Skew.saltedJoin(left, right, Seq("k"), saltN = 4, joinType = "left_outer")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got === Set((1L, "a", Some("r1")), (99L, "nomatch", None)))
+  }
+
+  test("saltedJoin rejects join types that replication would corrupt") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, Seq("k"), 4, joinType = "right_outer")
+    }
+  }
+}
