@@ -81,31 +81,24 @@ object NearDup {
   }
 
   /** (idCol, shingle) — DISTINCT word-n-gram shingles per doc, built
-    * narrowly: token array → sequence-indexed concat → array_distinct →
-    * explode. Docs with fewer than n tokens yield no rows.
+    * narrowly in one compiled pass over the token array
+    * ([[graft.expressions.DistinctShingles]] — same output as the
+    * array_distinct∘transform HOF chain it replaced, without the
+    * interpreted lambdas, the per-row index/gram allocations, or the
+    * lambda-recompute trap that previously forced a separate token
+    * projection). Docs with fewer than n tokens yield no rows.
     */
   def shingles(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = ShingleN): DataFrame = {
-    // Materialize the token array in its own projection FIRST: the gram
-    // lambda references it ~3n times per row, and inlining the
-    // split+filter there would re-run the regex split once per
-    // element_at (measured 15-25× slowdown). A multiply-referenced
-    // non-cheap alias survives CollapseProject, so the split runs once
-    // per row and the lambda indexes a concrete array.
-    val toksC = graft.core.Cols.fresh("__toks", Seq(idCol))
     val tokArr = filter(split(col(textCol), "\\s+"),
       t => !(t === "" || t.rlike("^\\s+$")))
-    val toks = col(toksC)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
-    val arr = when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), tokArr.as(toksC))
-      .select(col(idCol), explode(arr).as("s"))
+    val grams = org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(tokArr), n))
+    docs.select(col(idCol), explode(grams).as("s"))
   }
 
   /** doc → distinct-shingle count. */
