@@ -26,6 +26,10 @@ class ExtensionsSkewSpec extends SparkSpecBase {
         """SELECT id, dot_product_long(v, v) AS nsq FROM
           |  (SELECT 1L AS id, array(3L, 4L) AS v)""".stripMargin)
       assert(viaTable.head.getLong(1) === 25L)
+      // second registered function: the shingle builder
+      val sh = s2.sql(
+        "SELECT distinct_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS s")
+      assert(sh.head.getSeq[String](0) === Seq("a b", "b c", "c b"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
