@@ -251,13 +251,21 @@ object NearDup {
     require(widthBits >= 1, s"widthBits must be >= 1, got $widthBits")
     val words = (widthBits + 63) / 64
     val bitsOf = (w: Int) => math.min(64, widthBits - 64 * w)
-    val sums = (0 until words).flatMap { w =>
+    // Project each word's shingle hash ONCE before the aggregation —
+    // as an aggregate child it would be re-evaluated by every one of
+    // the 64 per-bit sums (64 hashes/row instead of 1).
+    val hashCols = (0 until words).map { w =>
       val h = if (w == 0) xxhash64(col("s")) else xxhash64(lit(w), col("s"))
+      graft.core.Cols.fresh(s"__h$w", Seq(idCol)) -> h
+    }
+    val projected = sh.select(col(idCol) +: hashCols.map { case (c, h) => h.as(c) }: _*)
+    val sums = (0 until words).flatMap { w =>
+      val h = col(hashCols(w)._1)
       (0 until bitsOf(w)).map { j =>
         sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b${w}_$j")
       }
     }
-    sh.groupBy(col(idCol))
+    projected.groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol) +: (0 until words).map { w =>
         (0 until bitsOf(w)).map { j =>
