@@ -419,7 +419,12 @@ object SparkEntry {
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(T(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(T(s, dir, "documents")))
+      TextAnalysis.fingerprint(T(s, dir, "documents"))),
+    // chunk-fingerprint consumer: shift-resistant partial-overlap pairs
+    // via equijoin on the 256-bit rolling hashes (high-entropy keys —
+    // join output ∝ true overlaps, the winnowing-style scale shape).
+    "text_overlap" -> ((s, dir) =>
+      TextAnalysis.overlapPairs(T(s, dir, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -769,6 +774,24 @@ object SparkEntry {
          |       coalesce(list_min(chunks), '') AS min_chunk_fp,
          |       coalesce(list_max(chunks), '') AS max_chunk_fp
          |FROM c""".stripMargin
+    },
+
+    "text_overlap" -> {
+      val w = TextAnalysis.FingerprintWindow
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+         |              WHEN len(ts) < $w THEN [sha256(array_to_string(ts, ' '))]
+         |              ELSE list_transform(range(1, len(ts) - $w + 2),
+         |                     i -> sha256(array_to_string(ts[i:i+${w - 1}], ' ')))
+         |         END AS chunks
+         |  FROM t2),
+         |d AS (SELECT DISTINCT doc_id, unnest(chunks) AS fp FROM c)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS shared_chunks
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
     }
   )
 }

@@ -131,29 +131,71 @@ object TextAnalysis {
     * available via the intermediate columns if a caller wants the
     * postings. Narrow, shuffle-free, codegen'd.
     */
-  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The (token-array → rolling chunk fingerprints) expression shared
+    * by [[fingerprint]] and [[overlapPairs]]: one sha per sliding
+    * window, whole-doc sha for sub-window docs, empty for empty docs. */
+  private def chunksOf(toks: Column): Column = {
     val w = FingerprintWindow
-    // Materialize the token array first (same CollapseProject reasoning
-    // as NearDup.shingles — the window lambda references it ~3× each).
-    val toksC = graft.core.Cols.fresh("__toks", Seq(idCol))
-    val tokArr = filter(split(col(textCol), "\\s+"),
-      t => !(t === "" || t.rlike("^\\s+$")))
-    val toks = col(toksC)
     val fullFp = sha2(concat_ws(" ", toks), 256)
     val windows = transform(
       sequence(lit(0), size(toks) - w),
       i => sha2(concat_ws(" ", slice(toks, i + 1, lit(w))), 256))
-    val chunks = when(size(toks) === 0, array().cast("array<string>"))
+    when(size(toks) === 0, array().cast("array<string>"))
       .when(size(toks) < w, array(fullFp))
       .otherwise(windows)
+  }
 
-    docs.select(col(idCol), tokArr.as(toksC))
+  /** `carryCols` pass through unchanged (e.g. an event-time column so
+    * the output can feed a watermarked streaming dedup). */
+  def fingerprint(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // Materialize the token array first (same CollapseProject reasoning
+    // as NearDup.shingles — the window lambda references it ~3× each).
+    val toksC = graft.core.Cols.fresh("__toks", Seq(idCol) ++ carryCols)
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    val toks = col(toksC)
+    val fullFp = sha2(concat_ws(" ", toks), 256)
+    val chunks = chunksOf(toks)
+
+    docs.select(col(idCol) +: carryCols.map(col) :+ tokArr.as(toksC): _*)
       .select(
-        col(idCol),
-        fullFp.as("full_fp"),
-        size(chunks).cast("long").as("n_chunks"),
-        coalesce(array_min(chunks), lit("")).as("min_chunk_fp"),
-        coalesce(array_max(chunks), lit("")).as("max_chunk_fp"))
+        col(idCol) +: carryCols.map(col) :+
+        fullFp.as("full_fp") :+
+        size(chunks).cast("long").as("n_chunks") :+
+        coalesce(array_min(chunks), lit("")).as("min_chunk_fp") :+
+        coalesce(array_max(chunks), lit("")).as("max_chunk_fp"): _*)
+  }
+
+  /** Shift-resistant partial-overlap detection — the consumer of the
+    * rolling fingerprints: pairs of docs sharing ≥ minShared distinct
+    * chunk fingerprints, with the shared count. Candidates come from an
+    * equijoin on the 256-bit chunk hash — high-entropy keys, so the
+    * join output is ∝ true overlaps (collision-free in practice), never
+    * all-pairs: the same scale shape as MinHash candidates, applied to
+    * contiguous-run overlap instead of set similarity.
+    */
+  def overlapPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minShared: Long = 1L): DataFrame = {
+    val toksC = graft.core.Cols.fresh("__toks", Seq(idCol))
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    // DISTINCT per doc: a phrase repeated inside one doc is one
+    // fingerprint; shared_chunks counts distinct shared windows.
+    val ch = docs.select(col(idCol), tokArr.as(toksC))
+      .select(col(idCol), explode(array_distinct(chunksOf(col(toksC)))).as("__fp"))
+    ch.select(col(idCol).as("doc_a"), col("__fp"))
+      .join(ch.select(col(idCol).as("doc_b"), col("__fp")), Seq("__fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex

@@ -107,6 +107,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("batch operators compose into streams: fingerprint + watermark dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME TextAnalysis.fingerprint code runs on the stream (narrow
+    // projection), its full_fp keying a watermark-scoped dedup — i.e.
+    // whitespace-normalization-invariant exact dedup on a stream
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val fp = graft.operators.TextAnalysis.fingerprint(
+      in.toDF().toDF("ts", "doc_id", "text"), carryCols = Seq("ts"))
+    val q = Streams.dedupWithinWatermark(fp, Seq("full_fp"))
+      .writeStream.format("memory").queryName("fpdedup").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (ts(1), 1L, "a b c d"),
+        (ts(1, 5), 2L, "a  b\tc d"), // same token stream → dropped
+        (ts(1, 9), 3L, "x y z"))
+      q.processAllAvailable()
+      val got = spark.table("fpdedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -60,4 +60,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(1L)._2 === 3L)                   // 10 tokens, window 8 → 3 windows
     assert(got(3L)._2 === 4L)                   // 11 tokens → 4 windows
   }
+
+  test("overlapPairs finds shifted runs and counts distinct shared windows") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens → 3 windows
+    val docs = Seq(
+      (1L, run),
+      (2L, "z1 z2 z3 " + run),                  // shifted: same 3 p-windows survive
+      (3L, (1 to 12).map(i => s"q$i").mkString(" ")), // unrelated
+      (4L, run.replace("  ", " ") + ""))        // whitespace twin of 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.overlapPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      (1L, 2L) -> 3L, (1L, 4L) -> 3L, (2L, 4L) -> 3L))
+    // minShared prunes: nothing shares 4+ windows
+    assert(TextAnalysis.overlapPairs(docs, minShared = 4L).count() === 0)
+  }
 }
