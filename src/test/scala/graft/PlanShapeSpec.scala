@@ -57,6 +57,20 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF assignment exchange is reused, not recomputed per join side") {
+    // annIvf references its assigned frame three times (join side a,
+    // join side b, final output); the expensive n·K assignment must run
+    // once — ReuseExchange collapses the identical subtrees. Executes,
+    // since reuse is decided at runtime under AQE. (annLsh's sides are
+    // size-dependent — at toy SF they become broadcasts — so only the
+    // IVF shape is asserted.)
+    val df = SparkEntry.queries("emb_ann_ivf")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"emb_ann_ivf recomputes its assignment:\n${p.take(3000)}")
+  }
+
   test("no CartesianProduct in any query; BNLJ only where designed") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
