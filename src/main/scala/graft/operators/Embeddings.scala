@@ -268,10 +268,13 @@ object Embeddings {
 
   /** IVF-style ANN: a deterministic coarse quantizer instead of random
     * hyperplanes. Every vector whose id divides `centroidStep` seeds a
-    * cell; each vector is assigned to its maximum-cosine centroid (the
-    * nprobe=1 inverted-file shape), and its candidate set is its
-    * cell-mates. Output: (vec_id, cell = centroid id, neighbor_id,
-    * cos_x1e6), sentinel −1/0 for a vector alone in its cell.
+    * cell; each vector is assigned to its maximum-cosine centroid, and
+    * its candidate set is the members of its top-`nprobe` cells (the
+    * inverted-file probe dial: nprobe=1 searches only the home cell;
+    * higher values recover true neighbors that sit just across a cell
+    * boundary, at candidate cost ∝ nprobe). Output: (vec_id, cell =
+    * home centroid id, neighbor_id, cos_x1e6), sentinel −1/0 for a
+    * vector with no candidates.
     *
     * vs [[annLsh]]: data-dependent cells adapt to clustered corpora
     * (hyperplane buckets are data-oblivious), at the cost of the
@@ -289,27 +292,47 @@ object Embeddings {
       emb: DataFrame,
       centroidStep: Long = CentroidStep,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
     require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepped(emb, idCol, vecCol)
     val cents = base.filter(col(idCol) % centroidStep === 0)
       .select(col(idCol).as("__cid"), col("__qv").as("__cqv"), col("__nsq").as("__cnsq"))
 
-    // n·K assignment scores → argmax-cos centroid (ties → smaller id),
-    // as one map-side-partial max_by hash agg; qv/nsq ride along as
-    // grouping keys to avoid a re-join.
-    val assigned = base.crossJoin(broadcast(cents))
+    // n·K assignment scores. nprobe = 1 (the default): argmax-cos
+    // centroid (ties → smaller id) as one map-side-partial max_by hash
+    // agg — no sort anywhere; qv/nsq ride along as grouping keys to
+    // avoid a re-join. nprobe > 1 (the recall dial — a true neighbor
+    // sitting just across a cell boundary is recovered by probing the
+    // query's top-nprobe cells): top-nprobe needs ranked cells, a
+    // window over the K scores of each vector — K rows per vec, so the
+    // per-partition sort is over the (small) centroid count, not data.
+    val scored = base.crossJoin(broadcast(cents))
       .withColumn("__ccos",
         cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
+    val assigned = scored
       .groupBy(col(idCol), col("__qv"), col("__nsq"))
       .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
 
-    val a = assigned.select(col(idCol), col("__cell"), col("__qv"), col("__nsq"))
+    // probe-side cells: home cell at nprobe=1 (same frame, no window)
+    val probes =
+      if (nprobe == 1) assigned.select(col(idCol), col("__cell").as("__probe"),
+        col("__qv"), col("__nsq"))
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("__ccos").desc, col("__cid"))
+        scored
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= nprobe)
+          .select(col(idCol), col("__cid").as("__probe"), col("__qv"), col("__nsq"))
+      }
+
     val b = assigned.select(
       col(idCol).as("__nid"), col("__cell").as("__ncell"),
       col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
-    val best = a
-      .join(b, col("__cell") === col("__ncell") && col(idCol) =!= col("__nid"))
+    val best = probes
+      .join(b, col("__probe") === col("__ncell") && col(idCol) =!= col("__nid"))
       .withColumn("__cos", cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
       .groupBy(col(idCol))
       .agg(max_by(

@@ -158,6 +158,31 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(rows(1L)._3 === 998618L) // exact fixed-point cosine 9.5e13/√(9.05e13·1e14)
   }
 
+  test("IVF nprobe recovers a true neighbor split across a cell boundary") {
+    import spark.implicits._
+    // 2-D geometry: centroids c0 at 0° and c10 at ~25.8°; a (12°) homes
+    // to c0, b (14°) homes to c10, yet a and b are each other's true
+    // nearest (2° apart, cos ≈ 0.9994) — the classic boundary split.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),          // centroid of cell 0
+      (10L, Array(0.9f, 0.436f, 0f, 0f)),   // centroid of cell 10
+      (1L, Array(0.978f, 0.208f, 0f, 0f)),  // a → home cell 0
+      (2L, Array(0.970f, 0.242f, 0f, 0f)))  // b → home cell 10
+      .toDF("vec_id", "embedding")
+
+    def run(nprobe: Int) = Embeddings.annIvf(emb, centroidStep = 10L, nprobe = nprobe)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val single = run(1)
+    assert(single(1L)._1 === 0L && single(2L)._1 === 10L) // homes as designed
+    assert(single(1L)._2 === 0L)   // nprobe=1: best is the home centroid…
+    assert(single(2L)._2 === 10L)  // …the boundary neighbor is invisible
+    val probed = run(2)
+    assert(probed(1L)._1 === 0L && probed(2L)._1 === 10L) // homes unchanged
+    assert(probed(1L)._2 === 2L)   // nprobe=2 finds the true neighbor
+    assert(probed(2L)._2 === 1L)
+  }
+
   test("LSH ANN pairs only bucket-mates; identical vectors are mutual top-1") {
     import spark.implicits._
     val emb = Seq(
