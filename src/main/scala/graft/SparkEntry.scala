@@ -411,6 +411,19 @@ object SparkEntry {
           col("decoded.channels").as("img_c"))
     }),
 
+    // whole-payload exact dedup — content-hash groupBy over the binary
+    // column (the document-granularity member of the dedup family;
+    // keep_id = the reference's keep-first rule at doc granularity).
+    // 0 rows at sf0.01, 8 groups at sf0.1 — an audit like dedup_audit.
+    "multimodal_dupes" -> ((s, dir) => {
+      val payload = T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      payload
+        .groupBy(Multimodal.sha256Hex(col("payload")).as("sha256"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+    }),
+
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -707,6 +720,11 @@ object SparkEntry {
          |       CAST(3 AS BIGINT) AS img_c
          |FROM b""".stripMargin
     },
+
+    "multimodal_dupes" ->
+      """SELECT lower(sha256(text)) AS sha256, count(*) AS n_copies,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "text_langid" ->
       s"""$toksCte,
