@@ -1,11 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.expressions.{DistinctShingles, DotProductLong}
 
@@ -24,6 +22,14 @@ import graft.expressions.{DistinctShingles, DotProductLong}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** AnalysisException (not a raw runtime error) carrying the failing
+    * expression's parse position — what a SQL user expects from a bad
+    * function argument. USER_RAISED_EXCEPTION renders the message
+    * verbatim. */
+  private def analysisError(msg: String, at: Expression): Nothing =
+    throw new AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), at.origin)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product_long"),
@@ -34,8 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product_long(a, b) - exact int64 dot product of two array<bigint> columns",
         ""),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"dot_product_long takes exactly 2 arguments, got ${exprs.length}")
+        if (exprs.length != 2) analysisError(
+          s"dot_product_long takes exactly 2 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(null)))
         DotProductLong(exprs.head, exprs(1))
       }))
 
@@ -48,13 +55,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "distinct_shingles(tokens, n) - distinct word n-grams of an array<string>, first-occurrence order",
         ""),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"distinct_shingles takes exactly 2 arguments, got ${exprs.length}")
-        val n = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"distinct_shingles: n must be an integer literal, got $other")
+        if (exprs.length != 2) analysisError(
+          s"distinct_shingles takes exactly 2 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(null)))
+        // n: any FOLDABLE integral expression — a bare literal, but also
+        // CAST(2 AS INT), 1+1, a smallint/bigint literal, … — folded at
+        // registration time; non-foldable / non-integral / out-of-range
+        // shapes fail analysis with the expression's position attached.
+        val nExpr = exprs(1)
+        val n = nExpr.dataType match {
+          case ByteType | ShortType | IntegerType | LongType if nExpr.foldable =>
+            nExpr.eval() match {
+              case null => analysisError("distinct_shingles: n must not be NULL", nExpr)
+              case v: Byte => v.toInt
+              case v: Short => v.toInt
+              case v: Int => v
+              case v: Long if v >= 1 && v <= Int.MaxValue => v.toInt
+              case v => analysisError(s"distinct_shingles: n out of range: $v", nExpr)
+            }
+          case _ => analysisError(
+            s"distinct_shingles: n must be a foldable integer expression, got ${nExpr.sql}",
+            nExpr)
         }
+        if (n < 1) analysisError(s"distinct_shingles: n must be >= 1, got $n", nExpr)
         DistinctShingles(exprs.head, n)
       }))
   }

@@ -38,11 +38,14 @@ object SparkEntry {
     * stay in exact integer arithmetic — epoch-nanos exceed 2^53 and would
     * lose precision through a double). Fixture values are µs-aligned, so
     * the conversion is lossless and matches DuckDB's view of the column.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` in the
+    * session (set by every main and the test base) — a query builder
+    * must not mutate session conf, so the session owns the flag; a
+    * session without it gets Spark's own clear unsupported-nanos error.
     */
-  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsTable(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** doc_id + 0-based token position + word, blanks dropped — the shared
     * tokenized view of `documents` used by the parity queries. */
@@ -174,6 +177,179 @@ object SparkEntry {
     * test non-trivial; a deployment would run ≥ 950000. */
   val NearDupCosMicro: Long = 350000L
 
+  // -------------------------------------------- scaled-mode battery dials
+  //
+  // The *_scaled queries run the SAME operators with their 100 TB dials
+  // turned — band entropy / bucket granularity / centroid rate derived
+  // from corpus size by the library's sizing helpers instead of the
+  // frozen small-corpus defaults. Each dial output is pinned here as a
+  // constant so the DuckDB oracle text interpolates the identical value
+  // (engine and oracle can never drift), mirroring lshBucketsCte.
+
+  /** sf0.1 fixture sizes the dials are derived from (documents.parquet
+    * holds 5,000 docs; embeddings.parquet holds 2,000 vectors). */
+  val ScaledDocCorpus: Long = 5000L
+  val ScaledEmbCorpus: Long = 2000L
+
+  /** Scaled SimHash: 16 bands × simHashBandBitsFor-sized band entropy.
+    * Band bits are dialed for the sf0.01 verify corpus (500 docs → 12
+    * bits); at sf0.1 that still caps expected unrelated-pair collisions
+    * at bands·C(n,2)/2^12 ≈ 10·n — linear, vs the default 4-bit mode's
+    * ~64 % of ALL pairs. The signature hash is [[NearDup.Sha256Family]]
+    * (not xxhash64): this mode's recall is PROBABILISTIC, so the oracle
+    * must replicate the banded candidate generation itself — sha256 is
+    * bit-identical across engines, xxhash64 exists only in Spark. */
+  val ScaledSimHashBands: Int = NearDup.SimHashBands
+  val ScaledSimHashBandBits: Int = NearDup.simHashBandBitsFor(500L)
+  val ScaledSimHashWidth: Int = ScaledSimHashBands * ScaledSimHashBandBits
+
+  /** Scaled sign-LSH ANN: planes from corpus size (≈64-vector buckets),
+    * 2 independent hyperplane families for recall. */
+  val ScaledLshPlanes: Int = Embeddings.planesFor(ScaledEmbCorpus, 64L)
+  val ScaledLshTables: Int = 2
+
+  /** Scaled IVF ANN: centroid step from corpus size for a bounded
+    * K ≈ 64 ≈ √n quantizer, probing the top-2 cells. */
+  val ScaledIvfStep: Long = Embeddings.centroidStepFor(ScaledEmbCorpus, 64L)
+  val ScaledIvfNprobe: Int = 2
+
+  /** Parametric DuckDB oracle for [[Embeddings.annIvf]] — centroid step
+    * and nprobe interpolated from the same constants as the query.
+    * probes = each vector's top-`nprobe` cells by centroid cosine;
+    * candidates = members of any probed cell (a member's HOME cell is
+    * unique, so no duplicate (vid, nid) rows arise across probes). */
+  private def ivfOracleSql(step: Long, nprobe: Int): String =
+    s"""$embCte,
+       |cents AS (
+       |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+       |  FROM n WHERE vec_id % $step = 0),
+       |ac AS (
+       |  SELECT n.vec_id, c.cid,
+       |         CAST(list_sum(list_transform(range(len(n.qv)),
+       |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
+       |         n.nsq AS an, c.cnsq AS cn
+       |  FROM n, cents c),
+       |ranked AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY CAST(d AS DOUBLE) /
+       |      (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+       |  FROM ac),
+       |assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, cid AS probe FROM ranked WHERE rn <= $nprobe),
+       |nb2 AS (SELECT n.vec_id, n.qv, n.nsq, a.cell FROM n JOIN assign a USING (vec_id)),
+       |cand AS (
+       |  SELECT p.vec_id AS vid, c.vec_id AS nid,
+       |         CAST(list_sum(list_transform(range(len(a.qv)),
+       |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+       |         a.nsq AS an, c.nsq AS cn
+       |  FROM probes p
+       |  JOIN nb2 a ON a.vec_id = p.vec_id
+       |  JOIN nb2 c ON c.cell = p.probe AND c.vec_id <> p.vec_id),
+       |best AS (
+       |  SELECT vid, nid,
+       |         CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS c2,
+       |         row_number() OVER (PARTITION BY vid
+       |           ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, nid) AS rn
+       |  FROM cand)
+       |SELECT nb2.vec_id, nb2.cell,
+       |       coalesce(b.nid, -1) AS neighbor_id,
+       |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
+       |FROM nb2 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb2.vec_id = b.vid""".stripMargin
+
+  /** DuckDB oracle for the scaled multi-table LSH ANN: per-(table,
+    * bucket) sign bits with global plane index t·planes + p — the same
+    * integer weight formula as [[Embeddings.bucketOf]]; candidates =
+    * bucket-mates in ANY table; reported bucket = table 0's. */
+  private def lshScaledSql: String = {
+    val planes = ScaledLshPlanes
+    val tables = ScaledLshTables
+    s"""$embCte,
+       |bits AS (
+       |  SELECT n.vec_id, t.t, p.p,
+       |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
+       |                j -> n.qv[j+1] * ${weightSql(s"(t.t * $planes + p.p)", "j")})) AS BIGINT) > 0
+       |              THEN (1 << p.p) ELSE 0 END AS bv
+       |  FROM n, range($tables) t(t), range($planes) p(p)),
+       |buckets AS (SELECT vec_id, t, CAST(sum(bv) AS BIGINT) AS bucket
+       |            FROM bits GROUP BY 1, 2),
+       |nbt AS (SELECT n.vec_id, n.qv, n.nsq, b.t, b.bucket
+       |        FROM n JOIN buckets b USING (vec_id)),
+       |cand AS (
+       |  SELECT a.vec_id AS vid, c.vec_id AS nid,
+       |         CAST(list_sum(list_transform(range(len(a.qv)),
+       |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+       |         a.nsq AS an, c.nsq AS cn
+       |  FROM nbt a JOIN nbt c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |best AS (
+       |  SELECT vid, nid,
+       |         CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS c2,
+       |         row_number() OVER (PARTITION BY vid
+       |           ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, nid) AS rn
+       |  FROM cand),
+       |nb0 AS (SELECT vec_id, bucket FROM nbt WHERE t = 0)
+       |SELECT nb0.vec_id, nb0.bucket,
+       |       coalesce(b.nid, -1) AS neighbor_id,
+       |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
+       |FROM nb0 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb0.vec_id = b.vid""".stripMargin
+  }
+
+  /** DuckDB oracle for the scaled SimHash mode — replicates the FULL
+    * banded candidate generation (not just exact ground truth, which a
+    * probabilistic configuration cannot be held to): per-shingle hash
+    * words are 60-bit slices of sha256 hex (bit-identical to Spark's
+    * [[NearDup.Sha256Family]] via conv(…,16,10)), logical bit j =
+    * sign of Σ ±1 by bit (j mod 60) of word (j div 60), band value =
+    * band's bit range re-packed, candidates = band equijoin, then the
+    * standard exact-Jaccard confirm. */
+  private def simhashScaledSql: String = {
+    val n = NearDup.ShingleN
+    val t = NearDup.ThresholdMilli
+    val gram = (0 until n).map(o => s"ts[i+$o]").mkString(" || ' ' || ")
+    val width = ScaledSimHashWidth
+    val bandBits = ScaledSimHashBandBits
+    val wordBits = 60
+    val hashWords = (width + wordBits - 1) / wordBits
+    val hwCols = (0 until hashWords).map { w =>
+      s"CAST(CAST(('0x' || substring(sha256(s), ${w * 15 + 1}, 15)) AS UBIGINT) AS BIGINT) AS h$w"
+    }.mkString(",\n       |         ")
+    val wordCase = (0 until hashWords - 1).map(w => s"WHEN $w THEN h$w").mkString(" ")
+    s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, $gram AS s
+       |  FROM t2, unnest(range(1, greatest(len(ts) - ${n - 2}, 1))) AS u(i)),
+       |hw AS (
+       |  SELECT doc_id,
+       |         $hwCols
+       |  FROM sh),
+       |bits AS (
+       |  SELECT doc_id, j.j,
+       |         CASE WHEN SUM(CASE WHEN
+       |           ((CASE j.j // $wordBits $wordCase ELSE h${hashWords - 1} END)
+       |             >> (j.j % $wordBits)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM hw, range($width) j(j)
+       |  GROUP BY doc_id, j.j),
+       |bands AS (
+       |  SELECT doc_id, j // $bandBits AS bi, SUM(b << (j % $bandBits)) AS bv
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS nn FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT cd.doc_a, cd.doc_b, count(*) AS ic
+       |  FROM cand cd
+       |  JOIN sh a ON a.doc_id = cd.doc_a
+       |  JOIN sh b ON b.doc_id = cd.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST((1000 * ic) // (sa.nn + sb.nn - ic) AS BIGINT) AS jaccard_x1000
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -183,6 +359,23 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -------- canonical reference pipeline (SURVEY §3.4)
     "wordstats" -> ((s, dir) => WordStats(T(s, dir, "documents"))),
+
+    // -------- canonical pipeline WITH the reference's `file` column
+    // (example/main.py:127,158-162): file = last-5 path components,
+    // truncated to 269 — the full five-column sink row. The fixture is
+    // parquet, so the path is synthesized (as in scalar_funcs); the
+    // composition under test is basename_backwards∘truncate over the
+    // word-stats shape, carried through the dedup shuffle.
+    "wordstats_files" -> ((s, dir) => {
+      val path = concat(
+        lit("data/corpus/"), col("source"), lit("/"), col("lang"),
+        lit("/doc_"), col("doc_id").cast("string"), lit(".txt"))
+      val docs = T(s, dir, "documents")
+        .withColumn("file", Scalars.truncate269(Scalars.lastPathComponents(path, 5)))
+      WordStats(docs, carryCols = Seq("file"))
+        .select(col("word"), col("word_len"), col("word_truncated"),
+          col("file"), col("words_count"))
+    }),
 
     // -------- tokenizer (transformers/text.py:43-71)
     "tokenize" -> ((s, dir) =>
@@ -278,6 +471,15 @@ object SparkEntry {
         .agg(sum("words_count").as("total"))),
     "rel_count_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("n"))),
+    // approximate distinct-count (HLL++, rsd 1 %) — the form you would
+    // actually run at 100 TB: one pass, fixed sketch memory, no
+    // shuffle-the-keys exact distinct. NO oracleSql entry on purpose:
+    // DuckDB's approx sketch differs, so the driver records the weaker
+    // rows-only check; the ≤2 % error bound vs the exact count is
+    // asserted by CoreSpec ("approx_count_distinct stays within 2% …").
+    "rel_approx_count_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_approx"))),
     "rel_limit" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"))
@@ -373,6 +575,14 @@ object SparkEntry {
       NearDup.minHashPairs(T(s, dir, "documents"))),
     "neardup_simhash" -> ((s, dir) =>
       NearDup.simHashPairs(T(s, dir, "documents"))),
+    // the 100 TB SimHash config: corpus-sized band entropy (linear
+    // candidates), probabilistic recall, no Hamming prefilter (exact
+    // confirm is the precision gate). Cross-engine sha256 hash family
+    // so the oracle replicates the banding — see ScaledSimHash* docs.
+    "neardup_simhash_scaled" -> ((s, dir) =>
+      NearDup.simHashPairs(T(s, dir, "documents"),
+        widthBits = ScaledSimHashWidth, bands = ScaledSimHashBands,
+        hammingMax = ScaledSimHashWidth, family = NearDup.Sha256Family)),
 
     // -------- similarity search over embeddings (north-star extension)
     // Exact brute-force top-5 for a 1-in-20 query subset (broadcast NLJ,
@@ -382,10 +592,21 @@ object SparkEntry {
     // … and the scale path: sign-LSH bucketing + bucket equijoin.
     "emb_ann_lsh" -> ((s, dir) =>
       Embeddings.annLsh(T(s, dir, "embeddings"))),
+    // the 100 TB LSH config: planesFor-sized buckets + 2 independent
+    // hyperplane families (the recall dial, exercised in the battery).
+    "emb_ann_lsh_scaled" -> ((s, dir) =>
+      Embeddings.annLsh(T(s, dir, "embeddings"),
+        planes = ScaledLshPlanes, tables = ScaledLshTables)),
     // IVF-style ANN: deterministic coarse quantizer (seed-by-id
     // centroids, broadcast n·K assignment) + cell equijoin.
     "emb_ann_ivf" -> ((s, dir) =>
       Embeddings.annIvf(T(s, dir, "embeddings"))),
+    // the 100 TB IVF config: centroid rate from centroidStepFor
+    // (bounded K ≈ √n quantizer) + top-2 cell probes (the nprobe
+    // recall dial, exercised in the battery).
+    "emb_ann_ivf_scaled" -> ((s, dir) =>
+      Embeddings.annIvf(T(s, dir, "embeddings"),
+        centroidStep = ScaledIvfStep, nprobe = ScaledIvfNprobe)),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -452,6 +673,31 @@ object SparkEntry {
          |       length(f.word) > 255 AS word_truncated,
          |       c.words_count
          |FROM firsts f JOIN counts c USING (doc_id)""".stripMargin,
+
+    "wordstats_files" ->
+      s"""$toksCte,
+         |counts AS (SELECT doc_id, count(*) AS words_count FROM toks GROUP BY doc_id),
+         |firsts AS (SELECT doc_id, arg_min(word, pos) AS word
+         |           FROM toks GROUP BY doc_id, lower(trim(word))),
+         |paths AS (
+         |  SELECT doc_id,
+         |         'data/corpus/' || source || '/' || lang || '/doc_' ||
+         |         CAST(doc_id AS VARCHAR) || '.txt' AS path
+         |  FROM documents),
+         |files AS (
+         |  SELECT doc_id,
+         |         substring(array_to_string(list_slice(string_split(path, '/'),
+         |           greatest(1, len(string_split(path, '/')) - 4),
+         |           len(string_split(path, '/'))), '/'), 1, 269) AS file
+         |  FROM paths)
+         |SELECT substring(f.word, 1, 254) AS word,
+         |       CAST(length(translate(f.word, '$diac', '')) AS BIGINT) AS word_len,
+         |       length(f.word) > 255 AS word_truncated,
+         |       fl.file,
+         |       c.words_count
+         |FROM firsts f
+         |JOIN counts c USING (doc_id)
+         |JOIN files fl USING (doc_id)""".stripMargin,
 
     "tokenize" ->
       s"""$toksCte
@@ -663,42 +909,10 @@ object SparkEntry {
          |SELECT vec_a, vec_b, cos_x1e6 FROM scored
          |WHERE cos_x1e6 >= $NearDupCosMicro""".stripMargin,
 
-    "emb_ann_ivf" -> {
-      val step = Embeddings.CentroidStep
-      s"""$embCte,
-         |cents AS (
-         |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
-         |  FROM n WHERE vec_id % $step = 0),
-         |ac AS (
-         |  SELECT n.vec_id, c.cid,
-         |         CAST(list_sum(list_transform(range(len(n.qv)),
-         |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
-         |         n.nsq AS an, c.cnsq AS cn
-         |  FROM n, cents c),
-         |assign AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY CAST(d AS DOUBLE) /
-         |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
-         |    FROM ac) WHERE rn = 1),
-         |nb2 AS (SELECT n.vec_id, n.qv, n.nsq, a.cell FROM n JOIN assign a USING (vec_id)),
-         |cand AS (
-         |  SELECT a.vec_id AS vid, c.vec_id AS nid,
-         |         CAST(list_sum(list_transform(range(len(a.qv)),
-         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
-         |         a.nsq AS an, c.nsq AS cn
-         |  FROM nb2 a JOIN nb2 c ON a.cell = c.cell AND a.vec_id <> c.vec_id),
-         |best AS (
-         |  SELECT vid, nid,
-         |         CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS c2,
-         |         row_number() OVER (PARTITION BY vid
-         |           ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, nid) AS rn
-         |  FROM cand)
-         |SELECT nb2.vec_id, nb2.cell,
-         |       coalesce(b.nid, -1) AS neighbor_id,
-         |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
-         |FROM nb2 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb2.vec_id = b.vid""".stripMargin
-    },
+    "emb_ann_ivf" -> ivfOracleSql(Embeddings.CentroidStep, 1),
+    "emb_ann_ivf_scaled" -> ivfOracleSql(ScaledIvfStep, ScaledIvfNprobe),
+    "emb_ann_lsh_scaled" -> lshScaledSql,
+    "neardup_simhash_scaled" -> simhashScaledSql,
 
     "multimodal_binary" -> {
       // hex-string offset for byte offset 1 + (bl*i)//3: (off-1)*2 + 1

@@ -23,14 +23,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * vectors): the same left-to-right exact int64 summation.
   *
   * Null contract: a null ARRAY on either side yields null (standard
-  * BinaryExpression null-intolerance); null ELEMENTS are not expected
-  * (quantized vectors never contain them) and are read as 0/undefined
-  * by ArrayData.getLong. Unequal lengths dot the common prefix.
+  * BinaryExpression null-intolerance); a null ELEMENT contributes 0 to
+  * the sum (its product term is skipped). The null-element check is
+  * emitted only when an input's array type declares containsNull —
+  * quantized vectors never do, so the hot path keeps the bare FMA
+  * loop. Unequal lengths dot the common prefix.
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  /** Whether any input may hold null elements (SQL-reachable via the
+    * GraftExtensions registration); decides interpreted and codegen
+    * loop shape at plan time. */
+  private def nullableElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -47,10 +57,13 @@ case class DotProductLong(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = nullableElems
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += x.getLong(i) * y.getLong(i)
+      if (!checkNulls || (!x.isNullAt(i) && !y.isNullAt(i))) {
+        acc += x.getLong(i) * y.getLong(i)
+      }
       i += 1
     }
     acc
@@ -61,11 +74,15 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("dotN")
       val i = ctx.freshName("dotI")
       val acc = ctx.freshName("dotAcc")
+      val term = s"$acc += $x.getLong($i) * $y.getLong($i);"
+      val body =
+        if (nullableElems) s"if (!$x.isNullAt($i) && !$y.isNullAt($i)) { $term }"
+        else term
       s"""
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |  $body
          |}
          |${ev.value} = $acc;
        """.stripMargin

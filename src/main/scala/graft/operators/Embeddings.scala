@@ -263,8 +263,34 @@ object Embeddings {
 
   /** Default IVF centroid sampling step: every `CentroidStep`-th vec_id
     * seeds a cell, so |centroids| ≈ n / step and cells hold ≈ step
-    * vectors — candidates ≈ n · step, linear in n at fixed step. */
+    * vectors — candidates ≈ n · step, linear in n at fixed step.
+    *
+    * A FIXED step couples K = n/step to the corpus: the centroid
+    * broadcast grows linearly with n and the n·K assignment pass goes
+    * quadratic. A fixed step is therefore only a small-corpus/oracle
+    * convenience — at scale, derive the step from the corpus size via
+    * [[centroidStepFor]] so K stays bounded. */
   val CentroidStep: Long = 32L
+
+  /** Step sized for a target centroid COUNT: step = n / K, so
+    * |centroids| ≈ targetCentroids regardless of corpus size — the
+    * centroid broadcast is bounded by construction and the assignment
+    * pass stays n·K with K fixed (linear in n). Total per-vector work
+    * is K assignment scores + ~n/K cell-mate scores, minimized at
+    * K ≈ √n — pick targetCentroids near √(expected corpus size)
+    * (e.g. 4096 for a ~16M-vector corpus). `corpusSize` is an
+    * ESTIMATE (row-count statistics, not an extra job); K tracks it
+    * only through this helper, mirroring [[planesFor]]. */
+  def centroidStepFor(corpusSize: Long, targetCentroids: Long = 4096L): Long =
+    math.max(1L, corpusSize / math.max(1L, targetCentroids))
+
+  /** Centroid-seed predicate. Dense ids (the fixtures): rate-sample by
+    * `id % step == 0`. Arbitrary/sparse ids: `seedByHash` rate-samples
+    * on `xxhash64(id) % step == 0` instead — same expected K = n/step
+    * without any density assumption (and still deterministic: same
+    * ids, same seeds, no RNG state). */
+  def centroidSeedPred(id: Column, step: Long, seedByHash: Boolean = false): Column =
+    if (seedByHash) pmod(xxhash64(id), lit(step)) === 0 else id % step === 0
 
   /** IVF-style ANN: a deterministic coarse quantizer instead of random
     * hyperplanes. Every vector whose id divides `centroidStep` seeds a
@@ -279,10 +305,13 @@ object Embeddings {
     * vs [[annLsh]]: data-dependent cells adapt to clustered corpora
     * (hyperplane buckets are data-oblivious), at the cost of the
     * assignment pass. A production system would k-means-refine the
-    * centroids; the deterministic seed-by-id quantizer keeps every
-    * engine (and the DuckDB oracle) bit-identical with no RNG state,
-    * and the plan shape — broadcast K centroids, n·K assignment scores,
-    * cell equijoin — is the one that scales.
+    * centroids; the deterministic rate-sampled quantizer keeps every
+    * engine (and the DuckDB oracle) bit-identical with no RNG state.
+    * The plan shape — broadcast K centroids, n·K assignment scores,
+    * cell equijoin — scales iff K is BOUNDED: size `centroidStep` from
+    * the corpus via [[centroidStepFor]] (step = n/K, K fixed or ≈ √n)
+    * rather than freezing it, or the broadcast grows linearly with n
+    * and the assignment goes quadratic.
     *
     * The assignment is an explicit crossJoin against the BROADCAST
     * centroid table: K = n/step rows on the build side, so this is the
@@ -293,11 +322,12 @@ object Embeddings {
       centroidStep: Long = CentroidStep,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      seedByHash: Boolean = false): DataFrame = {
     require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepped(emb, idCol, vecCol)
-    val cents = base.filter(col(idCol) % centroidStep === 0)
+    val cents = base.filter(centroidSeedPred(col(idCol), centroidStep, seedByHash))
       .select(col(idCol).as("__cid"), col("__qv").as("__cqv"), col("__nsq").as("__cnsq"))
 
     // n·K assignment scores. nprobe = 1 (the default): argmax-cos

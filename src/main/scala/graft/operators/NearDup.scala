@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * |∪|; the threshold test is cross-multiplied) — no float division, so
   * the DuckDB oracle matches bit-for-bit.
   */
+/** A per-shingle hash family for SimHash signatures: `word(w, s)` is
+  * hash word w of shingle column s, carrying `wordBits` usable
+  * (uniform) low bits. The family decides cross-engine replicability —
+  * see [[NearDup.XxHashFamily]] / [[NearDup.Sha256Family]]. */
+final case class SimHashFamily(wordBits: Int, word: (Int, Column) => Column) {
+  require(wordBits >= 1 && wordBits <= 64, s"wordBits must be in [1,64], got $wordBits")
+}
+
 object NearDup {
 
   /** Shingle width (word n-grams). */
@@ -235,43 +243,82 @@ object NearDup {
     confirm(cand, sh, idCol, thresholdMilli)
   }
 
-  /** SimHash of the doc's shingle-hash set, `widthBits` wide: bit j is
-    * the sign of Σ over shingles of ±1 by bit (j mod 64) of the word's
-    * shingle hash. The signature is emitted as ⌈widthBits/64⌉ long
-    * columns `__sig0..__sigW`. Word 0 hashes with the unseeded
-    * `xxhash64(s)` — byte-identical to the original 64-bit signature,
-    * so the default configuration (and the DuckDB-oracle-confirmed
-    * candidate set) is unchanged; words ≥ 1 hash with `xxhash64(w, s)`
-    * for independent bits. One hash-agg, widthBits conditional sums,
-    * map-side partials. */
+  /** Default per-shingle hash family: hash word w of a shingle is
+    * `xxhash64(s)` for w = 0 (byte-identical to the original 64-bit
+    * signature, so the default configuration and its DuckDB-confirmed
+    * candidate set are unchanged) and `xxhash64(w, s)` for w ≥ 1.
+    * 64 usable bits per word. */
+  val XxHashFamily: SimHashFamily = SimHashFamily(
+    wordBits = 64,
+    word = (w, s) => if (w == 0) xxhash64(s) else xxhash64(lit(w), s))
+
+  /** Cross-engine-REPLICABLE hash family: hash word w is 15 hex chars
+    * (60 bits) of sha256(shingle), via `conv(hex, 16, 10)` — sha256 of
+    * a UTF-8 string is identical in every engine (DuckDB included),
+    * unlike xxhash64, so a differential oracle can replicate the FULL
+    * banded candidate generation, not just confirmed ground truth.
+    * That is what makes a probabilistic scale configuration
+    * hash-testable end-to-end. 64 hex chars ⇒ width ≤ 240 bits.
+    * Slower than xxhash64 (crypto hash + string conv) but the
+    * signature pass runs once per (doc, shingle), not per pair. */
+  val Sha256Family: SimHashFamily = SimHashFamily(
+    wordBits = 60,
+    word = (w, s) =>
+      conv(substring(sha2(s, 256), w * 15 + 1, 15), 16, 10).cast("long"))
+
+  /** SimHash of the doc's shingle-hash set, `widthBits` wide: logical
+    * bit j is the sign of Σ over shingles of ±1 by bit (j mod
+    * family.wordBits) of hash word (j div family.wordBits) —
+    * equivalently, bit j is set iff 2·popcount_j > n (strict, so a
+    * tied bit is 0, same as Σ±1 > 0). The signature is emitted PACKED
+    * into ⌈widthBits/64⌉ long columns `__sig0..__sigW` (64 signature
+    * bits per column regardless of the family's word width).
+    *
+    * The per-bit popcounts are SWAR-packed: counters for logical bits
+    * k and k+width/2 share one long aggregate (k in the low 32 bits,
+    * k+width/2 at bit 32), so the aggregation carries widthBits/2 + 1
+    * buffers instead of widthBits — half the aggregate state and
+    * arithmetic, and a ≤192-bit signature stays under whole-stage
+    * codegen's default 100-field cutoff. No cross-field carry while a
+    * group has < 2³¹ rows (a doc would need 2³¹ distinct shingles).
+    * One hash-agg, map-side partials. */
   def simHashSignatures(
       sh: DataFrame,
       idCol: String = "doc_id",
-      widthBits: Int = SimHashWidthBits): DataFrame = {
+      widthBits: Int = SimHashWidthBits,
+      family: SimHashFamily = XxHashFamily): DataFrame = {
     require(widthBits >= 1, s"widthBits must be >= 1, got $widthBits")
-    val words = (widthBits + 63) / 64
-    val bitsOf = (w: Int) => math.min(64, widthBits - 64 * w)
+    val hashWords = (widthBits + family.wordBits - 1) / family.wordBits
     // Project each word's shingle hash ONCE before the aggregation —
     // as an aggregate child it would be re-evaluated by every one of
-    // the 64 per-bit sums (64 hashes/row instead of 1).
-    val hashCols = (0 until words).map { w =>
-      val h = if (w == 0) xxhash64(col("s")) else xxhash64(lit(w), col("s"))
-      graft.core.Cols.fresh(s"__h$w", Seq(idCol)) -> h
+    // the packed sums (wordBits hashes/row instead of 1).
+    val hashCols = (0 until hashWords).map { w =>
+      graft.core.Cols.fresh(s"__h$w", Seq(idCol)) -> family.word(w, col("s"))
     }
     val projected = sh.select(col(idCol) +: hashCols.map { case (c, h) => h.as(c) }: _*)
-    val sums = (0 until words).flatMap { w =>
-      val h = col(hashCols(w)._1)
-      (0 until bitsOf(w)).map { j =>
-        sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b${w}_$j")
-      }
+    def bit(j: Int): Column =
+      shiftright(col(hashCols(j / family.wordBits)._1), j % family.wordBits)
+        .bitwiseAND(1)
+    val half = (widthBits + 1) / 2
+    val cntCol = graft.core.Cols.fresh("__cnt", Seq(idCol))
+    val packs = (0 until half).map { k =>
+      val packed =
+        if (k + half < widthBits) bit(k) + shiftleft(bit(k + half), 32)
+        else bit(k)
+      sum(packed).as(s"__p$k")
     }
-    projected.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol) +: (0 until words).map { w =>
-        (0 until bitsOf(w)).map { j =>
-          when(col(s"__b${w}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as(s"__sig$w")
-      }: _*)
+    val agged = projected.groupBy(col(idCol))
+      .agg(count(lit(1)).as(cntCol), packs: _*)
+    def popcountOf(j: Int): Column =
+      if (j < half) col(s"__p$j").bitwiseAND(lit(0xFFFFFFFFL))
+      else shiftrightunsigned(col(s"__p${j - half}"), 32)
+    val sigWords = (widthBits + 63) / 64
+    agged.select(col(idCol) +: (0 until sigWords).map { w =>
+      (0 until math.min(64, widthBits - 64 * w)).map { j =>
+        val jj = 64 * w + j
+        when(popcountOf(jj) * 2 > col(cntCol), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as(s"__sig$w")
+    }: _*)
   }
 
   /** Value of band `b` (bandBits wide) out of a multi-word signature —
@@ -305,14 +352,15 @@ object NearDup {
       idCol: String = "doc_id",
       widthBits: Int = SimHashWidthBits,
       bands: Int = SimHashBands,
-      hammingMax: Int = HammingMax): DataFrame = {
+      hammingMax: Int = HammingMax,
+      family: SimHashFamily = XxHashFamily): DataFrame = {
     require(bands >= 1 && widthBits % bands == 0,
       s"bands ($bands) must divide widthBits ($widthBits)")
     val bandBits = widthBits / bands
     require(bandBits <= 60, s"bandBits ($bandBits) must be <= 60")
     val words = (widthBits + 63) / 64
     val sigCols = (0 until words).map(w => s"__sig$w")
-    val sig = simHashSignatures(sh, idCol, widthBits)
+    val sig = simHashSignatures(sh, idCol, widthBits, family)
       .select(col(idCol) +: sigCols.map(col) :+
         posexplode(array((0 until bands).map { b =>
           bandValue(w => col(s"__sig$w"), bandBits, b)
@@ -335,9 +383,10 @@ object NearDup {
       textCol: String = "text",
       widthBits: Int = SimHashWidthBits,
       bands: Int = SimHashBands,
-      hammingMax: Int = HammingMax): DataFrame =
+      hammingMax: Int = HammingMax,
+      family: SimHashFamily = XxHashFamily): DataFrame =
     simHashCandidatesFromShingles(
-      shingles(docs, idCol, textCol), idCol, widthBits, bands, hammingMax)
+      shingles(docs, idCol, textCol), idCol, widthBits, bands, hammingMax, family)
 
   /** SimHash LSH: candidates share a band and pass the Hamming cutoff,
     * then exact-confirm. Defaults = the exact small-corpus mode
@@ -351,9 +400,10 @@ object NearDup {
       thresholdMilli: Int = ThresholdMilli,
       widthBits: Int = SimHashWidthBits,
       bands: Int = SimHashBands,
-      hammingMax: Int = HammingMax): DataFrame = {
+      hammingMax: Int = HammingMax,
+      family: SimHashFamily = XxHashFamily): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
-    val cand = simHashCandidatesFromShingles(sh, idCol, widthBits, bands, hammingMax)
+    val cand = simHashCandidatesFromShingles(sh, idCol, widthBits, bands, hammingMax, family)
     confirm(cand, sh, idCol, thresholdMilli)
   }
 }

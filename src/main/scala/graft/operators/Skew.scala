@@ -27,20 +27,32 @@ object Skew {
   /** Salted equijoin on `keys`. Output equals
     * `left.join(right, keys, joinType)` row-for-row; only the shuffle
     * distribution differs. `joinType` is restricted to the shapes where
-    * replicating the RIGHT side is sound (inner / left variants). */
+    * replicating the RIGHT side is sound (inner / left variants).
+    *
+    * The salt hashes the FULL probe row, so it only spreads a hot key
+    * whose rows DIFFER somewhere. Fully-identical duplicate rows — the
+    * common shape in a dedup-centric pipeline — all hash to one salt
+    * and still collapse into one task; pass `disambiguators` (any
+    * deterministic per-row expressions that vary across the duplicates,
+    * e.g. a line number, a file offset, or `spark_partition_id()` when
+    * run-to-run plan stability is acceptable) to mix extra entropy into
+    * the salt. Determinism: with column-based disambiguators the salt
+    * is a pure function of the row, per the library contract. */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       saltN: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      disambiguators: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(saltN >= 1, s"saltN must be >= 1, got $saltN")
     val okTypes = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
     require(okTypes(joinType.toLowerCase),
       s"saltedJoin replicates the right side; '$joinType' would change semantics")
     val saltC = Cols.fresh("__salt", left.columns.toSeq ++ right.columns)
     val l = left.withColumn(saltC,
-      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(saltN.toLong)))
+      pmod(xxhash64(struct(left.columns.map(col).toSeq ++ disambiguators: _*)),
+        lit(saltN.toLong)))
     val r = right.withColumn(saltC,
       explode(sequence(lit(0L), lit(saltN.toLong - 1))))
     l.join(r, keys :+ saltC, joinType).drop(saltC)

@@ -25,29 +25,36 @@ import graft.functions.Scalars
   */
 object WordStats {
 
+  /** `carryCols`: additional PER-DOCUMENT columns of `docs` to carry
+    * through to the output unchanged (they ride the dedup shuffle as
+    * extra bag keys — functionally dependent on the doc id, so the
+    * grouping is unaffected). The reference's canonical sink rows carry
+    * the source `file` this way (example/main.py:127,158-162). */
   def apply(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val base = docs
-      .select(col(idCol), col(textCol))
+      .select((idCol +: textCol +: carryCols).map(col): _*)
       .withColumn("words_count", FoldGroup.tokenCountExpr(col(textCol)))
 
     val tokens = Tokenize.splitTokens(inputCol = textCol)(base)
 
     val firsts = Dedup.keepFirst(
-      bagKeys = Seq(idCol, "words_count"),
+      bagKeys = idCol +: "words_count" +: carryCols,
       valueCol = "word",
       orderCol = "pos")(tokens)
 
     firsts.select(
-      col(idCol),
+      col(idCol) +:
       // Pre-image semantics (SURVEY §7.4): word_len and word_truncated
       // are computed on the UN-truncated word, in the same projection
       // that truncates it.
-      Scalars.truncate254(col("word")).as("word"),
-      length(Scalars.removeDiac(col("word"))).cast("long").as("word_len"),
-      Scalars.lenGt255(col("word")).as("word_truncated"),
-      col("words_count"))
+      Scalars.truncate254(col("word")).as("word") +:
+      length(Scalars.removeDiac(col("word"))).cast("long").as("word_len") +:
+      Scalars.lenGt255(col("word")).as("word_truncated") +:
+      col("words_count") +:
+      carryCols.map(col): _*)
   }
 }

@@ -16,6 +16,18 @@ import graft.sinks.{ConsoleSink, CsvSink, Projection}
   */
 class CoreSpec extends SparkSpecBase {
 
+  test("approx_count_distinct stays within 2% of exact (the 100 TB distinct-count form)") {
+    // the battery's rel_approx_count_distinct has no DuckDB oracle
+    // (sketches differ across engines); THIS is its correctness gate.
+    val dir = "/root/testdata/sf0.01"
+    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = SparkEntry.queries("rel_approx_count_distinct")(spark, dir)
+      .head.getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 0.02, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
   private lazy val df = {
     import spark.implicits._
     Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 5L)).toDF("id", "k", "v")

@@ -64,4 +64,21 @@ class ExpressionEquivalenceSpec extends SparkSpecBase {
         s"mismatch at n=$n")
     }
   }
+
+  test("null elements: DotProductLong skips the term, DistinctShingles ignores the token") {
+    // null-element arrays are SQL-reachable through the registered
+    // functions; the operators themselves never produce them. The
+    // declared output contract must hold anyway: dot treats a null
+    // component pair as 0, shingles grams over non-null tokens only
+    // (so the declared containsNull=false is actually true).
+    val df = spark.sql(
+      """SELECT array(1L, NULL, 3L) AS a, array(4L, 5L, NULL) AS b,
+        |       array('a', NULL, 'b', 'c') AS t""".stripMargin)
+    val got = df.select(
+      dotNative(col("a"), col("b")).as("d"),
+      shinglesNative(col("t"), 2).as("s")).head
+    assert(got.getLong(0) === 4L) // 1·4 + skip + skip
+    assert(got.getSeq[String](1) === Seq("a b", "b c"))
+    assert(!got.getSeq[String](1).contains(null))
+  }
 }

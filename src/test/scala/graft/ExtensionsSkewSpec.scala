@@ -30,6 +30,22 @@ class ExtensionsSkewSpec extends SparkSpecBase {
       val sh = s2.sql(
         "SELECT distinct_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS s")
       assert(sh.head.getSeq[String](0) === Seq("a b", "b c", "c b"))
+      // n is any FOLDABLE integral expression, not just a bare int
+      // literal: casts, arithmetic, and wider integer types all fold
+      for (nExpr <- Seq("CAST(2 AS INT)", "1 + 1", "CAST(2 AS BIGINT)", "CAST(2 AS SMALLINT)")) {
+        val viaFold = s2.sql(
+          s"SELECT distinct_shingles(array('a', 'b', 'c'), $nExpr) AS s")
+        assert(viaFold.head.getSeq[String](0) === Seq("a b", "b c"), nExpr)
+      }
+      // bad shapes fail ANALYSIS (position-carrying AnalysisException),
+      // not as a raw runtime error
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT distinct_shingles(array('a'), 'two')").collect()
+      }
+      assert(e.getMessage.contains("foldable integer"), e.getMessage)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT distinct_shingles(array('a'), 0)").collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
@@ -57,6 +73,39 @@ class ExtensionsSkewSpec extends SparkSpecBase {
     val p = Skew.saltedJoin(left, right, Seq("k"), saltN = 8)
       .queryExecution.executedPlan.toString
     assert(p.contains("__salt"), p.take(2000))
+  }
+
+  test("saltedJoin spreads the hot key across shuffle partitions (AQE off)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // AQE off (the scenario saltedJoin exists for) and no broadcast —
+    // a broadcast join would not shuffle the probe side at all
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 20k rows, 90 % on key 1 — the hot-key shape; lv disambiguates
+      // rows so the full-row salt actually spreads them
+      val left = (0 until 20000)
+        .map(i => (if (i % 10 == 0) (i % 7).toLong + 2L else 1L, i.toLong))
+        .toDF("k", "lv")
+      val right = (1 to 8).map(k => (k.toLong, s"attr_$k")).toDF("k", "rv")
+      def maxShare(df: org.apache.spark.sql.DataFrame): Double = {
+        val sizes = df.queryExecution.toRdd
+          .mapPartitions(it => Iterator(it.size)).collect()
+        sizes.max.toDouble / sizes.sum
+      }
+      val plain = maxShare(left.join(right, Seq("k"), "inner"))
+      val salted = maxShare(Skew.saltedJoin(left, right, Seq("k"), saltN = 16))
+      assert(plain > 0.85,
+        s"premise broken: hot key no longer lands in one task (max share $plain)")
+      assert(salted < 0.55,
+        s"salting failed to spread the hot key (max share $salted)")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
   }
 
   test("saltedJoin left_outer keeps unmatched probe rows exactly once") {

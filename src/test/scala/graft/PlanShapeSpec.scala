@@ -50,7 +50,8 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("similarity operators use the native dot product, not HOFs") {
-    for (q <- Seq("emb_topk", "emb_ann_lsh", "emb_ann_ivf", "emb_neardup")) {
+    for (q <- Seq("emb_topk", "emb_ann_lsh", "emb_ann_ivf", "emb_neardup",
+        "emb_ann_lsh_scaled", "emb_ann_ivf_scaled")) {
       val p = plan(q)
       assert(p.contains("dot_product_long"), s"$q lost the codegen dot:\n${p.take(2000)}")
       assert(!p.contains("zip_with"), s"$q still has the HOF dot:\n${p.take(2000)}")
@@ -75,7 +76,8 @@ class PlanShapeSpec extends SparkSpecBase {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a Cartesian product")
-      val bnljOk = Set("emb_topk", "emb_ann_ivf") // broadcast K-row scoring passes
+      // broadcast K-row scoring passes (IVF assignment / query set)
+      val bnljOk = Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")

@@ -74,6 +74,24 @@ class ScaleDialsSpec extends SparkSpecBase {
     assert(got === Set((1L, 2L, 853L), (1L, 4L, 1000L), (2L, 4L, 853L)))
   }
 
+  test("sha256 hash family (the oracle-replicable one) confirms the planted pairs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "CHANGED")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+    // the battery's scaled config: 16 × 12-bit bands, no Hamming
+    // prefilter, sha256-derived 60-bit hash words
+    val got = NearDup.simHashPairs(
+      docs, widthBits = SparkEntry.ScaledSimHashWidth,
+      bands = SparkEntry.ScaledSimHashBands,
+      hammingMax = SparkEntry.ScaledSimHashWidth,
+      family = NearDup.Sha256Family)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 853L), (1L, 4L, 1000L), (2L, 4L, 853L)))
+  }
+
   // ----------------------------------------------------- n-gram df cap
 
   /** Every doc opens with the same 4 stop tokens (2 corpus-wide hot
@@ -129,6 +147,50 @@ class ScaleDialsSpec extends SparkSpecBase {
     assert(Embeddings.planesFor(1000000L, 1024L) === 10)   // 2^10 buckets of ~1k
     assert(Embeddings.planesFor(100L, 1024L) === 1)        // tiny corpus → min
     assert(Embeddings.planesFor(1L << 40, 1024L) === 30)
+  }
+
+  test("centroidStepFor keeps the IVF centroid count FIXED as the corpus grows") {
+    // the sizing function itself: step tracks n, so K = n/step does not
+    assert(Embeddings.centroidStepFor(1L << 20, 4096L) === 256L)
+    assert(Embeddings.centroidStepFor(1L << 21, 4096L) === 512L)
+    assert(Embeddings.centroidStepFor(100L, 4096L) === 1L) // tiny corpus → all seeds
+
+    // and the seed predicate realizes ≈ targetCentroids in BOTH
+    // selection modes — centroid count must NOT track corpus size
+    // (ids offset by 7 so the modulo mode is not trivially aligned)
+    import spark.implicits._
+    def ids(n: Int) = (0 until n).map(i => i.toLong + 7L).toDF("vec_id")
+    def seedCount(n: Int, byHash: Boolean): Long = {
+      val step = Embeddings.centroidStepFor(n.toLong, 64L)
+      ids(n).filter(Embeddings.centroidSeedPred(col("vec_id"), step, byHash)).count()
+    }
+    for (byHash <- Seq(false, true)) {
+      val k1 = seedCount(2000, byHash)
+      val k2 = seedCount(4000, byHash)
+      assert(k1 >= 40 && k1 <= 96, s"byHash=$byHash: k(2000)=$k1 not ≈ 64")
+      assert(k2 >= 40 && k2 <= 96, s"byHash=$byHash: k(4000)=$k2 not ≈ 64")
+    }
+  }
+
+  test("hash-seeded IVF (sparse ids) finds a planted twin pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val planted = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val twin = planted.map(x => x * 1.0001f)
+    // sparse, non-dense ids: the modulo seed rule would degenerate here
+    val corpus = (0 until 200).map { i =>
+      (i.toLong * 1000L + 17L, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    } ++ Seq((999983L, planted), (999991L, twin))
+    val emb = corpus.toDF("vec_id", "embedding")
+    val step = Embeddings.centroidStepFor(202L, 16L) // K ≈ 16
+    val rows = Embeddings.annIvf(emb, centroidStep = step, seedByHash = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size === 202)
+    // near-identical twins share the argmax centroid → same cell →
+    // mutual top-1 by exact cosine
+    assert(rows(999983L)._1 === 999991L)
+    assert(rows(999991L)._1 === 999983L)
+    assert(rows(999983L)._2 > 999000L)
   }
 
   test("multi-table ANN recovers a planted neighbor via an independent family") {

@@ -54,8 +54,7 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming windowed counts over the events fixture equal the batch result") {
     val dir = "/root/testdata/sf0.001/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(dir)
+    val raw = spark.read.parquet(dir) // nanosAsLong set in TestSpark
     def toTs(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -80,7 +79,6 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("streaming watermark dedup over the events fixture equals batch dropDuplicates") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     def toTs(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
