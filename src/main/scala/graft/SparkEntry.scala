@@ -213,16 +213,55 @@ object SparkEntry {
   val ScaledIvfStep: Long = Embeddings.centroidStepFor(ScaledEmbCorpus, 64L)
   val ScaledIvfNprobe: Int = 2
 
-  /** Parametric DuckDB oracle for [[Embeddings.annIvf]] — centroid step
-    * and nprobe interpolated from the same constants as the query.
-    * probes = each vector's top-`nprobe` cells by centroid cosine;
-    * candidates = members of any probed cell (a member's HOME cell is
-    * unique, so no duplicate (vid, nid) rows arise across probes). */
-  private def ivfOracleSql(step: Long, nprobe: Int): String =
+  /** Parametric DuckDB oracle for [[Embeddings.annIvf]] — centroid
+    * step, nprobe, and Lloyd iterations interpolated from the same
+    * constants as the query. probes = each vector's top-`nprobe` cells
+    * by centroid cosine; candidates = members of any probed cell (a
+    * member's HOME cell is unique, so no duplicate (vid, nid) rows
+    * arise across probes). Each k-means iteration replicates
+    * Embeddings.lloydRefine exactly: argmax-cosine assignment, then
+    * elementwise floorDiv means (pmod-then-`//`, matching Spark's
+    * pmod-then-`div`) and dropped empty/zero cells. */
+  private def ivfOracleSql(step: Long, nprobe: Int, kmeansIter: Int = 0): String = {
+    val seedName = if (kmeansIter == 0) "cents" else "cents0"
+    val seeds =
+      s"""$seedName AS (
+         |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+         |  FROM n WHERE vec_id % $step = 0)""".stripMargin
+    val refines = (1 to kmeansIter).map { i =>
+      val prev = s"cents${i - 1}"
+      val cur = if (i == kmeansIter) "cents" else s"cents$i"
+      s"""ac$i AS (
+         |  SELECT n.vec_id, c.cid,
+         |         CAST(list_sum(list_transform(range(len(n.qv)),
+         |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
+         |         n.nsq AS an, c.cnsq AS cn
+         |  FROM n, $prev c),
+         |assign$i AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(d AS DOUBLE) /
+         |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+         |    FROM ac$i) WHERE rn = 1),
+         |means$i AS (
+         |  SELECT a.cell, g.j, SUM(n.qv[g.j]) AS s, COUNT(*) AS c
+         |  FROM assign$i a JOIN n USING (vec_id),
+         |       unnest(generate_series(1, len(n.qv))) AS g(j)
+         |  GROUP BY 1, 2),
+         |mv$i AS (
+         |  SELECT cell AS cid,
+         |         list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT) ORDER BY j) AS cqv
+         |  FROM means$i GROUP BY cell),
+         |$cur AS (
+         |  SELECT * FROM (
+         |    SELECT cid, cqv,
+         |           CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnsq
+         |    FROM mv$i)
+         |  WHERE cnsq > 0)""".stripMargin
+    }
+    val centsChain = (seeds +: refines).mkString(",\n")
     s"""$embCte,
-       |cents AS (
-       |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
-       |  FROM n WHERE vec_id % $step = 0),
+       |$centsChain,
        |ac AS (
        |  SELECT n.vec_id, c.cid,
        |         CAST(list_sum(list_transform(range(len(n.qv)),
@@ -255,6 +294,7 @@ object SparkEntry {
        |       coalesce(b.nid, -1) AS neighbor_id,
        |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
        |FROM nb2 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb2.vec_id = b.vid""".stripMargin
+  }
 
   /** DuckDB oracle for the scaled multi-table LSH ANN: per-(table,
     * bucket) sign bits with global plane index t·planes + p — the same
@@ -607,6 +647,12 @@ object SparkEntry {
     "emb_ann_ivf_scaled" -> ((s, dir) =>
       Embeddings.annIvf(T(s, dir, "embeddings"),
         centroidStep = ScaledIvfStep, nprobe = ScaledIvfNprobe)),
+    // … and with one exact-integer Lloyd refinement: rate-sampled seeds
+    // become data-dependent mean centroids (floorDiv elementwise means,
+    // bit-identical in the oracle) before the standard cell equijoin.
+    "emb_ann_ivf_kmeans" -> ((s, dir) =>
+      Embeddings.annIvf(T(s, dir, "embeddings"),
+        centroidStep = ScaledIvfStep, kmeansIter = 1)),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -911,6 +957,7 @@ object SparkEntry {
 
     "emb_ann_ivf" -> ivfOracleSql(Embeddings.CentroidStep, 1),
     "emb_ann_ivf_scaled" -> ivfOracleSql(ScaledIvfStep, ScaledIvfNprobe),
+    "emb_ann_ivf_kmeans" -> ivfOracleSql(ScaledIvfStep, 1, kmeansIter = 1),
     "emb_ann_lsh_scaled" -> lshScaledSql,
     "neardup_simhash_scaled" -> simhashScaledSql,
 

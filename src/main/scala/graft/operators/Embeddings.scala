@@ -304,9 +304,10 @@ object Embeddings {
     *
     * vs [[annLsh]]: data-dependent cells adapt to clustered corpora
     * (hyperplane buckets are data-oblivious), at the cost of the
-    * assignment pass. A production system would k-means-refine the
-    * centroids; the deterministic rate-sampled quantizer keeps every
-    * engine (and the DuckDB oracle) bit-identical with no RNG state.
+    * assignment pass. `kmeansIter` Lloyd iterations ([[lloydRefine]])
+    * turn the rate-sampled seeds into genuinely data-dependent
+    * centroids — in exact integer arithmetic, so the refinement (and
+    * the DuckDB oracle) stays bit-identical with no RNG state.
     * The plan shape — broadcast K centroids, n·K assignment scores,
     * cell equijoin — scales iff K is BOUNDED: size `centroidStep` from
     * the corpus via [[centroidStepFor]] (step = n/K, K fixed or ≈ √n)
@@ -317,18 +318,56 @@ object Embeddings {
     * centroid table: K = n/step rows on the build side, so this is the
     * canonical n·K nested-loop scoring pass of IVF assignment, not an
     * n² Cartesian. */
+  /** One Lloyd refinement of a centroid table against the corpus:
+    * assign every vector to its argmax-cosine centroid, then replace
+    * each centroid's vector with the elementwise FLOOR-division mean
+    * of its members' quantized vectors — exact integer arithmetic
+    * (floorDiv, not truncation: pmod first, so negative sums round the
+    * same way DuckDB's `//`-after-pmod does), so every engine derives
+    * bit-identical refined centroids. Cells that capture no members, or
+    * whose mean is the zero vector, drop out — standard Lloyd dropout,
+    * deterministic. Cost per iteration: one n·K broadcast scoring pass
+    * + an n·d dimension shuffle (d = vector width) — the canonical
+    * distributed k-means step. */
+  private def lloydRefine(base: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val scored = base.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
+    val assigned = scored
+      .groupBy(col(idCol), col("__qv"))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    val means = assigned
+      .select(col("__cell"), posexplode(col("__qv")).as(Seq("__j", "__x")))
+      .groupBy(col("__cell"), col("__j"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m", expr("(__s - pmod(__s, __c)) div __c"))
+    means.groupBy(col("__cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__j"), col("__m")))),
+        x => x.getField("__m")).as("__cqv"))
+      .select(col("__cell").as("__cid"), col("__cqv"))
+      .withColumn("__cnsq", dotQ(col("__cqv"), col("__cqv")))
+      .filter(col("__cnsq") > 0)
+  }
+
   def annIvf(
       emb: DataFrame,
       centroidStep: Long = CentroidStep,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nprobe: Int = 1,
-      seedByHash: Boolean = false): DataFrame = {
+      seedByHash: Boolean = false,
+      kmeansIter: Int = 0): DataFrame = {
     require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(kmeansIter >= 0, s"kmeansIter must be >= 0, got $kmeansIter")
     val base = prepped(emb, idCol, vecCol)
-    val cents = base.filter(centroidSeedPred(col(idCol), centroidStep, seedByHash))
+    val seeds = base.filter(centroidSeedPred(col(idCol), centroidStep, seedByHash))
       .select(col(idCol).as("__cid"), col("__qv").as("__cqv"), col("__nsq").as("__cnsq"))
+    // rate-sampled seeds, optionally Lloyd-refined into DATA-DEPENDENT
+    // centroids (means adapt to the corpus's cluster structure; ids —
+    // hence cell identities — persist from the seeds)
+    val cents = (1 to kmeansIter).foldLeft(seeds)((c, _) => lloydRefine(base, c, idCol))
 
     // n·K assignment scores. nprobe = 1 (the default): argmax-cos
     // centroid (ties → smaller id) as one map-side-partial max_by hash

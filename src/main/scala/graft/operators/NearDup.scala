@@ -32,9 +32,14 @@ import org.apache.spark.sql.functions._
   */
 /** A per-shingle hash family for SimHash signatures: `word(w, s)` is
   * hash word w of shingle column s, carrying `wordBits` usable
-  * (uniform) low bits. The family decides cross-engine replicability —
-  * see [[NearDup.XxHashFamily]] / [[NearDup.Sha256Family]]. */
-final case class SimHashFamily(wordBits: Int, word: (Int, Column) => Column) {
+  * (uniform) low bits; `maxWidthBits` caps the signature width the
+  * family can source (finite-output hashes run out of bits). The
+  * family decides cross-engine replicability — see
+  * [[NearDup.XxHashFamily]] / [[NearDup.Sha256Family]]. */
+final case class SimHashFamily(
+    wordBits: Int,
+    word: (Int, Column) => Column,
+    maxWidthBits: Int = Int.MaxValue) {
   require(wordBits >= 1 && wordBits <= 64, s"wordBits must be in [1,64], got $wordBits")
 }
 
@@ -264,7 +269,8 @@ object NearDup {
   val Sha256Family: SimHashFamily = SimHashFamily(
     wordBits = 60,
     word = (w, s) =>
-      conv(substring(sha2(s, 256), w * 15 + 1, 15), 16, 10).cast("long"))
+      conv(substring(sha2(s, 256), w * 15 + 1, 15), 16, 10).cast("long"),
+    maxWidthBits = 240) // 64 hex chars ⇒ 4 full 15-hex (60-bit) words
 
   /** SimHash of the doc's shingle-hash set, `widthBits` wide: logical
     * bit j is the sign of Σ over shingles of ±1 by bit (j mod
@@ -288,6 +294,8 @@ object NearDup {
       widthBits: Int = SimHashWidthBits,
       family: SimHashFamily = XxHashFamily): DataFrame = {
     require(widthBits >= 1, s"widthBits must be >= 1, got $widthBits")
+    require(widthBits <= family.maxWidthBits,
+      s"widthBits ($widthBits) exceeds the hash family's ${family.maxWidthBits}-bit budget")
     val hashWords = (widthBits + family.wordBits - 1) / family.wordBits
     // Project each word's shingle hash ONCE before the aggregation —
     // as an aggregate child it would be re-evaluated by every one of

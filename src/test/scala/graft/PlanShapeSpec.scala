@@ -77,7 +77,8 @@ class PlanShapeSpec extends SparkSpecBase {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a Cartesian product")
       // broadcast K-row scoring passes (IVF assignment / query set)
-      val bnljOk = Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled")
+      val bnljOk =
+        Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")

@@ -193,6 +193,28 @@ class ScaleDialsSpec extends SparkSpecBase {
     assert(rows(999983L)._2 > 999000L)
   }
 
+  test("Lloyd-refined IVF keeps the full output contract and finds planted twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val planted = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val twin = planted.map(x => x * 1.0001f)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    } ++ Seq((1000L, planted), (1001L, twin))
+    val emb = corpus.toDF("vec_id", "embedding")
+    val step = Embeddings.centroidStepFor(202L, 16L)
+    val rows = Embeddings.annIvf(emb, centroidStep = step, kmeansIter = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.size === 202) // every vector still emitted after refinement
+    assert(rows(1000L)._2 === 1001L)
+    assert(rows(1001L)._2 === 1000L)
+    assert(rows(1000L)._3 > 999000L)
+    // cell ids remain seed ids (identity persists through refinement)
+    val seedIds = corpus.map(_._1).filter(_ % step == 0).toSet
+    assert(rows.values.map(_._1).toSet.subsetOf(seedIds))
+  }
+
   test("multi-table ANN recovers a planted neighbor via an independent family") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
