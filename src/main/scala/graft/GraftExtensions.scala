@@ -63,7 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // registration time; non-foldable / non-integral / out-of-range
         // shapes fail analysis with the expression's position attached.
         val nExpr = exprs(1)
-        val n = nExpr.dataType match {
+        // dataType on an unresolved expression throws UnresolvedException;
+        // gate on resolved first so a column-reference argument gets the
+        // clean position-carrying analysis message below instead.
+        val n = (if (nExpr.resolved) nExpr.dataType else org.apache.spark.sql.types.NullType) match {
           case ByteType | ShortType | IntegerType | LongType if nExpr.foldable =>
             nExpr.eval() match {
               case null => analysisError("distinct_shingles: n must not be NULL", nExpr)

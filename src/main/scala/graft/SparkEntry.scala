@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Dedup, Embeddings, FoldGroup, Multimodal, NearDup, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Curation, Dedup, Embeddings, FoldGroup, Multimodal, NearDup, Sessions, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -212,6 +212,25 @@ object SparkEntry {
     * K ≈ 64 ≈ √n quantizer, probing the top-2 cells. */
   val ScaledIvfStep: Long = Embeddings.centroidStepFor(ScaledEmbCorpus, 64L)
   val ScaledIvfNprobe: Int = 2
+
+  // ------------------------------------------------- curation battery dials
+
+  /** Benchmark membership rule for the decontamination query: every
+    * 50th doc plays the held-out eval set (2 % of the corpus — an eval
+    * benchmark is small, which is what makes the broadcast side of
+    * [[graft.operators.Curation.contaminationHits]] sound). */
+  val BenchmarkEvery: Long = 50L
+
+  /** Deterministic per-language keep rates (permille) for the
+    * stratified-sampling query: downsample the over-represented head
+    * language hard, keep the tail. Shared with the oracle VALUES
+    * literal so engine and oracle can never drift. */
+  val SampleRates: Seq[(String, Int)] = Seq(
+    "de" -> 450, "en" -> 200, "es" -> 450, "fr" -> 450, "zh" -> 700)
+
+  /** DuckDB VALUES literal of [[SampleRates]]. */
+  private val sampleRatesValues: String =
+    SampleRates.map { case (l, r) => s"('$l', $r)" }.mkString(", ")
 
   /** Parametric DuckDB oracle for [[Embeddings.annIvf]] — centroid
     * step, nprobe, and Lloyd iterations interpolated from the same
@@ -704,7 +723,72 @@ object SparkEntry {
     // via equijoin on the 256-bit rolling hashes (high-entropy keys —
     // join output ∝ true overlaps, the winnowing-style scale shape).
     "text_overlap" -> ((s, dir) =>
-      TextAnalysis.overlapPairs(T(s, dir, "documents")))
+      TextAnalysis.overlapPairs(T(s, dir, "documents"))),
+
+    // -------- corpus curation (training-data pipeline ops, round 6)
+    // Benchmark 8-gram decontamination: every-50th doc plays the eval
+    // set; output = training docs sharing verbatim 8-grams with it
+    // (the planted near-dups of benchmark docs). Benchmark grams are
+    // distinct + broadcast; the corpus side never shuffles.
+    "docs_decontaminate" -> ((s, dir) =>
+      Curation.contaminationHits(
+        T(s, dir, "documents"), col("doc_id") % BenchmarkEvery === 0)),
+
+    // PII redaction audit. The fixture corpus is PII-free by
+    // construction, so the query plants one email / IPv4 / phone per
+    // doc from the doc's own columns — BOTH engines synthesize the
+    // byte-identical text, so the scrub + counts are genuinely
+    // exercised end-to-end.
+    "text_pii_scrub" -> ((s, dir) => {
+      val seeded = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ",
+          lit("reach"),
+          concat(col("lang"), lit("."), col("source"), lit("@crawl.example.org")),
+          lit("from"),
+          concat_ws(".", lit("10"),
+            ((col("doc_id") % 200) + 1).cast("string"),
+            ((col("doc_id") % 250) + 1).cast("string"),
+            ((col("doc_id") % 100) + 1).cast("string")),
+          lit("tel"),
+          concat(lit("555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")),
+          col("text")).as("text"))
+      Curation.scrubPii(seeded)
+        .select(col("doc_id"), col("text"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+    }),
+
+    // Gopher-style repetition quality signals (integer fixed-point).
+    "text_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(T(s, dir, "documents"))),
+
+    // Deterministic multiplicative-hash stratified sampling — the
+    // reproducible (cross-run AND cross-engine) form of sampleBy.
+    "docs_sample_stratified" -> ((s, dir) =>
+      Curation.sampleStratified(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")), SampleRates)
+        .select(col("doc_id"), col("lang"))),
+
+    // -------- keyed event-sequence ops (round 6)
+    // Gap sessionization (12 h) + per-session rollup: one shuffle on
+    // user_id, lag + running-sum over a single window spec, one
+    // hash-agg.
+    "events_sessionize" -> ((s, dir) =>
+      Sessions.sessionStats(eventsTable(s, dir),
+        extraAggs = Seq(money(sum(decP(col("value")))).as("sum_value")))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("t_start"), col("t_end"), col("sum_value"))),
+
+    // Top-3 events per user by value — row_number + rank filter, the
+    // shape Spark's WindowGroupLimit rewrites into a partial top-k
+    // before the shuffle (asserted in PlanShapeSpec).
+    "events_topk_user" -> ((s, dir) =>
+      Sessions.topKPerKey(
+        eventsTable(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+        k = 3,
+        partitionCols = Seq("user_id"),
+        orderCols = Seq(col("value").desc, col("event_id"))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1071,6 +1155,98 @@ object SparkEntry {
          |       count(*) AS shared_chunks
          |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin
-    }
+    },
+
+    "docs_decontaminate" -> {
+      val n = Curation.ContaminationN
+      // distinct n-grams per doc: ts[i:i+n-1] is n elements (1-based
+      // inclusive slice); i ranges over [1, len-n+1] = range(1, len-n+2)
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+${n - 1}], ' ') AS g
+         |  FROM t2, UNNEST(range(1, len(ts) - ${n - 2})) AS t(i)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchmarkEvery = 0)
+         |SELECT doc_id, count(*) AS n_shared_grams
+         |FROM grams JOIN bench USING (g)
+         |WHERE doc_id % $BenchmarkEvery <> 0
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    "text_pii_scrub" -> {
+      val em = Curation.EmailPattern
+      val ip = Curation.Ipv4Pattern
+      val ph = Curation.PhonePattern
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         'reach ' || lang || '.' || source || '@crawl.example.org from 10.' ||
+         |         CAST((doc_id % 200) + 1 AS VARCHAR) || '.' ||
+         |         CAST((doc_id % 250) + 1 AS VARCHAR) || '.' ||
+         |         CAST((doc_id % 100) + 1 AS VARCHAR) || ' tel 555-01' ||
+         |         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' || text AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '$em', '<EMAIL>', 'g'),
+         |         '$ip', '<IP>', 'g'),
+         |         '$ph', '<PHONE>', 'g') AS text,
+         |       CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones
+         |FROM seeded""".stripMargin
+    },
+
+    "text_repetition" ->
+      s"""WITH t0 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |toks AS (SELECT * FROM t0 WHERE len(ts) >= 2),
+         |big AS (
+         |  SELECT doc_id,
+         |         CAST(len(ts) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_tokens,
+         |         ts[i] || ' ' || ts[i+1] AS g
+         |  FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+         |bc AS (SELECT doc_id, n_tokens, n_distinct_tokens, g, count(*) AS c
+         |       FROM big GROUP BY 1, 2, 3, 4),
+         |top AS (SELECT doc_id, n_tokens, n_distinct_tokens,
+         |               max(c) AS top_bigram_count,
+         |               CAST(sum(c) AS BIGINT) AS n_bigrams
+         |        FROM bc GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tokens, n_distinct_tokens,
+         |       ((n_tokens - n_distinct_tokens) * 1000) // n_tokens AS dup_token_frac_milli,
+         |       n_bigrams, top_bigram_count,
+         |       (top_bigram_count * 1000) // n_bigrams AS top_bigram_frac_milli,
+         |       (((n_tokens - n_distinct_tokens) * 1000) // n_tokens >= 700 OR
+         |        (top_bigram_count * 1000) // n_bigrams >= 180) AS flagged
+         |FROM top""".stripMargin,
+
+    "docs_sample_stratified" ->
+      s"""WITH rates(lang, permille) AS (VALUES $sampleRatesValues)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN rates r USING (lang)
+         |WHERE (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
+         |      < permille""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${Sessions.DefaultGapMicros}
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM g)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |       count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end,
+         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_topk_user" ->
+      """SELECT user_id, event_id, event_type, value, rk FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rk
+        |  FROM events) WHERE rk <= 3""".stripMargin
   )
 }

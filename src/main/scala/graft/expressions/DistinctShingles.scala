@@ -35,7 +35,9 @@ case class DistinctShingles(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  private def nullableElems: Boolean = child.dataType match {
+  // plan-time constant; lazy val so the interpreted path doesn't
+  // re-derive it per row
+  private lazy val nullableElems: Boolean = child.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   }

@@ -36,8 +36,9 @@ case class DotProductLong(left: Expression, right: Expression)
 
   /** Whether any input may hold null elements (SQL-reachable via the
     * GraftExtensions registration); decides interpreted and codegen
-    * loop shape at plan time. */
-  private def nullableElems: Boolean = Seq(left, right).exists(_.dataType match {
+    * loop shape at plan time. A plan-time constant, so a lazy val —
+    * the interpreted path calls it once per ROW otherwise. */
+  private lazy val nullableElems: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   })
@@ -57,11 +58,10 @@ case class DotProductLong(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val checkNulls = nullableElems
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!checkNulls || (!x.isNullAt(i) && !y.isNullAt(i))) {
+      if (!nullableElems || (!x.isNullAt(i) && !y.isNullAt(i))) {
         acc += x.getLong(i) * y.getLong(i)
       }
       i += 1

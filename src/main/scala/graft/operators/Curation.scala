@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines — the steps a
+  * 100 TB text corpus goes through between crawl and training that the
+  * reference pipeline (an exact-dedup ETL,
+  * tiny_etl/transformers/aggregators.py) stops short of:
+  *
+  *   - [[contaminationHits]] / [[decontaminate]] — benchmark n-gram
+  *     decontamination (drop training docs that share verbatim n-grams
+  *     with an eval set), the standard leakage guard.
+  *   - [[scrubPii]] — regex PII redaction (emails / IPv4 / phone-like),
+  *     with per-pattern match counts for audit.
+  *   - [[repetitionStats]] — Gopher-style repetition quality signals
+  *     (duplicate-token fraction, top-bigram mass) as integer
+  *     fixed-point milli-fractions.
+  *   - [[sampleStratified]] — deterministic per-stratum downsampling via
+  *     a multiplicative hash (reproducible across runs AND engines,
+  *     unlike `DataFrame.sampleBy`'s RNG).
+  *
+  * Scale shapes: every candidate set comes from an equijoin on a
+  * high-entropy key (the n-gram string), never an all-pairs product;
+  * per-doc signals are narrow projections or hash-aggregations with
+  * map-side partials; sampling is a broadcast join + narrow filter.
+  * All ratios are integer fixed-point (`div`), so the DuckDB oracle
+  * matches bit-for-bit.
+  */
+object Curation {
+
+  // ----------------------------------------------------- decontamination
+
+  /** Default contamination shingle width. 8-grams (vs NearDup's 3) is
+    * the usual decontamination setting: long enough that a shared gram
+    * is evidence of verbatim copying, not topical overlap. */
+  val ContaminationN = 8
+
+  /** Docs sharing ≥ 1 distinct word `n`-gram with the benchmark subset,
+    * with the count of distinct shared grams: `(idCol, n_shared_grams)`.
+    *
+    * `isBenchmark` is any deterministic predicate over the doc row
+    * (e.g. a membership flag or an id rule) that splits the corpus into
+    * eval (benchmark) and training sides.
+    *
+    * Shape: distinct shingles per doc (one compiled pass,
+    * [[NearDup.shingles]]) → the benchmark side is deduped to a distinct
+    * gram set and broadcast (an eval benchmark is small by definition —
+    * disable via `broadcastBenchmark=false` if it is not) → equijoin on
+    * the gram string → one hash-agg per contaminated doc. The corpus
+    * side never shuffles when the benchmark broadcasts; join output is
+    * ∝ true contamination, because grams are distinct on BOTH sides.
+    */
+  def contaminationHits(
+      docs: DataFrame,
+      isBenchmark: Column,
+      n: Int = ContaminationN,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val grams = NearDup.shingles(
+      docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
+      n = n, carryCols = Seq("__bench"))
+    val bench = grams.filter(col("__bench")).select(col("s")).distinct()
+    val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
+    grams.filter(!col("__bench"))
+      .join(benchSide, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The clean corpus: training-side docs with NO `n`-gram overlap with
+    * the benchmark — [[contaminationHits]] turned into a left-anti join.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      isBenchmark: Column,
+      n: Int = ContaminationN,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hits = contaminationHits(docs, isBenchmark, n, idCol, textCol)
+      .select(col(idCol))
+    docs.filter(!isBenchmark).join(hits, Seq(idCol), "left_anti")
+  }
+
+  // ----------------------------------------------------- PII scrubbing
+
+  /** Email-ish pattern — kept to the Java-regex ∩ RE2 common subset so
+    * the DuckDB oracle runs the same pattern text. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (unvalidated octet range — redaction favors
+    * recall). */
+  val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** US-local phone-like `ddd-dddd`. */
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redacts PII-shaped substrings in `textCol` IN PLACE (email → ip →
+    * phone, in that order) and adds `n_emails` / `n_ips` / `n_phones`
+    * audit counts. Counts are per-pattern matches against the ORIGINAL
+    * text, independent of redaction order (an IPv4 inside an email
+    * address counts for both).
+    *
+    * Shape: a pure narrow projection — codegen'd `regexp_*` built-ins,
+    * no UDF, no shuffle; scales embarrassingly.
+    */
+  def scrubPii(
+      df: DataFrame,
+      textCol: String = "text",
+      emailToken: String = "<EMAIL>",
+      ipToken: String = "<IP>",
+      phoneToken: String = "<PHONE>"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Pattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, emailToken),
+            Ipv4Pattern, ipToken),
+          PhonePattern, phoneToken))
+  }
+
+  // ----------------------------------------------------- repetition stats
+
+  /** Gopher-style repetition signals per doc:
+    * `(idCol, n_tokens, n_distinct_tokens, dup_token_frac_milli,
+    * n_bigrams, top_bigram_count, top_bigram_frac_milli, flagged)`.
+    *
+    *   - `dup_token_frac_milli` = 1000·(n_tokens − n_distinct) div
+    *     n_tokens — the mass held by repeated tokens;
+    *   - `top_bigram_frac_milli` = 1000·top_bigram_count div n_bigrams —
+    *     the mass of the single most frequent word bigram;
+    *   - `flagged` = either fraction at/over its threshold.
+    *
+    * Docs with < 2 tokens have no bigrams and are dropped (no repetition
+    * signal exists for them).
+    *
+    * Shape: ONE scan — per-doc token stats ride along the bigram explode
+    * as grouping keys (same key cardinality, zero extra shuffle width) —
+    * then two hash-aggs: count per (doc, bigram), then max/sum per doc.
+    * Raw (non-distinct) bigrams, since repetition is exactly what dedup
+    * would erase. All fractions integer fixed-point.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      flagDupMilli: Int = 700,
+      flagTopBigramMilli: Int = 180): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    docs
+      .select(col(idCol), toks.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(
+        col(idCol),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__ts"))).cast("long").as("n_distinct_tokens"),
+        explode(expr(
+          "transform(sequence(0, size(__ts) - 2), i -> concat_ws(' ', __ts[i], __ts[i+1]))"
+        )).as("__g"))
+      .groupBy(col(idCol), col("n_tokens"), col("n_distinct_tokens"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("n_tokens"), col("n_distinct_tokens"))
+      .agg(max(col("__c")).as("top_bigram_count"), sum(col("__c")).as("n_bigrams"))
+      .select(
+        col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        expr("((n_tokens - n_distinct_tokens) * 1000) div n_tokens")
+          .as("dup_token_frac_milli"),
+        col("n_bigrams"), col("top_bigram_count"),
+        expr("(top_bigram_count * 1000) div n_bigrams")
+          .as("top_bigram_frac_milli"))
+      .withColumn("flagged",
+        col("dup_token_frac_milli") >= flagDupMilli ||
+          col("top_bigram_frac_milli") >= flagTopBigramMilli)
+  }
+
+  // ----------------------------------------------------- stratified sampling
+
+  /** Knuth's multiplicative-hash constant (⌊2^32/φ⌋, an odd number
+    * coprime to 2^32). */
+  val HashMul = 2654435761L
+
+  /** Deterministic hash bucket in [0, buckets): id is first reduced mod
+    * 2^31−1 so the product stays well inside int64 for ANY int64 id —
+    * ANSI mode would otherwise overflow-error at id ≳ 3.5e9, exactly the
+    * ids a 100 TB corpus has. Pure int64 arithmetic, so any engine
+    * reproduces it (the DuckDB oracle runs the same three-step
+    * expression). */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    ((id % lit(2147483647L)) * lit(HashMul)) % lit(4294967296L) % lit(buckets)
+
+  /** Deterministic stratified downsampling: keep a row iff
+    * `hashBucket(id) < permille(stratum)`. `rates` maps stratum value →
+    * keep-rate in permille (0–1000); strata absent from `rates` are
+    * dropped (rate 0). The hash is a function of the ROW ID, so the
+    * decision is stable under re-runs, engine changes, and corpus
+    * growth — the property `sampleBy`'s seeded RNG only gives within one
+    * Spark version/partitioning.
+    *
+    * Shape: broadcast the (tiny) rates table, then a narrow filter — no
+    * shuffle of the corpus.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      rates: Seq[(String, Int)],
+      strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0 && r <= 1000 },
+      "rates are permille and must be in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toDF(strataCol, "__permille")
+    df.join(broadcast(ratesDf), strataCol)
+      .filter(hashBucket(col(idCol)) < col("__permille"))
+      .drop("__permille")
+  }
+}

@@ -105,13 +105,14 @@ object NearDup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = ShingleN): DataFrame = {
+      n: Int = ShingleN,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val tokArr = filter(split(col(textCol), "\\s+"),
       t => !(t === "" || t.rlike("^\\s+$")))
     val grams = org.apache.spark.sql.graft.ColumnAdapter.column(
       graft.expressions.DistinctShingles(
         org.apache.spark.sql.graft.ColumnAdapter.expression(tokArr), n))
-    docs.select(col(idCol), explode(grams).as("s"))
+    docs.select(col(idCol) +: carryCols.map(col) :+ explode(grams).as("s"): _*)
   }
 
   /** doc → distinct-shingle count. */

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Sessions}
+
+/** Tests for the corpus-curation family ([[graft.operators.Curation]])
+  * and the keyed event-sequence ops ([[graft.operators.Sessions]]) on
+  * hand-countable synthetic inputs — the battery queries cover the
+  * fixture-scale oracle parity; these pin the SEMANTICS (what counts as
+  * contamination, which spans get redacted, where a session breaks).
+  */
+class CurationSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ----------------------------------------------------- decontamination
+
+  /** doc 0 = benchmark; doc 1 copies 8 of its words verbatim; doc 2 is
+    * disjoint. */
+  private def contaminatedCorpus = Seq(
+    (0L, "a b c d e f g h i j"),
+    (1L, "x a b c d e f g h y"),
+    (2L, "p q r s t u v w k m")
+  ).toDF("doc_id", "text")
+
+  test("contaminationHits flags exactly the doc sharing a verbatim 8-gram") {
+    val hits = Curation
+      .contaminationHits(contaminatedCorpus, col("doc_id") === 0L)
+      .collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
+  }
+
+  test("decontaminate keeps the clean doc and drops benchmark + contaminated") {
+    val clean = Curation
+      .decontaminate(contaminatedCorpus, col("doc_id") === 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L))
+  }
+
+  test("contamination gram count is DISTINCT shared grams, not occurrences") {
+    // doc 1 contains the benchmark 3-gram "a b c" TWICE → still 1 shared gram
+    val docs = Seq(
+      (0L, "a b c"),
+      (1L, "a b c z a b c")
+    ).toDF("doc_id", "text")
+    val hits = Curation
+      .contaminationHits(docs, col("doc_id") === 0L, n = 3)
+      .collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
+  }
+
+  // ----------------------------------------------------- PII scrubbing
+
+  test("scrubPii redacts emails, IPv4s and phone-likes and counts on the original") {
+    val df = Seq(
+      (0L, "mail bob.smith@example.com and carol@dept.example.org here"),
+      (1L, "from 10.2.0.1 to 192.168.1.255 end"),
+      (2L, "call 555-0199 or 555-0100"),
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val out = Curation.scrubPii(df)
+      .select("doc_id", "text", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) === (("mail <EMAIL> and <EMAIL> here", 2L, 0L, 0L)))
+    assert(out(1L) === (("from <IP> to <IP> end", 0L, 2L, 0L)))
+    assert(out(2L) === (("call <PHONE> or <PHONE>", 0L, 0L, 2L)))
+    assert(out(3L) === (("clean text only", 0L, 0L, 0L)))
+  }
+
+  test("scrubPii does not mistake a phone for an IP or scrub plain words") {
+    val out = Curation.scrubPii(Seq((0L, "v1.2.3 x 555-0100 y 1.2.3.4"))
+        .toDF("doc_id", "text"))
+      .select("text").as[String].head()
+    // v1.2.3 survives (word boundary + only 3 groups); both PII forms go
+    assert(out === "v1.2.3 x <PHONE> y <IP>")
+  }
+
+  // ----------------------------------------------------- repetition stats
+
+  test("repetitionStats computes exact fixed-point fractions") {
+    // 6 tokens, 2 distinct → dup = (4*1000) div 6 = 666
+    // bigrams: "a a","a b","b a","a b","b b" → top "a b" ×2 of 5 → 400
+    val out = Curation.repetitionStats(Seq((0L, "a a b a b b")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") === 6L)
+    assert(out.getAs[Long]("n_distinct_tokens") === 2L)
+    assert(out.getAs[Long]("dup_token_frac_milli") === 666L)
+    assert(out.getAs[Long]("n_bigrams") === 5L)
+    assert(out.getAs[Long]("top_bigram_count") === 2L)
+    assert(out.getAs[Long]("top_bigram_frac_milli") === 400L)
+  }
+
+  test("repetitionStats flags the pathological doc, not the varied one") {
+    val out = Curation.repetitionStats(Seq(
+        (0L, "spam spam spam spam spam spam spam spam spam spam"),
+        (1L, "one two three four five six seven eight nine ten")
+      ).toDF("doc_id", "text"))
+      .select("doc_id", "flagged")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(0L) === true) // dup_frac = 900, top bigram 9/9
+    assert(out(1L) === false) // dup_frac = 0, top bigram 1/9 = 111
+  }
+
+  test("repetitionStats drops docs with fewer than 2 tokens") {
+    val n = Curation.repetitionStats(Seq((0L, "solo"), (1L, ""), (2L, "a b"))
+        .toDF("doc_id", "text"))
+      .count()
+    assert(n === 1L)
+  }
+
+  // ----------------------------------------------------- stratified sampling
+
+  test("sampleStratified is deterministic, rate-respecting, and drops unlisted strata") {
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val rates = Seq("en" -> 250)
+    val s1 = Curation.sampleStratified(docs, rates).select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.sampleStratified(docs, rates).select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "hash sampling must be reproducible")
+    assert(s1.forall(_ % 2 == 0), "unlisted stratum must be dropped")
+    // 2000 en docs at 250‰ → ~500; the multiplicative hash is uniform
+    // enough that ±40 % bounds hold with huge margin
+    assert(s1.size > 300 && s1.size < 700, s"rate off: ${s1.size} of 2000 at 250permille")
+  }
+
+  test("sampleStratified is a subset-stable monotone of the rate dial") {
+    val docs = (0L until 2000L).map((_, "en")).toDF("doc_id", "lang")
+    val lo = Curation.sampleStratified(docs, Seq("en" -> 100))
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Curation.sampleStratified(docs, Seq("en" -> 300))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "raising the rate must only ADD rows (bucket < rate)")
+  }
+
+  test("hashBucket stays in-range and overflow-safe at 100 TB-scale ids") {
+    val big = Seq(Long.MaxValue - 1, 4000000000L, 0L).toDF("id")
+    val buckets = big.select(Curation.hashBucket(col("id")).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 1000))
+  }
+
+  // ----------------------------------------------------- sessionization
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  test("sessionize breaks sessions at the gap and numbers them per user") {
+    val events = Seq(
+      (1L, ts(0), 10L), (1L, ts(5), 11L), (1L, ts(900), 12L), // user 1: 2 sessions (gap 895 min > 720)
+      (2L, ts(0), 20L) // user 2: 1 session
+    ).toDF("user_id", "ts", "event_id")
+    val out = Sessions.sessionize(events)
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 10L)) === 1L)
+    assert(out((1L, 11L)) === 1L)
+    assert(out((1L, 12L)) === 2L)
+    assert(out((2L, 20L)) === 1L)
+  }
+
+  test("sessionStats rolls up bounds and counts per session") {
+    val events = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(2000), 3L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Sessions.sessionStats(events)
+      .select("user_id", "session_seq", "n_events", "t_start", "t_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap
+    assert(out((1L, 1L)) === ((2L, ts(0), ts(10))))
+    assert(out((1L, 2L)) === ((1L, ts(2000), ts(2000))))
+  }
+
+  test("sessionize tie-breaks equal timestamps by the tie column") {
+    val events = Seq((1L, ts(0), 2L), (1L, ts(0), 1L)).toDF("user_id", "ts", "event_id")
+    // both in one session either way; determinism shows in new-session flag
+    val out = Sessions.sessionize(events).select("session_seq").as[Long].collect()
+    assert(out.sorted.toSeq === Seq(1L, 1L))
+  }
+
+  // ----------------------------------------------------- top-k per key
+
+  test("topKPerKey keeps exactly k best rows per key with deterministic ties") {
+    val df = Seq(
+      (1L, 100L, 5.0), (1L, 101L, 5.0), (1L, 102L, 9.0), (1L, 103L, 1.0),
+      (2L, 200L, 2.0)
+    ).toDF("user_id", "event_id", "value")
+    val out = Sessions.topKPerKey(df, 2, Seq("user_id"),
+        Seq(col("value").desc, col("event_id")))
+      .select("user_id", "event_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: 9.0 first, then the 5.0 TIE broken by event_id → 100 over 101
+    assert(out === Set((1L, 102L, 1L), (1L, 100L, 2L), (2L, 200L, 1L)))
+  }
+}

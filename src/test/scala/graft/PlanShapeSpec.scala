@@ -84,4 +84,47 @@ class PlanShapeSpec extends SparkSpecBase {
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
     }
   }
+
+  test("events_topk_user gets the WindowGroupLimit partial top-k") {
+    // row_number + rank<=k must be rewritten into a per-partition group
+    // limit BEFORE the shuffle (Spark's WindowGroupLimit) — each map
+    // task forwards ≤ k rows per key instead of whole sorted groups.
+    val p = plan("events_topk_user")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into a partial top-k:\n${p.take(3000)}")
+  }
+
+  test("decontamination broadcasts the benchmark gram set; corpus never shuffles") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // kill size-based broadcasts; the HINT must carry
+      val p = plan("docs_decontaminate")
+      assert(p.contains("BroadcastHashJoin"),
+        s"benchmark grams not broadcast:\n${p.take(3000)}")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("stratified sampling is a broadcast join + narrow filter (no corpus shuffle)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("docs_sample_stratified")
+      assert(p.contains("BroadcastHashJoin"),
+        s"rates table not broadcast:\n${p.take(3000)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"sampling must not shuffle the corpus:\n${p.take(3000)}")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("sessionize plans ONE shuffle and ONE sort for lag + running sum + rollup") {
+    val p = plan("events_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected a single user_id shuffle, got $exchanges:\n${p.take(3000)}")
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts === 1,
+      s"lag and running-sum share one window spec → one sort, got $sorts:\n${p.take(3000)}")
+  }
 }
