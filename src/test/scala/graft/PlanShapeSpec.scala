@@ -118,6 +118,13 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("repetition stats are a narrow projection — zero shuffles") {
+    // per-doc property ⇒ nothing corpus-sized moves: no exchange at all
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"),
+      s"repetitionStats shuffles a per-doc computation:\n${p.take(3000)}")
+  }
+
   test("sessionize plans ONE shuffle and ONE sort for lag + running sum + rollup") {
     val p = plan("events_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
