@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Curation, Dedup, Embeddings, FoldGroup, Multimodal, NearDup, Sessions, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Multimodal, NearDup, Sessions, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -642,6 +642,13 @@ object SparkEntry {
       NearDup.simHashPairs(T(s, dir, "documents"),
         widthBits = ScaledSimHashWidth, bands = ScaledSimHashBands,
         hammingMax = ScaledSimHashWidth, family = NearDup.Sha256Family)),
+    // Cluster resolution over the confirmed pairs: near-duplication is
+    // not transitive, so "keep one per dup group" = connected components
+    // (large-star/small-star) + canonical-min per component. Pairs come
+    // from the MinHash scale path; the oracle recomputes them exactly
+    // and closes them with a recursive CTE.
+    "dedup_clusters" -> ((s, dir) =>
+      DedupClusters.resolve(NearDup.minHashPairs(T(s, dir, "documents")))),
 
     // -------- similarity search over embeddings (north-star extension)
     // Exact brute-force top-5 for a 1-in-20 query subset (broadcast NLJ,
@@ -982,6 +989,25 @@ object SparkEntry {
     "neardup_ngram" -> neardupSql,
     "neardup_minhash" -> neardupSql,
     "neardup_simhash" -> neardupSql,
+
+    // Transitive closure of the exact near-dup pairs via recursive CTE;
+    // component id = min reachable doc id (matches star-contraction's
+    // canonical-min convention on the Spark side).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE p AS ($neardupSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       (doc_id = cluster_id) AS is_canonical
+         |FROM comp""".stripMargin,
 
     "emb_topk" ->
       s"""$embCte,
