@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Multimodal, NearDup, Sessions, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -731,6 +731,20 @@ object SparkEntry {
     // join output ∝ true overlaps, the winnowing-style scale shape).
     "text_overlap" -> ((s, dir) =>
       TextAnalysis.overlapPairs(T(s, dir, "documents"))),
+    // Top-3 distinctive terms per doc by fixed-point BM25 (k1=1.2,
+    // b=0.75) + linear-idf TF-IDF — corpus-global statistics (df, avgdl)
+    // the per-process reference cannot see. All-integer arithmetic so
+    // the oracle matches bit-for-bit; rank filter → WindowGroupLimit.
+    "text_bm25" -> ((s, dir) =>
+      Relevance.bm25TopTerms(docTokens(s, dir))),
+    // Inverted-index build: word → (df, sorted posting string); the
+    // maxDf giant-row dial stays off here so the oracle sees every word.
+    "text_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docTokens(s, dir))),
+    // Per-language length distribution: nearest-rank p50/p90/p99 in
+    // pure integer rank arithmetic (engine-exact, no interpolation).
+    "text_length_stats" -> ((s, dir) =>
+      TextAnalysis.lengthStats(T(s, dir, "documents"))),
 
     // -------- corpus curation (training-data pipeline ops, round 6)
     // Benchmark 8-gram decontamination: every-50th doc plays the eval
@@ -1182,6 +1196,70 @@ object SparkEntry {
          |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // Fixed-point BM25 — same all-integer scaled formula as
+    // Relevance.bm25TopTerms (×10⁴·SDL clears k1/b/avgdl fractions).
+    "text_bm25" ->
+      s"""$toksCte,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT t.doc_id, t.word, t.tf, f.df,
+         |         CAST((22000 * t.tf * s.sdl * 1000) //
+         |              (10000 * t.tf * s.sdl + 3000 * s.sdl + 9000 * d.dl * s.n)
+         |           AS BIGINT) AS bm25_x1000,
+         |         CAST((t.tf * 1000 * s.n) // f.df AS BIGINT) AS tfidf_x1000
+         |  FROM tf t
+         |  JOIN dl d USING (doc_id) JOIN dfreq f USING (word), stats s),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY bm25_x1000 DESC, word) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, word, tf, df, bm25_x1000, tfidf_x1000, rnk
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "text_inverted_index" ->
+      s"""$toksCte
+         |SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+         |FROM toks GROUP BY word""".stripMargin,
+
+    // Nearest-rank per-language length percentiles — same all-integer
+    // rank indices (⌈q·n⌉ = (q_num·n + q_den − 1) div q_den) as
+    // TextAnalysis.lengthStats; langid CTEs mirror the text_langid
+    // oracle.
+    "text_length_stats" ->
+      s"""$toksCte,
+         |markers(marker, cand_lang, prio) AS (VALUES $markersValues),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, prio, count(*) AS n_hits
+         |  FROM toks JOIN markers ON lower(trim(word)) = marker
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT doc_id, cand_lang, n_hits, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY n_hits DESC, prio) AS rn
+         |  FROM hits),
+         |lang AS (
+         |  SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+         |tc AS (SELECT doc_id, CAST(len($tokList) AS BIGINT) AS ws_tokens
+         |       FROM documents),
+         |r AS (
+         |  SELECT pred_lang, ws_tokens,
+         |         row_number() OVER (PARTITION BY pred_lang
+         |                            ORDER BY ws_tokens, doc_id) AS rnk,
+         |         count(*) OVER (PARTITION BY pred_lang) AS n
+         |  FROM lang JOIN tc USING (doc_id))
+         |SELECT pred_lang, CAST(max(n) AS BIGINT) AS n_docs,
+         |       min(ws_tokens) AS min_tokens,
+         |       max(CASE WHEN rnk = (n + 1) // 2 THEN ws_tokens END) AS p50_tokens,
+         |       max(CASE WHEN rnk = (9 * n + 9) // 10 THEN ws_tokens END) AS p90_tokens,
+         |       max(CASE WHEN rnk = (99 * n + 99) // 100 THEN ws_tokens END) AS p99_tokens,
+         |       max(ws_tokens) AS max_tokens
+         |FROM r GROUP BY pred_lang""".stripMargin,
 
     "docs_decontaminate" -> {
       val n = Curation.ContaminationN

@@ -210,4 +210,61 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
         .as("bpe_tokens"))
   }
+
+  /** Inverted-index build: word → (document frequency, sorted posting
+    * list). Postings are emitted as a comma-joined string (a parquet-
+    * friendly single column; at scale you'd `bucketBy(word)` the pair
+    * stream instead and keep postings as rows).
+    *
+    * Shape: distinct (word, doc) pairs [one shuffle] → hash-agg per
+    * word [second shuffle]. The hot-word giant-row hazard (a stopword's
+    * posting list is the whole corpus) is the reason for `maxDf`: words
+    * above the cap carry no retrieval signal and would dominate the
+    * reduce-side memory — df-cap them out, the same dial web indexes
+    * and [[NearDup.ngramJaccardPairs]]'s hot-shingle cap use. The cap
+    * filters AFTER the df count, so `df` is always the true frequency.
+    */
+  def invertedIndex(
+      toks: DataFrame,
+      idCol: String = "doc_id",
+      wordCol: String = "word",
+      maxDf: Long = Long.MaxValue): DataFrame =
+    toks.select(col(wordCol), col(idCol)).distinct()
+      .groupBy(col(wordCol))
+      .agg(
+        count(lit(1)).as("df"),
+        // sort NUMERICALLY first, then stringify (casting before the
+        // sort would order "10" before "9")
+        expr(s"""array_join(
+                |  transform(sort_array(collect_list($idCol)), x -> CAST(x AS STRING)),
+                |  ',')""".stripMargin).as("postings"))
+      .where(col("df") <= maxDf)
+
+  /** Per-language document-length distribution: nearest-rank p50/p90/
+    * p99 of the whitespace token count, composed from [[langId]] ×
+    * [[tokenCounts]]. Nearest-rank (idx = ⌈q·n⌉, all-integer: `(q_num·n
+    * + q_den − 1) div q_den`) rather than interpolated percentiles so
+    * the statistic is engine-exact — no float interpolation to drift.
+    *
+    * Shape: the narrow tokenCounts projection joins langId's output on
+    * doc_id, then ONE exchange on lang feeds both window functions
+    * (rank and group count) and the final per-lang hash-agg picks the
+    * rank-indexed rows — a sort per language partition, never a global
+    * sort. Languages are few; if one partition dominated (one-language
+    * corpus) the same query runs on any finer stratum key. */
+  def lengthStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("pred_lang"))
+    langId(docs, idCol, textCol).select(col(idCol), col("pred_lang"))
+      .join(tokenCounts(docs, idCol, textCol).select(col(idCol), col("ws_tokens")), idCol)
+      .withColumn("__rn", row_number().over(byLang.orderBy(col("ws_tokens"), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(byLang))
+      .groupBy(col("pred_lang"))
+      .agg(
+        max(col("__n")).as("n_docs"),
+        min(col("ws_tokens")).as("min_tokens"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("ws_tokens"))).as("p50_tokens"),
+        max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("ws_tokens"))).as("p90_tokens"),
+        max(when(col("__rn") === expr("(99 * __n + 99) div 100"), col("ws_tokens"))).as("p99_tokens"),
+        max(col("ws_tokens")).as("max_tokens"))
+  }
 }

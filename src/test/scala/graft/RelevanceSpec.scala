@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relevance, TextAnalysis, Tokenize}
+
+/** Semantics tests for the corpus-relevance family
+  * ([[graft.operators.Relevance]]) and the index/percentile additions
+  * to [[graft.operators.TextAnalysis]] on hand-countable corpora —
+  * fixture-scale oracle parity is covered by the battery.
+  */
+class RelevanceSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def toks(rows: (Long, String)*) =
+    Tokenize.splitTokens(inputCol = "text")(rows.toDF("doc_id", "text"))
+
+  test("bm25 ranks a doc-specific term above a corpus-wide one") {
+    // "zebra" appears only in doc 0; "the" is in every doc with the
+    // same tf — idf-free BM25 ties them, but tfidf separates, and the
+    // emitted df column must tell them apart
+    val top = Relevance
+      .bm25TopTerms(toks(
+        (0L, "the zebra zebra runs"),
+        (1L, "the dog runs fast"),
+        (2L, "the cat sleeps a lot")), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    val doc0 = top.filter(_._1 == 0L).sortBy(_._7)
+    // tf=2 beats every tf=1 term under BM25; doc 0's top term is zebra
+    assert(doc0.head._2 === "zebra" && doc0.head._3 === 2L && doc0.head._4 === 1L)
+    // linear idf: tfidf_x1000 = tf*1000*N div df = 2*1000*3/1 = 6000
+    assert(doc0.head._6 === 6000L)
+    // every doc emits exactly k rows, ranks 1..k
+    assert(top.groupBy(_._1).forall(_._2.map(_._7).sorted.sameElements(1 to 2)))
+  }
+
+  test("bm25 monotonicity: higher tf at equal dl and df scores higher") {
+    val rows = Relevance
+      .bm25TopTerms(toks(
+        (0L, "aa aa aa bb"),
+        (1L, "aa bb cc dd")), k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    val aa0 = rows.find(r => r._1 == 0L && r._2 == "aa").get._3
+    val aa1 = rows.find(r => r._1 == 1L && r._2 == "aa").get._3
+    assert(aa0 > aa1)
+  }
+
+  test("invertedIndex: numeric posting order, true df, and the maxDf cap") {
+    val idx = TextAnalysis
+      .invertedIndex(toks(
+        (9L, "w common"), (10L, "w common"), (2L, "w only2")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // 9 < 10 numerically — a lexicographic sort would emit "10,2,9"
+    assert(idx("w") === (3L, "2,9,10"))
+    assert(idx("common") === (2L, "9,10"))
+    assert(idx("only2") === (1L, "2"))
+    val capped = TextAnalysis
+      .invertedIndex(toks((9L, "w common"), (10L, "w common"), (2L, "w only2")),
+        maxDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(capped === Set("common", "only2"))
+  }
+
+  test("lengthStats nearest-rank percentiles on a known distribution") {
+    // 10 docs, lengths 1..10 tokens, all same (undetected) language:
+    // p50 = idx ceil(5.0)=5 -> 5, p90 = idx 9 -> 9, p99 = idx 10 -> 10
+    val docs = (1 to 10)
+      .map(i => (i.toLong, Seq.fill(i)("xx").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.lengthStats(docs).collect()
+    assert(row.length === 1 && row.head.getString(0) === "und")
+    val got = (1 to 6).map(row.head.getLong)
+    assert(got === Seq(10L, 1L, 5L, 9L, 10L, 10L))
+  }
+}
