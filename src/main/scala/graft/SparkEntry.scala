@@ -809,7 +809,28 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
         k = 3,
         partitionCols = Seq("user_id"),
-        orderCols = Seq(col("value").desc, col("event_id"))))
+        orderCols = Seq(col("value").desc, col("event_id")))),
+
+    // As-of attribution: each purchase joined to the user's latest
+    // click at-or-before it (union + one window pass, not a range
+    // join); clicks pre-aggregated per (user, ts) to discharge the
+    // uniqueness precondition; -1 sentinels keep the unmatched rows
+    // int64 on both engines. Oracle = DuckDB's native ASOF LEFT JOIN.
+    "events_asof" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_us", unix_micros(col("ts")))
+      Sessions.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          payload = Seq("click_id", "click_us"))
+        .select(
+          col("purchase_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(unix_micros(col("ts")) - col("click_us"), lit(-1L)).as("gap_us"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1351,6 +1372,18 @@ object SparkEntry {
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY value DESC, event_id) AS rk
-        |  FROM events) WHERE rk <= 3""".stripMargin
+        |  FROM events) WHERE rk <= 3""".stripMargin,
+
+    "events_asof" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
   )
 }

@@ -81,4 +81,71 @@ object Sessions {
     df.withColumn(rankCol, row_number().over(w).cast("long"))
       .filter(col(rankCol) <= k)
   }
+
+  /** As-of join: for every left row, the LATEST right row with
+    * `right.ts <= left.ts` on the same keys (inclusive, the ASOF JOIN
+    * `>=` convention), as a left join — unmatched rows keep null
+    * payloads. `toleranceMicros` additionally voids matches older than
+    * the given horizon (pandas merge_asof's tolerance).
+    *
+    * Spark-first shape: NOT a range join (the naive
+    * `l.ts >= r.ts` theta-join explodes to |matches per key|² and then
+    * re-aggregates). Instead: union both sides, ONE shuffle on the
+    * keys, ONE per-partition sort on (ts, side), and a running
+    * `last(payload, ignoreNulls)` window — linear state, the same
+    * merge-sorted-streams plan a native ASOF JOIN executes, built from
+    * stock operators. Payload rides in a single struct so every output
+    * column comes from the SAME right row, never column-wise mixed.
+    *
+    * Determinism precondition: `right` unique per (keys, ts) — ties
+    * among identical timestamps have no defined "latest". Pre-aggregate
+    * the right side (e.g. `max_by` per (key, ts)) to discharge it.
+    *
+    * @param payload right columns to pull; emitted under the same names
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val taken = left.columns.toSeq ++ right.columns ++ keys
+    val side = graft.core.Cols.fresh("__side", taken)
+    val pack = graft.core.Cols.fresh("__pack", taken)
+    val rTs = graft.core.Cols.fresh("__rts", taken)
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(!payload.exists(left.columns.contains),
+      s"payload ${payload.filter(left.columns.contains)} collides with left columns")
+
+    // right rows carry (payload..., rts) packed in one struct; left rows
+    // carry a typed null of the same struct
+    val packed = struct(payload.map(col) :+ unix_micros(col(tsCol)).as(rTs): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as(side), packed.as(pack)): _*)
+    val structType = r.schema(pack).dataType
+    val l = left.select(
+      left.columns.map(col) ++
+        Seq(lit(1).as(side), lit(null).cast(structType).as(pack)): _*)
+    // align by name: right lacks left's non-key columns
+    val rAligned = r.select(l.columns.map(c =>
+      if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      // right (side 0) sorts before left at equal ts → inclusive match
+      .orderBy(col(tsCol).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(rAligned)
+      .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+      .where(col(side) === 1)
+    val inHorizon = toleranceMicros match {
+      case None => matched
+      case Some(tol) =>
+        matched.withColumn(pack,
+          when(unix_micros(col(tsCol)) - col(s"$pack.$rTs") <= tol, col(pack)))
+    }
+    inHorizon.select(
+      left.columns.map(col) ++ payload.map(p => col(s"$pack.$p").as(p)): _*)
+  }
 }

@@ -192,4 +192,39 @@ class CurationSpec extends SparkSpecBase {
     // user 1: 9.0 first, then the 5.0 TIE broken by event_id → 100 over 101
     assert(out === Set((1L, 102L, 1L), (1L, 100L, 2L), (2L, 200L, 1L)))
   }
+
+  // ----------------------------------------------------- as-of join
+
+  private def asofFixture = (
+    Seq((1L, ts(100), 10L), (1L, ts(5), 11L), (2L, ts(100), 20L))
+      .toDF("user_id", "ts", "pid"),
+    Seq((1L, ts(5), 7L, "a"), (1L, ts(50), 8L, "b"), (1L, ts(200), 9L, "c"))
+      .toDF("user_id", "ts", "rid", "tag"))
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val (l, r) = asofFixture
+    val got = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid", "tag"))
+      .collect()
+      .map(x => x.getLong(2) ->
+        ((Option(x.get(3)).map(_.asInstanceOf[Long]), Option(x.getString(4)))))
+      .toMap
+    // pid 10 (t=100): rid 8 (t=50) — NOT the later rid 9; the two
+    // payload columns come from the same row (struct-packed)
+    assert(got(10L) === ((Some(8L), Some("b"))))
+    // pid 11 (t=5): equal timestamp matches (inclusive >= convention)
+    assert(got(11L) === ((Some(7L), Some("a"))))
+    // user 2 has no clicks at all → null payload
+    assert(got(20L) === ((None, None)))
+  }
+
+  test("asofJoin tolerance voids matches older than the horizon") {
+    val (l, r) = asofFixture
+    val got = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid"),
+        toleranceMicros = Some(10L * 1000000))
+      .collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    // pid 10 (t=100): nearest click is 50 s old > 10 s horizon → voided
+    assert(got === Map(10L -> None, 11L -> Some(7L), 20L -> None))
+  }
 }
