@@ -49,6 +49,46 @@ object Streams {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join — the streaming form of the
+    * [[graft.operators.Sessions.asofJoin]] attribution ask: pair each
+    * left event with right events for the same keys that happened in
+    * the window `[left.ts - horizon, left.ts]` (e.g. purchases with the
+    * clicks at most `horizon` before them).
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance in BOTH directions, which is what lets the
+    * state store evict: a buffered right row can be dropped once the
+    * left watermark passes `right.ts + horizon` — without the bound the
+    * state grows with the stream, full stop. This is the inner-join
+    * form (the one Spark supports on both streaming sides without
+    * outer-null bookkeeping); the attribution "pick the latest" then
+    * composes as a downstream `max_by` aggregation or is run batchwise
+    * via [[graft.operators.Sessions.asofJoin]].
+    *
+    * Column contract: both inputs expose `keys` and `tsCol`; the right
+    * side's non-key columns must not collide with the left's (rename
+    * before calling).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      horizon: String,
+      tsCol: String = "ts",
+      rightTsCol: String = "rts",
+      lateness: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness)
+    val r = right.withColumnRenamed(tsCol, rightTsCol)
+      .withWatermark(rightTsCol, lateness)
+    val keyEq = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val inWindow =
+      r(rightTsCol) <= l(tsCol) &&
+        r(rightTsCol) >= l(tsCol) - expr(s"INTERVAL $horizon")
+    l.join(r, keyEq && inWindow, "inner")
+      .select(l("*") +: right.columns.filterNot(keys.contains)
+        .map(c => r(if (c == tsCol) rightTsCol else c)): _*)
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

@@ -147,4 +147,41 @@ class StreamingSpec extends SparkSpecBase {
       assert(latest === Set(("a", 7L), ("b", 10L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs events within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val q = Streams
+      .intervalJoin(
+        purchases.toDF().toDF("ts", "user_id", "pid"),
+        clicks.toDF().toDF("ts", "user_id", "cid"),
+        keys = Seq("user_id"), horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      purchases.addData((ts(2), 1L, 100L), (ts(2), 2L, 200L))
+      clicks.addData(
+        (ts(1, 45), 1L, 7L), // 15 min before → in window
+        (ts(2), 1L, 8L),     // same instant → inclusive
+        (ts(1), 1L, 9L),     // 1 h before → outside horizon
+        (ts(3), 1L, 10L),    // after the purchase → excluded
+        (ts(1, 50), 3L, 11L)) // other user
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+      assert(got === Set((100L, 7L), (100L, 8L)))
+      // the streamed pairs equal the equivalent batch join
+      val bp = Seq((ts(2), 1L, 100L), (ts(2), 2L, 200L)).toDF("ts", "user_id", "pid")
+      val bc = Seq((ts(1, 45), 1L, 7L), (ts(2), 1L, 8L), (ts(1), 1L, 9L),
+        (ts(3), 1L, 10L), (ts(1, 50), 3L, 11L)).toDF("ts", "user_id", "cid")
+      val batch = bp.join(bc.withColumnRenamed("ts", "rts"),
+          bp("user_id") === bc("user_id") &&
+            col("rts") <= bp("ts") && col("rts") >= bp("ts") - expr("INTERVAL 30 minutes"))
+        .select(col("pid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
 }
