@@ -62,15 +62,19 @@ object DedupClusters {
       .distinct()
   }
 
-  /** Order-insensitive edge-list fingerprint for the convergence probe:
-    * (row count, pmod'd hash sum) — sum(xxhash64) would overflow under
-    * ANSI mode, so each row hash is folded modulo a prime first. */
-  private def fingerprint(edges: DataFrame): (Long, Long) = {
-    val row = edges
-      .agg(count(lit(1)), sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))))
-      .first()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-  }
+  /** Convergence probe: the alternating algorithm's fixed points are
+    * exactly star forests, and an edge list is a star forest iff no
+    * node has two parents and no node is both child and parent — one
+    * aggregation over the tagged node stream, detected the ROUND the
+    * forest forms (a fingerprint-compare would burn one more full
+    * contraction round just to confirm the fixed point). */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.select(col("u"), lit(1L).as("c"), lit(0L).as("p"))
+      .union(edges.select(col("v"), lit(0L).as("c"), lit(1L).as("p")))
+      .groupBy(col("u"))
+      .agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
+      .where(col("c") > 1 || (col("c") > 0 && col("p") > 0))
+      .isEmpty
 
   /** Connected components of the undirected graph given as a pair list.
     *
@@ -84,20 +88,21 @@ object DedupClusters {
       aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
     val spark = pairs.sparkSession
+    // orient big→small up front: the star-forest probe assumes the
+    // child→min convention, and this lets an already-star input (all
+    // disjoint pairs) converge with zero contraction rounds
     var edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .select(
+        greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var fp = fingerprint(edges)
-    var converged = false
+    var converged = isStarForest(edges)
     var round = 0
     while (!converged && round < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      edges = next
-      fp = nfp
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      converged = isStarForest(edges)
       round += 1
     }
     require(converged, s"components() did not converge in $MaxRounds rounds")

@@ -76,13 +76,34 @@ class PlanShapeSpec extends SparkSpecBase {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a Cartesian product")
-      // broadcast K-row scoring passes (IVF assignment / query set)
+      // broadcast K-row scoring passes (IVF assignment / query set) and
+      // the broadcast 1-row corpus-stats crossJoin (BM25's N and SDL)
       val bnljOk =
-        Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans")
+        Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
+          "text_bm25")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
     }
+  }
+
+  test("text_bm25 ranks with a WindowGroupLimit partial top-k") {
+    val p = plan("text_bm25")
+    assert(p.contains("WindowGroupLimit"),
+      s"BM25 rank filter not pushed into a partial top-k:\n${p.take(3000)}")
+  }
+
+  test("events_asof is one shuffle + one sort, not a range join") {
+    // the union-window as-of plan: exchanges only for the two
+    // event-type aggregations + the key partition, and NO join node
+    // ranging over timestamps
+    val p = plan("events_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of degenerated into a range join:\n${p.take(3000)}")
+    val windowSorts =
+      "Sort \\[user_id".r.findAllIn(p).size
+    assert(windowSorts <= 2,
+      s"as-of re-sorts the union more than expected:\n${p.take(3000)}")
   }
 
   test("events_topk_user gets the WindowGroupLimit partial top-k") {
