@@ -745,6 +745,11 @@ object SparkEntry {
     // pure integer rank arithmetic (engine-exact, no interpolation).
     "text_length_stats" -> ((s, dir) =>
       TextAnalysis.lengthStats(T(s, dir, "documents"))),
+    // Corpus collocations: top-50 adjacent bigrams by fixed-point lift
+    // (= exp PMI, same ranking, transcendental-free). Bigrams are a
+    // narrow per-row array pass; top-k is TakeOrderedAndProject.
+    "text_collocations" -> ((s, dir) =>
+      Relevance.collocations(T(s, dir, "documents"))),
 
     // -------- corpus curation (training-data pipeline ops, round 6)
     // Benchmark 8-gram decontamination: every-50th doc plays the eval
@@ -1240,6 +1245,23 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, word, tf, df, bm25_x1000, tfidf_x1000, rnk
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH t2 AS (SELECT $tokList AS ts FROM documents),
+         |uni AS (SELECT unnest(ts) AS w FROM t2),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         |nu AS (SELECT count(*) AS n_uni FROM uni),
+         |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |       FROM t2, unnest(range(1, len(ts))) AS r(i)
+         |       WHERE len(ts) >= 2),
+         |nb AS (SELECT count(*) AS n_big FROM bg),
+         |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+         |       GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT b.w1, b.w2, b.c_xy,
+         |       CAST((b.c_xy * nu.n_uni * nu.n_uni * 1000)
+         |            // (nb.n_big * x.c * y.c) AS BIGINT) AS lift_x1000
+         |FROM bc b JOIN uc x ON b.w1 = x.w JOIN uc y ON b.w2 = y.w, nu, nb
+         |ORDER BY lift_x1000 DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
 
     "text_inverted_index" ->
       s"""$toksCte

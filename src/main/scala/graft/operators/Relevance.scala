@@ -86,4 +86,63 @@ object Relevance {
       .select(col(idCol), col(wordCol), col("tf"), col("df"),
         col("bm25_x1000"), col("tfidf_x1000"), col("rnk"))
   }
+
+  /** Corpus collocations: the `k` strongest adjacent-bigram
+    * associations by LIFT — `P(xy) / (P(x)·P(y))` with unigram
+    * probabilities over the token stream and bigram probability over
+    * the adjacent-pair stream — in integer fixed point:
+    *
+    *   lift_x1000 = (c_xy · N_uni² · 1000) div (N_big · c_x · c_y)
+    *
+    * Lift is the exponential of PMI, so it ranks pairs identically to
+    * PMI while staying transcendental-free (engine-exact; `ln` is not
+    * replicable to the last ulp across engines). Headroom: c_xy·N_uni²
+    * ·1000 is int64-safe to ~2·10⁶ total tokens with hot bigrams at
+    * 10³ — past that, lift the products to decimal(38,0) (same plan).
+    *
+    * Shape: bigrams come from a NARROW per-row pass over each doc's
+    * token array (no self-join, no window over the corpus); then one
+    * hash-agg per statistic and two equijoins of the min-count-filtered
+    * bigram table against the unigram counts (AQE broadcasts whichever
+    * side is small; both are post-aggregation, never the corpus). The
+    * final top-k compiles to TakeOrderedAndProject — a per-partition
+    * heap of k rows, not a global sort.
+    *
+    * @param minCount drop bigrams rarer than this — both the noise
+    *                 floor (lift of a 1-count pair is meaningless) and
+    *                 the join-size bound
+    */
+  def collocations(
+      docs: DataFrame,
+      k: Int = 50,
+      minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    val tokRows = docs.select(toks.as("__ts"))
+    val uni = tokRows
+      .select(explode(col("__ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nUni = tokRows
+      .agg(sum(size(col("__ts"))).cast("long").as("__n_uni"))
+    val big = tokRows
+      .where(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ts) - 2), i -> struct(__ts[i] AS w1, __ts[i+1] AS w2))"
+      )).as("__g"))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+    val nBig = big.agg(count(lit(1)).as("__n_big"))
+    big
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("__cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("__cy")), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .withColumn("lift_x1000", expr(
+        "(c_xy * __n_uni * __n_uni * 1000L) div (__n_big * __cx * __cy)"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("lift_x1000"))
+      .orderBy(col("lift_x1000").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

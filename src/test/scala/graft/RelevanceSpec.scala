@@ -67,6 +67,22 @@ class RelevanceSpec extends SparkSpecBase {
     assert(capped === Set("common", "only2"))
   }
 
+  test("collocations: lift isolates the glued pair from independent fillers") {
+    // "new york" always adjacent (5×); filler words are shuffled around
+    // so their pairings vary; minCount=2 keeps counts small
+    val docs = Seq(
+      (1L, "new york aa bb new york cc dd"),
+      (2L, "aa new york bb cc new york dd"),
+      (3L, "bb aa new york dd cc")).toDF("doc_id", "text")
+    val top = Relevance.collocations(docs, k = 3, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(top.head._1 === "new" && top.head._2 === "york" && top.head._3 === 5L)
+    // lift sanity: N_uni = 8+8+6 = 22 tokens, N_big = 7+7+5 = 19,
+    // c_new = c_york = 5 →
+    // lift = (5 * 22² * 1000) div (19 * 25) = 2420000 div 475 = 5094
+    assert(top.head._4 === 5094L)
+  }
+
   test("lengthStats nearest-rank percentiles on a known distribution") {
     // 10 docs, lengths 1..10 tokens, all same (undetected) language:
     // p50 = idx ceil(5.0)=5 -> 5, p90 = idx 9 -> 9, p99 = idx 10 -> 10
