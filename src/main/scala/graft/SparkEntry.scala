@@ -133,6 +133,56 @@ object SparkEntry {
        |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
   }
 
+  /** text_quality oracle — also composed (as a nested-WITH CTE) into
+    * the docs_curated end-to-end pipeline oracle. */
+  private val qualitySql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len($tokList) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform($tokList, t -> length(t))), 0) AS BIGINT) AS sum_tok_chars,
+       |    CAST(len(list_filter($tokList, t -> lower(t) IN ($stopList))) AS BIGINT) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(length(text) AS BIGINT) AS n_chars_text
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens, n_chars_text,
+       |    CASE WHEN n_tokens > 0 THEN (sum_tok_chars * 100) // n_tokens ELSE 0 END AS avg_token_len_x100,
+       |    CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens ELSE 0 END AS stop_ratio_x1000,
+       |    CASE WHEN n_chars_text > 0 THEN (n_punct * 1000) // n_chars_text ELSE 0 END AS punct_ratio_x1000,
+       |    CASE WHEN n_chars_text > 0 THEN (n_digits * 1000) // n_chars_text ELSE 0 END AS digit_ratio_x1000
+       |  FROM q)
+       |SELECT doc_id, n_tokens, n_chars_text, avg_token_len_x100,
+       |       stop_ratio_x1000, punct_ratio_x1000,
+       |       greatest(0, least(1000,
+       |         500 + least(stop_ratio_x1000, 250)
+       |             + CASE WHEN avg_token_len_x100 BETWEEN 300 AND 1000 THEN 250 ELSE 0 END
+       |             - least(punct_ratio_x1000, 250)
+       |             - least(digit_ratio_x1000, 250))) AS score_milli
+       |FROM r""".stripMargin
+
+  /** text_langid oracle — likewise composed into docs_curated. */
+  private val langidSql: String =
+    s"""$toksCte,
+       |markers(marker, cand_lang, prio) AS (VALUES $markersValues),
+       |hits AS (
+       |  SELECT doc_id, cand_lang, prio, count(*) AS n_hits
+       |  FROM toks JOIN markers ON lower(trim(word)) = marker
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT doc_id, cand_lang, n_hits, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY n_hits DESC, prio) AS rn
+       |  FROM hits)
+       |SELECT d.doc_id,
+       |       coalesce(b.cand_lang, 'und') AS pred_lang,
+       |       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+
+  /** Quality gate of the docs_curated pipeline (this corpus scores
+    * 750–972, so 800 splits it meaningfully). */
+  val CuratedMinScoreMilli = 800
+
   /** Shared embeddings-oracle prelude: int64 fixed-point quantization +
     * exact squared norms, mirroring Embeddings.prepped — all constants
     * come from [[Embeddings]] so engine and oracle can't drift. */
@@ -750,6 +800,32 @@ object SparkEntry {
     // narrow per-row array pass; top-k is TakeOrderedAndProject.
     "text_collocations" -> ((s, dir) =>
       Relevance.collocations(T(s, dir, "documents"))),
+    // End-to-end curation pipeline — the composition a real corpus run
+    // executes: quality gate × language gate × exact keep-first dedup ×
+    // near-dup canonical-only, all in one DAG (semi/anti joins, no
+    // collects between stages).
+    "docs_curated" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val qual = TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+      val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+      val firstPerHash = docs
+        .select(col("doc_id"), sha2(col("text"), 256).as("__h"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val nonCanonical = DedupClusters
+        .resolve(NearDup.minHashPairs(docs))
+        .where(!col("is_canonical"))
+        .select(col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .where(col("score_milli") >= CuratedMinScoreMilli &&
+          col("pred_lang") =!= "und")
+        .join(firstPerHash, Seq("doc_id"), "left_semi")
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("score_milli"))
+    }),
 
     // -------- corpus curation (training-data pipeline ops, round 6)
     // Benchmark 8-gram decontamination: every-50th doc plays the eval
@@ -1137,48 +1213,9 @@ object SparkEntry {
         |       CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
-    "text_langid" ->
-      s"""$toksCte,
-         |markers(marker, cand_lang, prio) AS (VALUES $markersValues),
-         |hits AS (
-         |  SELECT doc_id, cand_lang, prio, count(*) AS n_hits
-         |  FROM toks JOIN markers ON lower(trim(word)) = marker
-         |  GROUP BY 1, 2, 3),
-         |best AS (
-         |  SELECT doc_id, cand_lang, n_hits, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY n_hits DESC, prio) AS rn
-         |  FROM hits)
-         |SELECT d.doc_id,
-         |       coalesce(b.cand_lang, 'und') AS pred_lang,
-         |       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    "text_langid" -> langidSql,
 
-    "text_quality" ->
-      s"""WITH q AS (
-         |  SELECT doc_id,
-         |    CAST(len($tokList) AS BIGINT) AS n_tokens,
-         |    CAST(coalesce(list_sum(list_transform($tokList, t -> length(t))), 0) AS BIGINT) AS sum_tok_chars,
-         |    CAST(len(list_filter($tokList, t -> lower(t) IN ($stopList))) AS BIGINT) AS n_stop,
-         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
-         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
-         |    CAST(length(text) AS BIGINT) AS n_chars_text
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id, n_tokens, n_chars_text,
-         |    CASE WHEN n_tokens > 0 THEN (sum_tok_chars * 100) // n_tokens ELSE 0 END AS avg_token_len_x100,
-         |    CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens ELSE 0 END AS stop_ratio_x1000,
-         |    CASE WHEN n_chars_text > 0 THEN (n_punct * 1000) // n_chars_text ELSE 0 END AS punct_ratio_x1000,
-         |    CASE WHEN n_chars_text > 0 THEN (n_digits * 1000) // n_chars_text ELSE 0 END AS digit_ratio_x1000
-         |  FROM q)
-         |SELECT doc_id, n_tokens, n_chars_text, avg_token_len_x100,
-         |       stop_ratio_x1000, punct_ratio_x1000,
-         |       greatest(0, least(1000,
-         |         500 + least(stop_ratio_x1000, 250)
-         |             + CASE WHEN avg_token_len_x100 BETWEEN 300 AND 1000 THEN 250 ELSE 0 END
-         |             - least(punct_ratio_x1000, 250)
-         |             - least(digit_ratio_x1000, 250))) AS score_milli
-         |FROM r""".stripMargin,
+    "text_quality" -> qualitySql,
 
     "text_token_counts" ->
       s"""SELECT doc_id,
@@ -1245,6 +1282,35 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, word, tf, df, bm25_x1000, tfidf_x1000, rnk
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // The pipeline oracle composes the per-operator oracles verbatim
+    // (nested-WITH CTEs), so a drift in any stage breaks BOTH its own
+    // row and this one.
+    "docs_curated" ->
+      s"""WITH RECURSIVE
+         |qual AS ($qualitySql),
+         |lang AS ($langidSql),
+         |p AS ($neardupSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |noncanon AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u
+         |  HAVING u <> least(u, min(v))),
+         |firsthash AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+         |  GROUP BY h)
+         |SELECT d.doc_id, lang.pred_lang, qual.n_tokens, qual.score_milli
+         |FROM documents d
+         |JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+         |WHERE qual.score_milli >= $CuratedMinScoreMilli
+         |  AND lang.pred_lang <> 'und'
+         |  AND d.doc_id IN (SELECT doc_id FROM firsthash)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin,
 
     "text_collocations" ->
       s"""WITH t2 AS (SELECT $tokList AS ts FROM documents),
