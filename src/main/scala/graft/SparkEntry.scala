@@ -112,18 +112,25 @@ object SparkEntry {
     * (exact / MinHash / SimHash) are confirmed against exact Jaccard,
     * so they share this single oracle; constants come from [[NearDup]].
     */
-  private val neardupSql: String = {
+  /** Shared shingle prelude (t2, sh, sizes CTEs) of every exact-Jaccard
+    * oracle; constants from [[NearDup]]. */
+  private val neardupPreludeSql: String = {
     val n = NearDup.ShingleN
-    val t = NearDup.ThresholdMilli
     val gram = (0 until n).map(o => s"ts[i+$o]").mkString(" || ' ' || ")
     s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, $gram AS s
        |  FROM t2, unnest(range(1, greatest(len(ts) - ${n - 2}, 1))) AS u(i)),
-       |sizes AS (SELECT doc_id, count(*) AS nn FROM sh GROUP BY 1),
-       |inter AS (
+       |sizes AS (SELECT doc_id, count(*) AS nn FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  /** Exact-Jaccard emit tail shared by the one-corpus and cross-corpus
+    * oracles: `interCond` decides which (a, b) doc pairings count. */
+  private def neardupTailSql(interCond: String): String = {
+    val t = NearDup.ThresholdMilli
+    s"""inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.s = b.s AND $interCond
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |       CAST((1000 * ic) // (sa.nn + sb.nn - ic) AS BIGINT) AS jaccard_x1000
@@ -132,6 +139,9 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
   }
+
+  private val neardupSql: String =
+    s"$neardupPreludeSql,\n${neardupTailSql("a.doc_id < b.doc_id")}"
 
   /** text_quality oracle — also composed (as a nested-WITH CTE) into
     * the docs_curated end-to-end pipeline oracle. */
@@ -692,6 +702,16 @@ object SparkEntry {
       NearDup.simHashPairs(T(s, dir, "documents"),
         widthBits = ScaledSimHashWidth, bands = ScaledSimHashBands,
         hammingMax = ScaledSimHashWidth, family = NearDup.Sha256Family)),
+    // Incremental (cross-corpus) dedup — the daily-ingest shape: the
+    // even-id half plays the accumulated base corpus, the odd-id half
+    // the new increment; only base×increment pairs are candidates, so
+    // the recurring cost scales with the increment, not the corpus.
+    "neardup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      NearDup.minHashPairsBetween(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
     // Cluster resolution over the confirmed pairs: near-duplication is
     // not transitive, so "keep one per dup group" = connected components
     // (large-star/small-star) + canonical-min per component. Pairs come
@@ -1105,6 +1125,10 @@ object SparkEntry {
     "neardup_ngram" -> neardupSql,
     "neardup_minhash" -> neardupSql,
     "neardup_simhash" -> neardupSql,
+    // cross-corpus form: doc_a from the even-id base, doc_b from the
+    // odd-id increment — same exact-Jaccard prelude, different pairing.
+    "neardup_incremental" ->
+      s"$neardupPreludeSql,\n${neardupTailSql("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}",
 
     // Transitive closure of the exact near-dup pairs via recursive CTE;
     // component id = min reachable doc id (matches star-contraction's

@@ -128,29 +128,40 @@ object NearDup {
       cand: DataFrame, // columns: doc_a, doc_b
       sh: DataFrame,
       idCol: String = "doc_id",
+      thresholdMilli: Int = ThresholdMilli): DataFrame =
+    confirmBetween(cand, sh, sh, idCol, thresholdMilli)
+
+  /** Two-sided [[confirm]]: doc_a's shingles come from `shA`, doc_b's
+    * from `shB` — the cross-corpus (incremental-dedup) form; the
+    * one-corpus confirm is the diagonal shA = shB. */
+  def confirmBetween(
+      cand: DataFrame, // columns: doc_a, doc_b
+      shA: DataFrame,
+      shB: DataFrame,
+      idCol: String = "doc_id",
       thresholdMilli: Int = ThresholdMilli): DataFrame = {
-    val a = sh.select(col(idCol).as("doc_a"), col("s"))
-    val b = sh.select(col(idCol).as("doc_b"), col("s"))
-    val sizes = sizesOf(sh, idCol)
+    val a = shA.select(col(idCol).as("doc_a"), col("s"))
+    val b = shB.select(col(idCol).as("doc_b"), col("s"))
     val inter = cand.distinct()
       .join(a, Seq("doc_a"))
       .join(b, Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("__i"))
-    emit(inter, sizes, idCol, thresholdMilli)
+    emit(inter, sizesOf(shA, idCol), sizesOf(shB, idCol), idCol, thresholdMilli)
   }
 
-  /** Shared tail: attach sizes, cross-multiplied threshold test, fixed-
-    * point Jaccard. `inter` columns: doc_a, doc_b, __i. */
+  /** Shared tail: attach per-side sizes, cross-multiplied threshold
+    * test, fixed-point Jaccard. `inter` columns: doc_a, doc_b, __i. */
   private def emit(
       inter: DataFrame,
-      sizes: DataFrame,
+      sizesA: DataFrame,
+      sizesB: DataFrame,
       idCol: String,
       thresholdMilli: Int): DataFrame = {
     val union = col("__na") + col("__nb") - col("__i")
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .join(sizesA.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(sizesB.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
       .filter(col("__i") * 1000 >= union * thresholdMilli)
       .select(
         col("doc_a"), col("doc_b"),
@@ -202,7 +213,8 @@ object NearDup {
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("__i"))
-        emit(inter, sizesOf(sh, idCol), idCol, thresholdMilli)
+        val sizes = sizesOf(sh, idCol)
+        emit(inter, sizes, sizes, idCol, thresholdMilli)
       case Some(cap) =>
         confirm(ngramCandidates(sh, idCol, cap), sh, idCol, thresholdMilli)
     }
@@ -247,6 +259,35 @@ object NearDup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
     confirm(cand, sh, idCol, thresholdMilli)
+  }
+
+  /** Incremental (cross-corpus) MinHash near-dup: pairs with doc_a
+    * from `base` and doc_b from `increment` ONLY — never base×base or
+    * increment×increment. The daily-ingest shape: each increment is
+    * deduped against the accumulated corpus without re-pairing the
+    * corpus against itself, so the recurring cost is the increment's
+    * signatures plus the candidate equijoin, not a full-corpus redo —
+    * and [[minHashSignatures]] is the materialization seam where a
+    * real deployment persists the base side's k longs per doc between
+    * runs. Id spaces must be disjoint across the two inputs (a shared
+    * id would pair a doc with itself). */
+  def minHashPairsBetween(
+      base: DataFrame,
+      increment: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = NumMinHashes,
+      thresholdMilli: Int = ThresholdMilli): DataFrame = {
+    val shA = shingles(base, idCol, textCol)
+    val shB = shingles(increment, idCol, textCol)
+    def sig(sh: DataFrame, as: String) =
+      minHashSignatures(sh, idCol, k)
+        .select(col(idCol).as(as),
+          posexplode(array((0 until k).map(i => col(s"h$i")): _*)).as(Seq("__hi", "__hv")))
+    val cand = sig(shA, "doc_a")
+      .join(sig(shB, "doc_b"), Seq("__hi", "__hv"))
+      .select("doc_a", "doc_b")
+    confirmBetween(cand, shA, shB, idCol, thresholdMilli)
   }
 
   /** Default per-shingle hash family: hash word w of a shingle is

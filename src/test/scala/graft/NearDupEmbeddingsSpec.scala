@@ -58,6 +58,19 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(runPath(NearDup.simHashPairs(_)) === expectedPairs)
   }
 
+  test("incremental minhash emits exactly the base×increment cross pairs") {
+    // base = odd ids {1, 3}, increment = even ids {2, 4}: the cross
+    // subset of the full model is (1,2) near-dup and (1,4) identical;
+    // (2,4) is increment-internal and must NOT appear.
+    val base = docs.where(col("doc_id") % 2 === 1)
+    val inc = docs.where(col("doc_id") % 2 === 0)
+    val got = NearDup.minHashPairsBetween(base, inc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val crossModel = expectedPairs.filter { case (a, b, _) => a % 2 == 1 && b % 2 == 0 }
+    assert(crossModel.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 4L)))
+    assert(got === crossModel)
+  }
+
   test("all three paths equal the model on a randomized corpus (fixed seed)") {
     import spark.implicits._
     // 12 base docs (80-120 tokens over a 50-word vocab), each with an
