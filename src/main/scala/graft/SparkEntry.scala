@@ -281,6 +281,11 @@ object SparkEntry {
     * [[graft.operators.Curation.contaminationHits]] sound). */
   val BenchmarkEvery: Long = 50L
 
+  /** Trailing horizon for the rolling-aggregate query: 7 days in
+    * microseconds (the fixture spans 30 days, so frames genuinely
+    * slide). Interpolated into the oracle's RANGE bound. */
+  val RollingHorizonMicros: Long = 7L * 24 * 3600 * 1000000
+
   /** Deterministic per-language keep rates (permille) for the
     * stratified-sampling query: downsample the over-represented head
     * language hard, keep the tail. Shared with the oracle VALUES
@@ -917,6 +922,23 @@ object SparkEntry {
     // join); clicks pre-aggregated per (user, ts) to discharge the
     // uniqueness precondition; -1 sentinels keep the unmatched rows
     // int64 on both engines. Oracle = DuckDB's native ASOF LEFT JOIN.
+    // Trailing 7-day rolling activity per user — the RANGE-frame
+    // window member: both engines aggregate over exact-microsecond
+    // inclusive bounds, so ts ties are frame peers (deterministic
+    // without a tiebreaker). One shuffle, one sort, one WindowExec
+    // with a linear two-pointer sliding frame.
+    "events_rolling" -> ((s, dir) =>
+      Sessions.rollingAggs(
+        eventsTable(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts",
+        horizonMicros = RollingHorizonMicros,
+        aggs = Seq(
+          "roll_n" -> count(lit(1)),
+          "roll_sum" -> sum(decP(col("value")))))
+        .select(col("event_id"), col("user_id"), col("roll_n"),
+          money(col("roll_sum")).as("roll_sum"))),
+
     "events_asof" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1485,6 +1507,16 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY value DESC, event_id) AS rk
         |  FROM events) WHERE rk <= 3""".stripMargin,
+
+    // integer-microsecond RANGE frame on both engines; the decimal sum
+    // goes round(2)→double only at emit, like every money aggregate.
+    "events_rolling" ->
+      s"""SELECT event_id, user_id,
+         |       count(*) OVER w AS roll_n,
+         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS roll_sum
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |             RANGE BETWEEN $RollingHorizonMicros PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "events_asof" ->
       """WITH p AS (

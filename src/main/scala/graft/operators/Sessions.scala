@@ -82,6 +82,36 @@ object Sessions {
       .filter(col(rankCol) <= k)
   }
 
+  /** Trailing-window rolling aggregates per key: every row gets each
+    * `aggs` aggregate evaluated over the key's rows with timestamp in
+    * `[row.ts − horizonMicros, row.ts]` — both bounds inclusive, in
+    * exact integer microseconds. A RANGE frame, so all peers at an
+    * equal timestamp share one frame and the result is deterministic
+    * under ts ties (no tiebreaker needed, unlike row frames).
+    *
+    * Shape: one hash shuffle on `keys`, one per-partition sort, and a
+    * SINGLE WindowExec evaluating every aggregate (all share the same
+    * frame spec). Spark's sliding frame advances two pointers
+    * monotonically per partition — each row enters and leaves the
+    * frame once, so cost is linear in rows, never rows × frame size;
+    * state is the current frame buffer, bounded by horizon × per-key
+    * event rate (the batch twin of a watermarked sliding window).
+    */
+  def rollingAggs(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      horizonMicros: Long,
+      aggs: Seq[(String, Column)]): DataFrame = {
+    require(horizonMicros >= 0, s"horizon must be >= 0, got $horizonMicros")
+    require(aggs.nonEmpty, "rollingAggs needs at least one aggregate")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-horizonMicros, 0)
+    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+  }
+
   /** As-of join: for every left row, the LATEST right row with
     * `right.ts <= left.ts` on the same keys (inclusive, the ASOF JOIN
     * `>=` convention), as a left join — unmatched rows keep null

@@ -178,6 +178,27 @@ class CurationSpec extends SparkSpecBase {
     assert(out.sorted.toSeq === Seq(1L, 1L))
   }
 
+  test("rollingAggs frames [ts - horizon, ts] inclusive; ts peers share a frame") {
+    val events = Seq(
+      (1L, ts(0), 1L, 10L), (1L, ts(10), 2L, 20L),  // 10 min apart — in range
+      (1L, ts(10), 3L, 5L),                         // ts PEER of event 2
+      (1L, ts(100), 4L, 1L),                        // alone: 100-10 > 10 min
+      (2L, ts(0), 5L, 7L)
+    ).toDF("user_id", "ts", "event_id", "v")
+    val out = Sessions.rollingAggs(events, Seq("user_id"), "ts",
+        horizonMicros = 10L * 60 * 1000000,
+        aggs = Seq("n" -> count(lit(1)), "s" -> sum(col("v"))))
+      .select("event_id", "n", "s")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 10L)))
+    // inclusive lower bound: ts(0) is exactly horizon back from ts(10)
+    assert(out(2L) === ((3L, 35L)))
+    // RANGE (not ROWS): the peer sees the same frame, order-independent
+    assert(out(3L) === ((3L, 35L)))
+    assert(out(4L) === ((1L, 1L)))
+    assert(out(5L) === ((1L, 7L)))
+  }
+
   // ----------------------------------------------------- top-k per key
 
   test("topKPerKey keeps exactly k best rows per key with deterministic ties") {
