@@ -297,6 +297,18 @@ object SparkEntry {
   private val sampleRatesValues: String =
     SampleRates.map { case (l, r) => s"('$l', $r)" }.mkString(", ")
 
+  /** Per-source token budgets for the mixture query: src0 is excluded
+    * outright, src1 capped hard; everything else takes the default.
+    * Each sf0.01 source holds ~1,300 tokens, so the 600-token default
+    * genuinely truncates every stratum. Shared with the oracle VALUES
+    * literal. */
+  val MixtureBudgets: Seq[(String, Long)] = Seq("src0" -> 0L, "src1" -> 300L)
+  val MixtureDefaultBudget: Long = 600L
+  val MixtureBuckets: Int = 64
+
+  private val mixtureBudgetsValues: String =
+    MixtureBudgets.map { case (s0, b) => s"('$s0', $b)" }.mkString(", ")
+
   /** Parametric DuckDB oracle for [[Embeddings.annIvf]] — centroid
     * step, nprobe, and Lloyd iterations interpolated from the same
     * constants as the query. probes = each vector's top-`nprobe` cells
@@ -896,6 +908,17 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("lang")), SampleRates)
         .select(col("doc_id"), col("lang"))),
 
+    // Token-budget mixture selection — per-source hash-ordered prefix
+    // under a token budget, computed as a distributed prefix scan
+    // (per-bucket totals → broadcast offsets → per-bucket running sum),
+    // never one window partition per stratum.
+    "docs_mixture" -> ((s, dir) =>
+      Curation.mixtureByBudget(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          FoldGroup.tokenCountExpr(col("text")).as("n_tokens")),
+        MixtureBudgets, MixtureDefaultBudget, buckets = MixtureBuckets)
+        .select(col("doc_id"), col("source"), col("n_tokens"))),
+
     // -------- keyed event-sequence ops (round 6)
     // Gap sessionization (12 h) + per-session rollup: one shuffle on
     // user_id, lag + running-sum over a single window spec, one
@@ -1483,6 +1506,24 @@ object SparkEntry {
          |FROM documents d JOIN rates r USING (lang)
          |WHERE (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
          |      < permille""".stripMargin,
+
+    // the oracle runs the selection as ONE global cumsum per source in
+    // (hash, id) order; range bucketing makes the distributed prefix
+    // scan decompose into exactly this order — equality proves it.
+    "docs_mixture" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($tokList) AS BIGINT) AS n_tokens,
+         |         ((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296 AS o
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY o, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |bu(source, budget) AS (VALUES $mixtureBudgetsValues)
+         |SELECT doc_id, source, n_tokens
+         |FROM c LEFT JOIN bu USING (source)
+         |WHERE cum <= coalesce(budget, $MixtureDefaultBudget)""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH g AS (

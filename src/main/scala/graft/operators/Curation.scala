@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines — the steps a
@@ -19,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   - [[sampleStratified]] — deterministic per-stratum downsampling via
   *     a multiplicative hash (reproducible across runs AND engines,
   *     unlike `DataFrame.sampleBy`'s RNG).
+  *   - [[mixtureByBudget]] — token-budget mixture selection (the
+  *     data-mixing step): per-stratum hash-ordered prefix under a token
+  *     budget, executed as a distributed prefix scan.
   *
   * Scale shapes: every candidate set comes from an equijoin on a
   * high-entropy key (the n-gram string), never an all-pairs product;
@@ -203,8 +207,13 @@ object Curation {
     * ids a 100 TB corpus has. Pure int64 arithmetic, so any engine
     * reproduces it (the DuckDB oracle runs the same three-step
     * expression). */
+  /** The full 32-bit multiplicative hash of an id — the deterministic
+    * shuffle order under [[hashBucket]] (= `hashOrder % buckets`). */
+  def hashOrder(id: Column): Column =
+    ((id % lit(2147483647L)) * lit(HashMul)) % lit(4294967296L)
+
   def hashBucket(id: Column, buckets: Int = 1000): Column =
-    ((id % lit(2147483647L)) * lit(HashMul)) % lit(4294967296L) % lit(buckets)
+    hashOrder(id) % lit(buckets)
 
   /** Deterministic stratified downsampling: keep a row iff
     * `hashBucket(id) < permille(stratum)`. `rates` maps stratum value →
@@ -230,5 +239,68 @@ object Curation {
     df.join(broadcast(ratesDf), strataCol)
       .filter(hashBucket(col(idCol)) < col("__permille"))
       .drop("__permille")
+  }
+
+  /** Token-budget mixture selection — the data-mixing step that turns a
+    * curated pool into a training mix: per stratum (source/domain),
+    * keep the prefix of the [[hashOrder]]-shuffled doc stream whose
+    * running `weightCol` total stays ≤ the stratum's budget. The hash
+    * order makes the prefix a uniform sample, deterministic across
+    * runs, engines, and corpus growth (a doc's position never depends
+    * on other docs). Weights are positive, so once the running total
+    * overflows the budget every later doc is over too — the filter IS
+    * the prefix rule. Strata absent from `budgets` get `defaultBudget`.
+    *
+    * Scale shape — a distributed prefix scan, NOT one window partition
+    * per stratum (a handful of strata would mean a handful of giant
+    * sorted partitions): docs land in `buckets` CONTIGUOUS hash-range
+    * sub-buckets per stratum (bucket = hashOrder div width — monotone
+    * in hash order, balanced because the multiplicative hash is
+    * ~uniform); per-bucket totals (one hash-agg, map-side partials)
+    * give each bucket its exclusive prefix offset via a window over
+    * the tiny strata × buckets table; the broadcast offsets join back
+    * and each (stratum, bucket) partition computes its own running
+    * sum. Range buckets keep the global selection order exactly
+    * `(hashOrder, id)`, so `buckets` is a pure execution dial — the
+    * selected set is identical for any value (spec-asserted), and the
+    * single-window oracle needs no bucket term. Per-partition sort
+    * size shrinks with `buckets`; no corpus-wide sort anywhere.
+    */
+  def mixtureByBudget(
+      df: DataFrame,
+      budgets: Seq[(String, Long)],
+      defaultBudget: Long,
+      strataCol: String = "source",
+      idCol: String = "doc_id",
+      weightCol: String = "n_tokens",
+      buckets: Int = 64): DataFrame = {
+    require(budgets.forall(_._2 >= 0) && defaultBudget >= 0,
+      "budgets are token counts and must be >= 0")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val bucketWidth = math.max(1L, 4294967296L / buckets)
+    val tagged = df
+      .withColumn("__o", hashOrder(col(idCol)))
+      .withColumn("__b", expr(s"__o div ${bucketWidth}L"))
+    val offsets = tagged
+      .groupBy(col(strataCol), col("__b"))
+      .agg(sum(col(weightCol)).as("__bw"))
+      .withColumn("__off", coalesce(
+        sum(col("__bw")).over(Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("__b"), col("__off"))
+    val budgetsDf = budgets.toDF(strataCol, "__budget")
+
+    val wBucket = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__o"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .join(broadcast(offsets), Seq(strataCol, "__b"))
+      .join(broadcast(budgetsDf), Seq(strataCol), "left")
+      .withColumn("__cum", col("__off") + sum(col(weightCol)).over(wBucket))
+      .filter(col("__cum") <= coalesce(col("__budget"), lit(defaultBudget)))
+      .drop("__b", "__o", "__off", "__budget", "__cum")
   }
 }

@@ -141,6 +141,50 @@ class CurationSpec extends SparkSpecBase {
     assert(buckets.forall(b => b >= 0 && b < 1000))
   }
 
+  // ----------------------------------------------------- mixture by budget
+
+  /** Scala model of the operator's hash order. */
+  private def hashOrderOf(id: Long): Long =
+    ((id % 2147483647L) * Curation.HashMul) % 4294967296L
+
+  private def mixtureModel(
+      rows: Seq[(Long, String, Long)],
+      budgetOf: String => Long): Set[Long] =
+    rows.groupBy(_._2).flatMap { case (src, docs) =>
+      val ordered = docs.sortBy(d => (hashOrderOf(d._1), d._1))
+      val cum = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cum).collect { case ((id, _, _), c) if c <= budgetOf(src) => id }
+    }.toSet
+
+  test("mixtureByBudget keeps the per-stratum hash-order prefix within budget") {
+    val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 7 + 1))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val budgets = Seq("a" -> 20L)
+    val got = Curation.mixtureByBudget(df, budgets, defaultBudget = 15L)
+      .select("doc_id").as[Long].collect().toSet
+    val model = mixtureModel(rows, src => if (src == "a") 20L else 15L)
+    assert(model.nonEmpty && model.size < rows.size) // budget genuinely bites
+    assert(got === model)
+  }
+
+  test("mixtureByBudget selection is invariant under the buckets execution dial") {
+    val rows = (1L to 50L).map(i => (i, s"s${i % 3}", i % 5 + 2))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    def run(b: Int) = Curation.mixtureByBudget(df, Nil, defaultBudget = 30L, buckets = b)
+      .select("doc_id").as[Long].collect().toSet
+    val one = run(1) // degenerate: a single bucket = the plain window form
+    assert(one === run(7) && one === run(64) && one === run(100000))
+    assert(one === mixtureModel(rows, _ => 30L))
+  }
+
+  test("mixtureByBudget: zero budget drops a stratum; oversized budget keeps all") {
+    val rows = Seq((1L, "x", 5L), (2L, "x", 5L), (3L, "y", 5L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val got = Curation.mixtureByBudget(df, Seq("x" -> 0L), defaultBudget = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(3L))
+  }
+
   // ----------------------------------------------------- sessionization
 
   private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
