@@ -237,6 +237,24 @@ object SparkEntry {
     * test non-trivial; a deployment would run ≥ 950000. */
   val NearDupCosMicro: Long = 350000L
 
+  /** emb_neardup oracle — shared with the emb_dedup_clusters closure. */
+  private val embNearDupSql: String =
+    s"""$lshBucketsCte,
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |         CAST(list_sum(list_transform(range(len(a.qv)),
+       |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+       |         a.nsq AS an, c.nsq AS cn
+       |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |         CAST(round(CAST(d AS DOUBLE) /
+       |           (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+       |           * 1000000.0) AS BIGINT) AS cos_x1e6
+       |  FROM p)
+       |SELECT vec_a, vec_b, cos_x1e6 FROM scored
+       |WHERE cos_x1e6 >= $NearDupCosMicro""".stripMargin
+
   // -------------------------------------------- scaled-mode battery dials
   //
   // The *_scaled queries run the SAME operators with their 100 TB dials
@@ -770,6 +788,15 @@ object SparkEntry {
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
       Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro)),
+    // vector-space dedup clusters — the same large-star/small-star
+    // resolution as dedup_clusters, fed by cosine near-dup pairs
+    // (embedding-granularity keep/drop verdicts).
+    "emb_dedup_clusters" -> ((s, dir) =>
+      DedupClusters.resolve(
+        Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro),
+        aCol = "vec_a", bCol = "vec_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("cluster_size"), col("is_canonical"))),
 
     // -------- multimodal binary ops (north-star extension): the
     // documents text cast to binary stands in for an opaque payload;
@@ -1233,22 +1260,25 @@ object SparkEntry {
          |       coalesce(CAST(round(b.c2 * 1000000.0) AS BIGINT), 0) AS cos_x1e6
          |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
 
-    "emb_neardup" ->
-      s"""$lshBucketsCte,
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         |         CAST(list_sum(list_transform(range(len(a.qv)),
-         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
-         |         a.nsq AS an, c.nsq AS cn
-         |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
-         |scored AS (
-         |  SELECT vec_a, vec_b,
-         |         CAST(round(CAST(d AS DOUBLE) /
-         |           (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
-         |           * 1000000.0) AS BIGINT) AS cos_x1e6
-         |  FROM p)
-         |SELECT vec_a, vec_b, cos_x1e6 FROM scored
-         |WHERE cos_x1e6 >= $NearDupCosMicro""".stripMargin,
+    "emb_neardup" -> embNearDupSql,
+
+    // vector-space dedup clusters: same recursive-CTE closure as
+    // dedup_clusters, over the cosine near-dup pairs.
+    "emb_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS ($embNearDupSql),
+         |e AS (SELECT vec_a AS u, vec_b AS v FROM p
+         |      UNION SELECT vec_b, vec_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       (vec_id = cluster_id) AS is_canonical
+         |FROM comp""".stripMargin,
 
     "emb_ann_ivf" -> ivfOracleSql(Embeddings.CentroidStep, 1),
     "emb_ann_ivf_scaled" -> ivfOracleSql(ScaledIvfStep, ScaledIvfNprobe),
