@@ -304,6 +304,11 @@ object SparkEntry {
     * slide). Interpolated into the oracle's RANGE bound. */
   val RollingHorizonMicros: Long = 7L * 24 * 3600 * 1000000
 
+  /** Time-bin width for the interval-join query: 6 h — near the median
+    * span of the user-0 session windows it joins against, so each
+    * window explodes to a handful of bins. */
+  val IntervalBinMicros: Long = 6L * 3600 * 1000000
+
   /** Deterministic per-language keep rates (permille) for the
     * stratified-sampling query: downsample the over-represented head
     * language hard, keep the tail. Shared with the oracle VALUES
@@ -989,6 +994,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("roll_n"),
           money(col("roll_sum")).as("roll_sum"))),
 
+    // Keyless interval-containment join — every event (any user)
+    // against user 0's session windows. No equality conjunct exists,
+    // so the naive plan is a nested loop; the operator's time-bin
+    // equijoin + residual filter replaces it (PlanShapeSpec asserts
+    // no BNLJ on this very query).
+    "events_range_join" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val windows = Sessions.sessionStats(ev.where(col("user_id") === 0))
+        .select(col("session_seq").as("window_id"),
+          col("t_start"), col("t_end"))
+      Sessions.intervalJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        windows, "ts", "t_start", "t_end", binMicros = IntervalBinMicros)
+        .select(col("event_id"), col("user_id"), col("window_id"))
+    }),
+
     "events_asof" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1588,6 +1609,28 @@ object SparkEntry {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |             RANGE BETWEEN $RollingHorizonMicros PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // user-0 sessionization (same gap rule as events_sessionize, no
+    // user partition) → plain containment join; the engine's bin
+    // decomposition must reproduce it exactly.
+    "events_range_join" ->
+      s"""WITH g AS (
+         |  SELECT event_id, ts,
+         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${Sessions.DefaultGapMicros}
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM events WHERE user_id = 0
+         |  WINDOW w AS (ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM g),
+         |w2 AS (
+         |  SELECT CAST(session_seq AS BIGINT) AS window_id,
+         |         min(ts) AS t_start, max(ts) AS t_end
+         |  FROM s GROUP BY 1)
+         |SELECT e.event_id, e.user_id, w2.window_id
+         |FROM events e JOIN w2 ON e.ts >= w2.t_start AND e.ts <= w2.t_end""".stripMargin,
 
     "events_asof" ->
       """WITH p AS (

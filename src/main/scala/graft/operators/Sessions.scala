@@ -82,6 +82,56 @@ object Sessions {
       .filter(col(rankCol) <= k)
   }
 
+  /** Floor division in exact long arithmetic (`pmod` is non-negative,
+    * so the quotient rounds toward −∞ for any sign). The final double
+    * divide is exact: the numerator is an integral multiple of `d`
+    * below 2^53 (comfortably true for microsecond timestamps until
+    * year ~2255). */
+  private def floorDivL(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+
+  /** Interval-containment join: every `points` row paired with every
+    * `intervals` row whose `[startCol, endCol]` contains its `tsCol`
+    * (bounds inclusive), plus optional exact-match `keys`.
+    *
+    * Spark-first shape: the naive predicate has no equality conjunct
+    * (when `keys` is empty), so Catalyst can only plan a broadcast
+    * nested loop — per-point × per-interval work. This operator makes
+    * its own equijoin key: each interval explodes to the `binMicros`-
+    * wide time bins it overlaps, each point maps to its single bin,
+    * and the join is an equijoin on (keys…, bin) with the containment
+    * test as a residual filter. A point meets an interval in exactly
+    * one bin (the point's own), so no post-join dedup is needed.
+    *
+    * Scale dials: exploded interval rows = Σ(span/bin + 1) — size
+    * `binMicros` near the typical interval span so each interval
+    * explodes to O(1) bins; per-bin candidates = intervals CONCURRENT
+    * in that bin (peak overlap, not interval count) — a genuinely hot
+    * bin (thousands of simultaneous intervals) is a skew key like any
+    * other: salt it or split the bin. Both sides shuffle once on the
+    * bin key; no nested loop anywhere (PlanShapeSpec-asserted).
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      binMicros: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binMicros >= 1, s"binMicros must be >= 1, got $binMicros")
+    val bin = graft.core.Cols.fresh("__bin",
+      points.columns.toSeq ++ intervals.columns)
+    val iv = intervals.withColumn(bin,
+      explode(sequence(
+        floorDivL(unix_micros(col(startCol)), binMicros),
+        floorDivL(unix_micros(col(endCol)), binMicros))))
+    val pt = points.withColumn(bin, floorDivL(unix_micros(col(tsCol)), binMicros))
+    pt.join(iv, keys :+ bin)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop(bin)
+  }
+
   /** Trailing-window rolling aggregates per key: every row gets each
     * `aggs` aggregate evaluated over the key's rows with timestamp in
     * `[row.ts − horizonMicros, row.ts]` — both bounds inclusive, in

@@ -258,6 +258,35 @@ class CurationSpec extends SparkSpecBase {
     assert(out === Set((1L, 102L, 1L), (1L, 100L, 2L), (2L, 200L, 1L)))
   }
 
+  // ----------------------------------------------------- interval join
+
+  test("intervalJoin pairs points with every containing interval, bounds inclusive") {
+    val points = Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(25)), (4L, ts(99)))
+      .toDF("pid", "ts")
+    val intervals = Seq(
+      (100L, ts(0), ts(10)),   // catches 1 (start bound) and 2 (end bound)
+      (200L, ts(5), ts(30)))   // catches 2 and 3 — overlaps the first
+      .toDF("iid", "t_start", "t_end")
+    def run(binMicros: Long) =
+      Sessions.intervalJoin(points, intervals, "ts", "t_start", "t_end", binMicros)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L))
+    // the bin width is an execution dial: sub-interval, super-interval
+    // and pathological 1-microsecond bins all agree (no dup, no loss)
+    assert(run(60L * 1000000) === expected)
+    assert(run(3600L * 1000000) === expected)
+    assert(run(1L) === expected)
+  }
+
+  test("intervalJoin keys restrict matches to the same key") {
+    val points = Seq((1L, "a", ts(5)), (2L, "b", ts(5))).toDF("pid", "k", "ts")
+    val intervals = Seq(("a", 10L, ts(0), ts(10))).toDF("k", "iid", "t_start", "t_end")
+    val got = Sessions.intervalJoin(points, intervals, "ts", "t_start", "t_end",
+        binMicros = 60L * 1000000, keys = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   // ----------------------------------------------------- as-of join
 
   private def asofFixture = (
