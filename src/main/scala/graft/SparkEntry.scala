@@ -329,6 +329,9 @@ object SparkEntry {
   val MixtureDefaultBudget: Long = 600L
   val MixtureBuckets: Int = 64
 
+  /** percentile_approx accuracy dial: rank error ≤ n/accuracy. */
+  val ApproxQuantileAccuracy: Int = 10000
+
   private val mixtureBudgetsValues: String =
     MixtureBudgets.map { case (s0, b) => s"('$s0', $b)" }.mkString(", ")
 
@@ -639,6 +642,20 @@ object SparkEntry {
     "rel_approx_count_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_approx"))),
+    // KLL/GK-sketch quantiles — the 100 TB percentile form (one pass,
+    // mergeable partials; rank error ≤ n/accuracy). Like
+    // rel_approx_count_distinct: no SQL oracle on purpose (DuckDB's
+    // sketch differs) → driver's rows-only check; the rank-error bound
+    // is asserted in CoreSpec.
+    "rel_approx_quantiles" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(ApproxQuantileAccuracy))
+          .as("qs"))
+        .select(
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"))),
     "rel_limit" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"))

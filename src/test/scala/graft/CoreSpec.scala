@@ -28,6 +28,25 @@ class CoreSpec extends SparkSpecBase {
     assert(relErr <= 0.02, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("approx quantiles honor the sketch's rank-error bound n/accuracy") {
+    // rel_approx_quantiles has no DuckDB oracle either; the sketch's
+    // contract is on RANKS (not values), so the gate is: the number of
+    // rows at-or-below each reported quantile sits within n/accuracy
+    // of q·n.
+    val dir = "/root/testdata/sf0.01"
+    val prices = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice").as("p"))
+    val n = prices.count()
+    val row = SparkEntry.queries("rel_approx_quantiles")(spark, dir).head
+    val tol = n / SparkEntry.ApproxQuantileAccuracy + 1
+    for ((q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val v = row.get(i)
+      val rank = prices.filter(col("p") <= lit(v)).count()
+      assert(math.abs(rank - q * n) <= tol,
+        s"q=$q v=$v rank=$rank expected ~${q * n} ± $tol of n=$n")
+    }
+  }
+
   private lazy val df = {
     import spark.implicits._
     Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 5L)).toDF("id", "k", "v")
