@@ -271,11 +271,22 @@ class CurationSpec extends SparkSpecBase {
       Sessions.intervalJoin(points, intervals, "ts", "t_start", "t_end", binMicros)
         .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L))
-    // the bin width is an execution dial: sub-interval, super-interval
-    // and pathological 1-microsecond bins all agree (no dup, no loss)
+    // the bin width is an execution dial: sub-interval and
+    // super-interval bins agree (no dup, no loss)
     assert(run(60L * 1000000) === expected)
     assert(run(3600L * 1000000) === expected)
-    assert(run(1L) === expected)
+  }
+
+  test("intervalJoin at 1-microsecond bins still dedups (one bin per point)") {
+    // microsecond-scale fixture so even the degenerate finest bin
+    // explodes to only ~10 bins per interval
+    def us(n: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0, n * 1000))
+    val points = Seq((1L, us(5)), (2L, us(11))).toDF("pid", "ts")
+    val intervals = Seq((100L, us(0), us(10)), (200L, us(5), us(12)))
+      .toDF("iid", "t_start", "t_end")
+    val got = Sessions.intervalJoin(points, intervals, "ts", "t_start", "t_end", 1L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (1L, 200L), (2L, 200L)))
   }
 
   test("intervalJoin keys restrict matches to the same key") {
