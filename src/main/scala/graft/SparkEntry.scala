@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Bpe, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -331,6 +331,53 @@ object SparkEntry {
 
   /** percentile_approx accuracy dial: rank error ≤ n/accuracy. */
   val ApproxQuantileAccuracy: Int = 10000
+
+  /** BPE merge rounds for the vocab-induction query. */
+  val BpeMergeRounds: Int = 8
+
+  /** Fully unrolled DuckDB replica of [[Bpe.train]]: k CTE rounds of
+    * pair-count → argmax → space-joined `replace` merge — the same
+    * greedy left-to-right scan, same (count DESC, lhs, rhs) tie-break,
+    * same overlap counting. */
+  private val bpeOracleSql: String = {
+    val k = BpeMergeRounds
+    val rounds = (1 to k).map { i =>
+      val prev = s"seq${i - 1}"
+      val head =
+        s"""p$i AS (
+           |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
+           |    SELECT n, ts[i + 1] AS l, ts[i + 2] AS r
+           |    FROM (SELECT n, string_split(trim(s), ' ') AS ts FROM $prev) t,
+           |         unnest(range(0, len(ts) - 1)) u(i)
+           |    WHERE len(ts) >= 2)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      val step =
+        if (i == k) ""
+        else
+          s""",
+             |seq$i AS (
+             |  SELECT word, n,
+             |         replace(s, ' ' || m.l || ' ' || m.r || ' ',
+             |                    ' ' || m.l || m.r || ' ') AS s
+             |  FROM $prev, m$i m)""".stripMargin
+      head + step
+    }
+    val sel = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH dict AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              t -> t <> '')) AS word
+       |    FROM documents) GROUP BY 1),
+       |seq0 AS (
+       |  SELECT word, n,
+       |         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s
+       |  FROM dict),
+       |${rounds.mkString(",\n")}
+       |$sel""".stripMargin
+  }
 
   private val mixtureBudgetsValues: String =
     MixtureBudgets.map { case (s0, b) => s"('$s0', $b)" }.mkString(", ")
@@ -912,6 +959,13 @@ object SparkEntry {
         .join(nonCanonical, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("score_milli"))
     }),
+
+    // BPE vocabulary induction — tokenizer training on the corpus's
+    // word-frequency dict: k greedy most-frequent-pair merges, each
+    // round a dict-sized hash-agg + 1-row broadcast argmax (no driver
+    // collect in the loop). Output = the ordered merge list.
+    "text_bpe_vocab" -> ((s, dir) =>
+      Bpe.train(T(s, dir, "documents"), BpeMergeRounds)),
 
     // -------- corpus curation (training-data pipeline ops, round 6)
     // Benchmark 8-gram decontamination: every-50th doc plays the eval
@@ -1574,6 +1628,8 @@ object SparkEntry {
          |FROM documents d JOIN rates r USING (lang)
          |WHERE (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
          |      < permille""".stripMargin,
+
+    "text_bpe_vocab" -> bpeOracleSql,
 
     // the oracle runs the selection as ONE global cumsum per source in
     // (hash, id) order; range bucketing makes the distributed prefix

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction — tokenizer TRAINING as a
+  * distributed operator, the step a training-data pipeline runs before
+  * it can count a single token. Greedy BPE in the classic form: start
+  * from characters, repeatedly merge the most frequent adjacent symbol
+  * pair, k rounds.
+  *
+  * Spark-first shape: BPE trains on the WORD-FREQUENCY DICTIONARY, not
+  * the corpus — [[wordDict]] is one corpus-wide hash-agg (map-side
+  * partials) and everything after runs on the dict, which is smaller
+  * than the corpus by the type/token ratio (millions of rows at 100 TB,
+  * not billions). Each round is two dict-sized jobs: a pair-count
+  * hash-agg + 1-row argmax, and a narrow merge projection. The winning
+  * pair re-enters the next round's plan via a broadcast crossJoin of
+  * the 1-row argmax — fully declarative, NO driver collect in the
+  * loop; the driver only drives round COUNT, exactly like
+  * [[DedupClusters]]' round structure. A `localCheckpoint` per round
+  * keeps the plan O(1) deep instead of k aggregations tall.
+  *
+  * Determinism (cross-run AND cross-engine): counts are exact int64
+  * sums; argmax ties break by (count DESC, left, right) with plain
+  * binary string order; and the merge application is engine-neutral by
+  * construction — the symbol sequence lives as a SPACE-JOINED string
+  * `" s1 s2 … sk "` (tokens are whitespace-split so they contain no
+  * spaces), and merging pair (l, r) is `replace(s, " l r ", " lr ")`,
+  * which is the same greedy left-to-right non-overlapping scan in
+  * every engine's `replace`. `" a a a "` → `" aa a "`, the reference
+  * BPE behavior on overlaps.
+  *
+  * Caveat: symbols are regex codepoints (`.`), so the starting
+  * alphabet is per-character for BMP text (the fixture corpora are
+  * ASCII); astral-plane input would need a byte-level seeding instead.
+  */
+object Bpe {
+
+  /** Word-frequency dictionary of a document corpus: lowercased
+    * whitespace tokens → (word, n). One corpus scan, one hash-agg. */
+  def wordDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** `k` greedy merge rounds over a (word, n) dictionary. Returns one
+    * row per round: `(rank, lhs, rhs, pair_count)` — the ordered merge
+    * list that IS a BPE tokenizer's model artifact. Adjacent pairs are
+    * counted at every position (overlaps included), weighted by word
+    * frequency — the reference BPE statistic. */
+  def trainMerges(dict: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // " c1 c2 … " — the space-joined symbol sequence with sentinel
+    // spaces at both ends so every token is space-delimited on both
+    // sides and pair patterns can never match across token boundaries.
+    var seq = dict.select(
+      col("word"), col("n"),
+      concat(lit(" "),
+        concat_ws(" ", regexp_extract_all(col("word"), lit("."), lit(0))),
+        lit(" ")).as("s"))
+      .localCheckpoint()
+
+    var merges: DataFrame = null
+    for (round <- 1 to k) {
+      val pairs = seq
+        .select(col("n"), split(trim(col("s")), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS l, ts[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("c"))
+      val best = pairs
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .localCheckpoint()
+
+      val ranked = best.withColumn("merge_rank", lit(round.toLong))
+      merges = if (merges == null) ranked else merges.unionByName(ranked)
+
+      if (round < k) {
+        seq = seq
+          .crossJoin(broadcast(
+            best.select(col("l").as("__ml"), col("r").as("__mr"))))
+          .withColumn("s", replace(col("s"),
+            concat(lit(" "), col("__ml"), lit(" "), col("__mr"), lit(" ")),
+            concat(lit(" "), col("__ml"), col("__mr"), lit(" "))))
+          .drop("__ml", "__mr")
+          .localCheckpoint()
+      }
+    }
+    merges.select(
+      col("merge_rank"), col("l").as("lhs"), col("r").as("rhs"),
+      col("c").as("pair_count"))
+  }
+
+  /** [[wordDict]] ∘ [[trainMerges]]. */
+  def train(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    trainMerges(wordDict(docs, textCol), k)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Model-based tests for BPE vocabulary induction: the distributed
+  * trainer must equal a direct in-memory implementation of greedy BPE
+  * (overlap-counted pair statistics, greedy left-to-right merge
+  * application, (count DESC, lhs, rhs) tie-break) on crafted and
+  * seeded-random dictionaries.
+  */
+class BpeSpec extends SparkSpecBase {
+
+  /** Reference implementation over an in-memory dict. */
+  private def modelTrain(
+      dict: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    var seqs = dict.map { case (w, n) => (w.map(_.toString).toList, n) }
+    (1 to k).map { round =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, n) <- seqs; Seq(a, b) <- s.sliding(2) if s.length >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+      val ((l, r), c) = counts.toSeq.sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }.head
+      seqs = seqs.map { case (s, n) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        (out.toList, n)
+      }
+      (round.toLong, l, r, c)
+    }
+  }
+
+  private def run(dict: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    Bpe.trainMerges(dict.toDF("word", "n"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("greedy overlap semantics: 'aaa' merges to [aa, a], then [aa,a] pairs") {
+    // round 1: (a,a) counted at BOTH positions of "aaa" (overlap) → c = 10+3 = 13
+    val dict = Seq(("aaa", 5L), ("ab", 3L), ("ba", 2L))
+    // "aaa"→ a a a: pairs (a,a)x2*5=10; "ab": (a,b)x3; "ba": (b,a)x2 → best (a,a)
+    val got = run(dict, 2)
+    assert(got.head === ((1L, "a", "a", 10L)))
+    // after greedy merge "aaa" → [aa, a]: round-2 pairs are (aa,a)x5, (a,b)x3, (b,a)x2
+    assert(got(1) === ((2L, "aa", "a", 5L)))
+    assert(got === modelTrain(dict, 2))
+  }
+
+  test("argmax ties break by (lhs, rhs) binary order") {
+    // (a,b) and (b,a) both have count 4 → (a,b) wins lexicographically
+    val dict = Seq(("ab", 4L), ("ba", 4L), ("c", 9L))
+    val got = run(dict, 1)
+    assert(got === Seq((1L, "a", "b", 4L)))
+    assert(got === modelTrain(dict, 1))
+  }
+
+  test("distributed trainer equals the model on a seeded random dict, k=6") {
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "abc"
+    val dict = (0 until 24).map { _ =>
+      val len = 1 + rnd.nextInt(6)
+      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        1L + rnd.nextInt(9))
+    }.distinct.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+    assert(run(dict, 6) === modelTrain(dict, 6))
+  }
+
+  test("wordDict lowercases, splits on whitespace and drops empties") {
+    import spark.implicits._
+    val docs = Seq((1L, "The  the\tcat"), (2L, " the ")).toDF("doc_id", "text")
+    val got = Bpe.wordDict(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("the" -> 3L, "cat" -> 1L))
+  }
+}
