@@ -339,7 +339,10 @@ object SparkEntry {
     * pair-count → argmax → space-joined `replace` merge — the same
     * greedy left-to-right scan, same (count DESC, lhs, rhs) tie-break,
     * same overlap counting. */
-  private val bpeOracleSql: String = {
+  /** Shared WITH-prelude of the BPE oracles: dict → seq0 → k rounds of
+    * (pair counts p_i, argmax m_i, merged seq_i — the last round skips
+    * its seq, nothing reads it). */
+  private val bpeCtesSql: String = {
     val k = BpeMergeRounds
     val rounds = (1 to k).map { i =>
       val prev = s"seq${i - 1}"
@@ -363,9 +366,6 @@ object SparkEntry {
              |  FROM $prev, m$i m)""".stripMargin
       head + step
     }
-    val sel = (1 to k)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH dict AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -375,8 +375,42 @@ object SparkEntry {
        |  SELECT word, n,
        |         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s
        |  FROM dict),
-       |${rounds.mkString(",\n")}
-       |$sel""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeOracleSql: String =
+    s"""$bpeCtesSql
+       |${(1 to BpeMergeRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** DuckDB replica of [[Bpe.encode]] under the merges the training
+    * prelude just derived: per word, the k `replace` merges chained in
+    * rank order (each merge pair read back as scalar subqueries of its
+    * m_i CTE), then one rollup to doc granularity. */
+  private val bpeEncodeOracleSql: String = {
+    val k = BpeMergeRounds
+    val chain = (1 to k).foldLeft(
+      "' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' '") {
+      case (s, i) =>
+        s"""replace($s,
+           | ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+           | ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ')""".stripMargin
+    }
+    s"""$bpeCtesSql,
+       |w AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            t -> t <> '')) AS word
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, len(word) AS chars,
+       |         len(string_split(trim($chain), ' ')) AS pieces
+       |  FROM w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(pieces) AS BIGINT) AS n_bpe_tokens
+       |FROM enc GROUP BY 1""".stripMargin
   }
 
   private val mixtureBudgetsValues: String =
@@ -966,6 +1000,16 @@ object SparkEntry {
     // collect in the loop). Output = the ordered merge list.
     "text_bpe_vocab" -> ((s, dir) =>
       Bpe.train(T(s, dir, "documents"), BpeMergeRounds)),
+    // … and the encode step under that vocabulary: the collected merge
+    // list (the model artifact — k rows) enters the plan as literals;
+    // the corpus pass is one narrow per-word projection + one doc agg.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.train(docs, BpeMergeRounds)
+        .orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encode(docs, merges)
+    }),
 
     // -------- corpus curation (training-data pipeline ops, round 6)
     // Benchmark 8-gram decontamination: every-50th doc plays the eval
@@ -1630,6 +1674,7 @@ object SparkEntry {
          |      < permille""".stripMargin,
 
     "text_bpe_vocab" -> bpeOracleSql,
+    "text_bpe_encode" -> bpeEncodeOracleSql,
 
     // the oracle runs the selection as ONE global cumsum per source in
     // (hash, id) order; range bucketing makes the distributed prefix

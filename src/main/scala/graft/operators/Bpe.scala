@@ -100,4 +100,43 @@ object Bpe {
   /** [[wordDict]] ∘ [[trainMerges]]. */
   def train(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
     trainMerges(wordDict(docs, textCol), k)
+
+  /** ENCODE with a trained merge list: per document, the BPE token
+    * count under the vocabulary (plus word and character counts for
+    * the compression-ratio denominator). `merges` is the ordered
+    * (lhs, rhs) list from [[trainMerges]] — a tokenizer MODEL, a few
+    * hundred KB even for a 50k-merge vocabulary, entering the plan as
+    * literals (the load-the-artifact step of every tokenizer; here the
+    * caller usually passes a freshly collected [[trainMerges]]
+    * result). The whole encode is one narrow projection per word —
+    * each merge is one `replace` on the space-joined symbol string,
+    * applied in rank order, per WORD so merges never cross word
+    * boundaries — followed by one hash-agg back to doc granularity.
+    * Corpus never shuffles except that final doc_id agg.
+    */
+  def encode(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val charSeq = concat(lit(" "),
+      concat_ws(" ", regexp_extract_all(col("word"), lit("."), lit(0))),
+      lit(" "))
+    val encoded = merges.foldLeft(charSeq) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    words
+      .select(col(idCol),
+        length(col("word")).cast("long").as("__chars"),
+        size(split(trim(encoded), " ")).cast("long").as("__pieces"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__chars")).as("n_chars"),
+        sum(col("__pieces")).as("n_bpe_tokens"))
+  }
 }

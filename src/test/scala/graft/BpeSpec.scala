@@ -70,6 +70,18 @@ class BpeSpec extends SparkSpecBase {
     assert(run(dict, 6) === modelTrain(dict, 6))
   }
 
+  test("encode applies merges in rank order per word and rolls up per doc") {
+    import spark.implicits._
+    // merges: (a,b)→ab then (ab,c)→abc. "abc" → 1 piece; "cab" → c + ab
+    // = 2; "ba" stays 2 (b then a — rank order matters, (a,b) applies
+    // to ADJACENT a,b only).
+    val docs = Seq((1L, "abc cab"), (2L, "ba")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 6L, 3L))) // 2 words, 6 chars, abc→1 + cab→2 pieces
+    assert(got(2L) === ((1L, 2L, 2L))) // ba: no adjacent (a,b) → 2 pieces
+  }
+
   test("wordDict lowercases, splits on whitespace and drops empties") {
     import spark.implicits._
     val docs = Seq((1L, "The  the\tcat"), (2L, " the ")).toDF("doc_id", "text")
