@@ -309,6 +309,9 @@ object SparkEntry {
     * window explodes to a handful of bins. */
   val IntervalBinMicros: Long = 6L * 3600 * 1000000
 
+  /** Attribution horizon for each funnel stage: 24 h. */
+  val FunnelTolMicros: Long = 24L * 3600 * 1000000
+
   /** Deterministic per-language keep rates (permille) for the
     * stratified-sampling query: downsample the over-represented head
     * language hard, keep the tail. Shared with the oracle VALUES
@@ -1125,6 +1128,36 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("window_id"))
     }),
 
+    // Funnel analysis (view → click → purchase) as TWO chained as-of
+    // joins: each purchase attributes to the user's latest click within
+    // 24 h, and that click to the user's latest view within 24 h — the
+    // merge-sorted-streams plan twice, never a range join. Rollup =
+    // per-user stage-completion counts.
+    "events_funnel" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      def stage(t: String, idAs: String, tsAs: String, usAs: String) =
+        ev.where(col("event_type") === t)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as(idAs))
+          .select(col("user_id"), col("ts").as(tsAs),
+            col(idAs), unix_micros(col("ts")).as(usAs))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = stage("click", "click_id", "ts", "click_us")
+      val views = stage("view", "view_id", "click_ts", "view_us")
+      val s1 = Sessions.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          payload = Seq("click_id", "click_us"),
+          toleranceMicros = Some(FunnelTolMicros))
+        .withColumn("click_ts", timestamp_micros(col("click_us")))
+      val s2 = Sessions.asofJoin(s1, views, Seq("user_id"), "click_ts",
+        payload = Seq("view_id", "view_us"),
+        toleranceMicros = Some(FunnelTolMicros))
+      s2.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_id")).as("n_click_attrib"),
+        count(col("view_id")).as("n_full_funnel"))
+    }),
+
     "events_asof" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1749,6 +1782,36 @@ object SparkEntry {
          |  FROM s GROUP BY 1)
          |SELECT e.event_id, e.user_id, w2.window_id
          |FROM events e JOIN w2 ON e.ts >= w2.t_start AND e.ts <= w2.t_end""".stripMargin,
+
+    // two DuckDB native ASOF joins; tolerance = post-match voiding on
+    // the 24 h horizon, exactly the Spark operator's semantics.
+    "events_funnel" ->
+      s"""WITH p AS (
+         |  SELECT event_id AS purchase_id, user_id, ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |v AS (
+         |  SELECT user_id, ts, max(event_id) AS view_id FROM events
+         |  WHERE event_type = 'view' GROUP BY 1, 2),
+         |s1 AS (
+         |  SELECT p.purchase_id, p.user_id,
+         |         CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= $FunnelTolMicros
+         |              THEN c.click_id END AS click_id,
+         |         CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= $FunnelTolMicros
+         |              THEN c.ts END AS click_ts
+         |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+         |s2 AS (
+         |  SELECT s1.user_id, s1.click_id,
+         |         CASE WHEN epoch_us(s1.click_ts) - epoch_us(v.ts) <= $FunnelTolMicros
+         |              THEN v.view_id END AS view_id
+         |  FROM s1 ASOF LEFT JOIN v
+         |    ON s1.user_id = v.user_id AND s1.click_ts >= v.ts)
+         |SELECT user_id, count(*) AS n_purchases,
+         |       count(click_id) AS n_click_attrib,
+         |       count(view_id) AS n_full_funnel
+         |FROM s2 GROUP BY 1""".stripMargin,
 
     "events_asof" ->
       """WITH p AS (
