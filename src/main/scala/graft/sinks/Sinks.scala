@@ -48,15 +48,41 @@ final case class CsvSink(
 
 /** Parquet sink — the format the rebuilt engine actually favors at scale
   * (columnar, prunable, splittable; nothing like it exists in the
-  * reference). Optional partition columns for partition-pruned reads.
+  * reference). The three data-layout levers that matter at 100 TB:
+  *
+  *   - `partitionBy` → hive-style directories, so selective reads
+  *     prune whole partitions BEFORE listing files (the scan's
+  *     `PartitionFilters`, spec-asserted);
+  *   - `sortBy` → rows arrive at the writer clustered: one
+  *     `repartition` on the partition columns (one task = one
+  *     partition directory, no small-file explosion) + a
+  *     `sortWithinPartitions`, so every parquet row group carries
+  *     tight min/max stats on the sort key and point/range reads skip
+  *     row groups;
+  *   - `maxRecordsPerFile` → bounds file size so a hot partition
+  *     still splits across readers.
+  *
+  *   `dynamicPartitionOverwrite` rewrites ONLY the partitions present
+  *   in the incoming data (the daily-reload idiom) instead of
+  *   truncating the whole root.
   */
 final case class ParquetSink(
     outDir: String,
     partitionBy: Seq[String] = Nil,
-    mode: String = "overwrite")
+    mode: String = "overwrite",
+    sortBy: Seq[String] = Nil,
+    maxRecordsPerFile: Option[Long] = None,
+    dynamicPartitionOverwrite: Boolean = false)
     extends Sink {
   def write(df: DataFrame): Unit = {
-    val w = df.write.mode(mode)
+    val clustered =
+      if (sortBy.isEmpty) df
+      else if (partitionBy.isEmpty) df.sortWithinPartitions(sortBy.map(col): _*)
+      else df.repartition(partitionBy.map(col): _*)
+        .sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+    var w = clustered.write.mode(mode)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
+    if (dynamicPartitionOverwrite) w = w.option("partitionOverwriteMode", "dynamic")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(outDir)
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ParquetSink
+
+/** Layout-lever tests for the partitioned parquet sink: hive directory
+  * structure, partition-pruned scans, within-file sort order (the
+  * row-group min/max stats story), and dynamic partition overwrite.
+  */
+class SinkLayoutSpec extends SparkSpecBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  test("partitionBy + sortBy: hive dirs, pruned scan, sorted files") {
+    val out = Files.createTempDirectory("graft_layout").toString
+    ParquetSink(out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"))
+      .write(docs)
+
+    // hive-style directories, one per lang
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(dirs === langs.map(l => s"lang=$l"))
+
+    // round trip: nothing lost
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+
+    // selective read prunes PARTITIONS (not just rows): the scan node
+    // carries the lang predicate as a PartitionFilter
+    val plan = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
+      s"lang predicate did not become a partition filter:\n${plan.take(2000)}")
+    // and the pruned read equals reading the en directory directly
+    val viaFilter = back.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaDir = spark.read.parquet(s"$out/lang=en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaFilter.nonEmpty && viaFilter === viaDir)
+
+    // within every data file, rows are sorted by the sortBy key — the
+    // clustering that gives parquet row-group min/max stats their bite
+    for (f <- new java.io.File(s"$out/lang=${langs.head}").listFiles()
+        if f.getName.endsWith(".parquet")) {
+      val ids = spark.read.parquet(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"${f.getName} not sorted by doc_id")
+    }
+  }
+
+  test("one writer task per partition directory: no small-file explosion") {
+    val out = Files.createTempDirectory("graft_layout1").toString
+    ParquetSink(out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"))
+      .write(docs)
+    for (d <- new java.io.File(out).listFiles() if d.isDirectory) {
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"${d.getName} holds $files files, expected 1")
+    }
+  }
+
+  test("maxRecordsPerFile splits a hot partition") {
+    val out = Files.createTempDirectory("graft_layout2").toString
+    ParquetSink(out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"),
+      maxRecordsPerFile = Some(10L)).write(docs)
+    val biggest = docs.groupBy("lang").count()
+      .orderBy(col("count").desc).head
+    val files = new java.io.File(s"$out/lang=${biggest.getString(0)}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val expectedMin = (biggest.getLong(1) + 9) / 10
+    assert(files >= expectedMin,
+      s"expected >= $expectedMin files for ${biggest.getLong(1)} rows, got $files")
+  }
+
+  test("dynamic partition overwrite rewrites only the incoming partitions") {
+    val out = Files.createTempDirectory("graft_layout3").toString
+    val sink = ParquetSink(out, partitionBy = Seq("lang"))
+    sink.write(docs)
+    val before = spark.read.parquet(out)
+    val nOther = before.filter(col("lang") =!= "en").count()
+    val nEn = before.filter(col("lang") === "en").count()
+    assert(nEn > 0 && nOther > 0)
+
+    // daily-reload: re-deliver ONLY the en partition with shifted ids
+    val enFixed = docs.filter(col("lang") === "en")
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    ParquetSink(out, partitionBy = Seq("lang"), dynamicPartitionOverwrite = true)
+      .write(enFixed)
+
+    val after = spark.read.parquet(out)
+    assert(after.filter(col("lang") =!= "en").count() === nOther) // untouched
+    assert(after.filter(col("lang") === "en").count() === nEn)
+    assert(after.filter(col("lang") === "en" && col("doc_id") < 1000000L).count() === 0)
+  }
+}
