@@ -1051,6 +1051,18 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Curation.repetitionStats(T(s, dir, "documents"))),
 
+    // Curriculum binning: per-language quality QUARTILES by rank
+    // (balanced buckets whatever the score distribution; value cutoffs
+    // would collapse under the fixture's discrete score mass).
+    "text_quality_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("score_milli"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Curation.rankBuckets(scored, "score_milli", "lang")
+        .select(col("doc_id"), col("lang"), col("score_milli"), col("bucket"))
+    }),
+
     // Deterministic multiplicative-hash stratified sampling — the
     // reproducible (cross-run AND cross-engine) form of sampleBy.
     "docs_sample_stratified" -> ((s, dir) =>
@@ -1698,6 +1710,19 @@ object SparkEntry {
          |       (((n_tokens - n_distinct_tokens) * 1000) // n_tokens >= 700 OR
          |        (top_bigram_count * 1000) // n_bigrams >= 180) AS flagged
          |FROM top""".stripMargin,
+
+    "text_quality_buckets" ->
+      s"""WITH q AS ($qualitySql),
+         |j AS (SELECT d.doc_id, d.lang, q.score_milli
+         |      FROM documents d JOIN q USING (doc_id)),
+         |r AS (SELECT doc_id, lang, score_milli,
+         |             row_number() OVER (PARTITION BY lang
+         |                                ORDER BY score_milli, doc_id) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS n
+         |      FROM j)
+         |SELECT doc_id, lang, score_milli,
+         |       CAST(((rn - 1) * 4) // n AS BIGINT) AS bucket
+         |FROM r""".stripMargin,
 
     "docs_sample_stratified" ->
       s"""WITH rates(lang, permille) AS (VALUES $sampleRatesValues)

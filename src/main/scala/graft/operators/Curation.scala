@@ -241,6 +241,37 @@ object Curation {
       .drop("__permille")
   }
 
+  /** Rank-based bucket assignment per stratum — the curriculum/binning
+    * step: each row's bucket is `⌊(rank − 1) · buckets / n⌋` within its
+    * stratum (ranks by `(valueCol, idCol)` — deterministic under value
+    * ties), so buckets are BALANCED by construction regardless of the
+    * value distribution, unlike fixed value cutoffs. One shuffle on the
+    * stratum, one per-partition sort, both window functions on one
+    * spec.
+    *
+    * Scale note: like any exact-rank operator this sorts each stratum
+    * in one window partition. With few giant strata the 100 TB form
+    * keeps the same contract but derives approximate cutoffs first
+    * (`percentile_approx`, or a RangePartitioner-style sample) and
+    * assigns by comparison — rank-exactness traded for boundedness,
+    * the same trade `lengthStats` documents.
+    */
+  def rankBuckets(
+      df: DataFrame,
+      valueCol: String,
+      strataCol: String,
+      idCol: String = "doc_id",
+      buckets: Int = 4): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val w = Window.partitionBy(col(strataCol))
+    df
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col(valueCol), col(idCol))).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("bucket", expr(s"((__rn - 1) * $buckets) div __cnt"))
+      .drop("__rn", "__cnt")
+  }
+
   /** Token-budget mixture selection — the data-mixing step that turns a
     * curated pool into a training mix: per stratum (source/domain),
     * keep the prefix of the [[hashOrder]]-shuffled doc stream whose

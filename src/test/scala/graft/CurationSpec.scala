@@ -185,6 +185,19 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Set(3L))
   }
 
+  // ----------------------------------------------------- rank buckets
+
+  test("rankBuckets assigns balanced rank quartiles with deterministic ties") {
+    // stratum x: 8 rows, six tied at 100 — value cutoffs would collapse;
+    // rank + id tie-break gives exactly 2 per quartile
+    val rows = (1L to 8L).map(i => (i, "x", if (i <= 6) 100L else 200L)) :+ ((9L, "y", 5L))
+    val got = Curation.rankBuckets(rows.toDF("doc_id", "lang", "v"), "v", "lang")
+      .select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 0L))
+  }
+
   // ----------------------------------------------------- sessionization
 
   private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
