@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Bpe, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Bpe, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -745,6 +745,15 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(1000)),
+    // Morton interleave of two join keys — the Z-order clustering
+    // scalar (pure int64 shift/and/or, whole-stage codegen'd); the
+    // layout effect it exists for is proven in SinkLayoutSpec.
+    "rel_zorder" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        Layout.zValue(Seq(
+          pmod(col("l_orderkey"), lit(65536L)),
+          pmod(col("l_partkey"), lit(65536L)))).as("z"))),
 
     // -------- analytics: TPC-H-shaped aggregation (bench headliners)
     "q1_pricing" -> ((s, dir) =>
@@ -1311,6 +1320,11 @@ object SparkEntry {
     "rel_limit" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "rel_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey,
+         |       ${Layout.zValueSql(Seq("(l_orderkey % 65536)", "(l_partkey % 65536)"))} AS z
+         |FROM lineitem""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering — Z-order (Morton)
+  * interleaving, the technique behind "OPTIMIZE ZORDER BY" in lakehouse
+  * engines: sort by the bit-interleave of several keys and every file's
+  * bounding box is tight in ALL of them at once, so min/max row-group
+  * stats prune selective reads on ANY of the dimensions, not just a
+  * single sort key. A 1-D sort gives perfect pruning on one column and
+  * none on the others; Z-order trades a constant factor on each for
+  * usable pruning on all (per-file range ≈ global / fileCount^(1/D)).
+  *
+  * [[zValue]] is exact int64 bit arithmetic (shift/and/or only), so it
+  * stays inside whole-stage codegen and any engine reproduces it — the
+  * rel_zorder oracle interpolates the identical formula.
+  */
+object Layout {
+
+  /** Morton interleave of `dims` values: bit j of dimension i lands at
+    * position `j * dims.size + i`. Every input must already lie in
+    * `[0, 2^bits)` — reduce keys first (e.g. `pmod(k, 1 << bits)` or a
+    * range-normalize); out-of-range bits are silently dropped by the
+    * mask, which would break locality, not correctness. `bits *
+    * dims.size` must fit a positive int64 (≤ 62). */
+  def zValue(dims: Seq[Column], bits: Int = 16): Column = {
+    val d = dims.size
+    require(d >= 1, "zValue needs at least one dimension")
+    require(bits >= 1 && bits * d <= 62, s"bits * dims = ${bits * d} exceeds int64")
+    val terms = for {
+      j <- 0 until bits
+      (c, i) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * d + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Monotone normalization of a non-negative key in `[0,
+    * maxExclusive)` onto the full `[0, 2^bits)` grid: `⌊k · 2^bits /
+    * maxExclusive⌋`. Z-order NEEDS dimensions on comparable scales —
+    * interleaving a 13-bit key with an 8-bit key lets the wide one
+    * dominate every high bit and the layout degenerates to a 1-D sort
+    * (spec-demonstrated). Exact for `maxExclusive · 2^bits < 2^53`; at
+    * a larger domain normalize by shifting instead. */
+  def normalize(c: Column, maxExclusive: Long, bits: Int = 16): Column = {
+    require(maxExclusive >= 1, s"maxExclusive must be >= 1, got $maxExclusive")
+    val a = c * lit(1L << bits)
+    ((a - pmod(a, lit(maxExclusive))) / lit(maxExclusive)).cast("long")
+  }
+
+  /** The same formula as engine-neutral SQL text, for differential
+    * oracles: `dims` are SQL expressions already reduced to
+    * `[0, 2^bits)`. */
+  def zValueSql(dims: Seq[String], bits: Int = 16): String = {
+    val d = dims.size
+    val terms = for {
+      j <- 0 until bits
+      (e, i) <- dims.zipWithIndex
+    } yield s"((($e >> $j) & 1) << ${j * d + i})"
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Cluster `df` for multi-dimensional pruning: range-partition on the
+    * Z-value (contiguous z-ranges per output file ⇒ tight per-file
+    * bounding boxes) and sort within each partition so row groups
+    * inherit the same locality. `numFiles` sizes the output; at scale
+    * pick `bytes / targetFileSize`. */
+  def zOrderBy(
+      df: DataFrame,
+      dims: Seq[Column],
+      numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val z = graft.core.Cols.fresh("__z", df.columns.toSeq)
+    df.withColumn(z, zValue(dims, bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+  }
+}

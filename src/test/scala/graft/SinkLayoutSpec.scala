@@ -77,6 +77,50 @@ class SinkLayoutSpec extends SparkSpecBase {
       s"expected >= $expectedMin files for ${biggest.getLong(1)} rows, got $files")
   }
 
+  test("zValue interleaves bits dimension-major") {
+    import spark.implicits._
+    // x = 0b101, y = 0b011 → z bits: x0@0, y0@1, x1@2, y1@3, x2@4, y2@5
+    //                      = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 3))
+      .head.getLong(0)
+    assert(z === 27L)
+  }
+
+  test("zOrderBy tightens per-file bounding boxes on BOTH dimensions") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val out = Files.createTempDirectory("graft_zorder").toString
+    // normalize both keys onto the full grid — the keys span ~2^13 and
+    // ~2^8, and an unnormalized interleave would let l_orderkey own
+    // every high bit (a de-facto 1-D sort)
+    val maxes = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head
+    graft.operators.Layout.zOrderBy(li,
+      Seq(
+        graft.operators.Layout.normalize(col("l_orderkey"), maxes.getLong(0) + 1),
+        graft.operators.Layout.normalize(col("l_partkey"), maxes.getLong(1) + 1)),
+      numFiles = 9).write.mode("overwrite").parquet(out)
+
+    def globalRange(c: String): Double = {
+      val r = li.agg(min(col(c)), max(col(c))).head
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 8)
+    def meanFileRange(c: String): Double = {
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    // a 1-D sort would leave the OTHER key's per-file range ≈ global;
+    // z-order shrinks BOTH (ideal for 9 files: ~global / 3)
+    assert(meanFileRange("l_orderkey") < 0.6 * globalRange("l_orderkey"))
+    assert(meanFileRange("l_partkey") < 0.6 * globalRange("l_partkey"))
+  }
+
   test("dynamic partition overwrite rewrites only the incoming partitions") {
     val out = Files.createTempDirectory("graft_layout3").toString
     val sink = ParquetSink(out, partitionBy = Seq("lang"))
