@@ -745,6 +745,20 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(1000)),
+    // Hierarchical super-aggregates in ONE pass — ROLLUP plans as a
+    // single scan + Expand (one row per grouping set per input row) +
+    // one hash-agg, not one job per level; grouping_id disambiguates
+    // the NULL-keyed super-rows.
+    "rel_rollup" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          money(sum(decP(col("c_acctbal")))).as("sum_acctbal"),
+          grouping_id().as("gid"))),
+
     // Morton interleave of two join keys — the Z-order clustering
     // scalar (pure int64 shift/and/or, whole-stage codegen'd); the
     // layout effect it exists for is proven in SinkLayoutSpec.
@@ -1320,6 +1334,15 @@ object SparkEntry {
     "rel_limit" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal,
+        |       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
 
     "rel_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey,
