@@ -89,6 +89,36 @@ object Streams {
         .map(c => r(if (c == tsCol) rightTsCol else c)): _*)
   }
 
+  /** Event-time SESSION windows — gap sessionization as a streaming
+    * aggregation: `session_window` grows a per-key window while events
+    * keep arriving within `gap` of its end, and the session's single
+    * result row emits (append mode) once the watermark passes the
+    * window end — so state is bounded by OPEN sessions per key, not by
+    * stream length. The streaming twin of
+    * [[graft.operators.Sessions.sessionStats]], and the same code runs
+    * on a batch frame (spec asserts per-session equality with the
+    * batch sessionizer on the events fixture).
+    *
+    * Boundary nuance: windows are half-open, so an event at EXACTLY
+    * `prev.ts + gap` starts a NEW session here, while the batch
+    * sessionizer's `gap-strictly-greater` rule keeps it — an exact-tie
+    * set of measure zero on real timestamps, but a contract difference
+    * worth knowing.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "12 hours",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("t_last"))
+      .select(
+        col("session_window.start").as("t_first"),
+        col("t_last"), col(keyCol), col("n_events"))
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

@@ -105,6 +105,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session windows equal the batch gap sessionizer on the events fixture") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def toTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    // batch ground truth from the window-function sessionizer
+    val expected = graft.operators.Sessions.sessionStats(toTs(raw))
+      .select("user_id", "t_start", "t_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+
+    // same operator, batch frame: session_window must reproduce it
+    val viaSessionWindow = Streams.sessionCounts(toTs(raw))
+      .collect().map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+      .toSet
+    assert(viaSessionWindow === expected && expected.nonEmpty)
+
+    // and streamed: every session fully behind the watermark emits once
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+    val q = Streams.sessionCounts(toTs(stream))
+      .writeStream.format("memory").queryName("evsess").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evsess")
+        .collect().map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+        .toSet
+      // append emits only watermark-closed sessions: a SUBSET that must
+      // agree row-for-row with the batch result
+      assert(got.subsetOf(expected))
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch operators compose into streams: fingerprint + watermark dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
