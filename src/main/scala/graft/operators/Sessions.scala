@@ -159,7 +159,12 @@ object Sessions {
       .partitionBy(keys.map(col): _*)
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-horizonMicros, 0)
-    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+    // one select, not a withColumn fold: chained withColumns hide the
+    // shared spec behind per-step projections and Catalyst plans one
+    // WindowExec (and one sort) PER aggregate; a single projection
+    // collapses them into one (PlanShapeSpec-asserted)
+    df.select(df.columns.map(col) ++
+      aggs.map { case (name, a) => a.over(w).as(name) }: _*)
   }
 
   /** As-of join: for every left row, the LATEST right row with

@@ -72,6 +72,30 @@ class PlanShapeSpec extends SparkSpecBase {
       s"emb_ann_ivf recomputes its assignment:\n${p.take(3000)}")
   }
 
+  test("events_rolling is one shuffle + ONE WindowExec for all rolling aggs") {
+    val p = plan("events_rolling")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"rolling aggs should shuffle once on the key:\n${p.take(3000)}")
+    assert("Window ".r.findAllIn(p).size === 1,
+      s"both rolling aggregates must share one WindowExec:\n${p.take(3000)}")
+  }
+
+  test("rel_zorder is a pure narrow projection — zero exchanges") {
+    val p = plan("rel_zorder")
+    assert(!p.contains("Exchange"),
+      s"the Morton interleave must not shuffle:\n${p.take(2000)}")
+    assert(p.contains("*(1) Project"), // the WholeStageCodegen star marker
+      s"bit arithmetic fell out of codegen:\n${p.take(2000)}")
+  }
+
+  test("rel_rollup computes every hierarchy level in one Expand + agg pass") {
+    val p = plan("rel_rollup")
+    assert(p.contains("Expand"), s"rollup did not plan an Expand:\n${p.take(2000)}")
+    // one shuffle for the grouped agg (partial → final), none per level
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"rollup shuffles more than the single grouped agg:\n${p.take(3000)}")
+  }
+
   test("no CartesianProduct in any query; BNLJ only where designed") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
