@@ -338,6 +338,9 @@ object SparkEntry {
   /** BPE merge rounds for the vocab-induction query. */
   val BpeMergeRounds: Int = 8
 
+  /** Bag-of-terms query for the retrieval query (fixture-vocab words). */
+  val SearchTerms: Seq[String] = Seq("spark", "hash", "window")
+
   /** Fully unrolled DuckDB replica of [[Bpe.train]]: k CTE rounds of
     * pair-count → argmax → space-joined `replace` merge — the same
     * greedy left-to-right scan, same (count DESC, lhs, rhs) tie-break,
@@ -980,6 +983,11 @@ object SparkEntry {
     // the oracle matches bit-for-bit; rank filter → WindowGroupLimit.
     "text_bm25" -> ((s, dir) =>
       Relevance.bm25TopTerms(docTokens(s, dir))),
+    // … and the read side: BM25 retrieval of the top-10 docs for a
+    // bag-of-terms query (term-postings candidates, one doc agg,
+    // TakeOrderedAndProject top-k).
+    "text_search" -> ((s, dir) =>
+      Relevance.search(docTokens(s, dir), SearchTerms)),
     // Inverted-index build: word → (df, sorted posting string); the
     // maxDf giant-row dial stays off here so the oracle sees every word.
     "text_inverted_index" -> ((s, dir) =>
@@ -1599,6 +1607,25 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, word, tf, df, bm25_x1000, tfidf_x1000, rnk
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "text_search" ->
+      s"""$toksCte,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |hits AS (
+         |  SELECT t.doc_id, t.tf, f.df, d.dl FROM tf t
+         |  JOIN dfreq f USING (word) JOIN dl d USING (doc_id)
+         |  WHERE t.word IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_hit_terms,
+         |         CAST(sum((((22000 * tf * s.sdl * 1000) //
+         |                    (10000 * tf * s.sdl + 3000 * s.sdl + 9000 * dl * s.n))
+         |                   * s.n) // df) AS BIGINT) AS score_x1000
+         |  FROM hits, stats s GROUP BY 1)
+         |SELECT doc_id, n_hit_terms, score_x1000 FROM scored
+         |ORDER BY score_x1000 DESC, doc_id LIMIT 10""".stripMargin,
 
     // The pipeline oracle composes the per-operator oracles verbatim
     // (nested-WITH CTEs), so a drift in any stage breaks BOTH its own

@@ -87,6 +87,45 @@ object Relevance {
         col("bm25_x1000"), col("tfidf_x1000"), col("rnk"))
   }
 
+  /** BM25 retrieval: top-`k` documents for a bag-of-terms query, the
+    * read side of the relevance stack. Per-term score = the saturated-
+    * tf BM25 kernel × linear idf (`N div df` — transcendental-free
+    * like everything here, same ranking family as [[bm25TopTerms]]'
+    * `tfidf_x1000`), summed over the query's terms found in the doc.
+    *
+    * Scale shape: the query-term filter hits the (doc, word) tf table
+    * FIRST — candidates = the query terms' postings, never the corpus
+    * — then per-doc length and the two corpus scalars join in
+    * (broadcast), one doc-granularity hash-agg sums the term scores,
+    * and top-k is TakeOrderedAndProject (partial top-k per partition,
+    * no global sort). Ties break by doc_id.
+    */
+  def search(
+      toks: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      idCol: String = "doc_id",
+      wordCol: String = "word"): DataFrame = {
+    require(queryTerms.nonEmpty, "search needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = termFrequencies(toks, idCol, wordCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl"))
+    val dfreq = tf.groupBy(col(wordCol)).agg(count(lit(1)).as("df"))
+    tf.where(col(wordCol).isin(queryTerms: _*))
+      .join(dfreq, wordCol)
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__term_score", expr(
+        """(((22000L * tf * __sdl * 1000L) div
+          |   (10000L * tf * __sdl + 3000L * __sdl + 9000L * __dl * __n))
+          |  * __n) div df""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("score_x1000"))
+      .orderBy(col("score_x1000").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Corpus collocations: the `k` strongest adjacent-bigram
     * associations by LIFT — `P(xy) / (P(x)·P(y))` with unigram
     * probabilities over the token stream and bigram probability over
