@@ -99,7 +99,10 @@ class SinkLayoutSpec extends SparkSpecBase {
       Seq(
         graft.operators.Layout.normalize(col("l_orderkey"), maxes.getLong(0) + 1),
         graft.operators.Layout.normalize(col("l_partkey"), maxes.getLong(1) + 1)),
-      numFiles = 9).write.mode("overwrite").parquet(out)
+      // a power of 4 so files are whole z-quadrants (range-partition
+      // boundaries come from sampling — quadrant alignment keeps the
+      // per-file boxes tight regardless of the sampled split points)
+      numFiles = 16).write.mode("overwrite").parquet(out)
 
     def globalRange(c: String): Double = {
       val r = li.agg(min(col(c)), max(col(c))).head
@@ -107,7 +110,7 @@ class SinkLayoutSpec extends SparkSpecBase {
     }
     val files = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath)
-    assert(files.length >= 8)
+    assert(files.length >= 12)
     def meanFileRange(c: String): Double = {
       val spans = files.map { f =>
         val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head
@@ -116,7 +119,7 @@ class SinkLayoutSpec extends SparkSpecBase {
       spans.sum / spans.length
     }
     // a 1-D sort would leave the OTHER key's per-file range ≈ global;
-    // z-order shrinks BOTH (ideal for 9 files: ~global / 3)
+    // z-order shrinks BOTH (ideal for 16 quadrant files: ~global / 4)
     assert(meanFileRange("l_orderkey") < 0.6 * globalRange("l_orderkey"))
     assert(meanFileRange("l_partkey") < 0.6 * globalRange("l_partkey"))
   }
