@@ -341,6 +341,9 @@ object SparkEntry {
   /** Bag-of-terms query for the retrieval query (fixture-vocab words). */
   val SearchTerms: Seq[String] = Seq("spark", "hash", "window")
 
+  /** Fixed-count sample size per source stratum. */
+  val FixedSamplePerSource: Int = 5
+
   /** Fully unrolled DuckDB replica of [[Bpe.train]]: k CTE rounds of
     * pair-count → argmax → space-joined `replace` merge — the same
     * greedy left-to-right scan, same (count DESC, lhs, rhs) tie-break,
@@ -748,6 +751,25 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(1000)),
+    // Referential-integrity audit — the data-quality sibling of
+    // dedup_audit: orphan counts per FK edge via left-anti joins
+    // (0 rows orphaned in a consistent fixture, and the query proves
+    // it on both engines).
+    "rel_fk_audit" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String) =
+        child.select(col(key))
+          .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_orphans"))
+      edge("lineitem->orders", T(s, dir, "lineitem"), "l_orderkey",
+          T(s, dir, "orders"), "o_orderkey")
+        .unionByName(edge("lineitem->part", T(s, dir, "lineitem"), "l_partkey",
+          T(s, dir, "part"), "p_partkey"))
+        .unionByName(edge("orders->customer", T(s, dir, "orders"), "o_custkey",
+          T(s, dir, "customer"), "c_custkey"))
+    }),
+
     // Hierarchical super-aggregates in ONE pass — ROLLUP plans as a
     // single scan + Expand (one row per grouping set per input row) +
     // one hash-agg, not one job per level; grouping_id disambiguates
@@ -1101,6 +1123,17 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("lang")), SampleRates)
         .select(col("doc_id"), col("lang"))),
 
+    // … and the fixed-COUNT form: exactly k docs per stratum, chosen
+    // by hash order (a uniform deterministic sample) — rank filter →
+    // WindowGroupLimit partial top-k, same machinery as topKPerKey.
+    "docs_sample_fixed" -> ((s, dir) =>
+      Sessions.topKPerKey(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        k = FixedSamplePerSource,
+        partitionCols = Seq("source"),
+        orderCols = Seq(Curation.hashOrder(col("doc_id")), col("doc_id")))
+        .select(col("doc_id"), col("source"), col("rk"))),
+
     // Token-budget mixture selection — per-source hash-ordered prefix
     // under a token budget, computed as a distributed prefix scan
     // (per-bucket totals → broadcast offsets → per-bucket running sum),
@@ -1342,6 +1375,24 @@ object SparkEntry {
     "rel_limit" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "docs_sample_fixed" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY ((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296,
+         |                    doc_id) AS BIGINT) AS rk
+         |  FROM documents) WHERE rk <= $FixedSamplePerSource""".stripMargin,
+
+    "rel_fk_audit" ->
+      """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'orders->customer', count(*) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
     "rel_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
