@@ -1832,7 +1832,7 @@ object SparkEntry {
          |      FROM documents d JOIN q USING (doc_id)),
          |r AS (SELECT doc_id, lang, score_milli,
          |             row_number() OVER (PARTITION BY lang
-         |                                ORDER BY score_milli, doc_id) AS rn,
+         |                                ORDER BY score_milli NULLS FIRST, doc_id) AS rn,
          |             count(*) OVER (PARTITION BY lang) AS n
          |      FROM j)
          |SELECT doc_id, lang, score_milli,

@@ -264,9 +264,13 @@ object Curation {
       buckets: Int = 4): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val w = Window.partitionBy(col(strataCol))
+    // nulls-first EXPLICITLY: Spark's ASC default is nulls-first but
+    // DuckDB's is nulls-LAST — silent cross-engine divergence on the
+    // first null value otherwise
     df
       .withColumn("__rn",
-        row_number().over(w.orderBy(col(valueCol), col(idCol))).cast("long"))
+        row_number().over(w.orderBy(
+          col(valueCol).asc_nulls_first, col(idCol))).cast("long"))
       .withColumn("__cnt", count(lit(1)).over(w))
       .withColumn("bucket", expr(s"((__rn - 1) * $buckets) div __cnt"))
       .drop("__rn", "__cnt")

@@ -198,6 +198,33 @@ class CurationSpec extends SparkSpecBase {
       5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 0L))
   }
 
+  test("rankBuckets ranks null values first, deterministically") {
+    val rows = Seq((1L, "x", Some(10L)), (2L, "x", None), (3L, "x", Some(5L)),
+      (4L, "x", None))
+    val got = Curation.rankBuckets(rows.toDF("doc_id", "lang", "v"), "v", "lang",
+        buckets = 4)
+      .select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null-first rank order: 2, 4, 3, 5 → buckets 0..3
+    assert(got === Map(2L -> 0L, 4L -> 1L, 3L -> 2L, 1L -> 3L))
+  }
+
+  test("null-edge behavior: interval join drops null-ts points; rolling sums skip null values") {
+    val pts = Seq((1L, Some(ts(5))), (2L, None)).toDF("pid", "ts")
+    val ivs = Seq((10L, ts(0), ts(10))).toDF("iid", "t_start", "t_end")
+    val joined = Sessions.intervalJoin(pts, ivs, "ts", "t_start", "t_end", 60000000L)
+      .select("pid").as[Long].collect().toSeq
+    assert(joined === Seq(1L)) // the null-ts point matches nothing
+
+    val ev = Seq((1L, ts(0), 1L, Some(5L)), (1L, ts(1), 2L, None))
+      .toDF("user_id", "ts", "event_id", "v")
+    val out = Sessions.rollingAggs(ev, Seq("user_id"), "ts", 10L * 60 * 1000000,
+        Seq("n" -> count(lit(1)), "s" -> sum(col("v"))))
+      .select("event_id", "n", "s")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(2L) === ((2L, 5L))) // row counted, null value skipped by sum
+  }
+
   // ----------------------------------------------------- sessionization
 
   private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
