@@ -344,6 +344,9 @@ object SparkEntry {
   /** Fixed-count sample size per source stratum. */
   val FixedSamplePerSource: Int = 5
 
+  /** Neighbors per vector in the k-NN graph query. */
+  val KnnGraphK: Int = 3
+
   /** Fully unrolled DuckDB replica of [[Bpe.train]]: k CTE rounds of
     * pair-count → argmax → space-joined `replace` merge — the same
     * greedy left-to-right scan, same (count DESC, lhs, rhs) tie-break,
@@ -922,6 +925,11 @@ object SparkEntry {
     "emb_ann_lsh_scaled" -> ((s, dir) =>
       Embeddings.annLsh(T(s, dir, "embeddings"),
         planes = ScaledLshPlanes, tables = ScaledLshTables)),
+    // Approximate k-NN graph: top-3 bucket-mate neighbors per vector
+    // (the semantic-dedup / clustering input) — multi-table duplicate
+    // pairs re-agged before a WindowGroupLimit rank.
+    "emb_knn_graph" -> ((s, dir) =>
+      Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)),
     // IVF-style ANN: deterministic coarse quantizer (seed-by-id
     // centroids, broadcast n·K assignment) + cell equijoin.
     "emb_ann_ivf" -> ((s, dir) =>
@@ -1538,6 +1546,30 @@ object SparkEntry {
          |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
+
+    // the same scored bucket-mate pairs as emb_neardup's prelude,
+    // ranked per vector on the raw double cosine (ties by neighbor).
+    "emb_knn_graph" ->
+      s"""$lshBucketsCte,
+         |p AS (
+         |  SELECT a.vec_id, c.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(range(len(a.qv)),
+         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+         |         a.nsq AS an, c.nsq AS cn
+         |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT vec_id, neighbor_id,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosd
+         |  FROM p),
+         |ranked AS (
+         |  SELECT vec_id, neighbor_id,
+         |         CAST(round(cosd * 1000000.0) AS BIGINT) AS cos_x1e6,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cosd DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT vec_id, neighbor_id, cos_x1e6, rnk FROM ranked
+         |WHERE rnk <= $KnnGraphK""".stripMargin,
 
     // vector-space dedup clusters: same recursive-CTE closure as
     // dedup_clusters, over the cosine near-dup pairs.

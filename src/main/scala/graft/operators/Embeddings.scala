@@ -164,20 +164,19 @@ object Embeddings {
     * family buckets the pair together, miss rate ≈ (1−(1−θ/π)^planes)^k
     * at angle θ). Defaults keep the fixture-sized single-family form.
     */
-  def annLsh(
+  /** Shared LSH candidate machinery: (base with its table-0 `__bucket`,
+    * scored bucket-mate pairs). One bucket per table; candidates =
+    * bucket-mates in ANY table, so a pair sharing a bucket in several
+    * tables appears once PER table — callers absorb the duplicates
+    * (max_by for top-1, a (id, nid) re-agg for top-k). */
+  private def lshScoredCandidates(
       emb: DataFrame,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      planes: Int = Planes,
-      tables: Int = 1): DataFrame = {
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      tables: Int): (DataFrame, DataFrame) = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    // One bucket per table; the reported `bucket` column is table 0's
-    // (identical to the single-family form). Candidates = bucket-mates
-    // in ANY table — the (table, bucket) equijoin unions the k
-    // independent bucketings; a pair sharing a bucket in several
-    // tables is scored more than once, which the top-1 max_by absorbs
-    // (max over duplicates is the max).
     val base = prepped(emb, idCol, vecCol)
       .withColumn("__tb",
         array((0 until tables).map(t => bucketOf(col("__qv"), planes, t)): _*))
@@ -195,7 +194,18 @@ object Embeddings {
     val scored = a
       .join(b, col("__ti") === col("__nti") && col("__b") === col("__nb") &&
         col(idCol) =!= col("__nid"))
-      .withColumn("__cos", cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
+      .withColumn("__cos",
+        cosine(dotQ(col("__qv"), col("__nqv")), col("__nsq"), col("__nnsq")))
+    (base, scored)
+  }
+
+  def annLsh(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = Planes,
+      tables: Int = 1): DataFrame = {
+    val (base, scored) = lshScoredCandidates(emb, idCol, vecCol, planes, tables)
     // top-1 as a max_by hash aggregation (cos desc, neighbor id asc on
     // ties) — no per-partition sort, partial agg map-side, unlike the
     // window row_number formulation.
@@ -214,6 +224,38 @@ object Embeddings {
         col("__bucket").as("bucket"),
         coalesce(col("__nid"), lit(-1L)).as("neighbor_id"),
         coalesce(round(col("__cos") * 1e6).cast("long"), lit(0L)).as("cos_x1e6"))
+  }
+
+  /** Approximate k-NN GRAPH: top-`k` bucket-mate neighbors per vector —
+    * the all-docs generalization of [[annLsh]]'s top-1 and the input
+    * every semantic-dedup / graph-clustering stage consumes. Multi-
+    * table candidate duplicates are re-agged to one row per (id,
+    * neighbor) BEFORE ranking (a row_number over duplicated pairs
+    * would let one neighbor occupy several of the k slots); the rank
+    * filter compiles to WindowGroupLimit, so map tasks forward ≤ k
+    * candidates per vector. Vectors alone in their buckets emit no
+    * edges (a graph, not a sentinel table). Ordering: cosine
+    * descending on the exact-int-derived double, neighbor id
+    * ascending on ties — deterministic cross-engine.
+    */
+  def knnGraph(
+      emb: DataFrame,
+      k: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = Planes,
+      tables: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (_, scored) = lshScoredCandidates(emb, idCol, vecCol, planes, tables)
+    scored
+      .groupBy(col(idCol), col("__nid"))
+      .agg(max(col("__cos")).as("__cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__cos").desc, col("__nid"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("__nid").as("neighbor_id"),
+        round(col("__cos") * 1e6).cast("long").as("cos_x1e6"), col("rnk"))
   }
 
   /** Embedding-cosine near-duplicate detection — the vector-space member

@@ -196,6 +196,21 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(probed(2L)._2 === 1L)
   }
 
+  test("knnGraph: one slot per neighbor even when several tables duplicate the pair") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4f)),      // identical to 0 → same bucket in EVERY table
+      (2L, Array(-1f, -2f, -3f, -4f)))  // opposite → never a bucket-mate
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.knnGraph(emb, k = 2, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // k = 2 with 3 tables: a leaked duplicate would give (0, 1) rank 2
+    // as well; the re-agg must leave exactly one edge each way, and the
+    // lonely opposite vector emits nothing
+    assert(got === Set((0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
   test("LSH ANN pairs only bucket-mates; identical vectors are mutual top-1") {
     import spark.implicits._
     val emb = Seq(
