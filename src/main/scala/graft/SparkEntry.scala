@@ -1179,6 +1179,16 @@ object SparkEntry {
     // join); clicks pre-aggregated per (user, ts) to discharge the
     // uniqueness precondition; -1 sentinels keep the unmatched rows
     // int64 on both engines. Oracle = DuckDB's native ASOF LEFT JOIN.
+    // Sliding (overlapping) event-time windows — each event lands in
+    // len/slide windows via one Expand, one hash-agg; the same
+    // aggregation runs under readStream with a watermark.
+    "events_window_sliding" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), money(sum(decP(col("value")))).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))),
+
     // Trailing 7-day rolling activity per user — the RANGE-frame
     // window member: both engines aggregate over exact-microsecond
     // inclusive bounds, so ts ties are frame peers (deterministic
@@ -1922,6 +1932,16 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY value DESC, event_id) AS rk
         |  FROM events) WHERE rk <= 3""".stripMargin,
+
+    // a 2h/1h sliding window membership is exactly {trunc_hour(t),
+    // trunc_hour(t) − 1h} — the unnest replicates Spark's Expand.
+    "events_window_sliding" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) - to_hours(o) AS ws, event_type, value
+        |  FROM events, unnest([0, 1]) AS u(o))
+        |SELECT ws, event_type, count(*) AS n,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // integer-microsecond RANGE frame on both engines; the decimal sum
     // goes round(2)→double only at emit, like every money aggregate.
