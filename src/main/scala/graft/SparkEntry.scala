@@ -1108,6 +1108,21 @@ object SparkEntry {
           col("n_emails"), col("n_ips"), col("n_phones"))
     }),
 
+    // Markup cleaning. Like text_pii_scrub, the markup is planted from
+    // the doc's own columns so BOTH engines synthesize byte-identical
+    // dirty text and the strip + entity unescape + collapse is
+    // genuinely exercised.
+    "text_clean" -> ((s, dir) => {
+      val seeded = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("<div class=\""), col("lang"), lit("\" id='d"), col("doc_id"),
+          lit("'>\n <p>"), col("text"),
+          lit("</p>\n<br/>&quot;cite&quot; &amp;lt; x&gt;</div>")).as("text"))
+      Curation.cleanMarkup(seeded)
+        .select(col("doc_id"), col("n_tags"), col("clean_text"))
+    }),
+
     // Gopher-style repetition quality signals (integer fixed-point).
     "text_repetition" -> ((s, dir) =>
       Curation.repetitionStats(T(s, dir, "documents"))),
@@ -1867,6 +1882,22 @@ object SparkEntry {
          |       (((n_tokens - n_distinct_tokens) * 1000) // n_tokens >= 700 OR
          |        (top_bigram_count * 1000) // n_bigrams >= 180) AS flagged
          |FROM top""".stripMargin,
+
+    "text_clean" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |         '<div class="' || lang || '" id=''d' || doc_id || '''>' || chr(10) ||
+        |         ' <p>' || text || '</p>' || chr(10) ||
+        |         '<br/>&quot;cite&quot; &amp;lt; x&gt;</div>' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |       trim(regexp_replace(
+        |         replace(replace(replace(replace(
+        |           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |         '\s+', ' ', 'g')) AS clean_text
+        |FROM seeded""".stripMargin,
 
     "text_quality_buckets" ->
       s"""WITH q AS ($qualitySql),

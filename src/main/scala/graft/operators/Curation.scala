@@ -241,6 +241,28 @@ object Curation {
       .drop("__permille")
   }
 
+  /** Markup stripping + whitespace normalization — the first transform
+    * a web crawl sees: drop tags (`<[^>]*>` → space, so adjacent words
+    * never fuse), unescape the four core HTML entities (`&amp;` LAST —
+    * unescaping it first would double-decode `&amp;lt;`), collapse
+    * whitespace runs, trim. Pure narrow projection, zero shuffles; all
+    * regexes are plain character classes with identical semantics in
+    * Java and RE2, so the oracle matches byte-for-byte. `n_tags`
+    * audits how much markup was removed (counted BEFORE stripping).
+    */
+  def cleanMarkup(
+      docs: DataFrame,
+      textCol: String = "text",
+      outCol: String = "clean_text"): DataFrame = {
+    val noTags = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    docs
+      .withColumn("n_tags",
+        size(regexp_extract_all(col(textCol), lit("<[^>]*>"), lit(0))).cast("long"))
+      .withColumn(outCol, trim(regexp_replace(unescaped, "\\s+", " ")))
+  }
+
   /** Rank-based bucket assignment per stratum — the curriculum/binning
     * step: each row's bucket is `⌊(rank − 1) · buckets / n⌋` within its
     * stratum (ranks by `(valueCol, idCol)` — deterministic under value

@@ -185,6 +185,24 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Set(3L))
   }
 
+  // ----------------------------------------------------- markup cleaning
+
+  test("cleanMarkup strips tags, unescapes entities once, collapses whitespace") {
+    val docs = Seq(
+      (1L, "<p>a<br/>b</p>  c\t<a href=\"x\">d</a>"),
+      (2L, "&amp;lt; stays, &lt;b&gt; decodes, &quot;q&quot;"),
+      (3L, "plain")
+    ).toDF("doc_id", "text")
+    val got = Curation.cleanMarkup(docs)
+      .select("doc_id", "n_tags", "clean_text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // tags → spaces (words never fuse), whitespace collapsed
+    assert(got(1L) === ((5L, "a b c d")))
+    // &amp;lt; decodes ONCE to &lt; (amp last), real entities decode
+    assert(got(2L) === ((0L, "&lt; stays, <b> decodes, \"q\"")))
+    assert(got(3L) === ((0L, "plain")))
+  }
+
   // ----------------------------------------------------- rank buckets
 
   test("rankBuckets assigns balanced rank quartiles with deterministic ties") {
