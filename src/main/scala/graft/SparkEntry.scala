@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Bpe, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1108,6 +1108,29 @@ object SparkEntry {
           col("n_emails"), col("n_ips"), col("n_phones"))
     }),
 
+    // CDC merge: one day's changes (updates, inserts, tombstones —
+    // synthesized deterministically from the base) applied as one
+    // full-outer join + coalesce projection.
+    "docs_upsert" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val changes = base.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(lit("UPDATED "), col("lang")).as("text"),
+          lit(false).as("is_delete"))
+        .unionByName(base.where(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+            col("source"), concat(lit("NEW "), col("source")).as("text"),
+            lit(false).as("is_delete")))
+        .unionByName(base.where(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            lit(true).as("is_delete")))
+      Cdc.upsert(base, changes, Seq("doc_id"), deleteCol = Some("is_delete"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 16).as("text_head"),
+          length(col("text")).cast("long").as("text_len"))
+    }),
+
     // Markup cleaning. Like text_pii_scrub, the markup is planted from
     // the doc's own columns so BOTH engines synthesize byte-identical
     // dirty text and the strip + entity unescape + collapse is
@@ -1882,6 +1905,28 @@ object SparkEntry {
          |       (((n_tokens - n_distinct_tokens) * 1000) // n_tokens >= 700 OR
          |        (top_bigram_count * 1000) // n_bigrams >= 180) AS flagged
          |FROM top""".stripMargin,
+
+    "docs_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, lang, source, 'UPDATED ' || lang AS text, false AS del
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, source, 'NEW ' || source, false
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, text, true
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |m AS (
+        |  SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE b.lang END AS lang,
+        |         CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source END AS source,
+        |         CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END AS text,
+        |         coalesce(u.del, false) AS del
+        |  FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
+        |SELECT doc_id, lang, source,
+        |       substr(text, 1, 16) AS text_head,
+        |       CAST(length(text) AS BIGINT) AS text_len
+        |FROM m WHERE NOT del""".stripMargin,
 
     "text_clean" ->
       """WITH seeded AS (

@@ -185,6 +185,21 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Set(3L))
   }
 
+  // ----------------------------------------------------- CDC merge
+
+  test("Cdc.upsert applies updates, inserts and deletes; update nulls overwrite") {
+    val base = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, Some("c"), 30L))
+      .toDF("id", "s", "v")
+    val changes = Seq(
+      (2L, None: Option[String], 99L, false), // update: NULL s must be WRITTEN
+      (4L, Some("d"), 40L, false),            // insert
+      (3L, Some("c"), 30L, true))             // tombstone
+      .toDF("id", "s", "v", "is_delete")
+    val got = graft.operators.Cdc.upsert(base, changes, Seq("id"), Some("is_delete"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got === Set((1L, Some("a"), 10L), (2L, None, 99L), (4L, Some("d"), 40L)))
+  }
+
   // ----------------------------------------------------- markup cleaning
 
   test("cleanMarkup strips tags, unescapes entities once, collapses whitespace") {
