@@ -76,8 +76,12 @@ object Streams {
       horizon: String,
       tsCol: String = "ts",
       rightTsCol: String = "rts",
-      lateness: String = "2 hours"): DataFrame = {
-    val l = left.withWatermark(tsCol, lateness)
+      lateness: String = "2 hours",
+      leftWatermarked: Boolean = false): DataFrame = {
+    // chaining joins: a column that already carries a watermark (e.g.
+    // the previous stage's right-side ts) must NOT be re-watermarked —
+    // Spark rejects watermark redefinition outright
+    val l = if (leftWatermarked) left else left.withWatermark(tsCol, lateness)
     val r = right.withColumnRenamed(tsCol, rightTsCol)
       .withWatermark(rightTsCol, lateness)
     val keyEq = keys.map(k => l(k) === r(k)).reduce(_ && _)

@@ -220,4 +220,49 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch === got)
     } finally q.stop()
   }
+
+  test("chained stream-stream interval joins form a streaming funnel") {
+    // view → click → purchase entirely in one streaming pipeline: two
+    // stateful joins back to back (multiple stateful operators), each
+    // with its two-sided time bound so BOTH state stores evict.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val stage1 = Streams.intervalJoin(
+      purchases.toDF().toDF("ts", "user_id", "pid"),
+      clicks.toDF().toDF("ts", "user_id", "cid"),
+      keys = Seq("user_id"), horizon = "30 minutes")
+    // stage 2 joins on the CLICK's event time: rts (the click ts) is
+    // already watermarked from stage 1's right side
+    // demote the purchase ts to a plain value column (a stream may
+    // carry at most ONE event-time column into the next stateful op) —
+    // the unix↔timestamp round trip drops the event-time metadata
+    val clickTimed = stage1
+      .withColumn("pts", timestamp_micros(unix_micros(col("ts"))))
+      .drop("ts")
+      .withColumnRenamed("rts", "ts")
+    val stage2 = Streams.intervalJoin(
+      clickTimed,
+      views.toDF().toDF("ts", "user_id", "vid"),
+      keys = Seq("user_id"), horizon = "30 minutes",
+      leftWatermarked = true) // the click ts carries stage 1's watermark
+    val q = stage2
+      .writeStream.format("memory").queryName("funnel").outputMode("append")
+      .start()
+    try {
+      views.addData(
+        (ts(1, 20), 1L, 70L),  // 25 min before the click → in window
+        (ts(0, 30), 1L, 71L))  // 75 min before the click → evictable, out
+      clicks.addData((ts(1, 45), 1L, 7L), (ts(1, 45), 2L, 8L)) // user 2: no view
+      purchases.addData((ts(2), 1L, 100L), (ts(2), 2L, 200L))
+      q.processAllAvailable()
+      val got = spark.table("funnel")
+        .select("pid", "cid", "vid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // only the full view→click→purchase chain for user 1 survives
+      assert(got === Set((100L, 7L, 70L)))
+    } finally q.stop()
+  }
 }
