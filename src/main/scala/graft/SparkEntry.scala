@@ -347,6 +347,11 @@ object SparkEntry {
   /** Neighbors per vector in the k-NN graph query. */
   val KnnGraphK: Int = 3
 
+  /** Context-window chunking dials: 40-token windows, 8-token overlap
+    * (fixture docs run ~50–60 tokens → mostly two chunks each). */
+  val ChunkTokens: Int = 40
+  val ChunkOverlap: Int = 8
+
   /** Fully unrolled DuckDB replica of [[Bpe.train]]: k CTE rounds of
     * pair-count → argmax → space-joined `replace` merge — the same
     * greedy left-to-right scan, same (count DESC, lhs, rhs) tie-break,
@@ -1002,6 +1007,11 @@ object SparkEntry {
       TextAnalysis.tokenCounts(T(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
+    // Context-window chunking: fixed-size overlapping token windows,
+    // a narrow explode (no shuffle) — the training/retrieval window
+    // prep step.
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(T(s, dir, "documents"), ChunkTokens, ChunkOverlap)),
     // chunk-fingerprint consumer: shift-resistant partial-overlap pairs
     // via equijoin on the 256-bit rolling hashes (high-entropy keys —
     // join output ∝ true overlaps, the winnowing-style scale shape).
@@ -1905,6 +1915,21 @@ object SparkEntry {
          |       (((n_tokens - n_distinct_tokens) * 1000) // n_tokens >= 700 OR
          |        (top_bigram_count * 1000) // n_bigrams >= 180) AS flagged
          |FROM top""".stripMargin,
+
+    "text_chunks" -> {
+      val step = ChunkTokens - ChunkOverlap
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |t3 AS (SELECT doc_id, ts, len(ts) AS n FROM t2 WHERE len(ts) >= 1),
+         |c AS (
+         |  SELECT doc_id, ts,
+         |         unnest(range(0, 1 + CASE WHEN n > $ChunkTokens
+         |           THEN (n - $ChunkTokens + $step - 1) // $step ELSE 0 END)) AS ci
+         |  FROM t3)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         |       CAST(len(list_slice(ts, ci * $step + 1, ci * $step + $ChunkTokens)) AS BIGINT) AS n_tokens,
+         |       array_to_string(list_slice(ts, ci * $step + 1, ci * $step + $ChunkTokens), ' ') AS chunk_text
+         |FROM c""".stripMargin
+    },
 
     "docs_upsert" ->
       """WITH upd AS (

@@ -198,6 +198,48 @@ object TextAnalysis {
       .filter(col("shared_chunks") >= minShared)
   }
 
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step: document → `⌈(n − chunk)/step⌉ + 1` chunks of `chunkTokens`
+    * whitespace tokens starting every `step = chunkTokens − overlap`
+    * tokens (the final chunk may be shorter; a doc under one window is
+    * one chunk). Narrow per-row work: the token array materializes
+    * ONCE into a projected column (the HOF-recompute trap), chunk
+    * starts come from one `sequence` + `transform`, and each chunk is
+    * a `slice` + join — no shuffle anywhere; output size is
+    * input × (1/step) rows. Overlap keeps boundary-spanning spans
+    * inside at least one chunk, the standard retrieval/training
+    * window trick.
+    */
+  def chunk(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val toksC = graft.core.Cols.fresh("__toks", Seq(idCol))
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    docs.select(col(idCol), tokArr.as(toksC))
+      .filter(size(col(toksC)) >= 1)
+      .withColumn("__nch", expr(
+        s"1 + CASE WHEN size($toksC) > $chunkTokens" +
+          s" THEN (size($toksC) - $chunkTokens + $step - 1) div $step ELSE 0 END"))
+      .select(col(idCol), col(toksC),
+        explode(expr(s"transform(sequence(0, int(__nch) - 1), i -> i * $step)"))
+          .as("__start"))
+      .select(
+        col(idCol),
+        (col("__start") / step).cast("long").as("chunk_id"),
+        size(expr(s"slice($toksC, __start + 1, $chunkTokens)")).cast("long")
+          .as("n_tokens"),
+        array_join(expr(s"slice($toksC, __start + 1, $chunkTokens)"), " ")
+          .as("chunk_text"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * lexer (letter runs | digit runs | single non-space symbol) — the
     * usual pre-tokenizer shape for byte-pair encoders. */

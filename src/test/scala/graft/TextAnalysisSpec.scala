@@ -77,4 +77,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     // minShared prunes: nothing shares 4+ windows
     assert(TextAnalysis.overlapPairs(docs, minShared = 4L).count() === 0)
   }
+
+  test("chunk windows tokens with overlap; short docs are one chunk; empties vanish") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, chunk 4 step 3 → 3 chunks
+      (2L, "a b"),                                    // under one window
+      (3L, "")                                        // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(d, chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> ((4L, "t1 t2 t3 t4")),
+      (1L, 1L) -> ((4L, "t4 t5 t6 t7")),   // 1-token overlap
+      (1L, 2L) -> ((4L, "t7 t8 t9 t10")),
+      (2L, 0L) -> ((2L, "a b"))))
+  }
 }
