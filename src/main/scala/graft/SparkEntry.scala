@@ -332,6 +332,9 @@ object SparkEntry {
   val MixtureDefaultBudget: Long = 600L
   val MixtureBuckets: Int = 64
 
+  /** Token budget per pack for the sequence-packing query. */
+  val PackBudgetTokens: Long = 512L
+
   /** percentile_approx accuracy dial: rank error ≤ n/accuracy. */
   val ApproxQuantileAccuracy: Int = 10000
 
@@ -1201,6 +1204,16 @@ object SparkEntry {
         MixtureBudgets, MixtureDefaultBudget, buckets = MixtureBuckets)
         .select(col("doc_id"), col("source"), col("n_tokens"))),
 
+    // Sequence packing: per-source fixed token-budget pack assignment
+    // in the same hash order as the mixture — the context-window
+    // batching step. 512-token packs ≈ 3 per source at sf0.01.
+    "docs_pack" -> ((s, dir) =>
+      Curation.packByBudget(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          FoldGroup.tokenCountExpr(col("text")).as("n_tokens")),
+        budgetTokens = PackBudgetTokens)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))),
+
     // -------- keyed event-sequence ops (round 6)
     // Gap sessionization (12 h) + per-session rollup: one shuffle on
     // user_id, lag + running-sum over a single window spec, one
@@ -2009,6 +2022,20 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens
          |FROM c LEFT JOIN bu USING (source)
          |WHERE cum <= coalesce(budget, $MixtureDefaultBudget)""".stripMargin,
+
+    "docs_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($tokList) AS BIGINT) AS n_tokens,
+         |         ((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296 AS o
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY o, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST((cum - 1) // $PackBudgetTokens AS BIGINT) AS pack_id
+         |FROM c""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH g AS (

@@ -323,20 +323,19 @@ object Curation {
     * single-window oracle needs no bucket term. Per-partition sort
     * size shrinks with `buckets`; no corpus-wide sort anywhere.
     */
-  def mixtureByBudget(
+  /** Shared distributed prefix scan: the input plus an inclusive
+    * running `weightCol` total (`__cum`) over each stratum's
+    * (hashOrder, id)-ordered stream, plus the `__b`/`__o` tags —
+    * contiguous hash-range buckets, per-bucket totals hash-agged into
+    * broadcast exclusive offsets, then per-(stratum, bucket) running
+    * sums. Callers drop the helper columns. */
+  private def hashPrefixSum(
       df: DataFrame,
-      budgets: Seq[(String, Long)],
-      defaultBudget: Long,
-      strataCol: String = "source",
-      idCol: String = "doc_id",
-      weightCol: String = "n_tokens",
-      buckets: Int = 64): DataFrame = {
-    require(budgets.forall(_._2 >= 0) && defaultBudget >= 0,
-      "budgets are token counts and must be >= 0")
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val spark = df.sparkSession
-    import spark.implicits._
-
     val bucketWidth = math.max(1L, 4294967296L / buckets)
     val tagged = df
       .withColumn("__o", hashOrder(col(idCol)))
@@ -348,16 +347,54 @@ object Curation {
         sum(col("__bw")).over(Window.partitionBy(col(strataCol)).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(strataCol), col("__b"), col("__off"))
-    val budgetsDf = budgets.toDF(strataCol, "__budget")
-
     val wBucket = Window.partitionBy(col(strataCol), col("__b"))
       .orderBy(col("__o"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .join(broadcast(offsets), Seq(strataCol, "__b"))
-      .join(broadcast(budgetsDf), Seq(strataCol), "left")
       .withColumn("__cum", col("__off") + sum(col(weightCol)).over(wBucket))
+      .drop("__off")
+  }
+
+  def mixtureByBudget(
+      df: DataFrame,
+      budgets: Seq[(String, Long)],
+      defaultBudget: Long,
+      strataCol: String = "source",
+      idCol: String = "doc_id",
+      weightCol: String = "n_tokens",
+      buckets: Int = 64): DataFrame = {
+    require(budgets.forall(_._2 >= 0) && defaultBudget >= 0,
+      "budgets are token counts and must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetsDf = budgets.toDF(strataCol, "__budget")
+    hashPrefixSum(df, strataCol, idCol, weightCol, buckets)
+      .join(broadcast(budgetsDf), Seq(strataCol), "left")
       .filter(col("__cum") <= coalesce(col("__budget"), lit(defaultBudget)))
-      .drop("__b", "__o", "__off", "__budget", "__cum")
+      .drop("__b", "__o", "__budget", "__cum")
+  }
+
+  /** Sequence packing — assign docs to fixed token-budget packs (the
+    * context-window batching step downstream of chunking): in the same
+    * deterministic per-stratum hash order as [[mixtureByBudget]], doc
+    * d lands in pack `(cum(d) − 1) div budget` of its stratum, so
+    * consecutive docs fill a pack up to the budget and spill into the
+    * next. Same distributed prefix scan, zero extra shuffles beyond
+    * it. A doc heavier than the whole budget overflows its pack —
+    * splitting is [[TextAnalysis.chunk]]'s job upstream, not the
+    * packer's. Output: the input plus `pack_id`.
+    */
+  def packByBudget(
+      df: DataFrame,
+      budgetTokens: Long,
+      strataCol: String = "source",
+      idCol: String = "doc_id",
+      weightCol: String = "n_tokens",
+      buckets: Int = 64): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    hashPrefixSum(df, strataCol, idCol, weightCol, buckets)
+      .withColumn("pack_id", expr(s"(__cum - 1) div ${budgetTokens}L"))
+      .drop("__b", "__o", "__cum")
   }
 }

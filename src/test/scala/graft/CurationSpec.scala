@@ -177,6 +177,26 @@ class CurationSpec extends SparkSpecBase {
     assert(one === mixtureModel(rows, _ => 30L))
   }
 
+  test("packByBudget fills packs to the budget in hash order; invariant to buckets") {
+    val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 7 + 1))
+    val df = rows.toDF("doc_id", "source", "v")
+    def run(b: Int) = Curation.packByBudget(df, budgetTokens = 20L,
+        weightCol = "v", buckets = b)
+      .select("doc_id", "pack_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(64)
+    assert(got === run(1) && got === run(1000))
+    // model: per-source hash-order cumsum, pack = (cum-1) div 20
+    val model = rows.groupBy(_._2).flatMap { case (_, docs) =>
+      val ordered = docs.sortBy(d => (hashOrderOf(d._1), d._1))
+      val cum = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cum).map { case ((id, _, _), c) => id -> (c - 1) / 20L }
+    }
+    assert(got === model)
+    // packs genuinely fill: every source uses more than one pack
+    assert(got.values.toSet.size > 1)
+  }
+
   test("mixtureByBudget: zero budget drops a stratum; oversized budget keeps all") {
     val rows = Seq((1L, "x", 5L), (2L, "x", 5L), (3L, "y", 5L))
     val df = rows.toDF("doc_id", "source", "n_tokens")
