@@ -370,7 +370,7 @@ object SparkEntry {
         s"""p$i AS (
            |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
            |    SELECT n, ts[i + 1] AS l, ts[i + 2] AS r
-           |    FROM (SELECT n, string_split(trim(s), ' ') AS ts FROM $prev) t,
+           |    FROM (SELECT n, string_split_regex(trim(s), ' +') AS ts FROM $prev) t,
            |         unnest(range(0, len(ts) - 1)) u(i)
            |    WHERE len(ts) >= 2)
            |  GROUP BY 1, 2),
@@ -381,7 +381,7 @@ object SparkEntry {
           s""",
              |seq$i AS (
              |  SELECT word, n,
-             |         replace(s, ' ' || m.l || ' ' || m.r || ' ',
+             |         replace(s, ' ' || m.l || '  ' || m.r || ' ',
              |                    ' ' || m.l || m.r || ' ') AS s
              |  FROM $prev, m$i m)""".stripMargin
       head + step
@@ -393,7 +393,7 @@ object SparkEntry {
        |    FROM documents) GROUP BY 1),
        |seq0 AS (
        |  SELECT word, n,
-       |         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s
+       |         '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS s
        |  FROM dict),
        |${rounds.mkString(",\n")}""".stripMargin
   }
@@ -411,10 +411,10 @@ object SparkEntry {
   private val bpeEncodeOracleSql: String = {
     val k = BpeMergeRounds
     val chain = (1 to k).foldLeft(
-      "' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' '") {
+      "'  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  '") {
       case (s, i) =>
         s"""replace($s,
-           | ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+           | ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
            | ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ')""".stripMargin
     }
     s"""$bpeCtesSql,
@@ -425,7 +425,7 @@ object SparkEntry {
        |  FROM documents),
        |enc AS (
        |  SELECT doc_id, len(word) AS chars,
-       |         len(string_split(trim($chain), ' ')) AS pieces
+       |         len(string_split_regex(trim($chain), ' +')) AS pieces
        |  FROM w)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(chars) AS BIGINT) AS n_chars,
@@ -1749,8 +1749,8 @@ object SparkEntry {
          |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
          |scored AS (
          |  SELECT t.doc_id, t.word, t.tf, f.df,
-         |         CAST((22000 * t.tf * s.sdl * 1000) //
-         |              (10000 * t.tf * s.sdl + 3000 * s.sdl + 9000 * d.dl * s.n)
+         |         CAST((${Relevance.CoefNum} * t.tf * s.sdl * 1000) //
+         |              (${Relevance.CoefTf} * t.tf * s.sdl + ${Relevance.CoefConst} * s.sdl + ${Relevance.CoefDl} * d.dl * s.n)
          |           AS BIGINT) AS bm25_x1000,
          |         CAST((t.tf * 1000 * s.n) // f.df AS BIGINT) AS tfidf_x1000
          |  FROM tf t
@@ -1774,8 +1774,8 @@ object SparkEntry {
          |  WHERE t.word IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
          |scored AS (
          |  SELECT doc_id, count(*) AS n_hit_terms,
-         |         CAST(sum((((22000 * tf * s.sdl * 1000) //
-         |                    (10000 * tf * s.sdl + 3000 * s.sdl + 9000 * dl * s.n))
+         |         CAST(sum((((${Relevance.CoefNum} * tf * s.sdl * 1000) //
+         |                    (${Relevance.CoefTf} * tf * s.sdl + ${Relevance.CoefConst} * s.sdl + ${Relevance.CoefDl} * dl * s.n))
          |                   * s.n) // df) AS BIGINT) AS score_x1000
          |  FROM hits, stats s GROUP BY 1)
          |SELECT doc_id, n_hit_terms, score_x1000 FROM scored

@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   * Determinism (cross-run AND cross-engine): counts are exact int64
   * sums; argmax ties break by (count DESC, left, right) with plain
   * binary string order; and the merge application is engine-neutral by
-  * construction — the symbol sequence lives as a SPACE-JOINED string
-  * `" s1 s2 … sk "` (tokens are whitespace-split so they contain no
-  * spaces), and merging pair (l, r) is `replace(s, " l r ", " lr ")`,
-  * which is the same greedy left-to-right non-overlapping scan in
-  * every engine's `replace`. `" a a a "` → `" aa a "`, the reference
-  * BPE behavior on overlaps.
+  * construction — the symbol sequence lives as a DOUBLE-space-joined
+  * string `"  s1  s2  …  sk  "` (tokens are whitespace-split so they
+  * contain no spaces), and merging pair (l, r) is
+  * `replace(s, " l  r ", " lr ")`: the pattern claims only the inner
+  * space of each double delimiter, so every engine's left-to-right
+  * non-overlapping `replace` IS the greedy BPE scan — including
+  * adjacent disjoint sites (`a a a a` → `[aa, aa]`) and overlaps
+  * (`a a a` → `[aa, a]`), the reference behavior for both.
   *
   * Caveat: symbols are regex codepoints (`.`), so the starting
   * alphabet is per-character for BMP text (the fixture corpora are
@@ -51,22 +53,38 @@ object Bpe {
     * list that IS a BPE tokenizer's model artifact. Adjacent pairs are
     * counted at every position (overlaps included), weighted by word
     * frequency — the reference BPE statistic. */
+  /** "␣␣c1␣␣c2␣␣…␣␣" — DOUBLE-space-joined symbol sequence. The merge
+    * pattern `" l  r "` claims only the INNER space of each double
+    * delimiter, so two adjacent merge sites ("a a a a" with merge
+    * (a,a)) never share a consumed character and plain left-to-right
+    * `replace` is EXACTLY the greedy BPE scan — a single-space join
+    * makes the pattern eat the shared middle space and the second site
+    * can't fire ("aaaa" → [aa,a,a] instead of [aa,aa]). The
+    * replacement `" lr "` restores the double-space invariant. */
+  private def charSeq(word: org.apache.spark.sql.Column) =
+    concat(lit("  "),
+      concat_ws("  ", regexp_extract_all(word, lit("."), lit(0))),
+      lit("  "))
+
+  private def applyMerge(
+      s: org.apache.spark.sql.Column,
+      l: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column) =
+    replace(s,
+      concat(lit(" "), l, lit("  "), r, lit(" ")),
+      concat(lit(" "), l, r, lit(" ")))
+
   def trainMerges(dict: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // " c1 c2 … " — the space-joined symbol sequence with sentinel
-    // spaces at both ends so every token is space-delimited on both
-    // sides and pair patterns can never match across token boundaries.
-    var seq = dict.select(
-      col("word"), col("n"),
-      concat(lit(" "),
-        concat_ws(" ", regexp_extract_all(col("word"), lit("."), lit(0))),
-        lit(" ")).as("s"))
+    var seq = dict.select(col("word"), col("n"), charSeq(col("word")).as("s"))
       .localCheckpoint()
 
     var merges: DataFrame = null
-    for (round <- 1 to k) {
+    var round = 1
+    var dry = false
+    while (round <= k && !dry) {
       val pairs = seq
-        .select(col("n"), split(trim(col("s")), " ").as("ts"))
+        .select(col("n"), split(trim(col("s")), " +").as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS l, ts[i + 1] AS r))"))
@@ -78,21 +96,32 @@ object Bpe {
         .limit(1)
         .localCheckpoint()
 
-      val ranked = best.withColumn("merge_rank", lit(round.toLong))
-      merges = if (merges == null) ranked else merges.unionByName(ranked)
-
-      if (round < k) {
-        seq = seq
-          .crossJoin(broadcast(
-            best.select(col("l").as("__ml"), col("r").as("__mr"))))
-          .withColumn("s", replace(col("s"),
-            concat(lit(" "), col("__ml"), lit(" "), col("__mr"), lit(" ")),
-            concat(lit(" "), col("__ml"), col("__mr"), lit(" "))))
-          .drop("__ml", "__mr")
-          .localCheckpoint()
+      // vocabulary exhausted before k merges (every word one symbol):
+      // stop cleanly with the merges found — a 0-row argmax would
+      // otherwise annihilate the sequence via the crossJoin and
+      // silently empty every later round
+      dry = best.isEmpty
+      if (!dry) {
+        val ranked = best.withColumn("merge_rank", lit(round.toLong))
+        merges = if (merges == null) ranked else merges.unionByName(ranked)
+        if (round < k) {
+          seq = seq
+            .crossJoin(broadcast(
+              best.select(col("l").as("__ml"), col("r").as("__mr"))))
+            .withColumn("s", applyMerge(col("s"), col("__ml"), col("__mr")))
+            .drop("__ml", "__mr")
+            .localCheckpoint()
+        }
       }
+      round += 1
     }
-    merges.select(
+    val out = if (merges == null) {
+      // no mergeable pair at all — empty result, correct schema
+      dict.sparkSession.emptyDataFrame
+        .withColumn("merge_rank", lit(0L)).withColumn("l", lit(""))
+        .withColumn("r", lit("")).withColumn("c", lit(0L))
+    } else merges
+    out.select(
       col("merge_rank"), col("l").as("lhs"), col("r").as("rhs"),
       col("c").as("pair_count"))
   }
@@ -123,16 +152,13 @@ object Bpe {
       .select(col(idCol),
         explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-    val charSeq = concat(lit(" "),
-      concat_ws(" ", regexp_extract_all(col("word"), lit("."), lit(0))),
-      lit(" "))
-    val encoded = merges.foldLeft(charSeq) { case (s, (l, r)) =>
-      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+    val encoded = merges.foldLeft(charSeq(col("word"))) { case (s, (l, r)) =>
+      applyMerge(s, lit(l), lit(r))
     }
     words
       .select(col(idCol),
         length(col("word")).cast("long").as("__chars"),
-        size(split(trim(encoded), " ")).cast("long").as("__pieces"))
+        size(split(trim(encoded), " +")).cast("long").as("__pieces"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),

@@ -48,6 +48,21 @@ object Relevance {
   /** BM25 b × 100 (b = 0.75). */
   val Bx100 = 75
 
+  /** The four fixed-point coefficients of the saturated-tf kernel
+    *   ((k1+1)·tf) / (k1·((1−b) + b·dl·N/SDL) + tf)
+    * after clearing the ×100 scales — derived HERE and nowhere else;
+    * the scoring expressions and the SQL oracles all interpolate these
+    * so k1/b can never drift between sites. */
+  val CoefNum: Long = (K1x100 + 100L) * 100L      // (k1+1)·10⁴  = 22000
+  val CoefTf: Long = 100L * 100L                  // tf scale    = 10000
+  val CoefConst: Long = K1x100 * (100L - Bx100)   // k1(1−b)·10⁴ =  3000
+  val CoefDl: Long = K1x100 * Bx100.toLong        // k1·b·10⁴    =  9000
+
+  /** The kernel as SQL text over columns (tf, __sdl, __dl, __n). */
+  val bm25KernelSql: String =
+    s"(${CoefNum}L * tf * __sdl * 1000L) div " +
+      s"(${CoefTf}L * tf * __sdl + ${CoefConst}L * __sdl + ${CoefDl}L * __dl * __n)"
+
   /** Per-(doc, word) term frequencies from a token stream. */
   def termFrequencies(
       toks: DataFrame,
@@ -75,9 +90,7 @@ object Relevance {
       .withColumn("__dl", sum(col("tf")).over(byDoc))
       // `div` (IntegralDivide) keeps the arithmetic in exact int64 —
       // `/` would detour through double and lose low bits cross-engine
-      .withColumn("bm25_x1000", expr(
-        """(22000L * tf * __sdl * 1000L) div
-          |(10000L * tf * __sdl + 3000L * __sdl + 9000L * __dl * __n)""".stripMargin))
+      .withColumn("bm25_x1000", expr(bm25KernelSql))
       .withColumn("tfidf_x1000", expr("(tf * 1000L * __n) div df"))
       .withColumn("rnk", row_number().over(
         byDoc.orderBy(col("bm25_x1000").desc, col(wordCol))))
@@ -116,10 +129,7 @@ object Relevance {
       .join(dfreq, wordCol)
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("__term_score", expr(
-        """(((22000L * tf * __sdl * 1000L) div
-          |   (10000L * tf * __sdl + 3000L * __sdl + 9000L * __dl * __n))
-          |  * __n) div df""".stripMargin))
+      .withColumn("__term_score", expr(s"(($bm25KernelSql) * __n) div df"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("score_x1000"))
       .orderBy(col("score_x1000").desc, col(idCol))

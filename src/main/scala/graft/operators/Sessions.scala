@@ -224,6 +224,12 @@ object Sessions {
     val matched = l.unionByName(rAligned)
       .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
       .where(col(side) === 1)
+      // SQL equality never matches NULL keys, but Window.partitionBy
+      // groups all NULL-key rows into ONE partition — void the match
+      // so a null-key left row keeps the unmatched (null-payload)
+      // contract instead of silently attributing to null-key rights
+      .withColumn(pack,
+        when(keys.map(col(_).isNotNull).reduce(_ && _), col(pack)))
     val inHorizon = toleranceMicros match {
       case None => matched
       case Some(tol) =>

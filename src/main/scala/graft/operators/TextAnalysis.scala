@@ -231,13 +231,15 @@ object TextAnalysis {
       .select(col(idCol), col(toksC),
         explode(expr(s"transform(sequence(0, int(__nch) - 1), i -> i * $step)"))
           .as("__start"))
+      // slice once into a column; deriving size and text from the same
+      // projected array avoids materializing every chunk twice
+      .select(col(idCol), col("__start"),
+        expr(s"slice($toksC, __start + 1, $chunkTokens)").as("__chunk"))
       .select(
         col(idCol),
         (col("__start") / step).cast("long").as("chunk_id"),
-        size(expr(s"slice($toksC, __start + 1, $chunkTokens)")).cast("long")
-          .as("n_tokens"),
-        array_join(expr(s"slice($toksC, __start + 1, $chunkTokens)"), " ")
-          .as("chunk_text"))
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex

@@ -51,6 +51,23 @@ class BpeSpec extends SparkSpecBase {
     assert(got === modelTrain(dict, 2))
   }
 
+  test("adjacent disjoint merge sites both fire: 'aaaa' → [aa, aa]") {
+    // the single-space-delimiter encoding failed exactly here: the
+    // first " a a " match consumed the shared middle space and the
+    // second site couldn't fire ([aa, a, a] instead of [aa, aa])
+    val dict = Seq(("aaaa", 5L))
+    val got = run(dict, 2)
+    assert(got.head === ((1L, "a", "a", 15L))) // 3 overlap-counted positions × 5
+    assert(got(1) === ((2L, "aa", "aa", 5L)))  // greedy left-to-right result
+    assert(got === modelTrain(dict, 2))
+  }
+
+  test("vocabulary exhaustion stops training cleanly short of k") {
+    val got = run(Seq(("ab", 3L)), 5) // one possible merge, then dry
+    assert(got === Seq((1L, "a", "b", 3L)))
+    assert(run(Seq(("a", 2L)), 3) === Seq()) // nothing mergeable at all
+  }
+
   test("argmax ties break by (lhs, rhs) binary order") {
     // (a,b) and (b,a) both have count 4 → (a,b) wins lexicographically
     val dict = Seq(("ab", 4L), ("ba", 4L), ("c", 9L))
@@ -59,15 +76,20 @@ class BpeSpec extends SparkSpecBase {
     assert(got === modelTrain(dict, 1))
   }
 
-  test("distributed trainer equals the model on a seeded random dict, k=6") {
-    val rnd = new scala.util.Random(4242)
-    val alphabet = "abc"
-    val dict = (0 until 24).map { _ =>
-      val len = 1 + rnd.nextInt(6)
-      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
-        1L + rnd.nextInt(9))
-    }.distinct.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
-    assert(run(dict, 6) === modelTrain(dict, 6))
+  test("distributed trainer equals the model on seeded random dicts, k=6") {
+    // a 2-letter alphabet with words up to 8 chars maximizes runs and
+    // adjacent disjoint merge sites — the hard cases for merge
+    // application semantics
+    for (seed <- Seq(4242, 7, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "ab"
+      val dict = (0 until 24).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          1L + rnd.nextInt(9))
+      }.distinct.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      assert(run(dict, 6) === modelTrain(dict, 6), s"seed $seed diverged")
+    }
   }
 
   test("encode applies merges in rank order per word and rolls up per doc") {

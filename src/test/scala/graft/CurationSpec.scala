@@ -415,6 +415,18 @@ class CurationSpec extends SparkSpecBase {
     assert(got(20L) === ((None, None)))
   }
 
+  test("asofJoin never matches NULL keys to each other") {
+    val l = Seq((Some(1L), ts(100), 10L), (None: Option[Long], ts(100), 11L))
+      .toDF("user_id", "ts", "pid")
+    val r = Seq((Some(1L), ts(5), 7L), (None: Option[Long], ts(5), 8L))
+      .toDF("user_id", "ts", "rid")
+    val got = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid"))
+      .collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    // SQL equality semantics: the null-key left row stays UNMATCHED
+    assert(got === Map(10L -> Some(7L), 11L -> None))
+  }
+
   test("asofJoin tolerance voids matches older than the horizon") {
     val (l, r) = asofFixture
     val got = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid"),
