@@ -347,6 +347,26 @@ object SparkEntry {
   /** Fixed-count sample size per source stratum. */
   val FixedSamplePerSource: Int = 5
 
+  /** Shared retrieval-oracle prelude: token postings of [[SearchTerms]]
+    * with per-doc length and the corpus scalars. */
+  private lazy val searchPreludeSql: String =
+    s"""$toksCte,
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |hits AS (
+       |  SELECT t.doc_id, t.tf, f.df, d.dl FROM tf t
+       |  JOIN dfreq f USING (word) JOIN dl d USING (doc_id)
+       |  WHERE t.word IN (${SearchTerms.map(t => s"'$t'").mkString(", ")}))""".stripMargin
+
+  /** The BM25 × linear-idf per-term score in the oracle's column
+    * aliases, coefficients interpolated from [[Relevance]]. */
+  private val bm25TermScoreOracle: String =
+    s"""(((${Relevance.CoefNum} * tf * s.sdl * 1000) //
+       |                    (${Relevance.CoefTf} * tf * s.sdl + ${Relevance.CoefConst} * s.sdl + ${Relevance.CoefDl} * dl * s.n))
+       |                   * s.n) // df""".stripMargin
+
   /** Neighbors per vector in the k-NN graph query. */
   val KnnGraphK: Int = 3
 
@@ -1031,6 +1051,16 @@ object SparkEntry {
     // TakeOrderedAndProject top-k).
     "text_search" -> ((s, dir) =>
       Relevance.search(docTokens(s, dir), SearchTerms)),
+    // Hybrid retrieval: BM25 and TF-IDF top-20 lists fused by exact-
+    // integer reciprocal rank (the incomparable-scales combiner), then
+    // top-10 — the multi-scorer RAG-stack shape.
+    "text_hybrid_search" -> ((s, dir) => {
+      val toks = docTokens(s, dir)
+      Relevance.rrfFuse(Seq(
+        Relevance.search(toks, SearchTerms, k = 20),
+        Relevance.search(toks, SearchTerms, k = 20,
+          termScoreSql = Relevance.TfIdfTermScoreSql)))
+    }),
     // Inverted-index build: word → (df, sorted posting string); the
     // maxDf giant-row dial stays off here so the oracle sees every word.
     "text_inverted_index" -> ((s, dir) =>
@@ -1763,23 +1793,37 @@ object SparkEntry {
          |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     "text_search" ->
-      s"""$toksCte,
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
-         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         |hits AS (
-         |  SELECT t.doc_id, t.tf, f.df, d.dl FROM tf t
-         |  JOIN dfreq f USING (word) JOIN dl d USING (doc_id)
-         |  WHERE t.word IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+      s"""$searchPreludeSql,
          |scored AS (
          |  SELECT doc_id, count(*) AS n_hit_terms,
-         |         CAST(sum((((${Relevance.CoefNum} * tf * s.sdl * 1000) //
-         |                    (${Relevance.CoefTf} * tf * s.sdl + ${Relevance.CoefConst} * s.sdl + ${Relevance.CoefDl} * dl * s.n))
-         |                   * s.n) // df) AS BIGINT) AS score_x1000
+         |         CAST(sum($bm25TermScoreOracle) AS BIGINT) AS score_x1000
          |  FROM hits, stats s GROUP BY 1)
-         |SELECT doc_id, n_hit_terms, score_x1000 FROM scored
+         |SELECT doc_id, n_hit_terms, score_x1000,
+         |       CAST(row_number() OVER (ORDER BY score_x1000 DESC, doc_id) AS BIGINT) AS rnk
+         |FROM scored
          |ORDER BY score_x1000 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // two term scorers over one shared postings prelude, fused by
+    // exact-integer reciprocal rank (c = 60, the canonical constant).
+    "text_hybrid_search" ->
+      s"""$searchPreludeSql,
+         |bscored AS (
+         |  SELECT doc_id, CAST(sum($bm25TermScoreOracle) AS BIGINT) AS score
+         |  FROM hits, stats s GROUP BY 1),
+         |branked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM bscored ORDER BY score DESC, doc_id LIMIT 20),
+         |tscored AS (
+         |  SELECT doc_id, CAST(sum((tf * 1000 * s.n) // df) AS BIGINT) AS score
+         |  FROM hits, stats s GROUP BY 1),
+         |tranked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM tscored ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         |       CAST(coalesce(1000000 // (60 + b.rnk), 0)
+         |          + coalesce(1000000 // (60 + t.rnk), 0) AS BIGINT) AS rrf_x1e6
+         |FROM branked b FULL OUTER JOIN tranked t ON b.doc_id = t.doc_id
+         |ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin,
 
     // The pipeline oracle composes the per-operator oracles verbatim
     // (nested-WITH CTEs), so a drift in any stage breaks BOTH its own

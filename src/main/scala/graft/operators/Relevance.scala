@@ -63,6 +63,13 @@ object Relevance {
     s"(${CoefNum}L * tf * __sdl * 1000L) div " +
       s"(${CoefTf}L * tf * __sdl + ${CoefConst}L * __sdl + ${CoefDl}L * __dl * __n)"
 
+  /** Per-term retrieval scores over (tf, df, __dl, __n, __sdl): the
+    * saturated-tf BM25 kernel × linear idf, and plain linear TF-IDF —
+    * the two scorers [[search]] accepts and `text_hybrid_search`
+    * fuses. */
+  val Bm25TermScoreSql: String = s"(($bm25KernelSql) * __n) div df"
+  val TfIdfTermScoreSql: String = "(tf * 1000L * __n) div df"
+
   /** Per-(doc, word) term frequencies from a token stream. */
   def termFrequencies(
       toks: DataFrame,
@@ -118,7 +125,8 @@ object Relevance {
       queryTerms: Seq[String],
       k: Int = 10,
       idCol: String = "doc_id",
-      wordCol: String = "word"): DataFrame = {
+      wordCol: String = "word",
+      termScoreSql: String = Bm25TermScoreSql): DataFrame = {
     require(queryTerms.nonEmpty, "search needs at least one query term")
     require(k >= 1, s"k must be >= 1, got $k")
     val tf = termFrequencies(toks, idCol, wordCol)
@@ -129,11 +137,44 @@ object Relevance {
       .join(dfreq, wordCol)
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("__term_score", expr(s"(($bm25KernelSql) * __n) div df"))
+      .withColumn("__term_score", expr(termScoreSql))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("score_x1000"))
       .orderBy(col("score_x1000").desc, col(idCol))
       .limit(k)
+      // the 1-based list position, for downstream fusion; the global
+      // window runs over the ≤ k rows that survived the limit
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x1000").desc, col(idCol))).cast("long"))
+  }
+
+  /** Reciprocal-rank fusion — the standard way to combine rankings
+    * whose scores live on incomparable scales (BM25 vs TF-IDF vs
+    * vector cosine): fused(d) = Σᵢ 10⁶ div (c + rankᵢ(d)), with a doc
+    * absent from a list contributing 0. Exact integer arithmetic
+    * (engine-neutral, unlike float RRF), one full-outer join per
+    * list (each list is ≤ k rows — driver-free, broadcast-sized),
+    * deterministic (fused DESC, id) top-k.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int = 10,
+      c: Int = 60,
+      idCol: String = "doc_id",
+      rankCol: String = "rnk"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, s"c must be >= 0, got $c")
+    val scored = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), expr(s"1000000L div ($c + $rankCol)").as(s"__rrf$i"))
+    }
+    val joined = scored.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val total = scored.indices.map(i => coalesce(col(s"__rrf$i"), lit(0L)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_x1e6", total)
+      .orderBy(col("rrf_x1e6").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("rrf_x1e6"))
   }
 
   /** Corpus collocations: the `k` strongest adjacent-bigram
