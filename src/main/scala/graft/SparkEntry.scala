@@ -23,6 +23,30 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The docs_curated pipeline body, shared with docs_training_set. */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val qual = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+    val firstPerHash = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("__h"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nonCanonical = DedupClusters
+      .resolve(NearDup.minHashPairs(docs))
+      .where(!col("is_canonical"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(qual, "doc_id")
+      .join(lang, "doc_id")
+      .where(col("score_milli") >= CuratedMinScoreMilli &&
+        col("pred_lang") =!= "und")
+      .join(firstPerHash, Seq("doc_id"), "left_semi")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("score_milli"))
+  }
+
   /** Exact decimal for prices / balances / values (≤ 10^10, 2 dp). */
   private def decP(c: Column): Column = c.cast("decimal(12,2)")
 
@@ -346,6 +370,35 @@ object SparkEntry {
 
   /** Fixed-count sample size per source stratum. */
   val FixedSamplePerSource: Int = 5
+
+  /** docs_curated oracle, split into CTE body + final select so the
+    * training-set oracle can nest the whole pipeline as a CTE. */
+  private lazy val curatedCtesSql: String =
+    s"""qual AS ($qualitySql),
+       |lang AS ($langidSql),
+       |p AS ($neardupSql),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |noncanon AS (
+       |  SELECT u AS doc_id FROM reach GROUP BY u
+       |  HAVING u <> least(u, min(v))),
+       |firsthash AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+       |  GROUP BY h)""".stripMargin
+
+  private lazy val curatedSelectSql: String =
+    s"""SELECT d.doc_id, lang.pred_lang, qual.n_tokens, qual.score_milli
+       |FROM documents d
+       |JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+       |WHERE qual.score_milli >= $CuratedMinScoreMilli
+       |  AND lang.pred_lang <> 'und'
+       |  AND d.doc_id IN (SELECT doc_id FROM firsthash)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin
 
   /** Shared retrieval-oracle prelude: token postings of [[SearchTerms]]
     * with per-doc length and the corpus scalars. */
@@ -1078,28 +1131,18 @@ object SparkEntry {
     // executes: quality gate × language gate × exact keep-first dedup ×
     // near-dup canonical-only, all in one DAG (semi/anti joins, no
     // collects between stages).
-    "docs_curated" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val qual = TextAnalysis.quality(docs)
-        .select(col("doc_id"), col("n_tokens"), col("score_milli"))
-      val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
-      val firstPerHash = docs
-        .select(col("doc_id"), sha2(col("text"), 256).as("__h"))
-        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val nonCanonical = DedupClusters
-        .resolve(NearDup.minHashPairs(docs))
-        .where(!col("is_canonical"))
-        .select(col("doc_id"))
-      docs.select(col("doc_id"))
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
-        .where(col("score_milli") >= CuratedMinScoreMilli &&
-          col("pred_lang") =!= "und")
-        .join(firstPerHash, Seq("doc_id"), "left_semi")
-        .join(nonCanonical, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("score_milli"))
-    }),
+    "docs_curated" -> ((s, dir) => curatedDocs(s, dir)),
+
+    // … continued to the finished training set: the curated pool
+    // packed into fixed token-budget sequences per source — curate →
+    // mix → pack, the whole corpus-to-batches story in one DAG.
+    "docs_training_set" -> ((s, dir) =>
+      Curation.packByBudget(
+        curatedDocs(s, dir).select(col("doc_id"), col("n_tokens"))
+          .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+            "doc_id"),
+        budgetTokens = PackBudgetTokens)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))),
 
     // BPE vocabulary induction — tokenizer training on the corpus's
     // word-frequency dict: k greedy most-frequent-pair merges, each
@@ -1830,29 +1873,27 @@ object SparkEntry {
     // row and this one.
     "docs_curated" ->
       s"""WITH RECURSIVE
-         |qual AS ($qualitySql),
-         |lang AS ($langidSql),
-         |p AS ($neardupSql),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-         |noncanon AS (
-         |  SELECT u AS doc_id FROM reach GROUP BY u
-         |  HAVING u <> least(u, min(v))),
-         |firsthash AS (
-         |  SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, sha256(text) AS h FROM documents)
-         |  GROUP BY h)
-         |SELECT d.doc_id, lang.pred_lang, qual.n_tokens, qual.score_milli
-         |FROM documents d
-         |JOIN qual USING (doc_id) JOIN lang USING (doc_id)
-         |WHERE qual.score_milli >= $CuratedMinScoreMilli
-         |  AND lang.pred_lang <> 'und'
-         |  AND d.doc_id IN (SELECT doc_id FROM firsthash)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)""".stripMargin,
+         |$curatedCtesSql
+         |$curatedSelectSql""".stripMargin,
+
+    // the curated pool continued through per-source token packing —
+    // the same nested CTEs plus one window cumsum.
+    "docs_training_set" ->
+      s"""WITH RECURSIVE
+         |$curatedCtesSql,
+         |curated AS ($curatedSelectSql),
+         |tset AS (
+         |  SELECT c.doc_id, d.source, c.n_tokens,
+         |         ((c.doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296 AS o
+         |  FROM curated c JOIN documents d USING (doc_id)),
+         |cums AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY o, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tset)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST((cum - 1) // $PackBudgetTokens AS BIGINT) AS pack_id
+         |FROM cums""".stripMargin,
 
     "text_collocations" ->
       s"""WITH t2 AS (SELECT $tokList AS ts FROM documents),
