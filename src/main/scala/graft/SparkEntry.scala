@@ -371,6 +371,11 @@ object SparkEntry {
   /** Fixed-count sample size per source stratum. */
   val FixedSamplePerSource: Int = 5
 
+  /** Eval-split permille cuts: hash buckets [0, 50) → val,
+    * [50, 100) → test, rest train. */
+  val SplitValPermille: Int = 50
+  val SplitTestPermille: Int = 50
+
   /** docs_curated oracle, split into CTE body + final select so the
     * training-set oracle can nest the whole pipeline as a CTE. */
   private lazy val curatedCtesSql: String =
@@ -1255,6 +1260,16 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("lang")), SampleRates)
         .select(col("doc_id"), col("lang"))),
 
+    // Deterministic 3-way corpus split (train/val/test) by hash
+    // bucket ranges — stable under corpus growth (a doc's split never
+    // depends on other docs), stratification-free narrow projection.
+    "docs_split" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(Curation.hashBucket(col("doc_id")) < SplitValPermille, lit("val"))
+          .when(Curation.hashBucket(col("doc_id")) < SplitValPermille + SplitTestPermille,
+            lit("test"))
+          .otherwise(lit("train")).as("split"))),
+
     // … and the fixed-COUNT form: exactly k docs per stratum, chosen
     // by hash order (a uniform deterministic sample) — rank filter →
     // WindowGroupLimit partial top-k, same machinery as topKPerKey.
@@ -1527,6 +1542,15 @@ object SparkEntry {
     "rel_limit" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "docs_split" ->
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
+         |                 < $SplitValPermille THEN 'val'
+         |            WHEN (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
+         |                 < ${SplitValPermille + SplitTestPermille} THEN 'test'
+         |            ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
 
     "docs_sample_fixed" ->
       s"""SELECT doc_id, source, rk FROM (

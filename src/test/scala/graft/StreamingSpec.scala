@@ -221,6 +221,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch + Cdc.upsert maintains a live snapshot from a change stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val changes = MemoryStream[(Long, String, Boolean)]
+    @volatile var snapshot =
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").collect().toSeq // seed rows
+    def snapDf = {
+      val s = spark
+      import s.implicits._
+      snapshot.map(r => (r.getLong(0), r.getString(1))).toDF("id", "v")
+    }
+    val q = changes.toDF().toDF("id", "v", "is_delete")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per micro-batch: latest change per key wins, then merge
+        val latest = batch.groupBy(col("id"))
+          .agg(max_by(struct(col("v"), col("is_delete")), col("id")).as("c"))
+          .select(col("id"), col("c.v").as("v"), col("c.is_delete").as("is_delete"))
+        snapshot = graft.operators.Cdc
+          .upsert(snapDf, latest, Seq("id"), Some("is_delete"))
+          .collect().toSeq
+        ()
+      }
+      .start()
+    try {
+      changes.addData((2L, "b2", false), (3L, "c", false)) // update + insert
+      q.processAllAvailable()
+      changes.addData((1L, "", true)) // tombstone
+      q.processAllAvailable()
+      val got = snapshot.map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((2L, "b2"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("chained stream-stream interval joins form a streaming funnel") {
     // view → click → purchase entirely in one streaming pipeline: two
     // stateful joins back to back (multiple stateful operators), each
