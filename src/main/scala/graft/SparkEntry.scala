@@ -1032,6 +1032,10 @@ object SparkEntry {
     "emb_ann_ivf_kmeans" -> ((s, dir) =>
       Embeddings.annIvf(T(s, dir, "embeddings"),
         centroidStep = ScaledIvfStep, kmeansIter = 1)),
+    // Per-group centroids (8 hash groups): the vector-aggregation
+    // shape — one (group, dim) hash-agg, exact integer means.
+    "emb_centroids" -> ((s, dir) =>
+      Embeddings.groupCentroids(T(s, dir, "embeddings"), pmod(col("vec_id"), lit(8)))),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -1714,6 +1718,14 @@ object SparkEntry {
          |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
+
+    "emb_centroids" ->
+      s"""$embCte,
+         |x AS (SELECT vec_id % 8 AS grp, i AS dim, qv[i + 1] AS q
+         |      FROM n, unnest(range(0, len(qv))) u(i))
+         |SELECT grp, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(q) // count(*) AS BIGINT) AS mean_q
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).

@@ -258,6 +258,24 @@ object Embeddings {
         round(col("__cos") * 1e6).cast("long").as("cos_x1e6"), col("rnk"))
   }
 
+  /** Per-group embedding centroids as exact integer element-wise means
+    * of the quantized vectors — the vector-AGGREGATION shape (cluster
+    * profiles, per-source embedding drift, IVF retraining seeds):
+    * posexplode to (group, dim, component) and ONE hash-agg with
+    * map-side partials — no per-group collect, no array re-assembly
+    * in a reduce task; output rows = groups × dims. Emitted long-form
+    * (group, dim, n_vecs, mean_q) — integer `div` mean, engine-exact.
+    */
+  def groupCentroids(
+      emb: DataFrame,
+      groupExpr: Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    prepped(emb, idCol, vecCol)
+      .select(groupExpr.as("grp"), posexplode(col("__qv")).as(Seq("dim", "q")))
+      .groupBy(col("grp"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), expr("sum(q) div count(1)").as("mean_q"))
+
   /** Embedding-cosine near-duplicate detection — the vector-space member
     * of the dedup family (exact / n-gram / MinHash / SimHash live in
     * [[NearDup]]): emit pairs whose cosine is ≥ thresholdMicro/1e6,
