@@ -1034,8 +1034,10 @@ object SparkEntry {
         centroidStep = ScaledIvfStep, kmeansIter = 1)),
     // Per-group centroids (8 hash groups): the vector-aggregation
     // shape — one (group, dim) hash-agg, exact integer means.
+    // `%` (sign-of-dividend) on BOTH sides — pmod here would diverge
+    // from the oracle's `%` on a negative id.
     "emb_centroids" -> ((s, dir) =>
-      Embeddings.groupCentroids(T(s, dir, "embeddings"), pmod(col("vec_id"), lit(8)))),
+      Embeddings.groupCentroids(T(s, dir, "embeddings"), col("vec_id") % 8)),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -1115,14 +1117,10 @@ object SparkEntry {
       Relevance.search(docTokens(s, dir), SearchTerms)),
     // Hybrid retrieval: BM25 and TF-IDF top-20 lists fused by exact-
     // integer reciprocal rank (the incomparable-scales combiner), then
-    // top-10 — the multi-scorer RAG-stack shape.
-    "text_hybrid_search" -> ((s, dir) => {
-      val toks = docTokens(s, dir)
-      Relevance.rrfFuse(Seq(
-        Relevance.search(toks, SearchTerms, k = 20),
-        Relevance.search(toks, SearchTerms, k = 20,
-          termScoreSql = Relevance.TfIdfTermScoreSql)))
-    }),
+    // top-10 — the multi-scorer RAG-stack shape, ONE corpus pass for
+    // both scorers.
+    "text_hybrid_search" -> ((s, dir) =>
+      Relevance.hybridSearch(docTokens(s, dir), SearchTerms)),
     // Inverted-index build: word → (df, sorted posting string); the
     // maxDf giant-row dial stays off here so the oracle sees every word.
     "text_inverted_index" -> ((s, dir) =>
@@ -1549,9 +1547,9 @@ object SparkEntry {
 
     "docs_split" ->
       s"""SELECT doc_id, lang,
-         |       CASE WHEN (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
+         |       CASE WHEN (${Curation.hashOrderSql("doc_id")}) % 1000
          |                 < $SplitValPermille THEN 'val'
-         |            WHEN (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
+         |            WHEN (${Curation.hashOrderSql("doc_id")}) % 1000
          |                 < ${SplitValPermille + SplitTestPermille} THEN 'test'
          |            ELSE 'train' END AS split
          |FROM documents""".stripMargin,
@@ -1560,7 +1558,7 @@ object SparkEntry {
       s"""SELECT doc_id, source, rk FROM (
          |  SELECT doc_id, source,
          |         CAST(row_number() OVER (PARTITION BY source
-         |           ORDER BY ((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296,
+         |           ORDER BY ${Curation.hashOrderSql("doc_id")},
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents) WHERE rk <= $FixedSamplePerSource""".stripMargin,
 
@@ -1920,7 +1918,7 @@ object SparkEntry {
          |curated AS ($curatedSelectSql),
          |tset AS (
          |  SELECT c.doc_id, d.source, c.n_tokens,
-         |         ((c.doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296 AS o
+         |         ${Curation.hashOrderSql("c.doc_id")} AS o
          |  FROM curated c JOIN documents d USING (doc_id)),
          |cums AS (
          |  SELECT doc_id, source, n_tokens,
@@ -2120,7 +2118,7 @@ object SparkEntry {
       s"""WITH rates(lang, permille) AS (VALUES $sampleRatesValues)
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN rates r USING (lang)
-         |WHERE (((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296) % 1000
+         |WHERE (${Curation.hashOrderSql("doc_id")}) % 1000
          |      < permille""".stripMargin,
 
     "text_bpe_vocab" -> bpeOracleSql,
@@ -2132,7 +2130,7 @@ object SparkEntry {
     "docs_mixture" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len($tokList) AS BIGINT) AS n_tokens,
-         |         ((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296 AS o
+         |         ${Curation.hashOrderSql("doc_id")} AS o
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, source, n_tokens,
@@ -2147,7 +2145,7 @@ object SparkEntry {
     "docs_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len($tokList) AS BIGINT) AS n_tokens,
-         |         ((doc_id % 2147483647) * ${Curation.HashMul}) % 4294967296 AS o
+         |         ${Curation.hashOrderSql("doc_id")} AS o
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, source, n_tokens,

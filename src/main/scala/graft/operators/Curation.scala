@@ -212,6 +212,12 @@ object Curation {
   def hashOrder(id: Column): Column =
     ((id % lit(2147483647L)) * lit(HashMul)) % lit(4294967296L)
 
+  /** [[hashOrder]] as engine-neutral SQL text — THE single source the
+    * differential oracles interpolate, so the reduction moduli can
+    * never drift between engine and oracle copies. */
+  def hashOrderSql(idExpr: String): String =
+    s"((($idExpr) % 2147483647) * $HashMul) % 4294967296"
+
   def hashBucket(id: Column, buckets: Int = 1000): Column =
     hashOrder(id) % lit(buckets)
 

@@ -148,6 +148,46 @@ object Relevance {
         Window.orderBy(col("score_x1000").desc, col(idCol))).cast("long"))
   }
 
+  /** Hybrid retrieval in ONE corpus pass: the postings pipeline (tf,
+    * dl, corpus scalars, df) runs once, a single aggregation emits
+    * BOTH per-doc scores (BM25×idf and TF-IDF), and the two rankings
+    * branch off the checkpointed hit table — which holds only the
+    * docs containing a query term, so the branches are broadcast-
+    * sized. Relying on plan-subtree sharing instead would tokenize
+    * and aggregate the corpus once per scorer (ReuseExchange is
+    * size/AQE-dependent, never guaranteed). Fused by [[rrfFuse]].
+    */
+  def hybridSearch(
+      toks: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      perListK: Int = 20,
+      c: Int = 60,
+      idCol: String = "doc_id",
+      wordCol: String = "word"): DataFrame = {
+    require(queryTerms.nonEmpty, "hybridSearch needs at least one query term")
+    val tf = termFrequencies(toks, idCol, wordCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl"))
+    val dfreq = tf.groupBy(col(wordCol)).agg(count(lit(1)).as("df"))
+    val scored = tf.where(col(wordCol).isin(queryTerms: _*))
+      .join(dfreq, wordCol)
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__bm", expr(Bm25TermScoreSql))
+      .withColumn("__ti", expr(TfIdfTermScoreSql))
+      .groupBy(col(idCol))
+      .agg(sum(col("__bm")).as("__sbm"), sum(col("__ti")).as("__sti"))
+      .localCheckpoint()
+    def ranked(scoreCol: String) = scored
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .limit(perListK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rnk"))
+    rrfFuse(Seq(ranked("__sbm"), ranked("__sti")), k, c, idCol)
+  }
+
   /** Reciprocal-rank fusion — the standard way to combine rankings
     * whose scores live on incomparable scales (BM25 vs TF-IDF vs
     * vector cosine): fused(d) = Σᵢ 10⁶ div (c + rankᵢ(d)), with a doc

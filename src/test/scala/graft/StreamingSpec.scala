@@ -224,7 +224,9 @@ class StreamingSpec extends SparkSpecBase {
   test("foreachBatch + Cdc.upsert maintains a live snapshot from a change stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val changes = MemoryStream[(Long, String, Boolean)]
+    // (id, v, is_delete, seq): CDC streams carry a change sequence
+    // (offset/LSN) — it is what "latest per key" must order by
+    val changes = MemoryStream[(Long, String, Boolean, Long)]
     @volatile var snapshot =
       Seq((1L, "a"), (2L, "b")).toDF("id", "v").collect().toSeq // seed rows
     def snapDf = {
@@ -232,12 +234,12 @@ class StreamingSpec extends SparkSpecBase {
       import s.implicits._
       snapshot.map(r => (r.getLong(0), r.getString(1))).toDF("id", "v")
     }
-    val q = changes.toDF().toDF("id", "v", "is_delete")
+    val q = changes.toDF().toDF("id", "v", "is_delete", "seq")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // per micro-batch: latest change per key wins, then merge
+        // per micro-batch: HIGHEST-seq change per key wins, then merge
         val latest = batch.groupBy(col("id"))
-          .agg(max_by(struct(col("v"), col("is_delete")), col("id")).as("c"))
+          .agg(max_by(struct(col("v"), col("is_delete")), col("seq")).as("c"))
           .select(col("id"), col("c.v").as("v"), col("c.is_delete").as("is_delete"))
         snapshot = graft.operators.Cdc
           .upsert(snapDf, latest, Seq("id"), Some("is_delete"))
@@ -246,9 +248,13 @@ class StreamingSpec extends SparkSpecBase {
       }
       .start()
     try {
-      changes.addData((2L, "b2", false), (3L, "c", false)) // update + insert
+      // one batch holding TWO changes for id 2: the update (seq 1) must
+      // lose to the later re-update (seq 2)
+      changes.addData((2L, "WRONG", false, 1L), (2L, "b2", false, 2L),
+        (3L, "c", false, 3L))
       q.processAllAvailable()
-      changes.addData((1L, "", true)) // tombstone
+      // and a same-batch insert-then-tombstone for id 1: tombstone wins
+      changes.addData((1L, "resurrected", false, 4L), (1L, "", true, 5L))
       q.processAllAvailable()
       val got = snapshot.map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got === Set((2L, "b2"), (3L, "c")))
