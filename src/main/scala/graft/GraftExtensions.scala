@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Literal, Multiply, Remainder, ShiftLeft, ShiftRight}
+
 import graft.expressions.{DistinctShingles, DotProductLong}
 
 /** SparkSessionExtensions entry point — the deployment hook that makes
@@ -82,6 +84,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         if (n < 1) analysisError(s"distinct_shingles: n must be >= 1, got $n", nExpr)
         DistinctShingles(exprs.head, n)
+      }))
+
+    // The determinism primitives, composed from built-in CATALYST
+    // arithmetic (a Column-bridge composition would hand the registry
+    // unresolved ColumnNodes — registry builders must return plain
+    // expression trees, which the analyzer then type-coerces). The
+    // constants come from the same single sources the Scala operators
+    // use, so the SQL surface can never drift.
+    ext.injectFunction((
+      FunctionIdentifier("hash_order"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "hash_order",
+        "hash_order(id) - the deterministic multiplicative-hash shuffle order of an int64 id",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) analysisError(
+          s"hash_order takes exactly 1 argument, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        new Remainder(
+          new Multiply(
+            new Remainder(exprs.head, Literal(2147483647L)),
+            Literal(graft.operators.Curation.HashMul)),
+          Literal(4294967296L))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      new ExpressionInfo(
+        graft.operators.Layout.getClass.getName,
+        null,
+        "z_value",
+        "z_value(bits, d1, d2, ...) - Morton bit-interleave of dimensions already in [0, 2^bits)",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2) analysisError(
+          s"z_value takes a bits literal plus at least 1 dimension, got ${exprs.length} arguments",
+          exprs.headOption.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(null)))
+        val bitsExpr = exprs.head
+        val bits = (if (bitsExpr.resolved) bitsExpr.dataType
+          else org.apache.spark.sql.types.NullType) match {
+          case ByteType | ShortType | IntegerType | LongType if bitsExpr.foldable =>
+            bitsExpr.eval() match {
+              case null => analysisError("z_value: bits must not be NULL", bitsExpr)
+              case v: Byte => v.toInt
+              case v: Short => v.toInt
+              case v: Int => v
+              case v: Long if v >= 1 && v <= 62 => v.toInt
+              case v => analysisError(s"z_value: bits out of range: $v", bitsExpr)
+            }
+          case _ => analysisError(
+            s"z_value: bits must be a foldable integer expression, got ${bitsExpr.sql}",
+            bitsExpr)
+        }
+        val dims = exprs.tail
+        if (bits * dims.size > 62) analysisError(
+          s"z_value: bits * dims = ${bits * dims.size} exceeds int64", bitsExpr)
+        val d = dims.size
+        val terms = for {
+          j <- 0 until bits
+          (c, i) <- dims.zipWithIndex
+        } yield ShiftLeft(
+          BitwiseAnd(ShiftRight(c, Literal(j)), Literal(1L)),
+          Literal(j * d + i))
+        terms.reduce[Expression]((a, b) => BitwiseOr(a, b))
       }))
   }
 }

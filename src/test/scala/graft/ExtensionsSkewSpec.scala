@@ -46,6 +46,19 @@ class ExtensionsSkewSpec extends SparkSpecBase {
       intercept[org.apache.spark.sql.AnalysisException] {
         s2.sql("SELECT distinct_shingles(array('a'), 0)").collect()
       }
+      // composed-from-built-ins registrations: determinism primitives
+      // share their single Scala definition with the SQL surface
+      val ho = s2.sql("SELECT hash_order(123) AS h")
+      assert(ho.head.getLong(0) ===
+        ((123L % 2147483647L) * graft.operators.Curation.HashMul) % 4294967296L)
+      val zv = s2.sql("SELECT z_value(3, 5, 3) AS z")
+      assert(zv.head.getLong(0) === 27L) // dimension-major interleave
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT z_value(x, 1) FROM (SELECT 1 AS x)").collect()
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT hash_order(1, 2)").collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
