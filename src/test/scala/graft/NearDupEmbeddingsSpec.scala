@@ -71,6 +71,36 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(got === crossModel)
   }
 
+  test("minhash signatures round-trip parquet: the incremental persistence seam") {
+    import org.apache.spark.sql.DataFrame
+    val base = docs.where(col("doc_id") % 2 === 1)
+    val inc = docs.where(col("doc_id") % 2 === 0)
+    val shA = NearDup.shingles(base, "doc_id", "text")
+    val shB = NearDup.shingles(inc, "doc_id", "text")
+
+    // persist the accumulated base side's signatures between "runs"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    NearDup.minHashSignatures(shA).write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    // bit-exact round trip: k int64 mins per doc
+    assert(persisted.collect().toSet ===
+      NearDup.minHashSignatures(shA).collect().toSet)
+
+    // candidates from PERSISTED base signatures + fresh increment ones
+    def explodeSig(sig: DataFrame, as: String) = sig.select(
+      col("doc_id").as(as),
+      posexplode(array((0 until NearDup.NumMinHashes).map(i => col(s"h$i")): _*))
+        .as(Seq("hi", "hv")))
+    val cand = explodeSig(persisted, "doc_a")
+      .join(explodeSig(NearDup.minHashSignatures(shB), "doc_b"), Seq("hi", "hv"))
+      .select("doc_a", "doc_b")
+    val viaSeam = NearDup.confirmBetween(cand, shA, shB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = NearDup.minHashPairsBetween(base, inc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSeam === direct && direct.nonEmpty)
+  }
+
   test("all three paths equal the model on a randomized corpus (fixed seed)") {
     import spark.implicits._
     // 12 base docs (80-120 tokens over a 50-word vocab), each with an

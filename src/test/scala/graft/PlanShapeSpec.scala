@@ -96,6 +96,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"rollup shuffles more than the single grouped agg:\n${p.take(3000)}")
   }
 
+  test("hybrid search branches off the checkpointed hit table, not the corpus") {
+    // one corpus pass for both scorers: after the hit-table checkpoint
+    // the final plan must not rescan documents.parquet per ranking
+    val p = plan("text_hybrid_search")
+    assert(!p.contains("documents.parquet"),
+      s"hybrid search re-reads the corpus after the checkpoint:\n${p.take(2000)}")
+  }
+
+  test("docs_pack runs ONE corpus scan through the distributed prefix sum") {
+    val p = plan("docs_pack")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2, // data + offsets branch
+      s"prefix scan multiplies corpus scans:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets are not broadcast:\n${p.take(3000)}")
+  }
+
   test("no CartesianProduct in any query; BNLJ only where designed") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
