@@ -883,6 +883,100 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(65536L)),
           pmod(col("l_partkey"), lit(65536L)))).as("z"))),
 
+    // Full cross-dimensional super-aggregates — CUBE computes all 2^k
+    // grouping sets (4 here) from ONE scan + Expand + one hash-agg,
+    // the cross-tab sibling of rel_rollup's hierarchy.
+    "rel_cube" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          money(sum(decP(col("c_acctbal")))).as("sum_acctbal"),
+          grouping_id().as("gid"))),
+
+    // Hand-picked grouping sets — just the two marginals + grand total,
+    // skipping the fine (r_name, n_name) level CUBE would also compute:
+    // the Expand replicates each input row 3×, not 4×.
+    "rel_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty),
+          col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          money(sum(decP(col("c_acctbal")))).as("sum_acctbal"),
+          grouping_id().as("gid"))),
+
+    // The ranking/navigation window-function surface in one pass:
+    // per-customer order history with a total order (date, key) driving
+    // row_number / lag / lead / ntile, plus a tie-bearing priority
+    // ordering driving rank / dense_rank. Integer outputs only; lag and
+    // lead edges use a -1 sentinel instead of NULL.
+    "rel_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val total = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrio = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"))
+      T(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(total).cast("long").as("rn"),
+        coalesce(lag(col("o_orderkey"), 1).over(total), lit(-1L)).as("prev_okey"),
+        coalesce(lead(col("o_orderkey"), 1).over(total), lit(-1L)).as("next_okey"),
+        ntile(4).over(total).cast("long").as("tile4"),
+        rank().over(byPrio).cast("long").as("rk_prio"),
+        dense_rank().over(byPrio).cast("long").as("drk_prio"))
+    }),
+
+    // Wide cross-tab via pivot — status counts per priority. The pivot
+    // value list is explicit (no extra distinct-values job), and absent
+    // cells coalesce to 0 so both engines agree on empty combinations.
+    "rel_pivot" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))),
+
+    // Bag-algebra set operations on the customer-activity sets of two
+    // years: INTERSECT / EXCEPT both ways, emitted as one tagged union.
+    // Spark plans each as a distinct-aggregate semi/anti shape, not a
+    // sort-merge of materialized sets.
+    "rel_setops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      def custsIn(y: Int) = o
+        .where(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      val a = custsIn(1994)
+      val b = custsIn(1995)
+      a.intersect(b).select(lit("both").as("op"), col("o_custkey"))
+        .unionByName(
+          a.except(b).select(lit("only_1994").as("op"), col("o_custkey")))
+        .unionByName(
+          b.except(a).select(lit("only_1995").as("op"), col("o_custkey")))
+    }),
+
+    // Fixed-width histogram of order value — narrow integer bucket
+    // assignment ($50k buckets over exact cents) + one hash-agg. Fixed
+    // bounds keep it a single pass: no min/max pre-scan, no stats
+    // cross-join, and the integer `div` is exact on both engines.
+    "rel_histogram" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select((decP(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .select(expr("cents div 5000000").as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))),
+
     // -------- analytics: TPC-H-shaped aggregation (bench headliners)
     "q1_pricing" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -1585,6 +1679,65 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey,
          |       ${Layout.zValueSql(Seq("(l_orderkey % 65536)", "(l_partkey % 65536)"))} AS z
          |FROM lineitem""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal,
+        |       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal,
+        |       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin,
+
+    "rel_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w_total AS BIGINT) AS rn,
+        |       coalesce(lag(o_orderkey, 1) OVER w_total, -1) AS prev_okey,
+        |       coalesce(lead(o_orderkey, 1) OVER w_total, -1) AS next_okey,
+        |       CAST(ntile(4) OVER w_total AS BIGINT) AS tile4,
+        |       CAST(rank() OVER w_prio AS BIGINT) AS rk_prio,
+        |       CAST(dense_rank() OVER w_prio AS BIGINT) AS drk_prio
+        |FROM orders
+        |WINDOW w_total AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       w_prio  AS (PARTITION BY o_custkey ORDER BY o_orderpriority)""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_setops" ->
+      """WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1994),
+        |     y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995)
+        |SELECT 'both' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT 'only_1994', o_custkey FROM (
+        |  SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT 'only_1995', o_custkey FROM (
+        |  SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y94)""".stripMargin,
+
+    "rel_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT cents // 5000000 AS bucket, count(*) AS n_orders,
+        |       min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
