@@ -1084,6 +1084,11 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1))
     }),
+    // Character-level near-dup: same shingle-equijoin candidates,
+    // confirmed by banded Levenshtein (threshold passed into the DP)
+    // instead of set Jaccard — catches small-edit rewrites directly.
+    "neardup_edit" -> ((s, dir) =>
+      NearDup.editDistancePairs(T(s, dir, "documents"))),
     // Cluster resolution over the confirmed pairs: near-duplication is
     // not transitive, so "keep one per dup group" = connected components
     // (large-star/small-star) + canonical-min per component. Pairs come
@@ -1132,6 +1137,12 @@ object SparkEntry {
     // from the oracle's `%` on a negative id.
     "emb_centroids" -> ((s, dir) =>
       Embeddings.groupCentroids(T(s, dir, "embeddings"), col("vec_id") % 8)),
+    // 8-bit scalar quantization — the embedding storage-compression op:
+    // one narrow projection (no shuffle), exact-integer codes over each
+    // vector's own range, position-weighted code checksum + max
+    // reconstruction error for the quality audit.
+    "emb_quantize" -> ((s, dir) =>
+      Embeddings.scalarQuantize(T(s, dir, "embeddings"))),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -1810,6 +1821,21 @@ object SparkEntry {
     "neardup_incremental" ->
       s"$neardupPreludeSql,\n${neardupTailSql("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}",
 
+    // same shingle-equijoin candidate set, Levenshtein confirm — the
+    // full DP here (DuckDB has no banded threshold variant); identical
+    // integer distances either way.
+    "neardup_edit" ->
+      s"""$neardupPreludeSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = doc_a
+         |JOIN documents tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= ${NearDup.MaxEditDist}""".stripMargin,
+
     // Transitive closure of the exact near-dup pairs via recursive CTE;
     // component id = min reachable doc id (matches star-contraction's
     // canonical-min convention on the Spark side).
@@ -1877,6 +1903,23 @@ object SparkEntry {
          |SELECT grp, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
          |       CAST(sum(q) // count(*) AS BIGINT) AS mean_q
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // all-rows `q` (no norm filter): quantization is a storage map, not
+    // a similarity op — a zero vector still gets codes.
+    "emb_quantize" ->
+      s"""$embCte,
+         |m AS (SELECT vec_id, qv, list_min(qv) AS mn, list_max(qv) AS mx FROM q),
+         |c AS (SELECT vec_id, qv, mn, mx,
+         |             CASE WHEN mx > mn
+         |                  THEN list_transform(qv, x -> ((x - mn) * 255) // (mx - mn))
+         |                  ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END AS codes
+         |      FROM m)
+         |SELECT vec_id, mn, mx,
+         |       CAST(list_sum(list_transform(range(len(codes)),
+         |              i -> codes[i+1] * (i+1))) % 1000000007 AS BIGINT) AS code_sig,
+         |       CAST(list_max(list_transform(range(len(qv)),
+         |              i -> abs(qv[i+1] - (mn + (codes[i+1] * (mx - mn)) // 255)))) AS BIGINT) AS err_max
+         |FROM c""".stripMargin,
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).

@@ -60,6 +60,44 @@ object Embeddings {
   def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
+  /** Per-vector 8-bit scalar quantization — the embedding STORAGE op
+    * (4-byte float component → 1-byte code, the standard first rung of
+    * vector compression before IVF/PQ): each component is mapped to
+    * `((x − mn) · 255) div (mx − mn)` over the vector's own [mn, mx]
+    * range. Runs entirely on the int64 fixed-point representation, so
+    * codes and reconstruction errors are exact integers — the DuckDB
+    * oracle replays the identical arithmetic bit-for-bit.
+    *
+    * Scale shape: one narrow projection — no shuffle, no agg, no join;
+    * at 100 TB this is a pure map over the corpus, bounded by scan +
+    * write bandwidth. Output per vector: the range (mn, mx), an
+    * order-weighted checksum of the code array (Σ codeᵢ·(i+1) mod
+    * 1e9+7 — position-sensitive, so any code or permutation change
+    * breaks parity), and the max absolute reconstruction error in
+    * fixed-point units (the quantization-quality audit a pipeline
+    * would alert on). A constant vector (mx = mn) degenerates to
+    * all-zero codes with zero error.
+    */
+  def scalarQuantize(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol), col("__qv"),
+        array_min(col("__qv")).as("mn"), array_max(col("__qv")).as("mx"))
+      .withColumn("__codes", expr(
+        """CASE WHEN mx > mn
+          |     THEN transform(__qv, x -> ((x - mn) * 255) div (mx - mn))
+          |     ELSE transform(__qv, x -> CAST(0 AS BIGINT)) END""".stripMargin))
+      .select(col(idCol), col("mn"), col("mx"),
+        expr("""aggregate(
+            |  zip_with(__codes, sequence(1L, size(__codes)), (c, i) -> c * i),
+            |  0L, (a, b) -> a + b) % 1000000007""".stripMargin)
+          .as("code_sig"),
+        expr("""array_max(zip_with(__qv, __codes,
+            |  (x, c) -> abs(x - (mn + (c * (mx - mn)) div 255))))""".stripMargin)
+          .as("err_max"))
+
   /** vec_id, quantized vector, exact squared norm — the shared prep
     * projection (narrow, codegen'd, computed once before any join). */
   private def prepped(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -224,11 +224,52 @@ object NearDup {
     * distinct) — exposed so the cap's candidate bound is testable. */
   def ngramCandidates(sh: DataFrame, idCol: String, maxDocFreq: Long): DataFrame = {
     val capped = shinglesWithDfCap(sh, idCol, maxDocFreq)
-    capped.select(col(idCol).as("doc_a"), col("s"))
-      .join(capped.select(col(idCol).as("doc_b"), col("s")), Seq("s"))
+    candidatePairsOf(capped, idCol)
+  }
+
+  /** Distinct (doc_a < doc_b) pairs sharing ≥ 1 row of the given
+    * shingle table — the shared candidate equijoin of the exact paths. */
+  private def candidatePairsOf(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol).as("doc_a"), col("s"))
+      .join(sh.select(col(idCol).as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+
+  /** Default edit-distance confirmation cutoff (absolute characters). */
+  val MaxEditDist = 16
+
+  /** Character-level near-dup: candidate pairs from the shingle
+    * equijoin (df-cappable like [[ngramJaccardPairs]]), CONFIRMED by
+    * Levenshtein distance on the raw text instead of set Jaccard — the
+    * right confirm when "near-duplicate" means "small character edits"
+    * (boilerplate tweaks, typo re-crawls) rather than "token-set
+    * overlap", since Jaccard over-penalizes many tiny edits spread
+    * across a doc while edit distance counts them directly.
+    *
+    * Scale shape: the expensive O(|a|·|b|) dynamic program runs ONLY on
+    * candidate pairs (never all pairs), and `maxDist` is passed INTO
+    * Spark's `levenshtein(l, r, threshold)` so the kernel runs the
+    * banded DP — O(max(|a|,|b|) · maxDist) per pair, returning −1 early
+    * once the distance provably exceeds the cutoff. Distances are exact
+    * integers on both engines (unit-cost insert/delete/substitute), so
+    * the emitted `edit_dist` hash-matches DuckDB's `levenshtein`.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDist: Int = MaxEditDist,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val candSh = maxDocFreq.map(shinglesWithDfCap(sh, idCol, _)).getOrElse(sh)
+    candidatePairsOf(candSh, idCol)
+      .join(docs.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), Seq("doc_a"))
+      .join(docs.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("__d"))
+      .filter(col("__d") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("__d").cast("long").as("edit_dist"))
   }
 
   /** MinHash signatures: (doc, hash index i, min over shingles of

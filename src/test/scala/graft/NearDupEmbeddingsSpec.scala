@@ -257,4 +257,78 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(rows(2L)._1 !== rows(0L)._1)        // opposite signs → other bucket
     assert(rows(2L)._2 === -1L && rows(2L)._3 === 0L) // lonely-bucket sentinel
   }
+
+  /** Reference unit-cost Levenshtein (full DP) for the model checks. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  test("edit-distance confirm equals the DP model on candidates; cutoff excludes") {
+    val got = NearDup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val texts = Map(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    // model: every shingle-sharing pair within the cutoff, true distance
+    val sets = texts.map { case (k, v) => k -> shingleSet(v) }
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys
+      if a < b && (sets(a) & sets(b)).nonEmpty
+      d = lev(texts(a), texts(b)) if d <= NearDup.MaxEditDist
+    } yield (a, b) -> d.toLong).toMap
+
+    assert(got === expected)
+    assert(got((1L, 4L)) === 0L)          // identical docs
+    assert(got.contains((1L, 2L)))        // one-token rewrite within cutoff
+    // a tight cutoff drops the rewrite but keeps the identical pair
+    val tight = NearDup.editDistancePairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === Set((1L, 4L)))
+  }
+
+  test("scalar quantization: exact codes on a known vector, zero on constant") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 1f, 0.5f, 0.25f)),
+      (1L, Array(0.3f, 0.3f, 0.3f, 0.3f))) // constant → all-zero codes
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.scalarQuantize(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // model of the fixed-point pipeline for vector 0
+    val qv = Array(0f, 1f, 0.5f, 0.25f)
+      .map(x => math.round(x.toDouble * Embeddings.Scale))
+    val (mn, mx) = (qv.min, qv.max)
+    val codes = qv.map(x => (x - mn) * 255 / (mx - mn))
+    val sig = codes.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum % 1000000007L
+    val errMax = qv.zip(codes)
+      .map { case (x, c) => math.abs(x - (mn + c * (mx - mn) / 255)) }.max
+    assert(rows(0L) === ((mn, mx, sig, errMax)))
+    // floor error bound: err ≤ (mx−mn)/255 + 1
+    assert(errMax <= (mx - mn) / 255 + 1)
+
+    val (cmn, cmx, csig, cerr) = rows(1L)
+    assert(cmn === cmx && csig === 0L && cerr === 0L)
+  }
+
+  test("scalar quantization error stays within the floor bound (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 1.2f - 0.6f))).toDF("vec_id", "embedding")
+    val bad = Embeddings.scalarQuantize(emb)
+      .filter(col("err_max") > (col("mx") - col("mn")) / 255 + 1)
+      .count()
+    assert(bad === 0L)
+  }
 }
