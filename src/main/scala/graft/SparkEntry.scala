@@ -428,6 +428,63 @@ object SparkEntry {
   /** Neighbors per vector in the k-NN graph query. */
   val KnnGraphK: Int = 3
 
+  /** Synchronous fixed-point PageRank iterations over the k-NN graph. */
+  val PageRankIters: Int = 5
+
+  /** knn-graph CTE chain ending in `knn` (vec_id, neighbor_id,
+    * cos_x1e6, rnk ≤ k) — shared by the emb_knn_graph oracle and the
+    * graph_pagerank oracle's edge list. */
+  private lazy val knnGraphCte: String =
+    s"""$lshBucketsCte,
+       |p AS (
+       |  SELECT a.vec_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(range(len(a.qv)),
+       |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
+       |         a.nsq AS an, c.nsq AS cn
+       |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT vec_id, neighbor_id,
+       |         CAST(d AS DOUBLE) /
+       |           (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosd
+       |  FROM p),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id,
+       |         CAST(round(cosd * 1000000.0) AS BIGINT) AS cos_x1e6,
+       |         CAST(row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosd DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored),
+       |knn AS (
+       |  SELECT vec_id, neighbor_id, cos_x1e6, rnk FROM ranked
+       |  WHERE rnk <= $KnnGraphK)""".stripMargin
+
+  /** Unrolled fixed-point PageRank oracle over the `knn` CTE — the
+    * same integer update as [[graft.operators.Graph.pageRank]],
+    * replayed [[PageRankIters]] times (DuckDB sums promote to HUGEINT,
+    * so each level re-casts pr to BIGINT). */
+  private lazy val pageRankSql: String = {
+    val s = graft.operators.Graph.PrScale
+    val keep = graft.operators.Graph.DampingPctKeep
+    val base = (100L - keep) * s / 100L
+    val rounds = (1 to PageRankIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id,
+         |         CAST($base + ($keep * coalesce(s$i.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // d.dg) AS c
+         |    FROM e JOIN pr${i - 1} p ON p.id = e.src
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s$i ON s$i.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnGraphCte,
+       |e AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+       |pr0 AS (SELECT id, CAST($s AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT id AS vec_id, pr AS pr_x1e12 FROM pr$PageRankIters""".stripMargin
+  }
+
   /** Context-window chunking dials: 40-token windows, 8-token overlap
     * (fixture docs run ~50–60 tokens → mostly two chunks each). */
   val ChunkTokens: Int = 40
@@ -1115,6 +1172,15 @@ object SparkEntry {
     // pairs re-agged before a WindowGroupLimit rank.
     "emb_knn_graph" -> ((s, dir) =>
       Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)),
+    // PageRank centrality over that k-NN graph — 5 synchronous
+    // fixed-point iterations (one edge-shuffle + one hash-agg each),
+    // all-integer so the unrolled oracle hash-matches.
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+        iters = PageRankIters)
+        .select(col("id").as("vec_id"), col("pr").as("pr_x1e12"))),
     // IVF-style ANN: deterministic coarse quantizer (seed-by-id
     // centroids, broadcast n·K assignment) + cell equijoin.
     "emb_ann_ivf" -> ((s, dir) =>
@@ -1924,26 +1990,12 @@ object SparkEntry {
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).
     "emb_knn_graph" ->
-      s"""$lshBucketsCte,
-         |p AS (
-         |  SELECT a.vec_id, c.vec_id AS neighbor_id,
-         |         CAST(list_sum(list_transform(range(len(a.qv)),
-         |           j -> a.qv[j+1] * c.qv[j+1])) AS BIGINT) AS d,
-         |         a.nsq AS an, c.nsq AS cn
-         |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
-         |scored AS (
-         |  SELECT vec_id, neighbor_id,
-         |         CAST(d AS DOUBLE) /
-         |           (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosd
-         |  FROM p),
-         |ranked AS (
-         |  SELECT vec_id, neighbor_id,
-         |         CAST(round(cosd * 1000000.0) AS BIGINT) AS cos_x1e6,
-         |         CAST(row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY cosd DESC, neighbor_id) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT vec_id, neighbor_id, cos_x1e6, rnk FROM ranked
-         |WHERE rnk <= $KnnGraphK""".stripMargin,
+      s"""$knnGraphCte
+         |SELECT vec_id, neighbor_id, cos_x1e6, rnk FROM knn""".stripMargin,
+
+    // fixed-point PageRank over the knn edges — the unrolled integer
+    // update; see pageRankSql.
+    "graph_pagerank" -> pageRankSql,
 
     // vector-space dedup clusters: same recursive-CTE closure as
     // dedup_clusters, over the cosine near-dup pairs.

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the family beyond
+  * [[DedupClusters]]' connected components: here the per-node VALUE
+  * (centrality) matters, not just the partition. First member:
+  * fixed-point PageRank, the standard authority score over a
+  * similarity graph (which near-dup cluster member is the "center"?
+  * which documents anchor a topic neighborhood?).
+  *
+  * Determinism contract: the usual float PageRank is unreproducible
+  * across engines (summation order changes ulps every iteration, and
+  * the drift compounds). This implementation runs ENTIRELY in int64
+  * fixed-point — rank mass starts at [[PrScale]] per node, every
+  * division is integer `div` (floor on the non-negative values here),
+  * and the damping update is the cross-multiplied
+  * `(15·S)/100 + (85·inflow) div 100`. Two engines replaying these
+  * integer ops agree bit-for-bit at every iteration — the DuckDB
+  * oracle unrolls the same update k times and hash-matches.
+  *
+  * Scale shape: per iteration, ONE shuffle — edges join the current
+  * rank vector on src (both sides hash-partitioned on the join key;
+  * the edge side's partitioning is REUSED every iteration, so a real
+  * deployment pre-partitions/buckets edges by src once), then a
+  * hash-agg on dst with map-side partials. No all-pairs anything; a
+  * 1000-executor run is bounded by the edge shuffle, exactly like one
+  * round of [[DedupClusters]]. Lineage grows linearly with
+  * iterations — past ~10, checkpoint the rank vector (the
+  * deployment seam; at the fixture's 5 iterations the single DAG is
+  * fine and keeps the whole query oracle-checkable).
+  *
+  * Dangling nodes (in-edges only) receive the base share and emit
+  * nothing, matching the "leaked mass" PageRank variant; integer
+  * flooring also leaks ≤ 1 unit per division by design — both leaks
+  * are identical in any engine running the same integer ops.
+  */
+object Graph {
+
+  /** Initial rank mass per node (fixed-point 1.0). At 10⁹+ nodes pair
+    * with the overflow headroom note on [[pageRank]]. */
+  val PrScale: Long = 1000000000000L
+
+  /** Damping split: pr' = (15·S)/100 + (85·inflow) div 100. */
+  val DampingPctKeep = 85L
+
+  /** (id, pr) after `iters` synchronous fixed-point PageRank updates
+    * over the directed edge list. Nodes = distinct src ∪ dst. Inflow
+    * of u = Σ over edges v→u of pr(v) div outdeg(v).
+    *
+    * Overflow headroom: every pr is bounded by the total mass n·S,
+    * so the damped numerator stays < 100·n·S — keep n·S below ~9·10¹⁶
+    * (e.g. scale S down past 10⁵ nodes; S is a dial, ranks only need
+    * relative order).
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 5,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = PrScale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(deg, Seq("src"))
+
+    val baseShare = (100L - DampingPctKeep) * scale / 100L
+    var pr = nodes.select(col("id"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = eDeg
+        .join(pr, col("src") === col("id"))
+        .select(col("dst").as("id"), expr("pr div __deg").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
+      pr = nodes
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(baseShare) +
+            expr(s"($DampingPctKeep * coalesce(__in, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Model tests for the fixed-point PageRank: the distributed update
+  * must equal a sequential integer replay on small crafted graphs,
+  * including dangling nodes and asymmetric in-degree.
+  */
+class GraphSpec extends SparkSpecBase {
+
+  /** Sequential replay of the exact integer update. */
+  private def model(
+      edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (100L - Graph.DampingPctKeep) * scale / 100L
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .map { case (s, d) => d -> pr(s) / deg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      pr = nodes.map(n =>
+        n -> (base + Graph.DampingPctKeep * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters = iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank equals the sequential integer model (cycle + authority)") {
+    // 1→2, 2→3, 3→1 cycle plus everyone also pointing at hub 4
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L), (3L, 4L))
+    for (iters <- Seq(1, 3, 5)) {
+      assert(run(edges, iters) === model(edges, iters, Graph.PrScale),
+        s"iters=$iters")
+    }
+  }
+
+  test("dangling node receives inflow, emits nothing, and is ranked") {
+    // 4 is a pure sink; 1 is a pure source (no in-edges → base share)
+    val edges = Seq[(Long, Long)]((1L, 2L), (2L, 4L), (3L, 4L), (2L, 3L))
+    val got = run(edges, 5)
+    assert(got === model(edges, 5, Graph.PrScale))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // pure source holds exactly the base share after any iteration
+    assert(got(1L) === (100L - Graph.DampingPctKeep) * Graph.PrScale / 100L)
+    // the two-in-edge sink outranks its feeders
+    assert(got(4L) > got(2L) && got(4L) > got(3L))
+  }
+
+  test("pageRank on a randomized graph equals the model (fixed seed)") {
+    val rnd = new scala.util.Random(42L)
+    val n = 30
+    val edges = (for {
+      s <- 0L until n.toLong
+      d <- Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(n.toLong).abs) if d != s
+    } yield (s, d)).distinct
+    assert(run(edges, 4) === model(edges, 4, Graph.PrScale))
+  }
+}
