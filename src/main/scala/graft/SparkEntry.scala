@@ -431,6 +431,14 @@ object SparkEntry {
   /** Synchronous fixed-point PageRank iterations over the k-NN graph. */
   val PageRankIters: Int = 5
 
+  /** Squared z-score cutoff (milli²) the events_outliers oracle
+    * interpolates — single-sourced from the operator default. */
+  private val OutlierThresh2: Long =
+    Sessions.DefaultZThreshMilli * Sessions.DefaultZThreshMilli
+
+  /** Feature-hashing bucket count of text_hashed_features. */
+  val HashedFeatureBuckets: Int = 64
+
   /** knn-graph CTE chain ending in `knn` (vec_id, neighbor_id,
     * cos_x1e6, rnk ≤ k) — shared by the emb_knn_graph oracle and the
     * graph_pagerank oracle's edge list. */
@@ -1292,6 +1300,12 @@ object SparkEntry {
     // both scorers.
     "text_hybrid_search" -> ((s, dir) =>
       Relevance.hybridSearch(docTokens(s, dir), SearchTerms)),
+    // Feature hashing: vocabulary → 64 fixed buckets via the
+    // cross-engine sha256 slice (no dictionary to build or broadcast),
+    // per-doc bucket tf × linear idf — constant-width sparse vectors
+    // for a downstream trainer.
+    "text_hashed_features" -> ((s, dir) =>
+      Relevance.hashedFeatures(docTokens(s, dir), buckets = HashedFeatureBuckets)),
     // Inverted-index build: word → (df, sorted posting string); the
     // maxDf giant-row dial stays off here so the oracle sees every word.
     "text_inverted_index" -> ((s, dir) =>
@@ -1510,6 +1524,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), money(sum(decP(col("value")))).as("sum_value"))
         .select(col("window.start").as("ws"), col("event_type"),
           col("n"), col("sum_value"))),
+
+    // Regularize the irregular stream onto an hourly grid: empty slots
+    // materialized per type with LOCF-filled sums — the resample/gap-fill
+    // prep every windowed model needs. Exact integer cents.
+    "events_resample" -> ((s, dir) =>
+      Sessions.resampleLocf(
+        eventsTable(s, dir), keyCol = "event_type", tsCol = "ts",
+        valueExpr = (decP(col("value")) * 100).cast("long"),
+        slotMicros = 3600000000L)
+        .select(col("key").as("event_type"), col("slot").as("hour_idx"),
+          col("n_events"), col("value_locf").as("filled_cents"), col("is_gap"))),
+
+    // Exact-moment outlier flags per event type: squared z-score via the
+    // cross-multiplied integer identity (n·x−S)²/(n·Q−S²) — one window
+    // pass, no float mean/stddev pre-scan.
+    "events_outliers" -> ((s, dir) =>
+      Sessions.zscoreOutliers(
+        eventsTable(s, dir).select(col("event_id"), col("event_type"),
+          (decP(col("value")) * 100).cast("long").as("cents")),
+        keyCol = "event_type", valueCol = "cents", idCols = Seq("event_id"))),
 
     // Trailing 7-day rolling activity per user — the RANGE-frame
     // window member: both engines aggregate over exact-microsecond
@@ -2200,6 +2234,22 @@ object SparkEntry {
          |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
          |FROM toks GROUP BY word""".stripMargin,
 
+    // bucket = low 60 bits of sha256 (cross-engine, same slice as the
+    // scaled-SimHash family) mod the bucket count; linear-idf fixed
+    // point as in text_bm25's tfidf_x1000.
+    "text_hashed_features" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id,
+         |             CAST(CAST(('0x' || substring(sha256(word), 1, 15)) AS UBIGINT)
+         |                  AS BIGINT) % $HashedFeatureBuckets AS bucket
+         |      FROM toks),
+         |t AS (SELECT doc_id, bucket, count(*) AS tf FROM h GROUP BY 1, 2),
+         |d AS (SELECT bucket, count(*) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS nn FROM toks)
+         |SELECT t.doc_id, t.bucket, t.tf, d.df,
+         |       CAST((t.tf * 1000 * n.nn) // d.df AS BIGINT) AS tfidf_x1000
+         |FROM t JOIN d USING (bucket), n""".stripMargin,
+
     // Nearest-rank per-language length percentiles — same all-integer
     // rank indices (⌈q·n⌉ = (q_num·n + q_den − 1) div q_den) as
     // TextAnalysis.lengthStats; langid CTEs mirror the text_langid
@@ -2437,6 +2487,44 @@ object SparkEntry {
         |SELECT ws, event_type, count(*) AS n,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // hourly slot = epoch-micros integer division; LOCF via
+    // last_value IGNORE NULLS over the materialized grid.
+    "events_resample" ->
+      """WITH e AS (SELECT event_type AS key,
+        |                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS slot,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |           FROM events),
+        |a AS (SELECT key, slot, count(*) AS n, sum(v) AS sv FROM e GROUP BY 1, 2),
+        |b AS (SELECT key, min(slot) AS s0, max(slot) AS s1 FROM a GROUP BY 1),
+        |g AS (SELECT key, unnest(range(s0, s1 + 1)) AS slot FROM b),
+        |j AS (SELECT g.key, g.slot, a.n, a.sv FROM g LEFT JOIN a USING (key, slot))
+        |SELECT key AS event_type, slot AS hour_idx,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |       CAST(last_value(sv IGNORE NULLS)
+        |              OVER (PARTITION BY key ORDER BY slot) AS BIGINT) AS filled_cents,
+        |       (n IS NULL) AS is_gap
+        |FROM j""".stripMargin,
+
+    // exact integer (n, S, Q) per type; the final compare and the
+    // emitted squared-z run in double on those identical integers.
+    "events_outliers" ->
+      s"""WITH c AS (SELECT event_id, event_type,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |s AS (SELECT event_id, event_type, cents,
+        |             CAST(count(*) OVER w AS DOUBLE) AS n,
+        |             CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) AS sm,
+        |             CAST(CAST(sum(cents * cents) OVER w AS BIGINT) AS DOUBLE) AS q
+        |      FROM c WINDOW w AS (PARTITION BY event_type)),
+        |f AS (SELECT event_id, event_type, cents,
+        |             (n * cents - sm) * (n * cents - sm) AS num,
+        |             n * q - sm * sm AS den
+        |      FROM s)
+        |SELECT event_id, event_type, cents,
+        |       CAST(round(num * 1000000.0 / den) AS BIGINT) AS z2_x1e6
+        |FROM f
+        |WHERE den > 0 AND num * 1000000.0 > den * $OutlierThresh2""".stripMargin,
 
     // integer-microsecond RANGE frame on both engines; the decimal sum
     // goes round(2)→double only at emit, like every money aggregate.

@@ -107,6 +107,46 @@ object Relevance {
         col("bm25_x1000"), col("tfidf_x1000"), col("rnk"))
   }
 
+  /** Feature hashing (the "hashing trick"): project the unbounded
+    * vocabulary onto a FIXED number of buckets so downstream trainers
+    * get constant-width sparse vectors with no vocabulary dictionary
+    * to build, ship, or keep consistent — the standard scale move when
+    * the corpus vocabulary would not fit a broadcast. Collisions are
+    * the accepted trade (two words sharing a bucket merge their mass).
+    *
+    * The bucket hash is the cross-engine-replicable 60-bit sha256
+    * slice ([[NearDup.Sha256Family]]'s trick): sha256 of a UTF-8
+    * string is identical in every engine, so the DuckDB oracle
+    * replicates the FULL bucketing — unlike xxhash64, which only one
+    * engine can compute. Scores are the same integer linear-idf
+    * fixed point as [[bm25TopTerms]]' tfidf_x1000.
+    *
+    * Scale shape: one (doc, bucket) hash-agg with map-side partials
+    * (the narrow hash projection replaces the word column BEFORE the
+    * shuffle, so shuffle keys are small ints, not strings), a
+    * bucket-granularity df agg (≤ `buckets` rows), and a broadcast
+    * 1-row corpus scalar — the corpus never joins anything wide.
+    * Output rows ≤ |docs| · buckets.
+    */
+  def hashedFeatures(
+      toks: DataFrame,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      wordCol: String = "word"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bucket =
+      conv(substring(sha2(col(wordCol), 256), 1, 15), 16, 10)
+        .cast("long") % buckets.toLong
+    val tf = toks.select(col(idCol), bucket.as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+    val nDocs = toks.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, Seq("bucket"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_x1000", expr("(tf * 1000L * __n) div df"))
+      .select(col(idCol), col("bucket"), col("tf"), col("df"), col("tfidf_x1000"))
+  }
+
   /** BM25 retrieval: top-`k` documents for a bag-of-terms query, the
     * read side of the relevance stack. Per-term score = the saturated-
     * tf BM25 kernel × linear idf (`N div df` — transcendental-free

@@ -239,4 +239,89 @@ object Sessions {
     inHorizon.select(
       left.columns.map(col) ++ payload.map(p => col(s"$pack.$p").as(p)): _*)
   }
+
+  /** Time-series resampling to a fixed slot grid with gap-fill and
+    * last-observation-carried-forward — the "regularize an irregular
+    * event stream" op every monitoring / feature pipeline needs before
+    * windowed models. Per key: slot index = unix_micros div
+    * `slotMicros`; empty slots between the key's first and last active
+    * slot are materialized (`is_gap = true`, `n_events = 0`) and the
+    * summed value is forward-filled from the last non-empty slot.
+    *
+    * Output: (key, slot, n_events, value_locf, is_gap).
+    *
+    * Scale shape: one hash-agg on (key, slot) with map-side partials,
+    * a per-key min/max agg, then a narrow per-key `sequence` explode
+    * for the grid (size = key's active span ÷ slot — a dial the caller
+    * controls; NOT corpus-sized) and ONE window pass per key for the
+    * forward fill. No global sort, no stats cross-join; everything
+    * partitions by the key. The LOCF window is the same
+    * merge-sorted-streams trick as [[asofJoin]] — `last(ignoreNulls)`
+    * over slot order.
+    */
+  def resampleLocf(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueExpr: Column,
+      slotMicros: Long): DataFrame = {
+    require(slotMicros > 0, s"slotMicros must be positive, got $slotMicros")
+    val agg = events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div $slotMicros").as("slot"),
+        valueExpr.as("__v"))
+      .groupBy(col("key"), col("slot"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sv"))
+    val grid = agg.groupBy(col("key"))
+      .agg(min(col("slot")).as("__s0"), max(col("slot")).as("__s1"))
+      .select(col("key"), explode(sequence(col("__s0"), col("__s1"))).as("slot"))
+    val w = Window.partitionBy(col("key")).orderBy(col("slot"))
+    grid.join(agg, Seq("key", "slot"), "left")
+      .select(col("key"), col("slot"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        last(col("__sv"), ignoreNulls = true).over(w).as("value_locf"),
+        col("__n").isNull.as("is_gap"))
+  }
+
+  /** Per-key exact-moment outlier detection: flags rows whose squared
+    * z-score exceeds `(threshMilli/1000)²`, computed WITHOUT a float
+    * mean/stddev pass — the test is the cross-multiplied integer
+    * identity z² = (n·x − S)² / (n·Q − S²) with S = Σx, Q = Σx² over
+    * the key (all exact int64 sums; the final compare runs in double
+    * on those exact integers, so both engines see identical operands
+    * and agree bit-for-bit).
+    *
+    * Output: input id/value columns + z2_x1e6 (squared z, fixed-point)
+    * for every flagged row.
+    *
+    * Scale shape: ONE window pass per key computes (n, S, Q) with the
+    * three aggregates in a single WindowExec (same spec), then a
+    * narrow filter — no self-join, no collect, no second scan. A
+    * degenerate key (constant values, n·Q = S²) emits nothing rather
+    * than dividing by zero.
+    */
+  /** Default |z| outlier cutoff (×1000): 1.5σ. */
+  val DefaultZThreshMilli: Long = 1500L
+
+  def zscoreOutliers(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCols: Seq[String],
+      threshMilli: Long = DefaultZThreshMilli): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val x = col(valueCol).cast("double")
+    val flagged = events
+      .select((idCols :+ keyCol).map(col) :+ col(valueCol): _*)
+      .withColumn("__n", count(lit(1)).over(w).cast("double"))
+      .withColumn("__s", sum(col(valueCol)).over(w).cast("double"))
+      .withColumn("__q", sum(col(valueCol) * col(valueCol)).over(w).cast("double"))
+      .withColumn("__num", (col("__n") * x - col("__s")) * (col("__n") * x - col("__s")))
+      .withColumn("__den", col("__n") * col("__q") - col("__s") * col("__s"))
+      .where(col("__den") > 0 &&
+        col("__num") * lit(1000000.0) > col("__den") * lit(threshMilli * threshMilli))
+    flagged.select(
+      (idCols :+ keyCol).map(col) :+ col(valueCol) :+
+        round(col("__num") * 1e6 / col("__den")).cast("long").as("z2_x1e6"): _*)
+  }
 }

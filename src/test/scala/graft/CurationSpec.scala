@@ -437,4 +437,49 @@ class CurationSpec extends SparkSpecBase {
     // pid 10 (t=100): nearest click is 50 s old > 10 s horizon → voided
     assert(got === Map(10L -> None, 11L -> Some(7L), 20L -> None))
   }
+
+  test("resampleLocf materializes gaps and carries the last sum forward") {
+    import spark.implicits._
+    // key A: slots 10 (v=3+4), 13 (v=5); key B: single slot 2 (v=9).
+    // slot = unix_micros div 1e6 with 1-second slots below.
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      ("A", ts(10), 3L), ("A", ts(10), 4L), ("A", ts(13), 5L),
+      ("B", ts(2), 9L))
+      .toDF("k", "ts", "v")
+    val got = Sessions
+      .resampleLocf(events, "k", "ts", col("v"), slotMicros = 1000000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got === Map(
+      ("A", 10L) -> (2L, 7L, false),
+      ("A", 11L) -> (0L, 7L, true),   // gap, LOCF from slot 10
+      ("A", 12L) -> (0L, 7L, true),
+      ("A", 13L) -> (1L, 5L, false),
+      ("B", 2L) -> (1L, 9L, false)))
+  }
+
+  test("zscoreOutliers flags the extreme point; constant keys emit nothing") {
+    import spark.implicits._
+    // X: nine 10s and one 100 → the 100 is far out; Y: constant → den=0
+    val rows = (1L to 9L).map(i => (i, "X", 10L)) ++
+      Seq((10L, "X", 100L)) ++ (11L to 14L).map(i => (i, "Y", 7L))
+    val got = Sessions.zscoreOutliers(
+        rows.toDF("event_id", "k", "v"), "k", "v", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+    // sequential model of the same doubles
+    val xs = rows.filter(_._2 == "X").map(_._3.toDouble)
+    val (n, s, q) = (xs.size.toDouble, xs.sum, xs.map(x => x * x).sum)
+    val expected = rows.filter(_._2 == "X").flatMap { case (id, _, v) =>
+      val num = (n * v - s) * (n * v - s)
+      val den = n * q - s * s
+      if (num * 1e6 > den * Sessions.DefaultZThreshMilli * Sessions.DefaultZThreshMilli)
+        Some(id -> math.round(num * 1e6 / den))
+      else None
+    }.toMap
+    assert(got === expected)
+    assert(got.contains(10L) && !got.keySet.exists(_ > 10L))
+  }
 }

@@ -83,6 +83,35 @@ class RelevanceSpec extends SparkSpecBase {
     assert(top.head._4 === 5094L)
   }
 
+  test("hashedFeatures buckets by the sha256 slice and scores linear idf") {
+    import spark.implicits._
+    val toks = Seq(
+      (1L, "alpha"), (1L, "alpha"), (1L, "beta"),
+      (2L, "alpha"), (2L, "gamma"))
+      .toDF("doc_id", "word")
+    val buckets = 64
+    val got = Relevance.hashedFeatures(toks, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // model: same sha256 15-hex-char slice in the JVM
+    def bucketOf(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets
+    }
+    val words = Map(1L -> Seq("alpha", "alpha", "beta"), 2L -> Seq("alpha", "gamma"))
+    val tf = words.toSeq.flatMap { case (d, ws) => ws.map(w => (d, bucketOf(w))) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = tf.keys.groupBy(_._2).map { case (b, ks) => b -> ks.size.toLong }
+    val nDocs = 2L
+    val expected = tf.map { case ((d, b), t) =>
+      (d, b) -> (t, df(b), t * 1000L * nDocs / df(b)) }
+    assert(got === expected)
+    // every bucket in range
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < buckets })
+  }
+
   test("lengthStats nearest-rank percentiles on a known distribution") {
     // 10 docs, lengths 1..10 tokens, all same (undetected) language:
     // p50 = idx ceil(5.0)=5 -> 5, p90 = idx 9 -> 9, p99 = idx 10 -> 10
