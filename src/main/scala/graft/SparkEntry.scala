@@ -1104,6 +1104,23 @@ object SparkEntry {
           count(lit(1)).as("n_customers"),
           money(sum(decP(col("c_acctbal")))).as("acctbal_sum"))),
 
+    // The big-fact shuffle join run through Skew.saltedJoin — proof
+    // that the hot-key mitigation is result-identical to the plain
+    // join the oracle runs (salting only changes the partitioning).
+    "join_salted" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ord, Seq("orderkey"), saltN = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          money(sum(decP(col("l_extendedprice")) *
+            (lit(1) - decQ(col("l_discount"))))).as("revenue"))
+    }),
+
     // -------- events: tumbling event-time window + JSON-ish extraction
     "events_window" -> ((s, dir) =>
       eventsTable(s, dir)
@@ -1622,7 +1639,56 @@ object SparkEntry {
           col("purchase_id"), col("user_id"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(unix_micros(col("ts")) - col("click_us"), lit(-1L)).as("gap_us"))
-    })
+    }),
+
+    // Cohort retention matrix — users cohorted by first-event week,
+    // cells = active members n weeks later; two hash-aggs + one
+    // equijoin, cohort sizes joined back broadcast.
+    "events_retention" -> ((s, dir) =>
+      Sessions.retention(eventsTable(s, dir))),
+
+    // SCD Type-2 history from the event stream as a change log per
+    // user: value runs compressed null-safely, validity intervals via
+    // lead() — one shuffle + one sort for both window passes.
+    "events_scd2" -> ((s, dir) =>
+      graft.operators.Cdc.scd2(
+        eventsTable(s, dir).select(col("user_id"), col("ts"),
+          col("value"), col("event_id")),
+        keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("value"), tieBreak = Seq("event_id"))),
+
+    // Two-snapshot categorical drift (χ² homogeneity per source) —
+    // snapshots here are the doc-id parity halves; one conditional
+    // hash-agg + a broadcast 1-row totals join, exact integers.
+    "docs_drift" -> ((s, dir) =>
+      Curation.distributionDrift(
+        T(s, dir, "documents"), col("source"), col("doc_id") % 2 === 1)),
+
+    // Triangle census of the k-NN similarity graph — wedge equijoin +
+    // closing left-semi join on canonical lo<hi edges; the global
+    // clustering coefficient in exact fixed point.
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))),
+
+    // Contrastive-pair mining: per labeled anchor, the top same-label
+    // and top cross-label (hard-negative) k-NN neighbor — two tiny
+    // label joins over the bucketed graph, one max_by hash-agg.
+    "emb_contrastive" -> ((s, dir) =>
+      Embeddings.contrastivePairs(T(s, dir, "embeddings"), k = KnnGraphK)),
+
+    // Unigram-LM cross-entropy scoring (the CCNet-style perplexity
+    // filter) in exact integer bits: tf hash-agg → Zipf-bounded model
+    // join → per-doc rollup; -log2 p as floorlog2 via bin().
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(T(s, dir, "documents"))),
+
+    // Unicode-script mix per doc — codepoint-class counts by regex
+    // removal, fixed precedence for the dominant script; zero-shuffle
+    // narrow projection.
+    "text_scripts" -> ((s, dir) =>
+      TextAnalysis.scriptMix(T(s, dir, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2598,6 +2664,153 @@ object SparkEntry {
         |SELECT p.purchase_id, p.user_id,
         |       coalesce(c.click_id, -1) AS click_id,
         |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // salted join ≡ plain join: the oracle runs the unsalted form.
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // both engines truncate weeks to Monday; week-start differences
+    // are exact multiples of 7 days.
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT cohort_week,
+        |         datediff('day', cohort_week, week) // 7 AS period_weeks,
+        |         count(*) AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT c.cohort_week, CAST(period_weeks AS BIGINT) AS period_weeks,
+        |       CAST(n_users AS BIGINT) AS n_users,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       CAST((n_users * 10000) // cohort_size AS BIGINT) AS retained_x10000
+        |FROM c JOIN s USING (cohort_week)""".stripMargin,
+
+    // run compression is null-safe (IS DISTINCT FROM); ties on ts
+    // break by event_id exactly like the operator's tieBreak.
+    "events_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(value) OVER w AS pv,
+        |         row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT * FROM o WHERE rn = 1 OR value IS DISTINCT FROM pv)
+        |SELECT user_id, ts AS valid_from, value,
+        |       lead(ts) OVER w2 AS valid_to,
+        |       (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM k
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // χ² homogeneity across the doc-id parity snapshots, the
+    // cross-multiplied integer form the operator emits.
+    "docs_drift" ->
+      """WITH c AS (
+        |  SELECT source AS category,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT category, n_a, n_b,
+        |       CAST((n_a * tb - n_b * ta) * (n_a * tb - n_b * ta) * 1000000
+        |              // (ta * tb * (n_a + n_b)) AS BIGINT) AS chi2_x1e6
+        |FROM c, t""".stripMargin,
+
+    // triangle census over the same knn CTE as graph_pagerank:
+    // canonical lo<hi edges, wedge join, EXISTS-closure (= left semi).
+    "graph_triangles" ->
+      s"""$knnGraphCte,
+         |e0 AS (
+         |  SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
+         |         greatest(vec_id, neighbor_id) AS hi
+         |  FROM knn WHERE vec_id <> neighbor_id),
+         |dg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT lo AS id FROM e0 UNION ALL SELECT hi FROM e0)
+         |  GROUP BY 1),
+         |ds AS (SELECT count(*) AS n_nodes,
+         |              CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM dg),
+         |tr AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM e0 e1 JOIN e0 e2 ON e1.hi = e2.lo
+         |  WHERE EXISTS (SELECT 1 FROM e0 e3 WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+         |ec AS (SELECT count(*) AS n_edges FROM e0)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+         |       n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+         |       CAST(CASE WHEN n_wedges > 0
+         |                 THEN (3 * n_triangles * 1000000) // n_wedges
+         |                 ELSE 0 END AS BIGINT) AS global_cc_x1e6
+         |FROM ds, ec, tr""".stripMargin,
+
+    // top-1 per (anchor, kind) ranks by the INTEGER cos_x1e6 with
+    // smaller-id ties, identical to the operator's max_by struct.
+    "emb_contrastive" ->
+      s"""$knnGraphCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |tag AS (
+         |  SELECT k.vec_id, l1.label,
+         |         CASE WHEN l1.label = l2.label THEN 'pos' ELSE 'neg' END AS kind,
+         |         k.neighbor_id AS pair_id, k.cos_x1e6
+         |  FROM knn k
+         |  JOIN lab l1 ON l1.vec_id = k.vec_id
+         |  JOIN lab l2 ON l2.vec_id = k.neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, kind
+         |                               ORDER BY cos_x1e6 DESC, pair_id) AS rn
+         |  FROM tag)
+         |SELECT vec_id, label, kind, pair_id, cos_x1e6 FROM r WHERE rn = 1""".stripMargin,
+
+    // -log2 p(w) as floorlog2(total) - floorlog2(cnt) via bin-string
+    // lengths — exact integers end to end on both engines.
+    "text_lm_score" ->
+      s"""$toksCte,
+         |tf AS (SELECT doc_id, lower(trim(word)) AS w, count(*) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |m AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m),
+         |b AS (SELECT w, CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS bits
+         |      FROM m, t)
+         |SELECT tf.doc_id,
+         |       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |       CAST(sum(tf.tf * b.bits) AS BIGINT) AS bits_total,
+         |       CAST((CAST(sum(tf.tf * b.bits) AS BIGINT) * 100)
+         |              // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_bits_x100
+         |FROM tf JOIN b USING (w) GROUP BY 1""".stripMargin,
+
+    // codepoint-class counts by regex removal; the dominant CASE
+    // cascade is the operator's precedence chain verbatim.
+    "text_scripts" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space
+        |  FROM documents),
+        |o AS (
+        |  SELECT *, n_chars - n_latin - n_digit - n_arabic - n_cjk - n_space AS n_other,
+        |         n_chars - n_space AS vis
+        |  FROM s)
+        |SELECT doc_id, n_chars, n_latin, n_digit, n_arabic, n_cjk, n_space,
+        |       CAST(n_other AS BIGINT) AS n_other,
+        |       CAST(CASE WHEN vis > 0 THEN (n_latin * 1000) // vis ELSE 0 END AS BIGINT) AS latin_x1000,
+        |       CASE WHEN vis = 0 THEN 'none'
+        |            WHEN n_latin >= greatest(n_arabic, n_cjk, n_digit, n_other) THEN 'latin'
+        |            WHEN n_arabic >= greatest(n_cjk, n_digit, n_other) THEN 'arabic'
+        |            WHEN n_cjk >= greatest(n_digit, n_other) THEN 'cjk'
+        |            WHEN n_digit >= n_other THEN 'digit'
+        |            ELSE 'other' END AS dominant
+        |FROM o""".stripMargin
   )
 }

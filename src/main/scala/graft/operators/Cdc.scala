@@ -52,4 +52,46 @@ object Cdc {
           .otherwise(col(c)).as(c)
       }: _*)
   }
+
+  /** Slowly-changing-dimension Type 2 — turn a keyed change LOG into a
+    * versioned HISTORY table with validity intervals: one row per
+    * value run, `valid_from`/`valid_to` half-open, `valid_to` null on
+    * the current row. The other half of [[upsert]]: upsert maintains
+    * the latest snapshot, scd2 preserves every state for
+    * point-in-time joins (training-data freshness audits, "what did
+    * this record say when the model was trained?").
+    *
+    * Two steps over ONE partitioning (key, ordered by ts + tie-break):
+    * change compression — a row survives only if some payload column
+    * IS DISTINCT FROM its predecessor's (null-safe, so null→value and
+    * value→null are real transitions) — then `lead(ts)` over the
+    * survivors stamps each run's end. Both windows sort by the same
+    * spec, so the plan is one shuffle + one sort; no self-join, no
+    * driver loop. Ties on ts are ordered by `tieBreak` (pass the
+    * change-log sequence column) to keep replays deterministic.
+    */
+  def scd2(
+      log: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    require(payload.nonEmpty, "scd2 needs at least one payload column")
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val changed = payload
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val first = row_number().over(w) === 1
+    log.select(keys.map(col) ++ (col(tsCol) +: payload.map(col)) ++ tieBreak.map(col): _*)
+      .withColumn("__keep", first || changed)
+      .where(col("__keep"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed(tsCol, "valid_from")
+      .drop("__keep")
+      .drop(tieBreak: _*)
+  }
 }

@@ -403,4 +403,43 @@ object Curation {
       .withColumn("pack_id", expr(s"(__cum - 1) div ${budgetTokens}L"))
       .drop("__b", "__o", "__cum")
   }
+
+  /** Two-sample categorical drift monitor — the χ² homogeneity test
+    * between two corpus snapshots (yesterday's ingest vs today's, the
+    * base corpus vs an increment), per category. A pipeline that
+    * re-trains on a rolling corpus needs exactly this alarm: "the
+    * source/language/quality-bucket mix moved".
+    *
+    * Per category i with counts a_i, b_i and snapshot totals nA, nB,
+    * the contribution is the cross-multiplied
+    * `(a_i·nB − b_i·nA)² / (nA·nB·(a_i+b_i))` — the standard χ²
+    * statistic with the expected-count division cleared, emitted
+    * ×10⁶ via integer `div` so engines agree exactly. Σ over the
+    * output column is the test statistic (df = categories − 1).
+    *
+    * Shape: ONE hash-agg over (category) with conditional counts —
+    * the snapshot predicate becomes two `sum(when)` partials, so both
+    * snapshots are counted in a single pass over the union — plus a
+    * 1-row totals aggregate joined back broadcast. Overflow headroom:
+    * (a_i·nB)² must stay below 2⁶³ — at snapshot sizes past ~3·10⁹
+    * rows, drop the ×10⁶ scale or pre-divide counts; the ranking the
+    * alarm needs survives any common scaling.
+    */
+  def distributionDrift(
+      rows: DataFrame,
+      category: Column,
+      inSnapshotB: Column): DataFrame = {
+    val counts = rows
+      .groupBy(category.as("category"))
+      .agg(
+        sum(when(!inSnapshotB, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inSnapshotB, 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_a"), col("n_b"),
+        expr("""(n_a * __tb - n_b * __ta) * (n_a * __tb - n_b * __ta) * 1000000
+               | div (__ta * __tb * (n_a + n_b))""".stripMargin.replace("\n", " "))
+          .as("chi2_x1e6"))
+  }
 }

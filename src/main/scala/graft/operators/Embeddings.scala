@@ -516,4 +516,47 @@ object Embeddings {
         coalesce(col("__nid"), lit(-1L)).as("neighbor_id"),
         coalesce(round(col("__cos") * 1e6).cast("long"), lit(0L)).as("cos_x1e6"))
   }
+
+  /** Contrastive-pair mining over the approximate k-NN graph — for
+    * each labeled anchor, its best same-label neighbor (`pos`, the
+    * easy positive) and its best different-label neighbor (`neg`, the
+    * HARD negative: closest in embedding space yet labeled apart).
+    * This is the standard mining step for contrastive/triplet
+    * training and for label-noise audits (a `neg` at cosine ≈ 1 is a
+    * probable mislabel).
+    *
+    * Shape: [[knnGraph]]'s bucketed candidates (never all-pairs) →
+    * two equijoins on the tiny (id, label) projection to tag each
+    * edge's endpoints → one `max_by` hash-agg per (anchor, kind). No
+    * window sort: top-1 per group is an ordered-struct max with
+    * map-side partials, the same trick as [[annLsh]]. Ranking
+    * compares the INTEGER `cos_x1e6` (ties → smaller neighbor id),
+    * so the pick is engine-exact given the already-oracle-checked
+    * graph. Anchors whose k-NN list has no same-label (or no
+    * cross-label) neighbor emit no row of that kind.
+    */
+  def contrastivePairs(
+      emb: DataFrame,
+      k: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      planes: Int = Planes,
+      tables: Int = 1): DataFrame = {
+    val edges = knnGraph(emb, k, idCol, vecCol, planes, tables)
+    val labels = emb.select(col(idCol), col(labelCol))
+    val nLab = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nlabel"))
+    edges
+      .join(labels, idCol)
+      .join(nLab, "neighbor_id")
+      .withColumn("kind",
+        when(col(labelCol) === col("__nlabel"), lit("pos")).otherwise(lit("neg")))
+      .groupBy(col(idCol), col(labelCol), col("kind"))
+      .agg(max_by(
+          struct(col("neighbor_id"), col("cos_x1e6")),
+          struct(col("cos_x1e6"), -col("neighbor_id"))).as("__top"))
+      .select(col(idCol), col(labelCol), col("kind"),
+        col("__top.neighbor_id").as("pair_id"),
+        col("__top.cos_x1e6").as("cos_x1e6"))
+  }
 }

@@ -324,4 +324,44 @@ object Sessions {
       (idCols :+ keyCol).map(col) :+ col(valueCol) :+
         round(col("__num") * 1e6 / col("__den")).cast("long").as("z2_x1e6"): _*)
   }
+
+  /** Cohort retention — the user-lifecycle matrix behind every
+    * engagement dashboard: users are cohorted by the week of their
+    * FIRST event, and each cell (cohort_week, period_weeks) counts the
+    * cohort members active that many weeks later. `retained_x10000`
+    * is the cell's integer fixed-point share of the cohort (period 0
+    * is 10000 by construction — every member is active in their own
+    * first week).
+    *
+    * Shape: first-touch per user (hash-agg on user — map-side partials
+    * carry `min(ts)`), distinct user-weeks (second hash-agg), then an
+    * equijoin on user and the cell aggregation. Cohort sizes come from
+    * a separate tiny aggregate (rows = #weeks) that joins back
+    * broadcast — never a window over the full activity stream. All
+    * date math is exact integers: both engines truncate weeks to
+    * Monday and the day-difference of two week-starts is a multiple
+    * of 7.
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstTouch = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first_ts"))
+      .select(col(userCol), date_trunc("week", col("__first_ts")).cast("date").as("cohort_week"))
+    val activity = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("__week"))
+      .distinct()
+    val cells = activity.join(firstTouch, userCol)
+      .select(col("cohort_week"),
+        expr("datediff(__week, cohort_week) div 7").as("period_weeks"))
+      .groupBy(col("cohort_week"), col("period_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = firstTouch.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("period_weeks"), col("n_users"),
+        col("cohort_size"),
+        expr("(n_users * 10000) div cohort_size").as("retained_x10000"))
+  }
 }

@@ -311,4 +311,94 @@ object TextAnalysis {
         max(when(col("__rn") === expr("(99 * __n + 99) div 100"), col("ws_tokens"))).as("p99_tokens"),
         max(col("ws_tokens")).as("max_tokens"))
   }
+
+  /** Unigram language-model quality scoring — the CCNet/KenLM-style
+    * perplexity filter: score each document by its per-token corpus
+    * cross-entropy and keep/flag the fluent middle of the distribution.
+    * Here the LM IS the corpus unigram distribution (self-scoring; a
+    * reference corpus plugs into the same join), and -log2 p(w) is the
+    * exact integer `floorlog2(total) - floorlog2(count(w))` — computed
+    * as `length(bin(total)) - length(bin(cnt))`, transcendental-free,
+    * so two engines replaying the arithmetic agree bit-for-bit. The
+    * ±1-bit quantization is irrelevant for filtering, which only needs
+    * the relative order of scores.
+    *
+    * Scale shape: tokenize → per-doc term frequencies (hash-agg — this
+    * FIRST agg collapses hot-token multiplicity, so the later join on
+    * `word` sees one row per (doc, word) and no stopword skew) →
+    * corpus counts (second, smaller hash-agg) → equijoin tf ⋈ model on
+    * word. The model side is Zipf-bounded (vocabulary ≪ corpus), so
+    * AQE usually broadcasts it; the 1-row corpus total joins as an
+    * explicit broadcast. No floats, no UDFs, everything codegen.
+    *
+    * Output per doc: token count, total bits, and avg bits/token ×100
+    * (the fixed-point cross-entropy a filter thresholds on). Docs with
+    * zero tokens have no cross-entropy and are absent (the tokenizer
+    * emits nothing for them).
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = graft.functions.Scalars.wordNorm(col("word"))
+    val tokens = Tokenize.splitTokens(inputCol = textCol)(
+      docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), norm.as("__w"))
+    val tf = tokens.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val model = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__cnt"))
+    val total = model.agg(sum(col("__cnt")).as("__total"))
+    val bits = model.crossJoin(broadcast(total))
+      .select(col("__w"),
+        (length(bin(col("__total"))) - length(bin(col("__cnt"))))
+          .cast("long").as("__bits"))
+    tf.join(bits, "__w")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * col("__bits")).as("bits_total"))
+      .withColumn("avg_bits_x100", idiv(col("bits_total") * 100, col("n_tokens")))
+  }
+
+  /** Unicode-script mix per document — the writing-system profile that
+    * complements [[langId]]'s stopword heuristic: stopword lexicons
+    * can't see scripts they have no markers for, while codepoint
+    * ranges classify every character. Counts are computed by class
+    * REMOVAL (`length(text) - length(regexp_replace(text, cls, ''))`),
+    * a zero-shuffle narrow projection of codegen built-ins.
+    *
+    * `dominant` picks the largest bucket with a fixed precedence chain
+    * (latin > arabic > cjk > digit > other — a CASE cascade, so ties
+    * resolve identically in any engine); all-whitespace/empty docs are
+    * "none". Fractions are integer fixed-point ×1000 of the non-space
+    * character count.
+    */
+  def scriptMix(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def removed(cls: String): Column =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val nChars = length(text).cast("long")
+    val latin = removed("[A-Za-z]")
+    val digit = removed("[0-9]")
+    val arabic = removed("[\\x{0600}-\\x{06FF}]")
+    val cjk = removed("[\\x{4E00}-\\x{9FFF}]")
+    val space = removed("\\s")
+    docs.select(col(idCol), nChars.as("n_chars"), latin.as("n_latin"),
+        digit.as("n_digit"), arabic.as("n_arabic"), cjk.as("n_cjk"),
+        space.as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_digit") - col("n_arabic") -
+          col("n_cjk") - col("n_space"))
+      .withColumn("n_visible", col("n_chars") - col("n_space"))
+      .withColumn("latin_x1000",
+        when(col("n_visible") > 0, idiv(col("n_latin") * 1000, col("n_visible")))
+          .otherwise(lit(0L)))
+      .withColumn("dominant",
+        when(col("n_visible") === 0, lit("none"))
+          .when(col("n_latin") >= greatest(col("n_arabic"), col("n_cjk"),
+            col("n_digit"), col("n_other")), lit("latin"))
+          .when(col("n_arabic") >= greatest(col("n_cjk"), col("n_digit"),
+            col("n_other")), lit("arabic"))
+          .when(col("n_cjk") >= greatest(col("n_digit"), col("n_other")), lit("cjk"))
+          .when(col("n_digit") >= col("n_other"), lit("digit"))
+          .otherwise(lit("other")))
+      .drop("n_visible")
+  }
 }

@@ -482,4 +482,80 @@ class CurationSpec extends SparkSpecBase {
     assert(got === expected)
     assert(got.contains(10L) && !got.keySet.exists(_ > 10L))
   }
+
+  test("scd2 compresses runs null-safely and stamps validity intervals") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val log = Seq(
+      (1L, t(0), Option(10.0), 1L),   // run A
+      (1L, t(1), Option(10.0), 2L),   // same value → compressed away
+      (1L, t(2), Option(20.0), 3L),   // run B
+      (1L, t(3), None, 4L),           // value→null IS a transition
+      (1L, t(4), None, 5L),           // null→null is not
+      (2L, t(0), Option(7.0), 6L)     // second key, single current run
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = graft.operators.Cdc.scd2(log, Seq("user_id"), "ts",
+        payload = Seq("value"), tieBreak = Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((Option(r.get(2)), Option(r.getTimestamp(3)), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      (1L, t(0)) -> ((Some(10.0), Some(t(2)), false)),
+      (1L, t(2)) -> ((Some(20.0), Some(t(3)), false)),
+      (1L, t(3)) -> ((None, None, true)),
+      (2L, t(0)) -> ((Some(7.0), None, true))))
+  }
+
+  test("scd2 orders equal timestamps by the tie-break column") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // two changes at the same instant: seq 1 → 5.0, seq 2 → 6.0
+    val log = Seq((1L, t(0), 5.0, 1L), (1L, t(0), 6.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.operators.Cdc.scd2(log, Seq("user_id"), "ts",
+        payload = Seq("value"), tieBreak = Seq("event_id"))
+      .collect().map(r => r.getDouble(2) -> r.getBoolean(4)).toMap
+    // 6.0 (higher seq) is the current row
+    assert(got === Map(5.0 -> false, 6.0 -> true))
+  }
+
+  test("retention cohorts by first-event week with exact fixed-point shares") {
+    import spark.implicits._
+    // 1970-01-01 is a Thursday; week starts Monday 1969-12-29
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    val events = Seq(
+      (1L, day(0)), (1L, day(1)),   // user 1: week 0 twice
+      (1L, day(7)),                 // …and again the following week
+      (2L, day(0)),                 // user 2: week 0 only
+      (3L, day(7))                  // user 3: first touch in week 1
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Sessions.retention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("1969-12-29", 0L) -> ((2L, 2L, 10000L)),   // both cohort-0 users active
+      ("1969-12-29", 1L) -> ((1L, 2L, 5000L)),    // user 1 returns next week
+      ("1970-01-05", 0L) -> ((1L, 1L, 10000L))))  // user 3's own cohort
+  }
+
+  test("distributionDrift: identical mixes score 0, a moved mix scores high") {
+    import spark.implicits._
+    // A: 4×x + 4×y; B: 4×x + 4×y → chi2 = 0 everywhere
+    val same = ((1L to 8L).map(i => (i, "x")) ++ (9L to 16L).map(i => (i, "y")))
+      .toDF("id", "cat")
+    val s = Curation.distributionDrift(same, col("cat"), col("id") % 2 === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(s === Map("x" -> 0L, "y" -> 0L))
+
+    // A = 6×x + 2×y, B = 2×x + 6×y: per-category cross-multiplied term
+    // (6·8−2·8)² / (8·8·8) = 1024/512 = 2 → 2,000,000 at ×1e6
+    val moved = (
+      (1L to 6L).map(i => (i * 2, "x")) ++ Seq((101L, "x"), (103L, "x")) ++
+      Seq((200L, "y"), (202L, "y")) ++ (1L to 6L).map(i => (i * 2 + 1, "y")))
+      .toDF("id", "cat")
+    val m = Curation.distributionDrift(moved, col("cat"), col("id") % 2 === 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m === Map(
+      "x" -> ((6L, 2L, 2000000L)),
+      "y" -> ((2L, 6L, 2000000L))))
+  }
 }

@@ -64,4 +64,32 @@ class GraphSpec extends SparkSpecBase {
     } yield (s, d)).distinct
     assert(run(edges, 4) === model(edges, 4, Graph.PrScale))
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleStats(edges.toDF("src", "dst")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangleStats: triangle + pendant gives exact census and cc") {
+    // triangle 1-2-3 plus pendant 3-4: deg = (2,2,3,1) → wedges 1+1+3 = 5
+    val got = triangles(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got === ((4L, 4L, 5L, 1L, 3L * 1000000L / 5L)))
+  }
+
+  test("triangleStats canonicalizes direction, dups and self-loops") {
+    // same graph with reversed, duplicated and self-loop edges mixed in
+    val got = triangles(Seq(
+      (2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (4L, 3L), (2L, 2L)))
+    assert(got === ((4L, 4L, 5L, 1L, 600000L)))
+  }
+
+  test("triangleStats: star has wedges but no triangles; K4 closes all") {
+    // star center 0 with 4 leaves: wedges = C(4,2) = 6, no triangles
+    assert(triangles(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) ===
+      ((5L, 4L, 6L, 0L, 0L)))
+    // complete K4: every one of the 12 wedges closes — cc = 1
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(triangles(k4) === ((4L, 6L, 12L, 4L, 1000000L)))
+  }
 }

@@ -120,7 +120,8 @@ class PlanShapeSpec extends SparkSpecBase {
       // the broadcast 1-row corpus-stats crossJoin (BM25's N and SDL)
       val bnljOk =
         Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
-          "text_bm25", "text_collocations", "text_search", "text_hybrid_search")
+          "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
+          "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")

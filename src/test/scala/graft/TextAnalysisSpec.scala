@@ -94,4 +94,48 @@ class TextAnalysisSpec extends SparkSpecBase {
       (1L, 2L) -> ((4L, "t7 t8 t9 t10")),
       (2L, 0L) -> ((2L, "a b"))))
   }
+
+  test("lmScore equals the hand-computed floor-log2 bit model") {
+    import spark.implicits._
+    // corpus counts: a=3, b=1, c=1, total=5 → bits: a=1, b=2, c=2
+    // (bits = lenbin(total) - lenbin(cnt); lenbin(5)=3, lenbin(3)=2, lenbin(1)=1)
+    val d = Seq((1L, "a A b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L * 1 + 1L * 2, (4L * 100) / 3)),  // a a b → 4 bits
+      2L -> ((2L, 1L + 2L, 150L))))                   // a c → 3 bits
+    // zero-token doc 3 emits nothing
+    assert(!got.contains(3L))
+  }
+
+  test("lmScore ranks common-word prose as fewer bits/token than rare-word text") {
+    import spark.implicits._
+    val common = (1 to 20).map(_ => "the").mkString(" ")
+    val rare = "zyzzyva qwertyuiop plugh xyzzy"
+    val d = Seq((1L, common), (2L, rare), (3L, common), (4L, "the the plugh"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) < got(4L) && got(4L) < got(2L))
+  }
+
+  test("scriptMix counts codepoint classes and picks the dominant script") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ab 12 عربى 中文 !"), // 2 latin, 2 digit, 4 arabic, 2 cjk, 1 other, 4 space
+      (2L, "   "),
+      (3L, "hello world")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getLong(5), r1.getLong(6), r1.getLong(7)) ===
+      ((15L, 2L, 2L, 4L, 2L, 4L, 1L)))
+    assert(r1.getAs[Long]("latin_x1000") === 2000L / 11)
+    assert(r1.getAs[String]("dominant") === "arabic")
+    assert(got(2L).getAs[String]("dominant") === "none")
+    assert(got(3L).getAs[String]("dominant") === "latin")
+    assert(got(3L).getAs[Long]("latin_x1000") === 1000L)
+  }
 }
