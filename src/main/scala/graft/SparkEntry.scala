@@ -431,6 +431,36 @@ object SparkEntry {
   /** Synchronous fixed-point PageRank iterations over the k-NN graph. */
   val PageRankIters: Int = 5
 
+  /** Synchronous label-propagation rounds over the k-NN graph. */
+  val LpaIters: Int = 4
+
+  /** Unrolled deterministic-LPA oracle over the `knn` CTE — the same
+    * min-label-tie-break argmax as [[graft.operators.Graph.labelPropagation]],
+    * replayed [[LpaIters]] times. */
+  private lazy val lpaSql: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""v$i AS (
+         |  SELECT s.dst, l.c, count(*) AS n
+         |  FROM sym s JOIN l${i - 1} l ON l.id = s.src GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT dst AS id, c FROM (
+         |    SELECT dst, c, row_number() OVER (PARTITION BY dst
+         |      ORDER BY n DESC, c ASC) AS rn FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnGraphCte,
+       |e0 AS (
+       |  SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
+       |         greatest(vec_id, neighbor_id) AS hi
+       |  FROM knn WHERE vec_id <> neighbor_id),
+       |sym AS (SELECT lo AS src, hi AS dst FROM e0
+       |        UNION ALL SELECT hi AS src, lo AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |l0 AS (SELECT id, id AS c FROM nodes),
+       |$rounds
+       |SELECT id AS vec_id, c AS community FROM l$LpaIters""".stripMargin
+  }
+
   /** Squared z-score cutoff (milli²) the events_outliers oracle
     * interpolates — single-sourced from the operator default. */
   private val OutlierThresh2: Long =
@@ -1684,6 +1714,22 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(T(s, dir, "documents"))),
 
+    // …and the order-2 conditional form: -log2 p(w2|w1) in exact bits,
+    // bigrams generated narrowly (zip_with of shifted slices — no
+    // window), context counts rolled up FROM the pair counts.
+    "text_lm_bigram" -> ((s, dir) =>
+      TextAnalysis.lmScoreBigram(T(s, dir, "documents"))),
+
+    // Deterministic label-propagation communities over the k-NN graph
+    // (min-label tie-break, 4 synchronous rounds) — the dense-cluster
+    // complement of connected components.
+    "graph_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+        iters = LpaIters)
+        .select(col("id").as("vec_id"), col("community"))),
+
     // Unicode-script mix per doc — codepoint-class counts by regex
     // removal, fixed precedence for the dominant script; zero-shuffle
     // narrow projection.
@@ -2785,6 +2831,33 @@ object SparkEntry {
          |       CAST((CAST(sum(tf.tf * b.bits) AS BIGINT) * 100)
          |              // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_bits_x100
          |FROM tf JOIN b USING (w) GROUP BY 1""".stripMargin,
+
+    // adjacent-pair bits: context counts are the rollup of pair
+    // counts, so p(w2|w1) normalizes exactly; bigram key = "w1 w2"
+    // (tokens are \s+-split, so the space is a safe separator).
+    "text_lm_bigram" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id, list_transform($tokList, w -> lower(trim(w))) AS a
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i+1])) AS b
+         |  FROM arr WHERE len(a) >= 2),
+         |tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |bc AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         |cx AS (SELECT split_part(b, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx
+         |       FROM bc GROUP BY 1),
+         |bits AS (
+         |  SELECT b, CAST(length(bin(ctx)) - length(bin(cnt)) AS BIGINT) AS bits
+         |  FROM bc JOIN cx ON split_part(bc.b, ' ', 1) = cx.w1)
+         |SELECT tf.doc_id,
+         |       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(tf.tf * bits.bits) AS BIGINT) AS bits_total,
+         |       CAST((CAST(sum(tf.tf * bits.bits) AS BIGINT) * 100)
+         |              // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_bits_x100
+         |FROM tf JOIN bits USING (b) GROUP BY 1""".stripMargin,
+
+    "graph_communities" -> lpaSql,
 
     // codepoint-class counts by regex removal; the dominant CASE
     // cascade is the operator's precedence chain verbatim.

@@ -357,6 +357,50 @@ object TextAnalysis {
       .withColumn("avg_bits_x100", idiv(col("bits_total") * 100, col("n_tokens")))
   }
 
+  /** Bigram-conditional LM scoring — [[lmScore]]'s order-2 sibling
+    * (the KenLM shape at its smallest): each adjacent token pair costs
+    * `-log2 p(w2|w1)`, computed exactly as
+    * `floorlog2(C(w1·)) - floorlog2(C(w1,w2))` in integer bits. Word
+    * order now matters — scrambled text keeps its unigram score but
+    * its bigram cost explodes, which is precisely the fluency signal
+    * unigrams can't see.
+    *
+    * Shape: bigram generation is a NARROW array pass (split →
+    * zip_with the 1-shifted slice — no posexplode+window, no shuffle
+    * to form pairs), then the same three hash-aggs + Zipf-bounded
+    * join as [[lmScore]]: per-doc pair tf first (kills hot-pair join
+    * skew), corpus pair counts, context counts as a rollup OF the
+    * pair counts (so C(w1·) = Σ C(w1,w2) exactly — the conditional
+    * distribution normalizes by construction). Docs with < 2 tokens
+    * have no bigrams and are absent.
+    */
+  def lmScoreBigram(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val raw = filter(split(col(textCol), "\\s+"),
+      t => !graft.functions.Scalars.isBlank(t))
+    val arr = transform(raw, w => graft.functions.Scalars.wordNorm(w))
+    val pairs = docs.select(col(idCol), arr.as("__a"))
+      .where(size(col("__a")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__a"), lit(1), size(col("__a")) - 1),
+        slice(col("__a"), lit(2), size(col("__a")) - 1),
+        (x, y) => concat_ws(" ", x, y))).as("__b"))
+    val tf = pairs.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+    val pairCnt = tf.groupBy(col("__b")).agg(sum(col("__tf")).as("__cnt"))
+      .withColumn("__w1", substring_index(col("__b"), " ", 1))
+    val ctxCnt = pairCnt.groupBy(col("__w1")).agg(sum(col("__cnt")).as("__ctx"))
+    val bits = pairCnt.join(ctxCnt, "__w1")
+      .select(col("__b"),
+        (length(bin(col("__ctx"))) - length(bin(col("__cnt"))))
+          .cast("long").as("__bits"))
+    tf.join(bits, "__b")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_bigrams"),
+        sum(col("__tf") * col("__bits")).as("bits_total"))
+      .withColumn("avg_bits_x100", idiv(col("bits_total") * 100, col("n_bigrams")))
+  }
+
   /** Unicode-script mix per document — the writing-system profile that
     * complements [[langId]]'s stopword heuristic: stopword lexicons
     * can't see scripts they have no markers for, while codepoint

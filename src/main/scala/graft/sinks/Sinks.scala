@@ -65,6 +65,10 @@ final case class CsvSink(
   *   `dynamicPartitionOverwrite` rewrites ONLY the partitions present
   *   in the incoming data (the daily-reload idiom) instead of
   *   truncating the whole root.
+  *
+  *   `format` swaps the columnar container (parquet default, orc the
+  *   built-in alternative) — every layout lever above is
+  *   format-agnostic, so the sink exposes it rather than forking.
   */
 final case class ParquetSink(
     outDir: String,
@@ -72,7 +76,8 @@ final case class ParquetSink(
     mode: String = "overwrite",
     sortBy: Seq[String] = Nil,
     maxRecordsPerFile: Option[Long] = None,
-    dynamicPartitionOverwrite: Boolean = false)
+    dynamicPartitionOverwrite: Boolean = false,
+    format: String = "parquet")
     extends Sink {
   def write(df: DataFrame): Unit = {
     val clustered =
@@ -83,7 +88,8 @@ final case class ParquetSink(
     var w = clustered.write.mode(mode)
     maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
     if (dynamicPartitionOverwrite) w = w.option("partitionOverwriteMode", "dynamic")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(outDir)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .format(format).save(outDir)
   }
 }
 

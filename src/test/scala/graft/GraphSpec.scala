@@ -92,4 +92,48 @@ class GraphSpec extends SparkSpecBase {
     val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
     assert(triangles(k4) === ((4L, 6L, 12L, 4L, 1000000L)))
   }
+
+  /** Sequential replay of deterministic LPA (min-label ties). */
+  private def lpaModel(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val sym = canon ++ canon.map(_.swap)
+    var lab = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = sym.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.map(e => lab(e._1))
+          .groupBy(identity).map { case (c, xs) => (c, xs.size) }
+        dst -> counts.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+      }
+    }
+    lab
+  }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("src", "dst"), iters = iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation separates two triangles across a bridge") {
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (1L, 3L),   // community A
+      (4L, 5L), (5L, 6L), (4L, 6L),   // community B
+      (3L, 4L))                       // bridge
+    val got = lpa(edges, 4)
+    assert(got === lpaModel(edges, 4))
+    assert(Set(got(1L), got(2L), got(3L)).size === 1, "triangle A converges")
+    assert(Set(got(4L), got(5L), got(6L)).size === 1, "triangle B converges")
+    assert(got(1L) !== got(4L), "the bridge does not merge the communities")
+  }
+
+  test("labelPropagation equals the sequential model on a random graph") {
+    val rnd = new scala.util.Random(7L)
+    val edges = (for {
+      s <- 0L until 25L
+      d <- Seq.fill(2)(rnd.nextLong(25L).abs) if d != s
+    } yield (s, d)).distinct
+    for (iters <- Seq(1, 3))
+      assert(lpa(edges, iters) === lpaModel(edges, iters), s"iters=$iters")
+  }
 }

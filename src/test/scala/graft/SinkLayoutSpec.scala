@@ -144,4 +144,21 @@ class SinkLayoutSpec extends SparkSpecBase {
     assert(after.filter(col("lang") === "en").count() === nEn)
     assert(after.filter(col("lang") === "en" && col("doc_id") < 1000000L).count() === 0)
   }
+
+  test("format=orc: same layout levers, identical round trip, pruned scan") {
+    val out = Files.createTempDirectory("graft_layout_orc").toString
+    ParquetSink(out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"),
+      format = "orc").write(docs)
+    val back = spark.read.orc(out)
+    assert(back.count() === docs.count())
+    val got = back.select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want)
+    val plan = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
+      s"orc scan did not get the partition filter:\n${plan.take(2000)}")
+  }
 }

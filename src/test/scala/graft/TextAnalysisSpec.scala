@@ -120,6 +120,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(1L) < got(4L) && got(4L) < got(2L))
   }
 
+  test("lmScoreBigram equals the hand-computed conditional-bit model") {
+    import spark.implicits._
+    // pairs: d1 = xy,yx,xy,yx,xz ; d2 = xz → counts xy=2 yx=2 xz=2
+    // contexts: x=4 (xy+xz), y=2 → bits: xy = 3-2 = 1, xz = 1, yx = 0
+    val d = Seq((1L, "x y x y x z"), (2L, "x z"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((5L, 2L * 1 + 2L * 0 + 1L * 1, 300L / 5)),
+      2L -> ((1L, 1L, 100L))))
+    // <2-token docs emit nothing
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("lmScoreBigram sees word order where the unigram score cannot") {
+    import spark.implicits._
+    // identical token MULTISETS, different order
+    val d = Seq((1L, "a b a b a b a b"), (2L, "a a a a b b b b"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bi = TextAnalysis.lmScoreBigram(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(1L) === uni(2L), "unigram model is order-blind")
+    assert(bi(1L) !== bi(2L), "bigram model distinguishes the orders")
+  }
+
   test("scriptMix counts codepoint classes and picks the dominant script") {
     import spark.implicits._
     val d = Seq(
