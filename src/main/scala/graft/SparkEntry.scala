@@ -1134,6 +1134,20 @@ object SparkEntry {
           count(lit(1)).as("n_customers"),
           money(sum(decP(col("c_acctbal")))).as("acctbal_sum"))),
 
+    // TPC-H Q6 forecast-revenue: the pure scan-side query — every
+    // predicate pushes into the parquet scan, one partial+final agg,
+    // zero joins; at 100 TB it is bounded by I/O alone.
+    "q6_forecast" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          count(lit(1)).as("n_items"),
+          money(sum(decP(col("l_extendedprice")) * decQ(col("l_discount"))))
+            .as("revenue"))),
+
     // The big-fact shuffle join run through Skew.saltedJoin — proof
     // that the hot-key mitigation is result-identical to the plain
     // join the oracle runs (salting only changes the partitioning).
@@ -1734,7 +1748,24 @@ object SparkEntry {
     // removal, fixed precedence for the dominant script; zero-shuffle
     // narrow projection.
     "text_scripts" -> ((s, dir) =>
-      TextAnalysis.scriptMix(T(s, dir, "documents")))
+      TextAnalysis.scriptMix(T(s, dir, "documents"))),
+
+    // Dataset-card summary — the one-row corpus report a training run
+    // records next to its data: volume, diversity, exact-dup rate,
+    // mean length. One scan; the count-distincts expand into parallel
+    // partial aggregates, never a driver-side pass.
+    "docs_stats_report" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(FoldGroup.tokenCountExpr(col("text"))).as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("n_tokens"), col("n_dup_docs"),
+          expr("(n_tokens * 100) div n_docs").as("mean_tokens_x100"),
+          expr("(n_dup_docs * 10000) div n_docs").as("dup_x10000")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2711,6 +2742,33 @@ object SparkEntry {
         |       coalesce(c.click_id, -1) AS click_id,
         |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "docs_stats_report" ->
+      s"""WITH a AS (
+         |  SELECT count(*) AS n_docs,
+         |         count(DISTINCT lang) AS n_langs,
+         |         count(DISTINCT source) AS n_sources,
+         |         CAST(sum(len($tokList)) AS BIGINT) AS n_tokens,
+         |         count(*) - count(DISTINCT text) AS n_dup_docs
+         |  FROM documents)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_langs AS BIGINT) AS n_langs,
+         |       CAST(n_sources AS BIGINT) AS n_sources,
+         |       n_tokens,
+         |       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+         |       CAST((n_tokens * 100) // n_docs AS BIGINT) AS mean_tokens_x100,
+         |       CAST((n_dup_docs * 10000) // n_docs AS BIGINT) AS dup_x10000
+         |FROM a""".stripMargin,
 
     // salted join ≡ plain join: the oracle runs the unsalted form.
     "join_salted" ->

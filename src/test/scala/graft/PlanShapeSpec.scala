@@ -104,6 +104,40 @@ class PlanShapeSpec extends SparkSpecBase {
       s"hybrid search re-reads the corpus after the checkpoint:\n${p.take(2000)}")
   }
 
+  test("q6_forecast pushes every predicate into the scan; no joins") {
+    val p = plan("q6_forecast")
+    // the PushedFilters list is elided in toString past a few entries —
+    // assert on the entries that always render
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      s"q6 predicates did not reach the parquet scan:\n${p.take(2500)}")
+    assert(!p.contains("Join"), s"q6 must be join-free:\n${p.take(2000)}")
+  }
+
+  test("text_scripts is a zero-exchange narrow projection") {
+    val p = plan("text_scripts")
+    assert(!p.contains("Exchange"),
+      s"script counting must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("LM scoring never plans a window sort; retention is hash-aggs only") {
+    // graph_communities / emb_contrastive are excluded only because
+    // they inherit knnGraph's rank window (a WindowGroupLimit partial
+    // top-k, asserted separately) — their OWN argmaxes are max_by aggs.
+    for (q <- Seq("text_lm_score", "text_lm_bigram", "events_retention")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q plans a window where a hash-agg suffices:\n${p.take(2500)}")
+    }
+  }
+
+  test("events_scd2 runs both window passes on ONE shuffle + sort") {
+    val p = plan("events_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"scd2 must shuffle once on the key:\n${p.take(3000)}")
+    assert("Sort \\[".r.findAllIn(p).size <= 2,
+      s"scd2 re-sorts between compression and lead():\n${p.take(3000)}")
+  }
+
   test("docs_pack runs ONE corpus scan through the distributed prefix sum") {
     val p = plan("docs_pack")
     assert("documents\\.parquet".r.findAllIn(p).size <= 2, // data + offsets branch
