@@ -1750,6 +1750,14 @@ object SparkEntry {
     "text_scripts" -> ((s, dir) =>
       TextAnalysis.scriptMix(T(s, dir, "documents"))),
 
+    // Temperature mixing (T=2): dominant sources downsampled toward
+    // the small ones by deterministic hash with all-integer isqrt
+    // rates — the corpus never shuffles, rates join back broadcast.
+    "docs_mixture_temperature" -> ((s, dir) =>
+      Curation.temperatureMix(
+        T(s, dir, "documents").select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"), col("rate_x1000"))),
+
     // Dataset-card summary — the one-row corpus report a training run
     // records next to its data: volume, diversity, exact-dup rate,
     // mean length. One scan; the count-distincts expand into parallel
@@ -2752,6 +2760,24 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    // the isqrt correction chain replayed as CTE stages; keep-decision
+    // is the shared multiplicative-hash permille bucket.
+    "docs_mixture_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         |s0 AS (SELECT source, cnt,
+         |              CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS e
+         |       FROM c),
+         |s1 AS (SELECT source, cnt,
+         |              CASE WHEN (e+1)*(e+1) <= cnt THEN e+1 ELSE e END AS e
+         |       FROM s0),
+         |w AS (SELECT source, CASE WHEN e*e > cnt THEN e-1 ELSE e END AS w FROM s1),
+         |mn AS (SELECT min(w) AS wm FROM w),
+         |r AS (SELECT source, CAST((1000 * wm) // w AS BIGINT) AS rate_x1000
+         |      FROM w, mn)
+         |SELECT d.doc_id, d.source, r.rate_x1000
+         |FROM documents d JOIN r USING (source)
+         |WHERE (${Curation.hashOrderSql("d.doc_id")}) % 1000 < r.rate_x1000""".stripMargin,
 
     "docs_stats_report" ->
       s"""WITH a AS (

@@ -404,6 +404,53 @@ object Curation {
       .drop("__b", "__o", "__cum")
   }
 
+  /** Exact integer square root — `floor(sqrt(n))` with the float
+    * estimate corrected to the true integer root, so the result is
+    * engine-exact even where a correctly-rounded double sqrt lands on
+    * the wrong side of an integer boundary (n ≥ 2^52 territory; the
+    * correction also absorbs any cast-rounding difference between
+    * engines). Non-negative inputs only. */
+  def isqrt(n: Column): Column = {
+    // floor(sqrt(Long.MaxValue)) — candidates are clamped here so the
+    // squared correction probes can never overflow int64 (ANSI mode
+    // would raise; a clamped candidate still corrects right: any root
+    // is ≤ the cap, and cap² ≤ n promotes to the cap legitimately)
+    val cap = lit(3037000499L)
+    val s0 = least(floor(sqrt(n.cast("double"))).cast("long"), cap)
+    val m = least(s0 + 1, cap)
+    val s1 = when(m * m <= n, m).otherwise(s0)
+    when(s1 * s1 > n, s1 - 1).otherwise(s1)
+  }
+
+  /** Temperature-based source mixing (T = 2) — the standard mixture
+    * flattener for multi-source training corpora: target shares go
+    * ∝ count^(1/T) = √count, so dominant sources are downsampled
+    * toward (never past) the small ones. Per-stratum keep rate is
+    * `(1000 · √c_min) div √c_i` permille — the SMALLEST stratum keeps
+    * everything, a stratum 4× larger keeps half — applied with the
+    * same deterministic [[hashBucket]] decision as
+    * [[sampleStratified]], so membership is stable under re-runs and
+    * engine swaps. √ is [[isqrt]]: all-integer, oracle-exact.
+    *
+    * Shape: one count hash-agg (strata-sized result), a 1-row min
+    * joined back broadcast to form rates, and the rate table joined
+    * back broadcast to the corpus for the filter — the corpus itself
+    * never shuffles. Output: the input rows that survive, plus
+    * `rate_x1000`.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+    val w = counts.select(col(strataCol), isqrt(col("__cnt")).as("__w"))
+    val wm = w.agg(min(col("__w")).as("__wm"))
+    val rates = w.crossJoin(broadcast(wm))
+      .select(col(strataCol), expr("(1000 * __wm) div __w").as("rate_x1000"))
+    df.join(broadcast(rates), strataCol)
+      .where(hashBucket(col(idCol)) < col("rate_x1000"))
+  }
+
   /** Two-sample categorical drift monitor — the χ² homogeneity test
     * between two corpus snapshots (yesterday's ingest vs today's, the
     * base corpus vs an increment), per category. A pipeline that

@@ -537,6 +537,43 @@ class CurationSpec extends SparkSpecBase {
       ("1970-01-05", 0L) -> ((1L, 1L, 10000L))))  // user 3's own cohort
   }
 
+  test("isqrt is exact on boundaries, perfect squares, and huge values") {
+    import spark.implicits._
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      999999L, 1000000L, (1L << 31) - 1, 1L << 52, (1L << 52) + 1,
+      3037000499L * 3037000499L, // largest int64 perfect square
+      Long.MaxValue)
+    val got = ns.toDF("n").select(col("n"), Curation.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- ns) {
+      val s = BigInt(got(n))
+      assert(s * s <= BigInt(n) && (s + 1) * (s + 1) > BigInt(n),
+        s"isqrt($n) = $s is not exact")
+    }
+  }
+
+  test("temperatureMix flattens toward the small stratum with exact hash membership") {
+    import spark.implicits._
+    // counts 100 vs 400 → isqrt 10 vs 20 → rates 1000‰ and 500‰
+    val rows = (0L until 100L).map(i => (i, "small")) ++
+      (1000L until 1400L).map(i => (i, "big"))
+    val got = Curation.temperatureMix(rows.toDF("doc_id", "source"))
+      .select("doc_id", "source", "rate_x1000").collect()
+    val rates = got.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rates === Map("small" -> 1000L, "big" -> 500L))
+    // exact membership: the shared multiplicative-hash permille decision
+    val keptIds = got.map(_.getLong(0)).toSet
+    val model = rows.collect {
+      case (id, src) if hashOrderOf(id) % 1000 <
+        (if (src == "small") 1000L else 500L) => id
+    }.toSet
+    assert(keptIds === model)
+    // every small-stratum doc survives; the big stratum genuinely thins
+    assert((0L until 100L).forall(keptIds), "smallest stratum must keep all")
+    val bigKept = keptIds.count(_ >= 1000L)
+    assert(bigKept > 100 && bigKept < 300, s"big stratum kept $bigKept of 400")
+  }
+
   test("distributionDrift: identical mixes score 0, a moved mix scores high") {
     import spark.implicits._
     // A: 4×x + 4×y; B: 4×x + 4×y → chi2 = 0 everywhere
