@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
-import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Literal, Multiply, Remainder, ShiftLeft, ShiftRight}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, BitwiseOr, CaseWhen, Cast, Floor, GreaterThan, Least, LessThanOrEqual, Literal, Multiply, Remainder, ShiftLeft, ShiftRight, Sqrt, Subtract}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.expressions.{DistinctShingles, DotProductLong}
 
@@ -150,6 +151,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BitwiseAnd(ShiftRight(c, Literal(j)), Literal(1L)),
           Literal(j * d + i))
         terms.reduce[Expression]((a, b) => BitwiseOr(a, b))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("isqrt"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "isqrt",
+        "isqrt(n) - exact integer square root of a non-negative int64 " +
+          "(float estimate + overflow-safe correction; engine-exact)",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) analysisError(
+          s"isqrt takes exactly 1 argument, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        // the same capped-correction tree as Curation.isqrt — candidates
+        // clamp at floor(sqrt(Long.MaxValue)) so the squared probes
+        // cannot overflow under ANSI mode
+        val n = exprs.head
+        val cap = Literal(3037000499L)
+        val s0 = Least(Seq(Floor(Sqrt(Cast(n, DoubleType))), cap))
+        val m = Least(Seq(Add(s0, Literal(1L)), cap))
+        val s1 = CaseWhen(Seq((LessThanOrEqual(Multiply(m, m), n), m)), Some(s0))
+        CaseWhen(
+          Seq((GreaterThan(Multiply(s1, s1), n), Subtract(s1, Literal(1L)))),
+          Some(s1))
       }))
   }
 }

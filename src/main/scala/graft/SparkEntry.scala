@@ -1606,6 +1606,15 @@ object SparkEntry {
           (decP(col("value")) * 100).cast("long").as("cents")),
         keyCol = "event_type", valueCol = "cents", idCols = Seq("event_id"))),
 
+    // …and the taming counterpart: clamp into the exact nearest-rank
+    // [p05, p95] band per type — integer rank percentiles, one shuffle,
+    // band lookup as a windowed conditional max (no subquery join).
+    "events_winsorize" -> ((s, dir) =>
+      Sessions.winsorize(
+        eventsTable(s, dir).select(col("event_id"), col("event_type"),
+          (decP(col("value")) * 100).cast("long").as("cents")),
+        keyCol = "event_type", valueCol = "cents", idCols = Seq("event_id"))),
+
     // Trailing 7-day rolling activity per user — the RANGE-frame
     // window member: both engines aggregate over exact-microsecond
     // inclusive bounds, so ts ties are frame peers (deterministic
@@ -2676,6 +2685,28 @@ object SparkEntry {
         |       CAST(round(num * 1000000.0 / den) AS BIGINT) AS z2_x1e6
         |FROM f
         |WHERE den > 0 AND num * 1000000.0 > den * $OutlierThresh2""".stripMargin,
+
+    // nearest-rank band edges via the same windowed conditional max;
+    // ranks and targets are pure integers on both engines.
+    "events_winsorize" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT event_id, event_type, cents,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY cents, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM c),
+        |b AS (SELECT *,
+        |             max(CASE WHEN rn = greatest((5 * n + 99) // 100, 1)
+        |                      THEN cents END) OVER (PARTITION BY event_type) AS lo,
+        |             max(CASE WHEN rn = (95 * n + 99) // 100
+        |                      THEN cents END) OVER (PARTITION BY event_type) AS hi
+        |      FROM r)
+        |SELECT event_id, event_type, cents,
+        |       CAST(least(greatest(cents, lo), hi) AS BIGINT) AS cents_winsorized,
+        |       (cents < lo OR cents > hi) AS clipped
+        |FROM b""".stripMargin,
 
     // integer-microsecond RANGE frame on both engines; the decimal sum
     // goes round(2)→double only at emit, like every money aggregate.

@@ -325,6 +325,45 @@ object Sessions {
         round(col("__num") * 1e6 / col("__den")).cast("long").as("z2_x1e6"): _*)
   }
 
+  /** Per-key winsorization — clamp each value into its key's exact
+    * nearest-rank [loPct, hiPct] percentile band, the standard
+    * outlier-TAMING step (where [[zscoreOutliers]] only flags):
+    * reward normalization, sensor despiking, heavy-tail capping
+    * before aggregation. Percentiles are pure integer nearest-rank
+    * (`ceil(p·n/100)` as `(p·n+99) div 100`, clamped ≥ 1) over a
+    * deterministic (value, id) order — no float interpolation, so
+    * both engines pick the same element.
+    *
+    * Shape: ONE hash shuffle on the key; the ranked pass (row_number)
+    * and the two band lookups (`max(CASE rn = target)`) are window
+    * functions over the same partitioning, so no second exchange. The
+    * band lookup trick keeps it one scan — no percentile subquery
+    * joined back.
+    */
+  def winsorize(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCols: Seq[String],
+      loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 < loPct < hiPct <= 100, got [$loPct, $hiPct]")
+    val w = Window.partitionBy(col(keyCol))
+    val wo = w.orderBy((col(valueCol) +: idCols.map(col)).map(_.asc): _*)
+    val v = col(valueCol)
+    events.select((idCols :+ keyCol).map(col) :+ v: _*)
+      .withColumn("__rn", row_number().over(wo))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__lo", max(when(col("__rn") ===
+        greatest(expr(s"($loPct * __n + 99) div 100"), lit(1L)), v)).over(w))
+      .withColumn("__hi", max(when(col("__rn") ===
+        expr(s"($hiPct * __n + 99) div 100"), v)).over(w))
+      .select((idCols :+ keyCol).map(col) :+ v :+
+        least(greatest(v, col("__lo")), col("__hi")).as(s"${valueCol}_winsorized") :+
+        (v < col("__lo") || v > col("__hi")).as("clipped"): _*)
+  }
+
   /** Cohort retention — the user-lifecycle matrix behind every
     * engagement dashboard: users are cohorted by the week of their
     * FIRST event, and each cell (cohort_week, period_weeks) counts the

@@ -537,6 +537,23 @@ class CurationSpec extends SparkSpecBase {
       ("1970-01-05", 0L) -> ((1L, 1L, 10000L))))  // user 3's own cohort
   }
 
+  test("winsorize clamps into the exact nearest-rank band and flags clips") {
+    import spark.implicits._
+    // key X: values 1..100 → p05 target rank 5 (lo=5), p95 rank 95 (hi=95)
+    // key Y: 3 rows → lo rank max(1, (15+99)//100)=1, hi rank (285+99)//100=3
+    val rows = (1L to 100L).map(i => (i, "X", i)) ++
+      Seq((201L, "Y", 10L), (202L, "Y", 20L), (203L, "Y", 30L))
+    val got = Sessions.winsorize(rows.toDF("event_id", "k", "v"),
+        keyCol = "k", valueCol = "v", idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    for (i <- 1L to 4L) assert(got(i) === ((5L, true)), s"low tail $i")
+    for (i <- 96L to 100L) assert(got(i) === ((95L, true)), s"high tail $i")
+    for (i <- 5L to 95L) assert(got(i) === ((i, false)), s"band interior $i")
+    // tiny key: band = [min, max], nothing clips
+    assert(got(201L) === ((10L, false)))
+    assert(got(203L) === ((30L, false)))
+  }
+
   test("isqrt is exact on boundaries, perfect squares, and huge values") {
     import spark.implicits._
     val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,

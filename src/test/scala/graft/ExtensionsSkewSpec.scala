@@ -59,6 +59,24 @@ class ExtensionsSkewSpec extends SparkSpecBase {
       intercept[org.apache.spark.sql.AnalysisException] {
         s2.sql("SELECT hash_order(1, 2)").collect()
       }
+      // isqrt: exact roots incl. the int64 edge (no ANSI overflow)
+      val iq = s2.sql(
+        """SELECT isqrt(0), isqrt(24), isqrt(25), isqrt(26),
+          |       isqrt(9223372036854775807)""".stripMargin).head
+      assert((iq.getLong(0), iq.getLong(1), iq.getLong(2), iq.getLong(3),
+        iq.getLong(4)) === ((0L, 4L, 5L, 5L, 3037000499L)))
+      // matches the Column-API operator on a value table
+      val vals = "SELECT explode(array(0L, 1L, 8L, 9L, 1000000L)) AS n"
+      val viaCol = s2.sql(vals)
+        .select(graft.operators.Curation.isqrt(
+          org.apache.spark.sql.functions.col("n")).as("s"))
+        .collect().map(_.getLong(0)).toSeq
+      val viaSql = s2.sql(s"SELECT isqrt(n) FROM ($vals)")
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaCol === viaSql)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT isqrt(1, 2)").collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
