@@ -1767,6 +1767,12 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("source")))
         .select(col("doc_id"), col("source"), col("rate_x1000"))),
 
+    // Source-vocabulary overlap matrix: exact Jaccard between distinct
+    // normalized-token sets per source pair — vocab-stream self-join,
+    // totals broadcast; which ingests duplicate which.
+    "docs_source_similarity" -> ((s, dir) =>
+      TextAnalysis.sourceSimilarity(T(s, dir, "documents"))),
+
     // Dataset-card summary — the one-row corpus report a training run
     // records next to its data: volume, diversity, exact-dup rate,
     // mean length. One scan; the count-distincts expand into parallel
@@ -2809,6 +2815,26 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, r.rate_x1000
          |FROM documents d JOIN r USING (source)
          |WHERE (${Curation.hashOrderSql("d.doc_id")}) % 1000 < r.rate_x1000""".stripMargin,
+
+    "docs_source_similarity" ->
+      """WITH sw AS (
+        |  SELECT DISTINCT source, lower(trim(w)) AS w FROM (
+        |    SELECT source, unnest(string_split_regex(text, '\s+')) AS w
+        |    FROM documents)
+        |  WHERE trim(w) <> '' AND NOT regexp_matches(trim(w), '^\s+$')),
+        |sz AS (SELECT source, count(*) AS n FROM sw GROUP BY 1),
+        |it AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST((n_shared * 1000000) // (sa.n + sb.n - n_shared) AS BIGINT)
+        |         AS jaccard_x1e6
+        |FROM it
+        |JOIN sz sa ON sa.source = source_a
+        |JOIN sz sb ON sb.source = source_b""".stripMargin,
 
     "docs_stats_report" ->
       s"""WITH a AS (

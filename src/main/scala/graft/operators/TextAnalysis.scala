@@ -357,6 +357,40 @@ object TextAnalysis {
       .withColumn("avg_bits_x100", idiv(col("bits_total") * 100, col("n_tokens")))
   }
 
+  /** Pairwise source-vocabulary similarity — the corpus-overlap matrix
+    * (which ingest feeds duplicate which, which sources bring NOVEL
+    * vocabulary to the mix): exact Jaccard between the distinct
+    * normalized-token sets of every source pair that shares at least
+    * one word. Dedup-adjacent but set-granular: [[NearDup]] compares
+    * documents, this compares whole strata.
+    *
+    * Shape: distinct (source, word) [one shuffle — the vocabulary
+    * stream, ≪ token stream], a self-equijoin on word for the
+    * intersection counts (a word shared by s sources emits s·(s−1)/2
+    * pair rows — bounded by the SOURCE count squared, not the corpus),
+    * and a broadcast of the source-sized vocabulary totals. Disjoint
+    * pairs emit nothing (their Jaccard is 0 by absence).
+    */
+  def sourceSimilarity(
+      docs: DataFrame,
+      strataCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val words = Tokenize.splitTokens(inputCol = textCol)(
+      docs.select(col(strataCol), col(textCol)))
+      .select(col(strataCol).as("__s"),
+        graft.functions.Scalars.wordNorm(col("word")).as("__w"))
+      .distinct()
+    val sizes = words.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    words.join(words.select(col("__s").as("__s2"), col("__w")), "__w")
+      .where(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("__s"), col("__n").as("n_a"))), "__s")
+      .join(broadcast(sizes.select(col("__s").as("__s2"), col("__n").as("n_b"))), "__s2")
+      .select(col("__s").as("source_a"), col("__s2").as("source_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)").as("jaccard_x1e6"))
+  }
+
   /** Bigram-conditional LM scoring — [[lmScore]]'s order-2 sibling
     * (the KenLM shape at its smallest): each adjacent token pair costs
     * `-log2 p(w2|w1)`, computed exactly as

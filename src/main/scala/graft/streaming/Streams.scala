@@ -24,6 +24,22 @@ object Streams {
     * what makes the aggregation runnable forever at 100 TB/day: state
     * is bounded by (watermark horizon × keys), not by stream length.
     */
+  /** Stream-static enrichment — join each micro-batch against a
+    * (small) static dimension with an explicit broadcast: the standard
+    * lookup-enrichment shape (event type → weight/category, doc source
+    * → license). Stateless: no watermark, no state store — Spark plans
+    * a per-batch broadcast hash join, so the stream side never
+    * shuffles and the dimension is shipped once per executor. The
+    * static side is re-read per trigger only if its source changes
+    * files; for a mutable dimension, swap in [[graft.operators.Cdc]]'s
+    * snapshot via foreachBatch instead. */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+
   def windowedCounts(
       events: DataFrame,
       tsCol: String = "ts",

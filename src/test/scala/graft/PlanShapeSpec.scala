@@ -130,6 +130,12 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("events_winsorize band lookup stays on the ranking shuffle") {
+    val p = plan("events_winsorize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"winsorize must shuffle once on the key:\n${p.take(3000)}")
+  }
+
   test("events_scd2 runs both window passes on ONE shuffle + sort") {
     val p = plan("events_scd2")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
@@ -155,7 +161,8 @@ class PlanShapeSpec extends SparkSpecBase {
       val bnljOk =
         Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
-          "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles")
+          "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
+          "docs_mixture_temperature")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")

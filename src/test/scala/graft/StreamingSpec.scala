@@ -33,6 +33,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrich broadcasts the dimension into each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", 10L), ("b", 20L)).toDF("event_type", "weight")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams
+      .enrich(in.toDF().toDF("ts", "event_type"), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .start()
+    try {
+      in.addData((ts(1, 10), "a"), (ts(1, 20), "b"), (ts(1, 30), "zzz"))
+      q.processAllAvailable()
+      in.addData((ts(2, 5), "a")) // second micro-batch joins too
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .collect().map { r =>
+          val t = r.getString(r.fieldIndex("event_type"))
+          val w = r.fieldIndex("weight")
+          (t, if (r.isNullAt(w)) -1L else r.getLong(w))
+        }.toList
+      assert(got.count(_ == ("a", 10L)) === 2)
+      assert(got.count(_ == ("b", 20L)) === 1)
+      assert(got.count(_ == ("zzz", -1L)) === 1, "left join keeps unmatched")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark is the streaming dedup bag") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

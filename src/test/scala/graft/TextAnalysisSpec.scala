@@ -120,6 +120,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(1L) < got(4L) && got(4L) < got(2L))
   }
 
+  test("sourceSimilarity computes exact pairwise vocabulary Jaccard") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", "A"), (2L, "b c d", "B"), (3L, "x y", "C"),
+      (4L, "c B", "A")) // dup words / case fold inside a source collapse
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceSimilarity(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // A = {a,b,c}, B = {b,c,d} → ∩ = 2, ∪ = 4 → 500000
+    assert(got(("A", "B")) === ((3L, 3L, 2L, 500000L)))
+    // C is disjoint from both → absent rows
+    assert(got.keySet === Set(("A", "B")))
+  }
+
   test("lmScoreBigram equals the hand-computed conditional-bit model") {
     import spark.implicits._
     // pairs: d1 = xy,yx,xy,yx,xz ; d2 = xz → counts xy=2 yx=2 xz=2
