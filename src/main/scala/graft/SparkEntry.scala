@@ -1134,6 +1134,19 @@ object SparkEntry {
           count(lit(1)).as("n_customers"),
           money(sum(decP(col("c_acctbal")))).as("acctbal_sum"))),
 
+    // Semi/anti join completeness: customers partitioned by order
+    // existence — LeftSemi + LeftAnti (each forwards ≤1 row per probe,
+    // never multiplying by match count), tagged and unioned.
+    "rel_semi_anti" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").select(col("c_custkey"))
+      val ords = T(s, dir, "orders").select(col("o_custkey"))
+      val has = cust.join(ords, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("status", lit("has_orders"))
+      val none = cust.join(ords, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("status", lit("no_orders"))
+      has.union(none)
+    }),
+
     // TPC-H Q6 forecast-revenue: the pure scan-side query — every
     // predicate pushes into the parquet scan, one partial+final agg,
     // zero joins; at 100 TB it is bounded by I/O alone.
@@ -2787,6 +2800,12 @@ object SparkEntry {
         |       coalesce(c.click_id, -1) AS click_id,
         |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "rel_semi_anti" ->
+      """SELECT c_custkey,
+        |       CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |            THEN 'has_orders' ELSE 'no_orders' END AS status
+        |FROM customer""".stripMargin,
 
     "q6_forecast" ->
       """SELECT count(*) AS n_items,

@@ -569,6 +569,23 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("isqrt is exact on 500 random longs across all magnitudes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // spread across bit-widths so small and near-2^63 values both hit
+    val ns = Seq.fill(500) {
+      val bits = 1 + rnd.nextInt(63)
+      (rnd.nextLong().abs >>> (63 - bits)).max(0L)
+    }.distinct
+    val got = ns.toDF("n").select(col("n"), Curation.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- ns) {
+      val s = BigInt(got(n))
+      assert(s * s <= BigInt(n) && (s + 1) * (s + 1) > BigInt(n),
+        s"isqrt($n) = $s is not exact")
+    }
+  }
+
   test("temperatureMix flattens toward the small stratum with exact hash membership") {
     import spark.implicits._
     // counts 100 vs 400 → isqrt 10 vs 20 → rates 1000‰ and 500‰

@@ -104,6 +104,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"hybrid search re-reads the corpus after the checkpoint:\n${p.take(2000)}")
   }
 
+  test("rel_semi_anti plans real semi/anti joins, not inner + distinct") {
+    val p = plan("rel_semi_anti")
+    assert(p.contains("LeftSemi"), s"semi branch degenerated:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), s"anti branch degenerated:\n${p.take(2000)}")
+  }
+
   test("q6_forecast pushes every predicate into the scan; no joins") {
     val p = plan("q6_forecast")
     // the PushedFilters list is elided in toString past a few entries —
