@@ -448,6 +448,46 @@ object Embeddings {
       .filter(col("__cnsq") > 0)
   }
 
+  /** The coarse-quantizer table annIvf builds internally — (`__cid`,
+    * quantized centroid vector `__cqv`, norm² `__cnsq`) — exposed as
+    * the INDEX-MAINTENANCE seam: a deployment computes this once
+    * (optionally Lloyd-refined), persists it as parquet, and assigns
+    * daily increments against the frozen table with [[ivfAssign]] —
+    * cell identities stay stable across runs, so inverted lists only
+    * ever append. Rate-sampled seeds, optionally refined into
+    * data-dependent means; ids (hence cell identities) persist from
+    * the seeds. */
+  def ivfCentroids(
+      emb: DataFrame,
+      centroidStep: Long = CentroidStep,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seedByHash: Boolean = false,
+      kmeansIter: Int = 0): DataFrame = {
+    require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
+    require(kmeansIter >= 0, s"kmeansIter must be >= 0, got $kmeansIter")
+    val base = prepped(emb, idCol, vecCol)
+    val seeds = base.filter(centroidSeedPred(col(idCol), centroidStep, seedByHash))
+      .select(col(idCol).as("__cid"), col("__qv").as("__cqv"), col("__nsq").as("__cnsq"))
+    (1 to kmeansIter).foldLeft(seeds)((c, _) => lloydRefine(base, c, idCol))
+  }
+
+  /** Assign vectors to their argmax-cosine cell of an EXISTING
+    * centroid table (same ordering contract as the inline assignment:
+    * max cosine, ties → smaller cell id) — the incremental half of the
+    * IVF index: one n·K broadcast scoring pass over the increment
+    * only, the accumulated corpus untouched. Output: (id, cell). */
+  def ivfAssign(
+      emb: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    prepped(emb, idCol, vecCol).crossJoin(broadcast(centroids))
+      .withColumn("__ccos",
+        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("cell"))
+
   def annIvf(
       emb: DataFrame,
       centroidStep: Long = CentroidStep,
@@ -460,12 +500,7 @@ object Embeddings {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(kmeansIter >= 0, s"kmeansIter must be >= 0, got $kmeansIter")
     val base = prepped(emb, idCol, vecCol)
-    val seeds = base.filter(centroidSeedPred(col(idCol), centroidStep, seedByHash))
-      .select(col(idCol).as("__cid"), col("__qv").as("__cqv"), col("__nsq").as("__cnsq"))
-    // rate-sampled seeds, optionally Lloyd-refined into DATA-DEPENDENT
-    // centroids (means adapt to the corpus's cluster structure; ids —
-    // hence cell identities — persist from the seeds)
-    val cents = (1 to kmeansIter).foldLeft(seeds)((c, _) => lloydRefine(base, c, idCol))
+    val cents = ivfCentroids(emb, centroidStep, idCol, vecCol, seedByHash, kmeansIter)
 
     // n·K assignment scores. nprobe = 1 (the default): argmax-cos
     // centroid (ties → smaller id) as one map-side-partial max_by hash

@@ -331,4 +331,37 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("ivf centroids round-trip parquet: the index-maintenance seam") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // base on EVEN ids so the id%step seed predicate finds seeds
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val inc = emb.where(col("vec_id") % 2 === 1)
+
+    // "run 1": build + persist the coarse quantizer from the base only
+    val cents = Embeddings.ivfCentroids(base, centroidStep = 10L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    cents.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    assert(persisted.collect().map(_.getLong(0)).sorted.toSeq ===
+      cents.collect().map(_.getLong(0)).sorted.toSeq)
+
+    // "run 2": assign ONLY the increment against the frozen table —
+    // bit-identical to assigning against the in-memory centroids
+    def cells(c: org.apache.spark.sql.DataFrame) =
+      Embeddings.ivfAssign(inc, c)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSeam = cells(persisted)
+    assert(viaSeam === cells(cents))
+    assert(viaSeam.nonEmpty)
+
+    // cell identities agree with the inline assignment annIvf performs
+    // for the base corpus (same centroid table by construction)
+    val inline = Embeddings.annIvf(base, centroidStep = 10L)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seamBase = Embeddings.ivfAssign(base, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seamBase === inline)
+  }
 }
