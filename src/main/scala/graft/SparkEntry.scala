@@ -1236,6 +1236,23 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       DedupClusters.resolve(NearDup.minHashPairs(T(s, dir, "documents")))),
 
+    // Survivorship: per near-dup cluster keep the LONGEST member (ties
+    // → smallest id) — the canonical-record policy applied as one
+    // max_by hash-agg over the resolved clusters; the id-min canonical
+    // dedup_clusters emits is a labeling choice, this is the content-
+    // aware one.
+    "docs_survivorship" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      DedupClusters.resolve(NearDup.minHashPairs(T(s, dir, "documents")))
+        .join(docs, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("survivor_id"),
+          max(col("n_chars")).as("survivor_n_chars"),
+          count(lit(1)).as("cluster_size"))
+    }),
+
     // -------- similarity search over embeddings (north-star extension)
     // Exact brute-force top-5 for a 1-in-20 query subset (broadcast NLJ,
     // corpus never shuffles) …
@@ -1615,6 +1632,15 @@ object SparkEntry {
     // pass, no float mean/stddev pre-scan.
     "events_outliers" -> ((s, dir) =>
       Sessions.zscoreOutliers(
+        eventsTable(s, dir).select(col("event_id"), col("event_type"),
+          (decP(col("value")) * 100).cast("long").as("cents")),
+        keyCol = "event_type", valueCol = "cents", idCols = Seq("event_id"))),
+
+    // …its robust sibling: median/MAD flags via exact nearest-rank
+    // medians — immune to the outliers dragging the mean, degenerate
+    // (MAD=0) keys emit nothing.
+    "events_outliers_mad" -> ((s, dir) =>
+      Sessions.madOutliers(
         eventsTable(s, dir).select(col("event_id"), col("event_type"),
           (decP(col("value")) * 100).cast("long").as("cents")),
         keyCol = "event_type", valueCol = "cents", idCols = Seq("event_id"))),
@@ -2133,6 +2159,31 @@ object SparkEntry {
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       (doc_id = cluster_id) AS is_canonical
          |FROM comp""".stripMargin,
+
+    // same recursive closure as dedup_clusters, survivor = longest
+    // member (ties → min id) via ranked window.
+    "docs_survivorship" ->
+      s"""WITH RECURSIVE p AS ($neardupSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |j AS (
+         |  SELECT comp.doc_id, comp.cluster_id, d.n_chars
+         |  FROM comp JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                               ORDER BY n_chars DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_n_chars,
+         |       CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "emb_topk" ->
       s"""$embCte,
@@ -2704,6 +2755,35 @@ object SparkEntry {
         |       CAST(round(num * 1000000.0 / den) AS BIGINT) AS z2_x1e6
         |FROM f
         |WHERE den > 0 AND num * 1000000.0 > den * $OutlierThresh2""".stripMargin,
+
+    // both medians are nearest-rank data values via the windowed
+    // conditional max; MAD=0 keys drop out on both engines.
+    "events_outliers_mad" ->
+      s"""WITH c AS (SELECT event_id, event_type,
+         |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |           FROM events),
+         |r1 AS (SELECT event_id, event_type, cents,
+         |              row_number() OVER (PARTITION BY event_type
+         |                                 ORDER BY cents, event_id) AS rn,
+         |              count(*) OVER (PARTITION BY event_type) AS n
+         |       FROM c),
+         |m1 AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+         |                   OVER (PARTITION BY event_type) AS med
+         |       FROM r1),
+         |d AS (SELECT event_id, event_type, cents, n, med,
+         |             abs(cents - med) AS dev
+         |      FROM m1),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |                                    ORDER BY dev, event_id) AS rn2
+         |       FROM d),
+         |m2 AS (SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+         |                   OVER (PARTITION BY event_type) AS mad
+         |       FROM r2)
+         |SELECT event_id, event_type, cents,
+         |       CAST(med AS BIGINT) AS median, CAST(dev AS BIGINT) AS abs_dev,
+         |       CAST(mad AS BIGINT) AS mad
+         |FROM m2
+         |WHERE mad > 0 AND dev * 1000 > ${Sessions.DefaultMadThreshMilli} * mad""".stripMargin,
 
     // nearest-rank band edges via the same windowed conditional max;
     // ranks and targets are pure integers on both engines.

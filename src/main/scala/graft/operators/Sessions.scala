@@ -364,6 +364,51 @@ object Sessions {
         (v < col("__lo") || v > col("__hi")).as("clipped"): _*)
   }
 
+  /** Default MAD multiple (×1000) for [[madOutliers]]: 3×. */
+  val DefaultMadThreshMilli: Long = 3000L
+
+  /** Median-absolute-deviation outliers — the ROBUST sibling of
+    * [[zscoreOutliers]]: mean/variance are themselves dragged by the
+    * outliers they're meant to find, while the median and MAD ignore
+    * up to half the data being wild. Flags rows with
+    * `|x − median| · 1000 > thresh · MAD` in exact integers: both
+    * medians are nearest-rank (`(n+1) div 2`) picks of real data
+    * values — no averaging of middle pairs, no floats, engine-exact.
+    * Keys whose MAD is 0 (more than half the values identical) emit
+    * nothing rather than flagging every nonconforming row — that
+    * degenerate case is [[zscoreOutliers]]' territory.
+    *
+    * Shape: ONE hash shuffle on the key, then two ranked passes over
+    * the same partitioning (value order, then deviation order) with
+    * the band-lookup trick of [[winsorize]] — windowed conditional
+    * max, no median subquery joined back.
+    */
+  def madOutliers(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCols: Seq[String],
+      threshMilli: Long = DefaultMadThreshMilli): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val v = col(valueCol)
+    val wo1 = w.orderBy((v +: idCols.map(col)).map(_.asc): _*)
+    val step1 = events.select((idCols :+ keyCol).map(col) :+ v: _*)
+      .withColumn("__rn", row_number().over(wo1))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__med",
+        max(when(col("__rn") === expr("(__n + 1) div 2"), v)).over(w))
+      .withColumn("__dev", abs(v - col("__med")))
+    val wo2 = w.orderBy((col("__dev") +: idCols.map(col)).map(_.asc): _*)
+    step1
+      .withColumn("__rn2", row_number().over(wo2))
+      .withColumn("__mad",
+        max(when(col("__rn2") === expr("(__n + 1) div 2"), col("__dev"))).over(w))
+      .where(col("__mad") > 0 && col("__dev") * 1000 > lit(threshMilli) * col("__mad"))
+      .select((idCols :+ keyCol).map(col) :+ v :+
+        col("__med").as("median") :+ col("__dev").as("abs_dev") :+
+        col("__mad").as("mad"): _*)
+  }
+
   /** Cohort retention — the user-lifecycle matrix behind every
     * engagement dashboard: users are cohorted by the week of their
     * FIRST event, and each cell (cohort_week, period_weeks) counts the

@@ -537,6 +537,20 @@ class CurationSpec extends SparkSpecBase {
       ("1970-01-05", 0L) -> ((1L, 1L, 10000L))))  // user 3's own cohort
   }
 
+  test("madOutliers flags by exact nearest-rank median/MAD; degenerate keys silent") {
+    import spark.implicits._
+    // X: 1..9 + 100 → med = 5 (rank (10+1)÷2 = 5), devs sorted
+    // 0,1,1,2,2,3,3,4,4,95 → MAD = 2 → flag iff dev·1000 > 3000·2 ⇒ dev > 6
+    val rows = (1L to 9L).map(i => (i, "X", i)) ++ Seq((10L, "X", 100L)) ++
+      // Y: six identical + one odd → MAD = 0 → emits nothing
+      (11L to 16L).map(i => (i, "Y", 7L)) ++ Seq((17L, "Y", 999L))
+    val got = Sessions.madOutliers(rows.toDF("event_id", "k", "v"),
+        keyCol = "k", valueCol = "v", idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(10L -> ((100L, 5L, 95L, 2L))))
+  }
+
   test("winsorize clamps into the exact nearest-rank band and flags clips") {
     import spark.implicits._
     // key X: values 1..100 → p05 target rank 5 (lo=5), p95 rank 95 (hi=95)
