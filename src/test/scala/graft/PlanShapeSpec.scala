@@ -142,6 +142,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"winsorize must shuffle once on the key:\n${p.take(3000)}")
   }
 
+  test("events_outliers_mad runs both median passes on ONE key shuffle") {
+    val p = plan("events_outliers_mad")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"MAD outliers must shuffle once on the key:\n${p.take(3000)}")
+  }
+
   test("events_scd2 runs both window passes on ONE shuffle + sort") {
     val p = plan("events_scd2")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
