@@ -8,6 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * report plausible-looking numbers. One untimed warmup pass (flagship
   * entry at sf0.001) absorbs JVM/codegen startup cost.
   *
+  * Each query is measured as the MIN of [[Bench.Reps]] back-to-back
+  * runs: a single-shot reading over a 100+-query battery records GC /
+  * JIT / machine-contention spikes as if they were plan costs (r6's
+  * committed file had zero-shuffle narrow projections at 17× their
+  * steady-state time). Min-of-N is the standard contention-robust
+  * estimator for a deterministic workload — the plan can't run FASTER
+  * than its true cost, so the min converges on the plan and discards
+  * the noise.
+  *
   * The timed action is [[Bench.materialize]], NOT `count()`: count()
   * plans an empty-column aggregate, and for a pure-projection query
   * ColumnPruning then deletes every projected expression — the bench
@@ -20,6 +29,9 @@ object Bench {
     * physical plan (all projections evaluated), driver only counts. */
   def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()
+
+  /** Timed repetitions per query; the reported time is their min. */
+  val Reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,11 +58,21 @@ object Bench {
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { materialize(fn(spark, sfDir)); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, err)
+      // min over Reps runs; stop timing at the first failure (reps of a
+      // throwing query would just re-throw and double the error path).
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var rep = 0
+      while (rep < Reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (err.isEmpty && sec < best) best = sec
+        rep += 1
+      }
+      (name, if (err.isEmpty) best else 0.0, err)
     }
     val qs = results.map { case (name, sec, err) =>
       val okPart = err match {

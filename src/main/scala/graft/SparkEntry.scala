@@ -1355,6 +1355,66 @@ object SparkEntry {
         .filter(col("n_copies") > 1)
     }),
 
+    // REAL header decode, differentially tested as parse∘construct=id:
+    // payloads are synthesized as VALID PNG / GIF89a / JPEG(JFIF)
+    // headers with dimensions derived from doc fields (plus a raw-text
+    // "unknown" arm), then Multimodal.imageDims parses them back —
+    // magic dispatch, big/little-endian field reads and the bounded
+    // JPEG SOF marker walk, all codegen built-ins. The oracle emits
+    // the constructed ground truth, so any parser defect mismatches.
+    "multimodal_decode" -> ((s, dir) => {
+      def idv(a: Column, b: Column) = call_function("div", a, b)
+      val w0 = (col("doc_id") % 640 + 1).cast("long")
+      val h0 = (col("doc_id") % 480 + 1).cast("long")
+      def hex4(c: Column) = lpad(lower(hex(c)), 4, "0")
+      def hex8(c: Column) = lpad(lower(hex(c)), 8, "0")
+      def le16(c: Column) = concat(
+        lpad(lower(hex(c % 256)), 2, "0"), lpad(lower(hex(idv(c, lit(256)))), 2, "0"))
+      val pngHex = concat(
+        lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+        hex8(w0), hex8(h0), lit("0806000000"))
+      val gifHex = concat(lit("474946383961"), le16(w0), le16(h0), lit("f70000"))
+      val jpegHex = concat(
+        lit("ffd8" + "ffe00010" + "4a46494600010100000100010000" + // APP0 JFIF
+          "ffdb0005004142" +                                       // DQT stub
+          "ffc00011" + "08"),                                      // SOF0, 8-bit
+        hex4(h0), hex4(w0), lit("03" + "011100021100031100"))
+      val payload =
+        when(col("doc_id") % 4 === 0, unhex(pngHex))
+          .when(col("doc_id") % 4 === 1, unhex(gifHex))
+          .when(col("doc_id") % 4 === 2, unhex(jpegHex))
+          .otherwise(col("text").cast("binary"))
+      val dims = Multimodal.imageDims(col("payload"))
+      T(s, dir, "documents")
+        .withColumn("payload", payload)
+        .select(col("doc_id"),
+          dims.getField("format").as("format"),
+          dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+    }),
+
+    // Image perceptual-hash near-dup — the pixel-level member of the
+    // dedup family: 64-bit blockhash-style signature over the payload
+    // byte stream (block byte-sums vs their median), paired through
+    // the SAME banded-Hamming candidate machinery as SimHash
+    // (NearDup.bandedHammingPairs; 8 bands × 8 bits ⇒ pigeonhole-exact
+    // for the Hamming ≤ 6 cutoff). Candidates are a band equijoin,
+    // never all pairs. Every doc_id % 101 == 0 payload also enters as
+    // a "re-encode twin" (id + 10⁷) with ONE byte overwritten in
+    // place — the byte-level corruption a pixel tweak / bit-rot
+    // produces, which is the perturbation class phash exists for
+    // (token-level near-dups shift every block and are SimHash's
+    // job). The oracle replicates the full integer signature +
+    // banding, as neardup_simhash_scaled's does.
+    "multimodal_phash" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val twins = base.where(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+      Multimodal.pHashPairs(base.unionByName(twins))
+    }),
+
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -2311,6 +2371,74 @@ object SparkEntry {
         |       CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
+    // parse∘construct = id: the oracle emits the GROUND-TRUTH format
+    // and dimensions the Spark side synthesized into valid image
+    // headers and then parsed back — any defect in the magic dispatch,
+    // endian field reads or the JPEG SOF walk mismatches here.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 640 + 1 AS BIGINT)
+        |       ELSE NULL END AS width,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 480 + 1 AS BIGINT)
+        |       ELSE NULL END AS height
+        |FROM documents""".stripMargin,
+
+    // Full replication of the 64-bit blockhash signature + 8×8-bit
+    // banding + Hamming cutoff (the neardup_simhash_scaled pattern:
+    // bits as rows, bands as grouped sums, candidates as the band
+    // equijoin, Hamming counted over the bit rows).
+    "multimodal_phash" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+         |b AS (
+         |  SELECT doc_id, hx, length(hx) // 2 AS len FROM b0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000,
+         |         substring(hx, 1, 20) || '00' || substring(hx, 23) AS hx,
+         |         length(substring(hx, 1, 20) || '00' || substring(hx, 23)) // 2 AS len
+         |  FROM b0 WHERE doc_id % 101 = 0),
+         |v AS (
+         |  SELECT doc_id,
+         |         list_transform(range(${Multimodal.PHashBlocks}), i ->
+         |           coalesce(TRY_CAST(('0x' || substring(hx,
+         |             CAST(((len * i) // ${Multimodal.PHashBlocks}) * 2 + 1 AS BIGINT),
+         |             ${Multimodal.PHashSampleBytes * 2})) AS BIGINT), 0)) AS vs
+         |  FROM b),
+         |f AS (
+         |  SELECT doc_id,
+         |         list_transform(vs, x -> ${(0 until Multimodal.PHashSampleBytes)
+                    .map(b => s"((x >> ${8 * b}) & 255)").mkString(" + ")}) AS feats
+         |  FROM v),
+         |m AS (
+         |  SELECT doc_id, feats,
+         |         list_sort(feats)[${Multimodal.PHashBlocks / 2}]
+         |           + list_sort(feats)[${Multimodal.PHashBlocks / 2 + 1}] AS med2
+         |  FROM f),
+         |bits AS (
+         |  SELECT doc_id, j.j,
+         |         CASE WHEN feats[j.j + 1] * 2 > med2 THEN 1 ELSE 0 END AS b
+         |  FROM m, range(${Multimodal.PHashBlocks}) j(j)),
+         |bands AS (
+         |  SELECT doc_id, j // ${64 / Multimodal.PHashBands} AS bi,
+         |         CAST(sum(b << (j % ${64 / Multimodal.PHashBands})) AS BIGINT) AS bv
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
+         |    AND a.doc_id < c.doc_id),
+         |ham AS (
+         |  SELECT cd.doc_a, cd.doc_b,
+         |         CAST(sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS hamming_dist
+         |  FROM cand cd
+         |  JOIN bits ba ON ba.doc_id = cd.doc_a
+         |  JOIN bits bb ON bb.doc_id = cd.doc_b AND bb.j = ba.j
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming_dist
+         |FROM ham WHERE hamming_dist <= ${Multimodal.PHashMaxHamming}""".stripMargin,
+
     "text_langid" -> langidSql,
 
     "text_quality" -> qualitySql,
@@ -3005,11 +3133,16 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
         |  FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+        |x AS (
+        |  SELECT category, n_a, n_b,
+        |         CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta AS c2,
+        |         CAST(ta AS HUGEINT) * tb * (n_a + n_b) AS d
+        |  FROM c, t)
         |SELECT category, n_a, n_b,
-        |       CAST((n_a * tb - n_b * ta) * (n_a * tb - n_b * ta) * 1000000
-        |              // (ta * tb * (n_a + n_b)) AS BIGINT) AS chi2_x1e6
-        |FROM c, t""".stripMargin,
+        |       CAST((c2 * c2 // d) * 1000000
+        |              + ((c2 * c2 % d) * 1000000 // d) AS BIGINT) AS chi2_x1e6
+        |FROM x""".stripMargin,
 
     // triangle census over the same knn CTE as graph_pagerank:
     // canonical lo<hi edges, wedge join, EXISTS-closure (= left semi).
@@ -3109,7 +3242,7 @@ object SparkEntry {
         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
         |    CAST(length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
         |    CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
-        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space
+        |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS n_space
         |  FROM documents),
         |o AS (
         |  SELECT *, n_chars - n_latin - n_digit - n_arabic - n_cjk - n_space AS n_other,

@@ -468,9 +468,12 @@ object Curation {
     * the snapshot predicate becomes two `sum(when)` partials, so both
     * snapshots are counted in a single pass over the union — plus a
     * 1-row totals aggregate joined back broadcast. Overflow headroom:
-    * (a_i·nB)² must stay below 2⁶³ — at snapshot sizes past ~3·10⁹
-    * rows, drop the ×10⁶ scale or pre-divide counts; the ranking the
-    * alarm needs survives any common scaling.
+    * the numerator is computed in DECIMAL(38,0) with the ×10⁶ scale
+    * split across the division (`⌊c²·10⁶/d⌋ = (c² div d)·10⁶ +
+    * ((c² mod d)·10⁶ div d)`, exact), so the largest intermediate is
+    * c² ≤ nA⁴ — safe to snapshots of ~10⁹ rows, far past the int64
+    * envelope the naive `c²·10⁶` form silently wraps at (~10⁴-row
+    * snapshots under worst-case drift).
     */
   def distributionDrift(
       rows: DataFrame,
@@ -484,9 +487,18 @@ object Curation {
     val totals = counts.agg(
       sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
     counts.crossJoin(broadcast(totals))
+      .withColumn("__c",
+        expr("""cast(n_a as decimal(38,0)) * cast(__tb as decimal(38,0))
+               | - cast(n_b as decimal(38,0)) * cast(__ta as decimal(38,0))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("__d",
+        expr("""cast(__ta as decimal(38,0)) * cast(__tb as decimal(38,0))
+               | * cast(n_a + n_b as decimal(38,0))"""
+          .stripMargin.replace("\n", " ")))
       .select(col("category"), col("n_a"), col("n_b"),
-        expr("""(n_a * __tb - n_b * __ta) * (n_a * __tb - n_b * __ta) * 1000000
-               | div (__ta * __tb * (n_a + n_b))""".stripMargin.replace("\n", " "))
+        expr("""(__c * __c div __d) * 1000000
+               | + ((__c * __c % __d) * 1000000 div __d)"""
+          .stripMargin.replace("\n", " "))
           .as("chi2_x1e6"))
   }
 }

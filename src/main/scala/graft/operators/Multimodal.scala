@@ -44,15 +44,202 @@ object Multimodal {
     }: _*)
 
   /** ======= STUB ======= deterministic fake decoder: emits the typed
-    * metadata struct a real image decode would (width, height,
+    * metadata struct a real PIXEL decode would (width, height,
     * channels), derived from the byte length so it is reproducible in
-    * any engine. Swap for a real codec stage in deployment; the
-    * schema and null-safety are the contract. */
+    * any engine. Kept ONLY for modalities that genuinely require a
+    * codec (pixel data, audio samples, video frames) — image
+    * DIMENSIONS need no codec and are parsed for real from the header
+    * bytes by [[imageDims]]. Swap for a real codec stage in
+    * deployment; the schema and null-safety are the contract. */
   def stubDecode(bin: Column): Column =
     struct(
       (byteLen(bin) % 640).as("width"),
       (byteLen(bin) % 480).as("height"),
       lit(3L).as("channels"))
+
+  // ------------------------------------------------------- real header parse
+
+  /** Exact integer division (SQL `div` / IntegralDivide — DuckDB `//`). */
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Big-endian unsigned integer from `n` bytes at 1-based STATIC
+    * offset `off` — `conv` of the hex slice, a codegen built-in. */
+  private def beUInt(bin: Column, off: Int, n: Int): Column =
+    conv(hex(substring(bin, off, n)), 16, 10).cast("long")
+
+  /** Little-endian u16 at 1-based static offset (byte-swap the hex). */
+  private def leU16(bin: Column, off: Int): Column =
+    conv(concat(hex(substring(bin, off + 1, 1)), hex(substring(bin, off, 1))),
+      16, 10).cast("long")
+
+  /** Big-endian u16 at a DYNAMIC 1-based offset (for the JPEG walk). */
+  private def beU16At(bin: Column, off: Column): Column =
+    conv(hex(substr(bin, off.cast("int"), lit(2))), 16, 10).cast("long")
+
+  /** Byte value at a dynamic 1-based offset (null past end → −1). */
+  private def u8At(bin: Column, off: Column): Column =
+    coalesce(
+      conv(hex(substr(bin, off.cast("int"), lit(1))), 16, 10).cast("long"),
+      lit(-1L))
+
+  /** Segments the bounded JPEG marker walk will visit before giving
+    * up. Real JFIF/EXIF files put SOF within a handful of segments
+    * (APP0/APP1/ICC/DQT/DHT...); 16 is generous. Each segment costs a
+    * constant number of byte reads, so the walk is O(1) per row
+    * regardless of payload size. */
+  val MaxJpegSegments = 16
+
+  /** JPEG dimensions from the SOF segment, found by walking the
+    * marker chain from byte 3 (after the FFD8 SOI): at each step read
+    * the 2-byte marker and 2-byte big-endian length, stop at any SOF
+    * marker (C0–CF except C4 DHT / C8 JPG / CC DAC) where
+    * height = bytes off+5..6 and width = off+7..8, skip RST/TEM
+    * standalone markers, and bail at SOS/EOI or a non-FF byte. The
+    * walk is a Catalyst `aggregate` HOF over [[MaxJpegSegments]]
+    * steps — pure codegen built-ins, no UDF. Returns
+    * struct(w, h) of nullable longs (null = no SOF found). */
+  def jpegDims(bin: Column): Column = {
+    val sofMarkers = Seq(0xC0L, 0xC1L, 0xC2L, 0xC3L, 0xC5L, 0xC6L, 0xC7L,
+      0xC9L, 0xCAL, 0xCBL, 0xCDL, 0xCEL, 0xCFL)
+    val init = struct(lit(3L).as("off"), lit(-1L).as("w"), lit(-1L).as("h"))
+    val walked = aggregate(
+      sequence(lit(1), lit(MaxJpegSegments)),
+      init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val m1 = u8At(bin, off)
+        val m2 = u8At(bin, off + 1)
+        val segLen = beU16At(bin, off + 2)
+        val sof = sofMarkers.map(m2 === _).reduce(_ || _)
+        val standalone = (m2 >= 0xD0L && m2 <= 0xD7L) || m2 === 0x01L
+        val bail = struct(lit(-1L).as("off"), lit(-1L).as("w"), lit(-1L).as("h"))
+        when(acc.getField("w") >= 0 || off < 0, acc)
+          .when(m1 =!= 0xFFL || m2 === 0xD9L || m2 === 0xDAL, bail)
+          .when(sof, struct(off.as("off"),
+            beU16At(bin, off + 7).as("w"), beU16At(bin, off + 5).as("h")))
+          .when(standalone, struct((off + 2).as("off"),
+            lit(-1L).as("w"), lit(-1L).as("h")))
+          .otherwise(struct((off + 2 + segLen).as("off"),
+            lit(-1L).as("w"), lit(-1L).as("h")))
+      })
+    struct(
+      when(walked.getField("w") >= 0, walked.getField("w")).as("w"),
+      when(walked.getField("h") >= 0, walked.getField("h")).as("h"))
+  }
+
+  /** REAL image metadata from the header bytes — no codec involved,
+    * just magic-number dispatch plus fixed-layout integer fields, all
+    * codegen built-ins (`substring`/`hex`/`conv`):
+    *   - PNG  (`89504e470d0a1a0a`): IHDR width/height, big-endian u32
+    *     at byte offsets 17 and 21.
+    *   - GIF  (`GIF87a`/`GIF89a`): logical-screen width/height,
+    *     little-endian u16 at offsets 7 and 9.
+    *   - JPEG (`ffd8ff`): SOF segment walk — see [[jpegDims]].
+    * Anything else: format "unknown", null dimensions (including
+    * truncated/corrupt headers of a known magic).
+    * Output: struct(format string, width long, height long). */
+  def imageDims(bin: Column): Column = {
+    val hdr = lower(hex(substring(bin, 1, 8)))
+    val nullDim = lit(null).cast("long")
+    val jd = jpegDims(bin)
+    when(hdr.startsWith("89504e470d0a1a0a"),
+        struct(lit("png").as("format"),
+          beUInt(bin, 17, 4).as("width"), beUInt(bin, 21, 4).as("height")))
+      .when(hdr.startsWith("474946383761") || hdr.startsWith("474946383961"),
+        struct(lit("gif").as("format"),
+          leU16(bin, 7).as("width"), leU16(bin, 9).as("height")))
+      .when(hdr.startsWith("ffd8ff"),
+        struct(lit("jpeg").as("format"),
+          jd.getField("w").as("width"), jd.getField("h").as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        nullDim.as("width"), nullDim.as("height")))
+  }
+
+  // ------------------------------------------------- perceptual hash (64-bit)
+
+  /** Blockhash-style signature geometry: 64 equal byte-range blocks,
+    * [[PHashSampleBytes]] sampled bytes summed per block, bit i = 1
+    * iff block i's sum strictly exceeds the median of the 64 sums
+    * (ties → 0, so the bit rule is deterministic in any engine).
+    * Sampling makes each block O(1) regardless of payload size — the
+    * signature pass is a narrow zero-shuffle projection even on
+    * multi-MB payloads. */
+  val PHashBlocks = 64
+  val PHashSampleBytes = 4
+
+  /** Default banding for phash pairing: 8 bands × 8 bits over the
+    * 64-bit signature — pigeonhole-EXACT for Hamming ≤ 7 (8 bands >
+    * 7 possible differing bands), with 256-value bands so unrelated
+    * payloads rarely collide. [[PHashMaxHamming]] ≤ 6 keeps the
+    * emitted pairs inside the exactness envelope. */
+  val PHashBands = 8
+  val PHashMaxHamming = 6
+
+  /** The 64 block features of [[pHash64]] as an array column —
+    * exposed separately so callers materialize it ONCE before both
+    * the sort and the per-bit comparisons consume it.
+    *
+    * Each feature is the byte sum of the block's sampled window, read
+    * with a SINGLE `conv` of the window's hex slice and decomposed by
+    * shift-and-mask — the byte sum of a big-endian-read value is
+    * shift-invariant, and a window truncated by end-of-payload
+    * contributes 0 for the missing bytes, so this is exactly the
+    * per-byte sum at a quarter of the expression count (64 convs, not
+    * 256 — small enough for whole-stage codegen to compile). */
+  def pHashFeatures(bin: Column): Column = {
+    val hx = lower(hex(bin))
+    val len = length(bin).cast("long")
+    array((0 until PHashBlocks).map { i =>
+      val start = idiv(len * i, lit(PHashBlocks)) // 0-based byte offset
+      val v = coalesce(
+        conv(substr(hx, (start * 2 + 1).cast("int"), lit(PHashSampleBytes * 2)),
+          16, 10).cast("long"),
+        lit(0L))
+      (0 until PHashSampleBytes).map(b =>
+        shiftrightunsigned(v, 8 * b).bitwiseAND(lit(255L))).reduce(_ + _)
+    }: _*)
+  }
+
+  /** A documents-shaped perceptual-hash analogue of the image
+    * blockhash algorithm, over the RAW BYTE STREAM: a real image
+    * phash runs the same block/median/bit pipeline over DECODED
+    * pixels — plug a decoder in front and this operator is exactly
+    * that; until then it is a deterministic, oracle-replicable
+    * near-dup signature for any binary payload (small byte edits
+    * flip few blocks → small Hamming distance). Returns ONE long. */
+  def pHash64(feats: Column): Column = {
+    val sorted = array_sort(feats)
+    // 2× the lower median of 64 values; strict > means ties → 0.
+    val med2 = element_at(sorted, PHashBlocks / 2) +
+      element_at(sorted, PHashBlocks / 2 + 1)
+    (0 until PHashBlocks).map { i =>
+      when(element_at(feats, i + 1) * 2 > med2, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Per-payload packed signature table `(idCol, __sig0)` — the shape
+    * [[graft.operators.NearDup.bandedHammingPairs]] consumes. Narrow,
+    * zero-shuffle. */
+  def pHashSignatures(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), pHashFeatures(col(binCol)).as("__feats"))
+      .select(col(idCol), pHash64(col("__feats")).as("__sig0"))
+
+  /** Perceptual near-dup pairs (doc_a < doc_b, hamming_dist ≤
+    * maxHamming) — signatures through the SAME banded-Hamming
+    * candidate machinery as SimHash ([[NearDup.bandedHammingPairs]]):
+    * candidates come from a band equijoin, never all pairs, and with
+    * the default dials (8 bands × 8 bits, Hamming ≤ 6) the pair set
+    * is pigeonhole-exact. */
+  def pHashPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      bands: Int = PHashBands,
+      maxHamming: Int = PHashMaxHamming): DataFrame =
+    NearDup.bandedHammingPairs(
+      pHashSignatures(df, idCol, binCol),
+      idCol, widthBits = 64, bands = bands, hammingMax = maxHamming)
+      .distinct()
 
   /** Full metadata projection over a binary column: one narrow,
     * shuffle-free pass per payload. */

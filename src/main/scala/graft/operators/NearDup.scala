@@ -428,44 +428,66 @@ object NearDup {
     v.bitwiseAND(lit(mask))
   }
 
-  /** SimHash candidate pairs (doc_a < doc_b) over a shingle table:
-    * band equijoin + Hamming cutoff. Exposed (docs form below) so the
-    * candidate COUNT is testable — the scale property of this operator
-    * is the size of this join's output, not the confirmed pairs.
+  /** Banded-Hamming candidate pairs over an EXISTING packed-signature
+    * table `(idCol, __sig0 .. __sig{⌈widthBits/64⌉−1})` — the generic
+    * LSH step shared by [[simHashCandidatesFromShingles]] and the
+    * image perceptual-hash path ([[Multimodal.pHashPairs]]): band
+    * equijoin on (band index, band value), then the popcount Hamming
+    * cutoff. Output `(doc_a, doc_b, hamming_dist)` with doc_a < doc_b;
+    * NOT distinct — a pair agreeing on several bands appears once per
+    * agreeing band (callers that need set semantics distinct(), as
+    * [[confirm]] does).
     *
     * Recall contract: exact (all Hamming ≤ hammingMax pairs) iff
     * `bands > hammingMax` (pigeonhole); otherwise probabilistic, with
     * per-pair miss rate (1−(1−p)^bandBits)^bands at per-bit
     * disagreement p. Pass `hammingMax = widthBits` to disable the
     * Hamming filter (then candidates = raw band collisions). */
-  def simHashCandidatesFromShingles(
-      sh: DataFrame,
-      idCol: String = "doc_id",
-      widthBits: Int = SimHashWidthBits,
-      bands: Int = SimHashBands,
-      hammingMax: Int = HammingMax,
-      family: SimHashFamily = XxHashFamily): DataFrame = {
+  def bandedHammingPairs(
+      sig: DataFrame,
+      idCol: String,
+      widthBits: Int,
+      bands: Int,
+      hammingMax: Int): DataFrame = {
     require(bands >= 1 && widthBits % bands == 0,
       s"bands ($bands) must divide widthBits ($widthBits)")
     val bandBits = widthBits / bands
     require(bandBits <= 60, s"bandBits ($bandBits) must be <= 60")
     val words = (widthBits + 63) / 64
     val sigCols = (0 until words).map(w => s"__sig$w")
-    val sig = simHashSignatures(sh, idCol, widthBits, family)
+    val banded = sig
       .select(col(idCol) +: sigCols.map(col) :+
         posexplode(array((0 until bands).map { b =>
           bandValue(w => col(s"__sig$w"), bandBits, b)
         }: _*)).as(Seq("__bi", "__bv")): _*)
-    val a = sig.select(col(idCol).as("doc_a") +:
+    val a = banded.select(col(idCol).as("doc_a") +:
       sigCols.map(c => col(c).as(s"__a$c")) :+ col("__bi") :+ col("__bv"): _*)
-    val b = sig.select(col(idCol).as("doc_b") +:
+    val b = banded.select(col(idCol).as("doc_b") +:
       sigCols.map(c => col(c).as(s"__b$c")) :+ col("__bi") :+ col("__bv"): _*)
     val hamming = sigCols.map(c =>
       bit_count(col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
     a.join(b, Seq("__bi", "__bv"))
       .filter(col("doc_a") < col("doc_b") && hamming <= hammingMax)
-      .select("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming_dist"))
   }
+
+  /** SimHash candidate pairs (doc_a < doc_b) over a shingle table:
+    * [[simHashSignatures]] piped through [[bandedHammingPairs]].
+    * Exposed (docs form below) so the candidate COUNT is testable —
+    * the scale property of this operator is the size of the band
+    * join's output, not the confirmed pairs. See
+    * [[bandedHammingPairs]] for the recall contract. */
+  def simHashCandidatesFromShingles(
+      sh: DataFrame,
+      idCol: String = "doc_id",
+      widthBits: Int = SimHashWidthBits,
+      bands: Int = SimHashBands,
+      hammingMax: Int = HammingMax,
+      family: SimHashFamily = XxHashFamily): DataFrame =
+    bandedHammingPairs(
+      simHashSignatures(sh, idCol, widthBits, family),
+      idCol, widthBits, bands, hammingMax)
+      .select("doc_a", "doc_b")
 
   /** [[simHashCandidatesFromShingles]] straight from a documents table. */
   def simHashCandidates(

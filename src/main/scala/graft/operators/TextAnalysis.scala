@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Exact integer division for the fixed-point contract. All operands
-    * here are non-negative longs far below 2^53, so the double round-trip
-    * of `a / b` is exact and `floor` == integer division (DuckDB `//`).
+  /** Exact integer division for the fixed-point contract: the SQL `div`
+    * function (IntegralDivide), i.e. true int64 division identical to
+    * DuckDB `//` at ANY magnitude — no double round-trip, so the
+    * "exact integers end to end" contract holds past 2^53 too.
     */
   private def idiv(a: Column, b: Column): Column =
-    floor(a / b).cast("long")
+    call_function("div", a, b)
 
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic; real corpora would
@@ -457,7 +458,10 @@ object TextAnalysis {
     val digit = removed("[0-9]")
     val arabic = removed("[\\x{0600}-\\x{06FF}]")
     val cjk = removed("[\\x{4E00}-\\x{9FFF}]")
-    val space = removed("\\s")
+    // Explicit class instead of \s: Java \s == [ \t\n\x0B\f\r], but
+    // RE2 (the DuckDB oracle) \s == [ \t\n\f\r] WITHOUT vertical tab —
+    // spelling the class out makes both engines count U+000B the same.
+    val space = removed("[ \\t\\n\\x0B\\f\\r]")
     docs.select(col(idCol), nChars.as("n_chars"), latin.as("n_latin"),
         digit.as("n_digit"), arabic.as("n_arabic"), cjk.as("n_cjk"),
         space.as("n_space"))

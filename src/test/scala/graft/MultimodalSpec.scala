@@ -53,4 +53,83 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames(1) === f1)
     assert(row.getLong(4) === bytes.length.toLong % 640) // stub decode width
   }
+
+  // ------------------------------------------------ real header decoding
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def dimsOf(payloads: (Long, Array[Byte])*): Map[Long, (String, Option[Long], Option[Long])] = {
+    import spark.implicits._
+    val df = payloads.toSeq.toDF("id", "payload")
+    val dims = Multimodal.imageDims(col("payload"))
+    df.select(col("id"), dims.getField("format"), dims.getField("width"),
+        dims.getField("height"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+  }
+
+  test("imageDims parses a REAL 1x1 PNG, a crafted JPEG (EXIF+SOF2 walk), and a GIF") {
+    // canonical 1x1 transparent PNG — genuine, complete file bytes
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    // JPEG whose SOF sits three segments deep: SOI, APP1(Exif), DQT,
+    // then progressive SOF2 with height 77 / width 203
+    val jpeg = hexBytes(
+      "ffd8" + "ffe10008" + "457869660000" + "ffdb0005004142" +
+        "ffc20011" + "08" + "004d" + "00cb" + "03" + "011100021100031100")
+    // GIF89a, logical screen 2 x 3 (little-endian u16s)
+    val gif = hexBytes("474946383961" + "0200" + "0300" + "800000" + "3b")
+    val out = dimsOf(1L -> png, 2L -> jpeg, 3L -> gif)
+    assert(out(1L) === (("png", Some(1L), Some(1L))))
+    assert(out(2L) === (("jpeg", Some(203L), Some(77L))))
+    assert(out(3L) === (("gif", Some(2L), Some(3L))))
+  }
+
+  test("imageDims is honest about junk: unknown magic and truncated headers -> nulls") {
+    val out = dimsOf(
+      1L -> "just some text".getBytes("UTF-8"),
+      2L -> hexBytes("89504e470d0a1a0a"),       // PNG magic, no IHDR
+      3L -> hexBytes("ffd8ff"),                 // JPEG SOI, no segments
+      4L -> Array.empty[Byte])
+    assert(out(1L) === (("unknown", None, None)))
+    assert(out(2L) === (("png", None, None)))
+    assert(out(3L) === (("jpeg", None, None)))
+    assert(out(4L) === (("unknown", None, None)))
+  }
+
+  // ------------------------------------------------ perceptual hash near-dup
+
+  /** 2048-byte payload: block i (32 bytes) is 0xFF-filled iff `high(i)`. */
+  private def blockPayload(high: Int => Boolean): Array[Byte] =
+    (0 until 64).flatMap { i =>
+      Array.fill(32)(if (high(i)) 0xFF.toByte else 0x00.toByte)
+    }.toArray
+
+  test("pHashPairs finds a planted near-identical payload pair, not the unrelated one") {
+    import spark.implicits._
+    val a = blockPayload(i => i >= 33)                  // 31 high blocks
+    val b = blockPayload(i => i >= 33 && i != 40)       // one block zeroed
+    val c = blockPayload(i => i < 31)                   // inverted profile
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
+    val pairs = Multimodal.pHashPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L))) // Hamming exactly 1, c unpaired
+  }
+
+  test("pHash64 is deterministic and edge-safe on tiny/empty payloads") {
+    import spark.implicits._
+    val df = Seq((1L, Array.empty[Byte]), (2L, Array[Byte](7, 7)),
+      (3L, "short".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val sigs = Multimodal.pHashSignatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === 0L) // all-zero features -> all ties -> sign bits 0
+    val again = Multimodal.pHashSignatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === again)
+  }
 }

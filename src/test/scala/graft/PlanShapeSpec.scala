@@ -112,10 +112,15 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("q6_forecast pushes every predicate into the scan; no joins") {
     val p = plan("q6_forecast")
-    // the PushedFilters list is elided in toString past a few entries —
-    // assert on the entries that always render
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
-      s"q6 predicates did not reach the parquet scan:\n${p.take(2500)}")
+    // the PushedFilters list is elided in toString past a few entries,
+    // and its ordering is not a stable contract — assert presence of
+    // each pushed filter independently
+    assert(p.contains("PushedFilters: ["),
+      s"q6 has no pushed filters at all:\n${p.take(2500)}")
+    Seq("IsNotNull(l_shipdate)", "IsNotNull(l_discount)").foreach { f =>
+      assert(p.contains(f),
+        s"q6 predicate $f did not reach the parquet scan:\n${p.take(2500)}")
+    }
     assert(!p.contains("Join"), s"q6 must be join-free:\n${p.take(2000)}")
   }
 
