@@ -909,27 +909,51 @@ object SparkEntry {
       T(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("n"))),
     // approximate distinct-count (HLL++, rsd 1 %) — the form you would
     // actually run at 100 TB: one pass, fixed sketch memory, no
-    // shuffle-the-keys exact distinct. NO oracleSql entry on purpose:
-    // DuckDB's approx sketch differs, so the driver records the weaker
-    // rows-only check; the ≤2 % error bound vs the exact count is
-    // asserted by CoreSpec ("approx_count_distinct stays within 2% …").
+    // shuffle-the-keys exact distinct. A raw sketch value cannot
+    // hash-match a different engine, so the QUERY emits the sketch's
+    // CONTRACT instead: the exact count (cross-engine-checkable) plus
+    // the boolean |approx − exact| ≤ 2%·exact, which the oracle pins
+    // to TRUE — a drifting sketch turns the row red. The exact count
+    // here is the battery-scale validation harness; production runs
+    // the sketch alone (see also CoreSpec's error-bound tests).
     "rel_approx_count_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_approx"))),
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("__a"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("n_exact"),
+          (abs(col("__a") - col("n_exact")) * 100 <= col("n_exact") * 2)
+            .as("within_2pct"))),
     // KLL/GK-sketch quantiles — the 100 TB percentile form (one pass,
-    // mergeable partials; rank error ≤ n/accuracy). Like
-    // rel_approx_count_distinct: no SQL oracle on purpose (DuckDB's
-    // sketch differs) → driver's rows-only check; the rank-error bound
-    // is asserted in CoreSpec.
-    "rel_approx_quantiles" -> ((s, dir) =>
-      T(s, dir, "lineitem").agg(
+    // mergeable partials; rank error ≤ n/accuracy). Same pattern as
+    // rel_approx_count_distinct: the query emits the sketch's rank
+    // contract — each returned quantile's true rank (counted in a
+    // second pass against the broadcast 1-row sketch result) must sit
+    // within n/accuracy (+1 rank-definition slack) of the target
+    // rank — and the oracle pins the booleans to TRUE.
+    "rel_approx_quantiles" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val qs = li.agg(
         percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(ApproxQuantileAccuracy))
           .as("qs"))
         .select(
-          element_at(col("qs"), 1).as("p50"),
-          element_at(col("qs"), 2).as("p90"),
-          element_at(col("qs"), 3).as("p99"))),
+          element_at(col("qs"), 1).as("__q50"),
+          element_at(col("qs"), 2).as("__q90"),
+          element_at(col("qs"), 3).as("__q99"))
+      def rankOk(q: Column, pct: Int) = {
+        val rank = sum(when(col("l_extendedprice") <= q, 1L).otherwise(0L))
+        abs(rank * 100 - count(lit(1)) * pct) <=
+          call_function("div", count(lit(1)) * 100,
+            lit(ApproxQuantileAccuracy.toLong)) + 100
+      }
+      li.crossJoin(broadcast(qs))
+        .agg(
+          count(lit(1)).as("n"),
+          rankOk(col("__q50"), 50).as("p50_rank_ok"),
+          rankOk(col("__q90"), 90).as("p90_rank_ok"),
+          rankOk(col("__q99"), 99).as("p99_rank_ok"))
+    }),
     "rel_limit" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"))
@@ -2011,6 +2035,18 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id, words_count FROM counts)""".stripMargin,
     "rel_count_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n FROM lineitem",
+    // the sketch CONTRACT rows: the exact side is cross-engine, and
+    // the oracle pins the bound booleans to TRUE — if Spark's sketch
+    // ever drifts out of its advertised error bound, the Spark side
+    // emits false and the row goes red.
+    "rel_approx_count_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |       TRUE AS within_2pct FROM lineitem""".stripMargin,
+    "rel_approx_quantiles" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok,
+        |       TRUE AS p99_rank_ok
+        |FROM lineitem""".stripMargin,
     "rel_limit" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,

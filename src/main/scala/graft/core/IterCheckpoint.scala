@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative operators, with a RELIABILITY dial.
+  *
+  * Every iterative operator here ([[graft.operators.DedupClusters]],
+  * [[graft.operators.Graph]], [[graft.operators.Bpe]]) must truncate
+  * lineage as it loops or the plan grows by a few shuffles per round.
+  * `localCheckpoint` does that by storing blocks on EXECUTORS — cheapest,
+  * but on a real cluster an executor loss mid-iteration kills the job
+  * (the blocks are the only copy of the truncated history). The
+  * deployment answer is a reliable `checkpoint` to a fault-tolerant
+  * directory (HDFS/object store): slower per round, survives any
+  * executor loss. Which one is a per-call choice, not a code change —
+  * pass `checkpointDir = Some(dir)` to any iterative operator and every
+  * in-loop truncation goes through the reliable path.
+  *
+  * Both paths are EAGER (the round materializes before the driver's
+  * convergence probe runs), so the two modes produce bit-identical
+  * results — asserted by CheckpointDialSpec.
+  */
+object IterCheckpoint {
+
+  /** Truncate `df`'s lineage: reliable `checkpoint()` into `dir` when
+    * set (idempotently installing it as the context's checkpoint dir),
+    * else `localCheckpoint()`. */
+  def truncate(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+}

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Driver-side control is ONE scalar convergence probe per round
   * ((count, checksum) of the edge list — no data is ever collected),
-  * and `localCheckpoint` truncates lineage each round so the plan
-  * stays O(1) deep instead of growing by two shuffles per iteration —
-  * both standard for iterative algorithms on Spark (GraphX Pregel does
-  * exactly this).
+  * and lineage is truncated each round so the plan stays O(1) deep
+  * instead of growing by two shuffles per iteration — both standard
+  * for iterative algorithms on Spark (GraphX Pregel does exactly
+  * this). Truncation defaults to `localCheckpoint` (executor blocks);
+  * pass `checkpointDir` for a RELIABLE checkpoint that survives
+  * executor loss — see [[graft.core.IterCheckpoint]].
   */
 object DedupClusters {
 
@@ -80,28 +82,34 @@ object DedupClusters {
     *
     * @param pairs  confirmed near-dup pairs (each row one undirected
     *               edge; self-loops and duplicates tolerated)
+    * @param checkpointDir  when set, per-round lineage truncation uses
+    *               a RELIABLE `checkpoint` into this fault-tolerant
+    *               directory instead of executor-block
+    *               `localCheckpoint` — the deployment dial for long
+    *               jobs where an executor loss mid-iteration must not
+    *               kill the run (see [[graft.core.IterCheckpoint]])
     * @return (node, component) for every node that appears in `pairs`,
     *         where component = the minimum node id reachable from it
     */
   def components(
       pairs: DataFrame,
       aCol: String = "doc_a",
-      bCol: String = "doc_b"): DataFrame = {
-    val spark = pairs.sparkSession
+      bCol: String = "doc_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    def trunc(df: DataFrame) = graft.core.IterCheckpoint.truncate(df, checkpointDir)
     // orient big→small up front: the star-forest probe assumes the
     // child→min convention, and this lets an already-star input (all
     // disjoint pairs) converge with zero contraction rounds
-    var edges = pairs
+    var edges = trunc(pairs
       .select(
         greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var converged = isStarForest(edges)
     var round = 0
     while (!converged && round < MaxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = trunc(smallStar(largeStar(edges)))
       converged = isStarForest(edges)
       round += 1
     }

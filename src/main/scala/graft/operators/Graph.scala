@@ -53,14 +53,24 @@ object Graph {
     * so the damped numerator stays < 100·n·S — keep n·S below ~9·10¹⁶
     * (e.g. scale S down past 10⁵ nodes; S is a dial, ranks only need
     * relative order).
+    *
+    * Lineage: the rank vector is truncated every `checkpointEvery`
+    * iterations (the plan otherwise grows one join+agg per round).
+    * The battery's 5 iterations stay under the default of 8 — a
+    * single oracle-checkable DAG; runs past that truncate, and
+    * `checkpointDir` upgrades the truncation to a reliable checkpoint
+    * that survives executor loss ([[graft.core.IterCheckpoint]]).
     */
   def pageRank(
       edges: DataFrame,
       iters: Int = 5,
       srcCol: String = "src",
       dstCol: String = "dst",
-      scale: Long = PrScale): DataFrame = {
+      scale: Long = PrScale,
+      checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -70,7 +80,7 @@ object Graph {
 
     val baseShare = (100L - DampingPctKeep) * scale / 100L
     var pr = nodes.select(col("id"), lit(scale).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = eDeg
         .join(pr, col("src") === col("id"))
         .select(col("dst").as("id"), expr("pr div __deg").as("__c"))
@@ -80,6 +90,8 @@ object Graph {
         .select(col("id"),
           (lit(baseShare) +
             expr(s"($DampingPctKeep * coalesce(__in, 0L)) div 100")).as("pr"))
+      if (i % checkpointEvery == 0 && i < iters)
+        pr = graft.core.IterCheckpoint.truncate(pr, checkpointDir)
     }
     pr
   }
@@ -152,21 +164,25 @@ object Graph {
     * Shape per round: edges ⋈ labels on src (the SAME reusable
     * partitioning as [[pageRank]] — bucket edges by src once in a
     * real deployment), one (dst, label) count hash-agg, one `max_by`
-    * argmax hash-agg — no window sort anywhere. Lineage grows
-    * linearly in rounds; checkpoint past ~10.
+    * argmax hash-agg — no window sort anywhere. The label vector is
+    * truncated every `checkpointEvery` rounds (reliable when
+    * `checkpointDir` is set), same contract as [[pageRank]].
     */
   def labelPropagation(
       edges: DataFrame,
       iters: Int = 4,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e0 = canonicalEdges(edges, srcCol, dstCol)
     val sym = e0.select(col("lo").as("src"), col("hi").as("dst"))
       .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
     var lab = nodes.select(col("id"), col("id").as("community"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val votes = sym.join(lab, col("src") === col("id"))
         .groupBy(col("dst"), col("community"))
         .agg(count(lit(1)).as("__n"))
@@ -176,6 +192,8 @@ object Graph {
         .agg(max_by(col("community"), struct(col("__n"), -col("community")))
           .as("community"))
         .select(col("dst").as("id"), col("community"))
+      if (i % checkpointEvery == 0 && i < iters)
+        lab = graft.core.IterCheckpoint.truncate(lab, checkpointDir)
     }
     lab
   }

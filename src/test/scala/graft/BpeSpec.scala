@@ -92,6 +92,17 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("32 merge rounds complete with per-round truncation and match the model") {
+    // a 40-symbol word sustains 39 merges, so all 32 requested rounds
+    // fire — the plan stays O(1) deep because trainMerges truncates
+    // lineage every round (the 32k-vocab plausibility case; an
+    // untruncated loop would stack 32 agg+crossJoin layers)
+    val dict = Seq(
+      ("abcdefghijklmnopqrstuvwxyz0123456789abcd", 2L),
+      ("ab", 5L), ("cdcd", 3L))
+    assert(run(dict, 32) === modelTrain(dict, 32))
+  }
+
   test("encode applies merges in rank order per word and rolls up per doc") {
     import spark.implicits._
     // merges: (a,b)→ab then (ab,c)→abc. "abc" → 1 piece; "cab" → c + ab

@@ -17,34 +17,46 @@ import graft.sinks.{ConsoleSink, CsvSink, Projection}
 class CoreSpec extends SparkSpecBase {
 
   test("approx_count_distinct stays within 2% of exact (the 100 TB distinct-count form)") {
-    // the battery's rel_approx_count_distinct has no DuckDB oracle
-    // (sketches differ across engines); THIS is its correctness gate.
+    // independent re-derivation of the bound the battery query
+    // (rel_approx_count_distinct) emits as its oracle-pinned boolean
     val dir = "/root/testdata/sf0.01"
-    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
-      .agg(countDistinct(col("l_partkey"))).head.getLong(0)
-    val approx = SparkEntry.queries("rel_approx_count_distinct")(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.agg(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.01))
       .head.getLong(0)
     val relErr = math.abs(approx - exact).toDouble / exact
     assert(relErr <= 0.02, s"approx=$approx exact=$exact relErr=$relErr")
+    // and the battery query's contract row agrees
+    val row = SparkEntry.queries("rel_approx_count_distinct")(spark, dir).head
+    assert(row.getLong(0) === exact)
+    assert(row.getBoolean(1), "within_2pct must be true")
   }
 
   test("approx quantiles honor the sketch's rank-error bound n/accuracy") {
-    // rel_approx_quantiles has no DuckDB oracle either; the sketch's
-    // contract is on RANKS (not values), so the gate is: the number of
+    // the sketch's contract is on RANKS (not values): the number of
     // rows at-or-below each reported quantile sits within n/accuracy
-    // of q·n.
+    // of q·n — re-derived here independently of the battery query's
+    // own rank pass.
     val dir = "/root/testdata/sf0.01"
     val prices = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_extendedprice").as("p"))
     val n = prices.count()
-    val row = SparkEntry.queries("rel_approx_quantiles")(spark, dir).head
+    val qs = prices.agg(
+      percentile_approx(col("p"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(SparkEntry.ApproxQuantileAccuracy)).as("qs"))
+      .head.getSeq[Double](0)
     val tol = n / SparkEntry.ApproxQuantileAccuracy + 1
     for ((q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
-      val v = row.get(i)
+      val v = qs(i)
       val rank = prices.filter(col("p") <= lit(v)).count()
       assert(math.abs(rank - q * n) <= tol,
         s"q=$q v=$v rank=$rank expected ~${q * n} ± $tol of n=$n")
     }
+    // and the battery query's contract row agrees
+    val row = SparkEntry.queries("rel_approx_quantiles")(spark, dir).head
+    assert(row.getLong(0) === n)
+    assert(row.getBoolean(1) && row.getBoolean(2) && row.getBoolean(3),
+      "every rank bound must hold")
   }
 
   private lazy val df = {

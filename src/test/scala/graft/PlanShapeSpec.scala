@@ -179,7 +179,9 @@ class PlanShapeSpec extends SparkSpecBase {
         Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
           "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
-          "docs_mixture_temperature")
+          "docs_mixture_temperature",
+          // 1-row sketch-result broadcast for the rank-contract pass
+          "rel_approx_quantiles")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
