@@ -1252,6 +1252,15 @@ object SparkEntry {
     // instead of set Jaccard — catches small-edit rewrites directly.
     "neardup_edit" -> ((s, dir) =>
       NearDup.editDistancePairs(T(s, dir, "documents"))),
+    // Substring-granular dedup (the Lee-et-al exact-substring family):
+    // per-doc fraction of positional 3-grams that occur in ≥2 distinct
+    // docs + the longest consecutive duplicated span — the signal that
+    // catches boilerplate/licence/template spans INSIDE otherwise-
+    // unique documents, which doc-level near-dup cannot see. Grams
+    // shuffle as 60-bit sha slices, never text; runs = one per-doc
+    // gaps-and-islands window over duplicated positions only.
+    "docs_dup_ngrams" -> ((s, dir) =>
+      NearDup.dupNgramStats(T(s, dir, "documents"))),
     // Cluster resolution over the confirmed pairs: near-duplication is
     // not transitive, so "keep one per dup group" = connected components
     // (large-star/small-star) + canonical-min per component. Pairs come
@@ -2236,6 +2245,41 @@ object SparkEntry {
          |JOIN documents ta ON ta.doc_id = doc_a
          |JOIN documents tb ON tb.doc_id = doc_b
          |WHERE levenshtein(ta.text, tb.text) <= ${NearDup.MaxEditDist}""".stripMargin,
+
+    // Substring-granular dedup: positional (multiplicity-preserving)
+    // 3-grams, duplicated = gram in ≥2 distinct docs, runs via the
+    // gaps-and-islands window — the 60-bit sha256-slice gram key is
+    // replicated so the engines agree even under (astronomically rare)
+    // slice collisions.
+    "docs_dup_ngrams" ->
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |pg AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         CAST(CAST(('0x' || substring(
+         |           sha256(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+         |           1, 15)) AS UBIGINT) AS BIGINT) AS k
+         |  FROM t2, unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
+         |dup AS (SELECT k FROM (SELECT DISTINCT doc_id, k FROM pg)
+         |        GROUP BY k HAVING count(*) >= 2),
+         |fl AS (SELECT doc_id, pos FROM pg WHERE k IN (SELECT k FROM dup)),
+         |isl AS (SELECT doc_id,
+         |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |                 AS island
+         |        FROM fl),
+         |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, island),
+         |rd AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup,
+         |              CAST(max(run) AS BIGINT) AS max_run
+         |       FROM runs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM pg GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(rd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(CASE WHEN coalesce(tot.n_grams, 0) > 0
+         |       THEN coalesce(rd.n_dup, 0) * 1000 // tot.n_grams
+         |       ELSE 0 END AS BIGINT) AS dup_x1000,
+         |  CAST(coalesce(rd.max_run, 0) AS BIGINT) AS max_dup_run
+         |FROM documents d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN rd USING (doc_id)""".stripMargin,
 
     // Transitive closure of the exact near-dup pairs via recursive CTE;
     // component id = min reachable doc id (matches star-contraction's

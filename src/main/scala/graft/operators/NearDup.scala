@@ -519,4 +519,95 @@ object NearDup {
     val cand = simHashCandidatesFromShingles(sh, idCol, widthBits, bands, hammingMax, family)
     confirm(cand, sh, idCol, thresholdMilli)
   }
+
+  /** (idCol, pos, s) — ALL word-n-gram occurrences per doc with their
+    * 1-based start position, multiplicity preserved (unlike
+    * [[shingles]], which is the distinct SET). One compiled pass per
+    * row ([[graft.expressions.NgramArray]]) + a Generate — narrow, no
+    * shuffle. Docs with fewer than n tokens yield no rows. */
+  def positionalNgrams(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = ShingleN): DataFrame = {
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    val grams = org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.NgramArray(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(tokArr), n))
+    docs.select(col(idCol), posexplode(grams).as(Seq("__p0", "s")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"), col("s"))
+  }
+
+  /** Corpus-duplicated n-gram SPAN statistics per document — the
+    * substring-granular member of the dedup family (the suffix-array
+    * exact-substring method of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", recast as a distributed
+    * n-gram pipeline): a position's gram is "duplicated" when the same
+    * n-gram occurs in ≥ `minDocs` DISTINCT documents, and the per-doc
+    * signals are the duplicated-gram fraction plus the longest run of
+    * consecutive duplicated positions (= longest cross-doc-duplicated
+    * token span, in grams; span tokens = run + n − 1). Doc-level
+    * near-dup ([[minHashPairs]] etc.) finds whole-document twins; THIS
+    * finds boilerplate/licence/template spans inside otherwise-unique
+    * documents, which token-level training-data curation filters on.
+    *
+    * Scale shape: gram generation is narrow ([[positionalNgrams]]);
+    * grams travel the shuffles as a 60-bit sha256-slice key, never the
+    * gram text (3-gram text averages ~20 bytes; the key is 8). The
+    * duplicated-gram set = the [[shingles]] hash-agg (distinct
+    * (doc, gram) → per-gram doc counts — the wordstats shuffle) with
+    * df ≥ minDocs; flagging is a semi-equijoin of positional grams
+    * against that set (AQE broadcasts it when the duplicated
+    * vocabulary is small); runs are one per-doc window (gaps-and-
+    * islands: pos − row_number, one shuffle + sort on idCol over the
+    * DUPLICATED positions only). Output covers every input document
+    * (docs with < n tokens or no duplicated grams carry zeros).
+    *
+    * All-integer output: (doc_id, n_grams, n_dup_grams, dup_x1000,
+    * max_dup_run) — fixed-point fraction via integer div, so the
+    * cross-engine oracle matches bit-for-bit.
+    */
+  def dupNgramStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = ShingleN,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val key = conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
+      .cast("long").as("__k")
+    val pg = positionalNgrams(docs, idCol, textCol, n)
+      .select(col(idCol), col("pos"), key)
+    // duplicated-gram set: distinct (doc, gram) first (collapses within-
+    // doc multiplicity), then per-gram distinct-doc counts
+    val dupSet = pg.select(col(idCol), col("__k")).distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"))
+    val flagged = pg.join(dupSet, Seq("__k"), "left_semi")
+    // longest run of consecutive duplicated positions per doc:
+    // island id = pos − row_number() over (doc, pos-order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = flagged
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island")).agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("__n_islands"),
+        sum(col("__run")).as("__n_dup"),
+        max(col("__run")).as("__max_run"))
+    val totals = pg.groupBy(col(idCol)).agg(count(lit(1)).as("__n_grams"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(runs.drop("__n_islands"), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("__n_grams"), lit(0L)) > 0,
+          expr("coalesce(__n_dup, 0L) * 1000 div __n_grams"))
+          .otherwise(lit(0L)).as("dup_x1000"),
+        coalesce(col("__max_run"), lit(0L)).as("max_dup_run"))
+  }
 }

@@ -364,4 +364,51 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(seamBase === inline)
   }
+
+  test("dupNgramStats flags exactly the cross-doc shared span") {
+    import spark.implicits._
+    // A and B share the 5-token span S1..S5 inside otherwise-unique
+    // text; C is unique; D is too short for any 3-gram; E repeats a
+    // gram twice WITHIN itself only (must NOT count: duplication is
+    // distinct-doc granular).
+    val corpus = Seq(
+      (1L, "u1 u2 u3 S1 S2 S3 S4 S5 u4 u5"),
+      (2L, "v1 v2 S1 S2 S3 S4 S5 v3 v4 v5"),
+      (3L, "c1 c2 c3 c4 c5"),
+      (4L, "a b"),
+      (5L, "r1 r2 r3 x r1 r2 r3")
+    ).toDF("doc_id", "text")
+    val got = NearDup.dupNgramStats(corpus)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // 10 tokens → 8 positional grams; the span's 3 interior grams
+    // (S1S2S3, S2S3S4, S3S4S5) are shared, consecutive → run 3.
+    assert(got(1L) === ((8L, 3L, 375L, 3L)))
+    assert(got(2L) === ((8L, 3L, 375L, 3L)))
+    assert(got(3L) === ((3L, 0L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L)))
+    assert(got(5L) === ((5L, 0L, 0L, 0L)))
+  }
+
+  test("dupNgramStats: multiplicity counts every duplicated position") {
+    import spark.implicits._
+    // The whole of A appears twice inside B: every A-position is
+    // duplicated (fraction 1000), and B's repeated copies each count
+    // at their own positions.
+    val corpus = Seq(
+      (1L, "p q r"),
+      (2L, "p q r z p q r")
+    ).toDF("doc_id", "text")
+    val got = NearDup.dupNgramStats(corpus)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((1L, 1L, 1000L, 1L)))
+    // B: 5 grams; "p q r" occurs at positions 1 and 5 → 2 duplicated
+    // positions, non-consecutive → max run 1.
+    assert(got(2L) === ((5L, 2L, 400L, 1L)))
+  }
 }
