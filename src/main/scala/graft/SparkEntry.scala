@@ -1448,6 +1448,48 @@ object SparkEntry {
       Multimodal.pHashPairs(base.unionByName(twins))
     }),
 
+    // Audio sibling of multimodal_decode: synthesize valid RIFF/WAVE
+    // payloads from doc_id (parse∘construct = id — the same oracle
+    // trick), exercising the chunk walk's three real shapes: canonical
+    // fmt→data, an odd-sized LIST chunk (pad-byte skip) before fmt,
+    // and data BEFORE fmt (chunk order is not a WAV contract). The
+    // %4==3 arm stays text → all-null row (magic gate).
+    "multimodal_wav" -> ((s, dir) => {
+      def idv(a: Column, b: Column) = call_function("div", a, b)
+      def hx2(c: Column) = lpad(lower(hex(c % 256)), 2, "0")
+      def le16(c: Column) = concat(hx2(c), hx2(idv(c, lit(256))))
+      def le32(c: Column) = concat(hx2(c), hx2(idv(c, lit(256))),
+        hx2(idv(c, lit(65536))), hx2(idv(c, lit(16777216))))
+      val ch = (col("doc_id") % 2 + 1).cast("long")
+      val rate = lit(8000L) + (col("doc_id") % 8) * 4000L
+      val balign = ch * 2 // 16-bit samples
+      val brate = rate * balign
+      val dsize = (col("doc_id") % 100 + 1) * balign
+      val fmtHex = concat(
+        lit("666d7420" + "10000000" + "0100"), // "fmt ", size 16, PCM
+        le16(ch), le32(rate), le32(brate), le16(balign), lit("1000"))
+      val dataHex = concat(lit("64617461"), le32(dsize),
+        repeat(lit("00"), dsize.cast("int")))
+      val listHex = // "LIST", odd size 5 ⇒ exercises the pad-byte skip
+        lit("4c495354" + "05000000" + "494e464f31" + "00")
+      val riff = lit("52494646" + "00000000" + "57415645")
+      val payload =
+        when(col("doc_id") % 4 === 0, unhex(concat(riff, fmtHex, dataHex)))
+          .when(col("doc_id") % 4 === 1,
+            unhex(concat(riff, listHex, fmtHex, dataHex)))
+          .when(col("doc_id") % 4 === 2, unhex(concat(riff, dataHex, fmtHex)))
+          .otherwise(col("text").cast("binary"))
+      val info = Multimodal.wavInfo(col("payload"))
+      T(s, dir, "documents")
+        .withColumn("payload", payload)
+        .select(col("doc_id"),
+          info.getField("channels").as("channels"),
+          info.getField("sample_rate").as("sample_rate"),
+          info.getField("bits_per_sample").as("bits_per_sample"),
+          info.getField("data_bytes").as("data_bytes"),
+          info.getField("duration_ms").as("duration_ms"))
+    }),
+
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -2518,6 +2560,29 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, hamming_dist
          |FROM ham WHERE hamming_dist <= ${Multimodal.PHashMaxHamming}""".stripMargin,
+
+    // multimodal_wav: parse∘construct = id — the payloads are built
+    // FROM these doc_id-derived fields, so the oracle emits them
+    // directly (multimodal_decode's pattern). duration is exact
+    // integer division; the shared byte-align factor cancels:
+    // (frames·balign·1000) div (rate·balign) = frames·1000 div rate.
+    "multimodal_wav" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 2 + 1 AS BIGINT) END
+        |    AS channels,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END
+        |    AS sample_rate,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(16 AS BIGINT) END
+        |    AS bits_per_sample,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST((doc_id % 100 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT) END
+        |    AS data_bytes,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST((doc_id % 100 + 1) * 1000
+        |                   // (8000 + (doc_id % 8) * 4000) AS BIGINT) END
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
 
     "text_langid" -> langidSql,
 

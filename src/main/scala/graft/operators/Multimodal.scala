@@ -155,6 +155,90 @@ object Multimodal {
         nullDim.as("width"), nullDim.as("height")))
   }
 
+  /** Little-endian u16 at a DYNAMIC 1-based offset (RIFF walk). */
+  private def leU16At(bin: Column, off: Column): Column =
+    conv(concat(
+      hex(substr(bin, off.cast("int") + 1, lit(1))),
+      hex(substr(bin, off.cast("int"), lit(1)))), 16, 10).cast("long")
+
+  /** Little-endian u32 at a DYNAMIC 1-based offset (RIFF walk). */
+  private def leU32At(bin: Column, off: Column): Column =
+    conv(concat(
+      hex(substr(bin, off.cast("int") + 3, lit(1))),
+      hex(substr(bin, off.cast("int") + 2, lit(1))),
+      hex(substr(bin, off.cast("int") + 1, lit(1))),
+      hex(substr(bin, off.cast("int"), lit(1)))), 16, 10).cast("long")
+
+  /** Chunks the bounded RIFF walk will visit before giving up. Real
+    * WAV files put `fmt ` and `data` within the first few chunks
+    * (LIST/INFO/fact/cue in between at most); each step is a constant
+    * number of byte reads, so the walk is O(1) per row regardless of
+    * payload size. */
+  val MaxWavChunks = 8
+
+  /** REAL audio metadata from a RIFF/WAVE header — the audio member of
+    * the no-codec decode family ([[imageDims]] is the image one): walk
+    * the chunk chain from byte 13 (`"RIFF" size "WAVE"` prelude), read
+    * `fmt `'s channels / sample-rate / bits-per-sample / byte-rate
+    * (all little-endian fixed offsets within the chunk) and `data`'s
+    * payload size, skipping unknown chunks (LIST/fact/cue…) by their
+    * declared size + the RIFF odd-size pad byte. Chunk order is not
+    * assumed (`data` before `fmt ` parses the same). The walk is a
+    * Catalyst `aggregate` HOF over [[MaxWavChunks]] steps — pure
+    * codegen built-ins, no UDF, exactly [[jpegDims]]' machinery.
+    *
+    * Output: struct(channels, sample_rate, bits_per_sample,
+    * data_bytes, duration_ms) of nullable longs — all null when the
+    * RIFF/WAVE magic is absent or the needed chunks aren't found;
+    * duration_ms = data_bytes·1000 div byte_rate (exact integer), null
+    * unless both chunks parsed and byte_rate > 0. */
+  def wavInfo(bin: Column): Column = {
+    val isWave = lower(hex(substring(bin, 1, 4))) === "52494646" &&
+      lower(hex(substring(bin, 9, 4))) === "57415645"
+    val init = struct(
+      lit(13L).as("off"), lit(-1L).as("ch"), lit(-1L).as("rate"),
+      lit(-1L).as("bits"), lit(-1L).as("brate"), lit(-1L).as("dsize"))
+    val walked = aggregate(
+      sequence(lit(1), lit(MaxWavChunks)),
+      init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val cc = lower(hex(substr(bin, off.cast("int"), lit(4))))
+        val size = leU32At(bin, off + 4)
+        // RIFF chunks are word-aligned: odd sizes carry a pad byte
+        val next = off + 8 + size + (size % 2)
+        def keep(f: String) = acc.getField(f)
+        val done = keep("ch") >= 0 && keep("dsize") >= 0
+        val bail = struct(lit(-1L).as("off"), keep("ch").as("ch"),
+          keep("rate").as("rate"), keep("bits").as("bits"),
+          keep("brate").as("brate"), keep("dsize").as("dsize"))
+        when(off < 0 || done, acc)
+          .when(length(substr(bin, off.cast("int"), lit(8))) < 8, bail)
+          .when(cc === "666d7420", struct(next.as("off"), // "fmt "
+            leU16At(bin, off + 10).as("ch"),
+            leU32At(bin, off + 12).as("rate"),
+            leU16At(bin, off + 22).as("bits"),
+            leU32At(bin, off + 16).as("brate"),
+            keep("dsize").as("dsize")))
+          .when(cc === "64617461", struct(next.as("off"), // "data"
+            keep("ch").as("ch"), keep("rate").as("rate"),
+            keep("bits").as("bits"), keep("brate").as("brate"),
+            size.as("dsize")))
+          .otherwise(struct(next.as("off"), keep("ch").as("ch"),
+            keep("rate").as("rate"), keep("bits").as("bits"),
+            keep("brate").as("brate"), keep("dsize").as("dsize")))
+      })
+    def field(f: String) = walked.getField(f)
+    def pos(c: Column) = when(isWave && c >= 0, c)
+    struct(
+      pos(field("ch")).as("channels"),
+      pos(field("rate")).as("sample_rate"),
+      pos(field("bits")).as("bits_per_sample"),
+      pos(field("dsize")).as("data_bytes"),
+      when(isWave && field("dsize") >= 0 && field("brate") > 0,
+        idiv(field("dsize") * 1000, field("brate"))).as("duration_ms"))
+  }
+
   // ------------------------------------------------- perceptual hash (64-bit)
 
   /** Blockhash-style signature geometry: 64 equal byte-range blocks,

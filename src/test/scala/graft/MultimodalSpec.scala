@@ -132,4 +132,67 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs === again)
   }
+
+  // little-endian helpers for hand-built RIFF fixtures
+  private def le16h(v: Int): String = f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x"
+  private def le32h(v: Int): String =
+    f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x${(v >> 16) & 0xFF}%02x${(v >> 24) & 0xFF}%02x"
+
+  /** Canonical PCM fmt chunk: 44.1 kHz stereo 16-bit. */
+  private def fmtChunk(ch: Int = 2, rate: Int = 44100, bits: Int = 16): String = {
+    val balign = ch * bits / 8
+    "666d7420" + le32h(16) + le16h(1) + le16h(ch) + le32h(rate) +
+      le32h(rate * balign) + le16h(balign) + le16h(bits)
+  }
+
+  private def wavHex(chunks: String*): String =
+    "52494646" + le32h(36) + "57415645" + chunks.mkString
+
+  private def wavOf(payloads: (Long, Array[Byte])*): Map[Long, Seq[Any]] = {
+    import spark.implicits._
+    val df = payloads.toSeq.toDF("doc_id", "payload")
+    df.select(col("doc_id"), Multimodal.wavInfo(col("payload")).as("w"))
+      .select(col("doc_id"), col("w.channels"), col("w.sample_rate"),
+        col("w.bits_per_sample"), col("w.data_bytes"), col("w.duration_ms"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(i => r.get(i)).toSeq)
+      .toMap
+  }
+
+  test("wavInfo parses canonical, reordered, and LIST-padded real WAV headers") {
+    val data = "64617461" + le32h(8) + "00" * 8 // 2 stereo 16-bit frames
+    val canonical = hexBytes(wavHex(fmtChunk(), data))
+    // data chunk FIRST — chunk order is not a WAV contract
+    val swapped = hexBytes(wavHex(data, fmtChunk()))
+    // odd-sized LIST chunk before fmt: walk must skip its pad byte
+    val listed = hexBytes(wavHex(
+      "4c495354" + le32h(5) + "0000000000" + "00", fmtChunk(), data))
+    val got = wavOf(1L -> canonical, 2L -> swapped, 3L -> listed)
+    // 8 data bytes at 44100*4 B/s -> 0 ms (floor)
+    val want = Seq[Any](2L, 44100L, 16L, 8L, 0L)
+    assert(got(1L) === want)
+    assert(got(2L) === want)
+    assert(got(3L) === want)
+    // a mono 8 kHz file long enough for a nonzero duration:
+    // 4000 bytes / (8000*2 B/s) = 250 ms
+    val mono = hexBytes(wavHex(fmtChunk(ch = 1, rate = 8000),
+      "64617461" + le32h(4000) + "00" * 4000))
+    assert(wavOf(4L -> mono)(4L) === Seq[Any](1L, 8000L, 16L, 4000L, 250L))
+  }
+
+  test("wavInfo is honest about junk: bad magic, truncation, missing chunks") {
+    val nulls = Seq[Any](null, null, null, null, null)
+    val notRiff = "not a riff file at all".getBytes("UTF-8")
+    // RIFF magic but AVI form type — must not parse as WAV
+    val avi = hexBytes("52494646" + le32h(36) + "41564920" + fmtChunk())
+    // WAVE magic, then truncated mid-header: no chunks parseable
+    val truncated = hexBytes("52494646" + le32h(36) + "57415645" + "666d")
+    // fmt only, no data chunk: fmt fields parse, duration/data null
+    val noData = hexBytes(wavHex(fmtChunk()))
+    val got = wavOf(1L -> notRiff, 2L -> avi, 3L -> truncated, 4L -> noData)
+    assert(got(1L) === nulls)
+    assert(got(2L) === nulls)
+    assert(got(3L) === nulls)
+    assert(got(4L) === Seq[Any](2L, 44100L, 16L, null, null))
+  }
 }
