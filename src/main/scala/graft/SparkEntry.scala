@@ -1891,6 +1891,14 @@ object SparkEntry {
       Curation.distributionDrift(
         T(s, dir, "documents"), col("source"), col("doc_id") % 2 === 1)),
 
+    // DSIR importance weighting: score every doc by how target-like
+    // its hashed bag-of-words is (target = the English stratum),
+    // log w = Σ bits_raw − bits_target per token in exact floor-log2
+    // integers; selected = w ≥ 1. The token text never shuffles —
+    // only small-int bucket keys do; both LM tables broadcast.
+    "docs_dsir" -> ((s, dir) =>
+      Curation.dsirWeights(T(s, dir, "documents"), col("lang") === "en")),
+
     // Triangle census of the k-NN similarity graph — wedge equijoin +
     // closing left-semi join on canonical lo<hi edges; the global
     // clustering coefficient in exact fixed point.
@@ -3288,6 +3296,42 @@ object SparkEntry {
         |       CAST((c2 * c2 // d) * 1000000
         |              + ((c2 * c2 % d) * 1000000 // d) AS BIGINT) AS chi2_x1e6
         |FROM x""".stripMargin,
+
+    // DSIR: hashed-bucket (sha256-slice % 256) two-model LM ratio in
+    // floor-log2 bits with add-1 smoothing; both engines' `//`/`div`
+    // truncate toward zero, so negative log-weights divide identically.
+    "docs_dsir" ->
+      s"""$toksCte,
+         |tf AS (
+         |  SELECT t.doc_id,
+         |         CAST(CAST(('0x' || substring(sha256(lower(word)), 1, 15))
+         |           AS UBIGINT) AS BIGINT) % ${Curation.DsirBuckets} AS b,
+         |         (d.lang = 'en') AS tgt, count(*) AS tf
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2, 3),
+         |m AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cr,
+         |             CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ct
+         |      FROM tf GROUP BY 1),
+         |t2 AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+         |              CAST(sum(ct) AS BIGINT) AS tt FROM m),
+         |bits AS (SELECT b,
+         |  CAST((length(bin(tr + ${Curation.DsirBuckets})) - length(bin(cr + 1)))
+         |     - (length(bin(tt + ${Curation.DsirBuckets})) - length(bin(ct + 1)))
+         |    AS BIGINT) AS logw
+         |  FROM m, t2),
+         |pd AS (SELECT tf.doc_id,
+         |              CAST(sum(tf.tf) AS BIGINT) AS n,
+         |              CAST(sum(tf.tf * bits.logw) AS BIGINT) AS lw
+         |       FROM tf JOIN bits USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(pd.lw, 0) AS BIGINT) AS logw_bits_total,
+         |  CAST(CASE WHEN coalesce(pd.n, 0) > 0
+         |       THEN coalesce(pd.lw, 0) * 100 // pd.n ELSE 0 END
+         |    AS BIGINT) AS avg_logw_x100,
+         |  CAST(CASE WHEN coalesce(pd.n, 0) > 0 AND coalesce(pd.lw, 0) >= 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // triangle census over the same knn CTE as graph_pagerank:
     // canonical lo<hi edges, wedge join, EXISTS-closure (= left semi).

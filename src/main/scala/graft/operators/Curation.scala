@@ -501,4 +501,86 @@ object Curation {
           .stripMargin.replace("\n", " "))
           .as("chi2_x1e6"))
   }
+
+  /** Hashed-feature buckets for [[dsirWeights]] — small enough that the
+    * two bucket-granular LM tables always broadcast, large enough that
+    * hash collisions don't blur the importance signal at test scale. */
+  val DsirBuckets = 256
+
+  /** DSIR importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its hashed bag-of-words is
+    * under a TARGET distribution (the corpus you wish you had more of —
+    * here any row where `isTarget` holds) than under the RAW corpus,
+    * log w(d) = Σ_tokens [log p_target(bucket) − log p_raw(bucket)].
+    * The quality-classifier alternative ([[TextAnalysis.quality]])
+    * scores documents in isolation; DSIR scores them RELATIVE to a
+    * target corpus, which is the knob a pretraining mix actually turns
+    * ("more docs that look like Wikipedia", not "more docs with few
+    * exclamation marks").
+    *
+    * Exact cross-engine arithmetic: features are the 60-bit sha256
+    * slice of the normalized token mod [[DsirBuckets]] (the
+    * [[Relevance.hashedFeatures]] trick — both engines can compute
+    * sha256, neither needs a shipped vocabulary), and each bucket's
+    * −log2 p is the floor-log2 bit count via bin-string lengths (the
+    * [[TextAnalysis.lmScore]] trick) with add-1 smoothing over buckets
+    * so both models are total: bits_X(b) = ⌊log2(T_X + B)⌋ −
+    * ⌊log2(c_X(b) + 1)⌋. Per-token log-weight = bits_raw − bits_target
+    * (positive ⇒ more target-like). `selected` = the resampling
+    * decision at the natural threshold w ≥ 1 (avg log-weight ≥ 0).
+    *
+    * Scale shape: one (doc, bucket) tf hash-agg with map-side partials
+    * (shuffle keys are small ints — the token text never shuffles),
+    * both models from ONE bucket-granular agg over it (the target
+    * count is a `sum(when)` partial, so raw and target are counted in
+    * a single pass), a 1-row totals agg, and the ≤ B-row bits table
+    * joins back broadcast. The corpus itself never joins anything
+    * wide. Output covers every input document (token-less docs carry
+    * zeros and are not selected).
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = DsirBuckets): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val norm = graft.functions.Scalars.wordNorm(col("word"))
+    val bucket =
+      conv(substring(sha2(norm, 256), 1, 15), 16, 10)
+        .cast("long") % buckets.toLong
+    val toks = graft.operators.Tokenize.splitTokens(inputCol = textCol)(
+      docs.select(col(idCol), col(textCol), isTarget.as("__tgt")))
+      .select(col(idCol), col("__tgt"), bucket.as("__b"))
+    val tf = toks.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+    val model = tf.groupBy(col("__b")).agg(
+      sum(col("__tf")).as("__cr"),
+      sum(when(col("__tgt"), col("__tf")).otherwise(0L)).as("__ct"))
+    val totals = model.agg(
+      sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))
+    val bits = model.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        ((length(bin(col("__tr") + buckets.toLong)) -
+          length(bin(col("__cr") + 1L))) -
+         (length(bin(col("__tt") + buckets.toLong)) -
+          length(bin(col("__ct") + 1L)))).cast("long").as("__logw"))
+    val perDoc = tf.join(broadcast(bits), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__tf") * col("__logw")).as("__lw"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__lw"), lit(0L)).as("logw_bits_total"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          expr("coalesce(__lw, 0L) * 100 div __n"))
+          .otherwise(lit(0L)).as("avg_logw_x100"),
+        when(coalesce(col("__n"), lit(0L)) > 0 && coalesce(col("__lw"), lit(0L)) >= 0,
+          lit(1L)).otherwise(lit(0L)).as("selected"))
+  }
 }

@@ -643,4 +643,32 @@ class CurationSpec extends SparkSpecBase {
       "x" -> ((6L, 2L, 2000000L)),
       "y" -> ((2L, 6L, 2000000L))))
   }
+
+  test("dsirWeights ranks target-vocabulary docs above raw-only docs") {
+    import spark.implicits._
+    // Target stratum speaks t-words; the raw remainder speaks r-words.
+    // A doc written in target vocabulary must carry a higher importance
+    // weight (and clear the w >= 1 selection bar) than one written in
+    // raw-only vocabulary (which must be negative: its buckets are
+    // deflated under the target model by smoothing).
+    val corpus = (
+      (1L to 4L).map(i => (i, "t1 t2 t3", true)) ++
+      (5L to 8L).map(i => (i, "r1 r2 r3", false)) :+
+      ((9L, "   ", false))) // token-less: zeros, never selected
+      .toDF("doc_id", "text", "tgt")
+    val got = Curation.dsirWeights(corpus, col("tgt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === (1L to 9L).toSet) // every doc covered
+    val (_, _, avgT, selT) = got(1L)
+    val (_, _, avgR, selR) = got(5L)
+    assert(avgT > avgR)
+    assert(selT === 1L && selR === 0L)
+    assert(avgR < 0L) // raw-only vocabulary scores anti-target
+    assert(got(9L) === ((0L, 0L, 0L, 0L)))
+    // identical docs score identically (the model is corpus-global)
+    assert(got(1L) === got(2L) && got(5L) === got(6L))
+  }
 }
