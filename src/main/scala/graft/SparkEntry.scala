@@ -1899,6 +1899,18 @@ object SparkEntry {
     "docs_dsir" -> ((s, dir) =>
       Curation.dsirWeights(T(s, dir, "documents"), col("lang") === "en")),
 
+    // Learned language classifier: multinomial NB over hashed
+    // bag-of-words, trained on the deterministic 80% doc-id hash
+    // split, scoring every doc — argmin −log₂ posterior in exact
+    // floor-log2 bits via ONE min(struct) hash-agg (no per-doc
+    // window). The n·K docs×classes grid is the IVF scoring shape.
+    // (The fixture corpus shares one vocabulary across langs, so NB
+    // correctly collapses to the class prior here — the hash-parity
+    // gate exercises the full model path regardless; learned accuracy
+    // on separable vocabularies is pinned in TextAnalysisSpec.)
+    "docs_classifier" -> ((s, dir) =>
+      TextAnalysis.nbClassifier(T(s, dir, "documents"))),
+
     // Triangle census of the k-NN similarity graph — wedge equijoin +
     // closing left-semi join on canonical lo<hi edges; the global
     // clustering coefficient in exact fixed point.
@@ -3332,6 +3344,48 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(pd.n, 0) > 0 AND coalesce(pd.lw, 0) >= 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // NB classifier: replicate the train split (hashOrder permille),
+    // the 1024-bucket sha-slice features, smoothed floor-log2 class
+    // costs, and the (cost, class) tie-break via QUALIFY — DuckDB's
+    // row_number order equals Spark's min(struct) lexicographic min.
+    "docs_classifier" ->
+      s"""$toksCte,
+         |base AS (SELECT doc_id, lang AS actual,
+         |           ((${Curation.hashOrderSql("doc_id")}) % 1000
+         |              < ${TextAnalysis.NbTrainPerMille}) AS train
+         |         FROM documents),
+         |tk AS (SELECT t.doc_id, b.actual, b.train,
+         |         CAST(CAST(('0x' || substring(sha256(lower(word)), 1, 15))
+         |           AS UBIGINT) AS BIGINT) % ${TextAnalysis.NbBuckets} AS fb
+         |       FROM toks t JOIN base b USING (doc_id)),
+         |cnt AS (SELECT actual AS c, fb, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM tk WHERE train GROUP BY 1, 2),
+         |ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+         |pri AS (SELECT actual AS c, CAST(count(*) AS BIGINT) AS nc
+         |        FROM base WHERE train GROUP BY 1),
+         |nt AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM pri),
+         |cls AS (SELECT pri.c, coalesce(ct.tc, 0) AS tc,
+         |          CAST(length(bin(nt.n + 1)) - length(bin(pri.nc + 1))
+         |            AS BIGINT) AS prior_bits
+         |        FROM pri LEFT JOIN ct USING (c) CROSS JOIN nt),
+         |tf AS (SELECT doc_id, fb, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |tkc AS (SELECT tf.doc_id, cls.c,
+         |          CAST(sum(tf.tf * (length(bin(cls.tc + ${TextAnalysis.NbBuckets}))
+         |            - length(bin(coalesce(cnt.cnt, 0) + 1)))) AS BIGINT) AS tok_bits
+         |        FROM tf CROSS JOIN cls
+         |        LEFT JOIN cnt ON cnt.fb = tf.fb AND cnt.c = cls.c
+         |        GROUP BY 1, 2),
+         |grid AS (SELECT b.doc_id, b.actual, cls.c,
+         |           cls.prior_bits + coalesce(tkc.tok_bits, 0) AS cost
+         |         FROM base b CROSS JOIN cls
+         |         LEFT JOIN tkc ON tkc.doc_id = b.doc_id AND tkc.c = cls.c)
+         |SELECT doc_id, c AS predicted, CAST(cost AS BIGINT) AS cost_bits,
+         |       actual,
+         |       CAST(CASE WHEN c = actual THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM grid
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cost, c) = 1""".stripMargin,
 
     // triangle census over the same knn CTE as graph_pagerank:
     // canonical lo<hi edges, wedge join, EXISTS-closure (= left semi).

@@ -483,4 +483,104 @@ object TextAnalysis {
           .otherwise(lit("other")))
       .drop("n_visible")
   }
+
+  /** Feature buckets for [[nbClassifier]] — wide enough that 5-ish
+    * classes separate cleanly, small enough that the dense class×bucket
+    * model is always broadcast-sized (classes · 1024 rows). */
+  val NbBuckets = 1024
+
+  /** Per-mille of the doc-id hash space used as the training split. */
+  val NbTrainPerMille = 800
+
+  /** Multinomial Naive Bayes over hashed bag-of-words features — the
+    * LEARNED document classifier of the curation stack (the fastText
+    * supervised shape minus the gradient loop: count, smooth, argmax),
+    * complementing the fixed-lexicon [[langId]] heuristic. Trains on
+    * the deterministic [[Curation.hashBucket]] doc-id split (no RNG —
+    * both engines and every rerun agree on membership), then scores
+    * EVERY document: predicted class = argmin over classes of
+    * Σ_tokens bits_c(bucket) + priorBits(c), the −log₂ posterior in
+    * exact floor-log2 integers (the [[lmScore]] bit trick, +1-smoothed
+    * per bucket so unseen features cost the class's ceiling rather
+    * than ∞). Ties break to the lexicographically smallest class, so
+    * the argmin is ONE `min(struct(cost, class))` hash-agg — no
+    * per-doc window, no sort.
+    *
+    * Scale shape: token text never shuffles (features become
+    * [[NbBuckets]] small-int keys before the tf agg); the model is a
+    * class×bucket table (≤ classes·buckets rows) built from one
+    * hash-agg over the train slice and joined back BROADCAST; scoring
+    * is the n·K grid (docs × classes — K = class count, the same
+    * allowlisted shape as IVF's n·K centroid scoring) aggregated
+    * twice: (doc, class) cost, then per-doc argmin. Docs with no
+    * tokens are still classified — by prior alone. Classes absent
+    * from the train slice cannot be predicted (documented, inherent
+    * to any train/score split).
+    *
+    * Output: (idCol, predicted, cost_bits, actual, correct) — all
+    * exact integers / strings, cross-engine hashable.
+    */
+  def nbClassifier(
+      docs: DataFrame,
+      labelCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = NbBuckets,
+      trainPerMille: Int = NbTrainPerMille): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(trainPerMille >= 1 && trainPerMille <= 1000,
+      s"trainPerMille must be in [1,1000], got $trainPerMille")
+    val norm = graft.functions.Scalars.wordNorm(col("word"))
+    val bucket =
+      conv(substring(sha2(norm, 256), 1, 15), 16, 10)
+        .cast("long") % buckets.toLong
+    val isTrain = Curation.hashBucket(col(idCol)) < trainPerMille
+    val base = docs.select(col(idCol), col(labelCol).as("__actual"),
+      col(textCol), isTrain.as("__train"))
+    val toks = Tokenize.splitTokens(inputCol = textCol)(base)
+      .select(col(idCol), col("__actual"), col("__train"), bucket.as("__b"))
+    // class model from the train slice: per-(class, bucket) counts,
+    // per-class token totals, per-class doc priors — all tiny aggs
+    val cnt = toks.where(col("__train"))
+      .groupBy(col("__actual").as("__c"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val classTotals = cnt.groupBy(col("__c")).agg(sum(col("__cnt")).as("__tc"))
+    val priors = base.where(col("__train"))
+      .groupBy(col("__actual").as("__c")).agg(count(lit(1)).as("__nc"))
+    val nTrain = priors.agg(sum(col("__nc")).as("__nt"))
+    val classes = priors.join(classTotals, Seq("__c"), "left")
+      .crossJoin(broadcast(nTrain))
+      .select(col("__c"),
+        coalesce(col("__tc"), lit(0L)).as("__tc"),
+        (length(bin(col("__nt") + 1L)) - length(bin(col("__nc") + 1L)))
+          .cast("long").as("__prior_bits"))
+    // per-(doc, bucket) tf — the only corpus-sized shuffle
+    val tf = toks.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+    // n·K grid: every doc × every trainable class; token cost joins
+    // the sparse count table broadcast, unseen buckets cost the
+    // smoothed ceiling len(bin(Tc + B)) − 1
+    val tokCost = tf.crossJoin(broadcast(classes.select(col("__c"), col("__tc"))))
+      .join(broadcast(cnt), Seq("__b", "__c"), "left")
+      .groupBy(col(idCol), col("__c"))
+      .agg(sum(col("__tf") *
+        (length(bin(col("__tc") + buckets.toLong)) -
+         length(bin(coalesce(col("__cnt"), lit(0L)) + 1L))).cast("long"))
+        .as("__tok_bits"))
+    val grid = base.select(col(idCol), col("__actual"))
+      .crossJoin(broadcast(classes.select(col("__c"), col("__prior_bits"))))
+      .join(tokCost, Seq(idCol, "__c"), "left")
+      .select(col(idCol), col("__actual"), col("__c"),
+        (col("__prior_bits") + coalesce(col("__tok_bits"), lit(0L)))
+          .as("__cost"))
+    grid.groupBy(col(idCol))
+      .agg(
+        min(struct(col("__cost"), col("__c"))).as("__best"),
+        first(col("__actual")).as("actual"))
+      .select(col(idCol),
+        col("__best.__c").as("predicted"),
+        col("__best.__cost").as("cost_bits"),
+        col("actual"),
+        when(col("__best.__c") === col("actual"), lit(1L))
+          .otherwise(lit(0L)).as("correct"))
+  }
 }

@@ -181,4 +181,46 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(3L).getAs[String]("dominant") === "latin")
     assert(got(3L).getAs[Long]("latin_x1000") === 1000L)
   }
+
+  test("nbClassifier learns disjoint vocabularies and generalizes to held-out docs") {
+    import spark.implicits._
+    // replicate hashBucket to prove the default 80/20 split actually
+    // exercises both train membership and held-out scoring here
+    def bucket(id: Long): Long =
+      ((id % 2147483647L) * 2654435761L) % 4294967296L % 1000L
+    val ids = 1L to 100L
+    assert(ids.exists(bucket(_) >= 800) && ids.exists(bucket(_) < 800))
+    val docs = ids.map { i =>
+      if (i % 2 == 0) (i, "apple banana cherry apple", "fruit")
+      else (i, "dog emu fox dog", "animal")
+    }.toDF("doc_id", "text", "label")
+    val got = TextAnalysis.nbClassifier(docs, labelCol = "label")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(4)))).toMap
+    assert(got.size === 100)
+    // disjoint vocabularies: every doc — train member or held-out —
+    // lands on its own class
+    assert(got.values.forall(_._2 == 1L))
+  }
+
+  test("nbClassifier classifies token-less docs by prior with deterministic ties") {
+    import spark.implicits._
+    // all-train so the model is exact: 3 x-docs, 2 y-docs, one empty
+    // y-doc → priors are 3 vs 3 (the empty doc trains into y's prior),
+    // both prior_bits = len(bin(7)) − len(bin(4)) = 0, so the empty
+    // doc's cost ties across classes and must break to the
+    // lexicographically smaller class "x"
+    val docs = Seq(
+      (1L, "xa xb", "x"), (2L, "xa xb", "x"), (3L, "xa xb", "x"),
+      (4L, "ya yb", "y"), (5L, "ya yb", "y"), (6L, "   ", "y"))
+      .toDF("doc_id", "text", "label")
+    val got = TextAnalysis.nbClassifier(docs, labelCol = "label",
+      trainPerMille = 1000)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got.size === 6) // token-less doc still classified
+    assert(got(1L) === (("x", "x", 1L)))
+    assert(got(5L) === (("y", "y", 1L)))
+    assert(got(6L) === (("x", "y", 0L))) // prior tie → smaller class
+  }
 }
