@@ -180,6 +180,9 @@ class PlanShapeSpec extends SparkSpecBase {
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
           "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
           "docs_mixture_temperature",
+          // 1-row totals broadcast (DSIR) and the docs×classes n·K
+          // scoring grid + 1-row train-count broadcast (NB classifier)
+          "docs_dsir", "docs_classifier",
           // 1-row sketch-result broadcast for the rank-contract pass
           "rel_approx_quantiles")
       if (!bnljOk(name))

@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.operators.NearDup
 import graft.streaming.Streams
 
 /** MemoryStream-driven tests for the streaming operators: window agg,
@@ -329,6 +330,59 @@ class StreamingSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       // only the full view→click→purchase chain for user 1 survives
       assert(got === Set((100L, 7L, 70L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch + minHashPairsBetween dedups an ingest stream against the base corpus") {
+    // The daily-ingest near-dup shape run as a stream: each micro-batch
+    // of arriving docs is paired against the STATIC accumulated corpus
+    // only (never batch×batch or corpus re-paired with itself), exactly
+    // the neardup_incremental recurring-cost contract — here through
+    // foreachBatch so the batch operator IS the streaming operator.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 17/16-token docs: a single final-token edit keeps Jaccard at
+    // 14/16 = 875 and 13/15 = 866 per-mille — above the 800 threshold
+    val base = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog while the moon rises over the far hill"),
+      (20L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages in the engine"))
+      .toDF("doc_id", "text")
+    val arrivals = MemoryStream[(Long, String)]
+    @volatile var flagged = Set.empty[(Long, Long)]
+    val q = arrivals.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged = flagged ++ NearDup
+          .minHashPairsBetween(base, batch)
+          .select("doc_a", "doc_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a near-copy of base doc 10 (one token changed) and an
+      // unrelated doc — only the near-copy may pair
+      arrivals.addData(
+        (100L, "the quick brown fox jumps over the lazy dog while the moon rises over the far ridge"),
+        (101L, "wholly unrelated fresh content streaming in now"))
+      q.processAllAvailable()
+      assert(flagged === Set((10L, 100L)))
+      // batch 2: a near-copy of base doc 20 — accumulates, and batch 1
+      // results are not disturbed (batches are independent increments)
+      arrivals.addData(
+        (200L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages in the engines"))
+      q.processAllAvailable()
+      assert(flagged === Set((10L, 100L), (20L, 200L)))
+      // cross-check: the streamed union equals the one-shot batch call
+      val oneShot = NearDup.minHashPairsBetween(
+        base,
+        Seq((100L, "the quick brown fox jumps over the lazy dog while the moon rises over the far ridge"),
+          (101L, "wholly unrelated fresh content streaming in now"),
+          (200L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages in the engines"))
+          .toDF("doc_id", "text"))
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged === oneShot)
     } finally q.stop()
   }
 }
