@@ -235,6 +235,36 @@ object SparkEntry {
        |  WHERE nsq > 0)""".stripMargin
   }
 
+  /** Shared PQ prelude: [[embCte]]'s quantization + the
+    * [[Embeddings.PqSubspaces]]-way subvector split, the id %
+    * [[Embeddings.CentroidStep]] seed codebooks, and the exact-L2
+    * argmin encoding (`enc`) — every constant interpolated from
+    * [[Embeddings]] so engine and oracle can't drift. */
+  private val pqCte: String = {
+    val m = Embeddings.PqSubspaces
+    val step = Embeddings.CentroidStep
+    s"""$embCte,
+       |sv AS (
+       |  SELECT vec_id, j AS sub,
+       |         qv[j * (len(qv) // $m) + 1 : (j + 1) * (len(qv) // $m)] AS sqv,
+       |         CAST(list_sum(list_transform(
+       |           qv[j * (len(qv) // $m) + 1 : (j + 1) * (len(qv) // $m)],
+       |           x -> x * x)) AS BIGINT) AS snsq
+       |  FROM q, unnest(range(0, $m)) AS u(j)
+       |  WHERE len(qv) % $m = 0),
+       |cents AS (
+       |  SELECT sub, vec_id AS cid, sqv AS cqv, snsq AS cnsq
+       |  FROM sv WHERE vec_id % $step = 0),
+       |enc AS (
+       |  SELECT s.vec_id, s.sub, c.cid AS code,
+       |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
+       |           range(len(s.sqv)), i -> s.sqv[i+1] * c.cqv[i+1])) AS BIGINT)
+       |           AS qdist
+       |  FROM sv s JOIN cents c USING (sub)
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY s.vec_id, s.sub ORDER BY qdist, c.cid) = 1)""".stripMargin
+  }
+
   /** DuckDB expression for the sign-LSH hyperplane weight w(p, j) —
     * same integer formula as Embeddings.weight. */
   private def weightSql(p: String, j: String): String =
@@ -1341,6 +1371,19 @@ object SparkEntry {
     // reconstruction error for the quality audit.
     "emb_quantize" -> ((s, dir) =>
       Embeddings.scalarQuantize(T(s, dir, "embeddings"))),
+    // Product-quantization codes — 8 subspaces × per-subspace seed
+    // codebooks (id % 32): argmin exact-int64 squared L2 per
+    // subvector via one max_by hash-agg over the n·(m·K) broadcast
+    // grid; qdist = per-subspace distortion audit.
+    "emb_pq_codes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Embeddings.pqEncode(emb, Embeddings.pqCentroids(emb))
+    }),
+    // ADC search over the PQ codes: the corpus is touched ONLY through
+    // its m codes; the per-query distance table broadcasts, one
+    // (sub, code) equijoin + one hash-agg + WindowGroupLimit top-k.
+    "emb_pq_search" -> ((s, dir) =>
+      Embeddings.pqAdcTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -2452,6 +2495,38 @@ object SparkEntry {
          |       CAST(list_max(list_transform(range(len(qv)),
          |              i -> abs(qv[i+1] - (mn + (codes[i+1] * (mx - mn)) // 255)))) AS BIGINT) AS err_max
          |FROM c""".stripMargin,
+
+    // PQ: replicate the subvector split (8 subspaces), the id%32 seed
+    // codebooks, and the exact-int64 L2 argmin with (dist, cid)
+    // tie-break via QUALIFY.
+    "emb_pq_codes" ->
+      s"""$pqCte
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
+         |       CAST(qdist AS BIGINT) AS qdist
+         |FROM enc""".stripMargin,
+
+    // ADC: per-query exact distance table × the corpus code stream,
+    // summed per (query, neighbor), top-3 by (adist, neighbor).
+    "emb_pq_search" ->
+      s"""$pqCte,
+         |qd AS (
+         |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+         |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
+         |           range(len(s.sqv)), i -> s.sqv[i+1] * c.cqv[i+1])) AS BIGINT)
+         |           AS pd
+         |  FROM sv s JOIN cents c USING (sub)
+         |  WHERE s.vec_id % 20 = 0),
+         |sc AS (
+         |  SELECT qd.query_id, e.vec_id AS neighbor_id,
+         |         CAST(sum(qd.pd) AS BIGINT) AS adist
+         |  FROM enc e JOIN qd ON qd.sub = e.sub AND qd.code = e.code
+         |  WHERE qd.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
+         |FROM sc
+         |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+         |QUALIFY row_number() OVER w <= 3""".stripMargin,
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).

@@ -594,4 +594,131 @@ object Embeddings {
         col("__top.neighbor_id").as("pair_id"),
         col("__top.cos_x1e6").as("cos_x1e6"))
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Subspace count for PQ: 64-dim fixtures → 8 subvectors of 8 dims.
+    * The vector width must be divisible by it. */
+  val PqSubspaces = 8
+
+  /** (id, sub, __sqv, __snsq) — every vector split into
+    * [[PqSubspaces]] quantized subvectors with exact squared norms.
+    * One narrow codegen pass (slice + posexplode), no shuffle. */
+  private def subvectors(
+      emb: DataFrame, m: Int, idCol: String, vecCol: String): DataFrame = {
+    val qv = quantize(col(vecCol))
+    emb.select(col(idCol), qv.as("__qv"))
+      .where(size(col("__qv")) % m === 0)
+      .withColumn("__d", (size(col("__qv")) / m).cast("int"))
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), j -> slice(__qv, j * __d + 1, __d))"))
+        .as(Seq("sub", "__sqv")))
+      .withColumn("__snsq", dotQ(col("__sqv"), col("__sqv")))
+  }
+
+  /** Per-subspace PQ codebooks — (sub, __cid, __cqv, __cnsq): the
+    * subvectors of every rate-sampled seed vector (`id % centroidStep
+    * == 0`, or hash-sampled via `seedByHash` — [[centroidSeedPred]],
+    * the same deterministic seeding contract as [[ivfCentroids]])
+    * become that subspace's centroids. K per subspace = n/step — size
+    * `centroidStep` from the corpus via [[centroidStepFor]] so the
+    * codebook broadcast stays bounded as the corpus grows. Like the
+    * IVF table, this is the PERSISTABLE index artifact: freeze it and
+    * encode daily increments against it — codes stay comparable
+    * across runs because centroid identities are seed-vector ids. */
+  def pqCentroids(
+      emb: DataFrame,
+      centroidStep: Long = CentroidStep,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seedByHash: Boolean = false): DataFrame = {
+    require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
+    require(m >= 1, s"m must be >= 1, got $m")
+    subvectors(emb.filter(centroidSeedPred(col(idCol), centroidStep, seedByHash)),
+        m, idCol, vecCol)
+      .select(col("sub"), col(idCol).as("__cid"),
+        col("__sqv").as("__cqv"), col("__snsq").as("__cnsq"))
+  }
+
+  /** PQ encoding: per (vector, subspace), the id of the nearest
+    * codebook centroid by exact int64 squared L2 (‖x‖² + ‖c‖² −
+    * 2·x·c — [[dotQ]] keeps every term exact, so code assignment is
+    * bit-identical on any engine; ties → smaller centroid id). A
+    * 64-dim float vector (256 bytes) compresses to m codes (m bytes
+    * at K ≤ 256) — the memory-resident representation that makes
+    * billion-vector ANN fit a cluster, one rung past
+    * [[scalarQuantize]]'s 8-bit codes.
+    *
+    * Shape: the subvector split is narrow; scoring is the n·(m·K)
+    * broadcast grid (the PQ sibling of IVF's n·K assignment pass —
+    * the codebook join key is `sub`, so each subvector meets only its
+    * own subspace's K centroids); the argmin is one map-side-partial
+    * `max_by` hash-agg. Long-form output (id, sub, code, qdist) —
+    * qdist is the exact squared quantization error, the per-subspace
+    * distortion audit. */
+  def pqEncode(
+      emb: DataFrame,
+      centroids: DataFrame,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dist = col("__snsq") + col("__cnsq") -
+      lit(2L) * dotQ(col("__sqv"), col("__cqv"))
+    subvectors(emb, m, idCol, vecCol)
+      .join(broadcast(centroids), Seq("sub"))
+      .withColumn("__dist", dist)
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(
+          struct(col("__cid"), col("__dist")),
+          struct(-col("__dist"), -col("__cid"))).as("__best"))
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("__best.__cid").as("code"),
+        col("__best.__dist").as("qdist"))
+  }
+
+  /** Asymmetric-distance (ADC) PQ search: approximate top-k neighbors
+    * of each query vector, where dist(q, v) ≈ Σ_sub ‖q_sub −
+    * codebook[code_sub(v)]‖² — the query stays EXACT, only the corpus
+    * is compressed, the standard ADC trade (tighter than
+    * symmetric code-to-code distance at identical storage).
+    *
+    * Shape — the part that must survive 100 TB: the corpus is touched
+    * only through its codes (m small ints per vector, never the
+    * original vectors); the per-query distance table (|Q|·m·K exact
+    * int64 entries — queries × codebook, both tiny) broadcasts, and
+    * the scan is ONE equijoin of the code stream on (sub, cid) + one
+    * (query, vec) hash-agg summing m partial distances + a top-k
+    * WindowGroupLimit over |Q| partitions. Self-matches excluded;
+    * ties → smaller neighbor id. Output: (query_id, neighbor_id,
+    * rank, adist). */
+  def pqAdcTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 3,
+      centroidStep: Long = CentroidStep,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = pqCentroids(emb, centroidStep, m, idCol, vecCol)
+    val codes = pqEncode(emb, cents, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+    val qdist = subvectors(emb.filter(queryPred), m, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("sub"), col("__sqv"), col("__snsq"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("__cid").as("code"),
+        (col("__snsq") + col("__cnsq") -
+          lit(2L) * dotQ(col("__sqv"), col("__cqv"))).as("__pd"))
+    val scored = codes
+      .join(broadcast(qdist), Seq("sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
 }

@@ -365,6 +365,59 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(seamBase === inline)
   }
 
+  test("pqEncode: seeds are zero-distortion; codes point at the nearest subvector") {
+    import spark.implicits._
+    // 4-dim vectors, m = 2 subspaces of 2 dims. centroidStep = 10 →
+    // seeds are ids 0 and 10, giving per-subspace codebooks
+    //   sub 0: {0→(1,0), 10→(0,1)}   sub 1: {0→(0.5,0), 10→(0,0.5)}
+    val emb = Seq(
+      (0L,  Array(1f, 0f, 0.5f, 0f)),
+      (10L, Array(0f, 1f, 0f, 0.5f)),
+      // mixed membership: sub 0 nearest seed-0's (1,0), sub 1 nearest
+      // seed-10's (0,0.5) — codes may differ per subspace, the whole
+      // point of PQ over one global codebook
+      (3L,  Array(0.9f, 0.1f, 0.1f, 0.45f)))
+      .toDF("vec_id", "embedding")
+    val cents = Embeddings.pqCentroids(emb, centroidStep = 10L, m = 2)
+    val got = Embeddings.pqEncode(emb, cents, m = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // every (vec, sub) encoded; seeds encode to themselves, distortion 0
+    assert(got.keySet === Set((0L, 0L), (0L, 1L), (10L, 0L), (10L, 1L),
+      (3L, 0L), (3L, 1L)))
+    assert(got((0L, 0L)) === ((0L, 0L)) && got((0L, 1L)) === ((0L, 0L)))
+    assert(got((10L, 0L)) === ((10L, 0L)) && got((10L, 1L)) === ((10L, 0L)))
+    // the mixed vector splits its codes across the two codebooks
+    assert(got((3L, 0L))._1 === 0L)
+    assert(got((3L, 1L))._1 === 10L)
+    assert(got((3L, 0L))._2 > 0L && got((3L, 1L))._2 > 0L)
+  }
+
+  test("pqAdcTopK at step=1 (every vector a centroid) equals exact L2 ranking") {
+    import spark.implicits._
+    // With centroidStep = 1 every subvector encodes to itself with
+    // zero distortion, so the ADC distance IS the exact quantized
+    // squared L2 — the approximation-collapses-to-exact invariant.
+    val vecs = Seq(
+      0L  -> Array(1f, 0f, 0f, 0f),
+      1L  -> Array(0.9f, 0.1f, 0f, 0f),
+      2L  -> Array(0.5f, 0.5f, 0.2f, 0f),
+      3L  -> Array(0f, 1f, 0.4f, 0.1f),
+      4L  -> Array(-1f, 0f, 0f, 0.3f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.pqAdcTopK(emb, col("vec_id") === 0, k = 4,
+        centroidStep = 1L, m = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    def q(x: Float): Long = math.round(x.toDouble * Embeddings.Scale)
+    val exact = vecs.tail.map { case (id, v) =>
+      id -> v.zip(vecs.head._2).map { case (a, b) =>
+        val d = q(a) - q(b); d * d }.sum
+    }.sortBy { case (id, d) => (d, id) }
+    assert(got.toSeq === exact)
+  }
+
   test("dupNgramStats flags exactly the cross-doc shared span") {
     import spark.implicits._
     // A and B share the 5-token span S1..S5 inside otherwise-unique
