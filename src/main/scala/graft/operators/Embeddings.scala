@@ -721,4 +721,60 @@ object Embeddings {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
   }
+
+  /** IVF-PQ: the composed billion-scale ANN index — IVF's coarse
+    * quantizer prunes the corpus to the query's home cell, PQ's codes
+    * rank the survivors by ADC distance. The two stages are exactly
+    * [[ivfCentroids]]/[[ivfAssign]] and [[pqCentroids]]/[[pqEncode]],
+    * both persistable index artifacts; this operator is their search
+    * composition (the FAISS `IVFx,PQy` layout re-expressed as
+    * dataframes).
+    *
+    * Scale shape: candidates come from the (cell) equijoin of query
+    * assignments against corpus assignments — bounded by cell
+    * population, never the corpus — and each candidate is scored
+    * through its m codes against the broadcast per-query distance
+    * table, one hash-agg, one top-k WindowGroupLimit. The original
+    * corpus vectors are read only by the (offline-able) assignment
+    * and encoding passes, never by the search join itself. Ties →
+    * smaller neighbor id. Output: (query_id, neighbor_id, rank,
+    * adist). */
+  def annIvfPq(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 3,
+      centroidStep: Long = CentroidStep,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val icents = ivfCentroids(emb, centroidStep, idCol, vecCol)
+    val cells = ivfAssign(emb, icents, idCol, vecCol)
+    val pcents = pqCentroids(emb, centroidStep, m, idCol, vecCol)
+    val codes = pqEncode(emb, pcents, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+    val queries = emb.filter(queryPred)
+    val qcells = ivfAssign(queries, icents, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val qdist = subvectors(queries, m, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("sub"), col("__sqv"), col("__snsq"))
+      .join(broadcast(pcents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("__cid").as("code"),
+        (col("__snsq") + col("__cnsq") -
+          lit(2L) * dotQ(col("__sqv"), col("__cqv"))).as("__pd"))
+    val cand = qcells
+      .join(cells.select(col(idCol).as("neighbor_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qdist), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
 }

@@ -418,6 +418,41 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(got.toSeq === exact)
   }
 
+  test("annIvfPq = ADC ranking restricted to the query's IVF cell") {
+    import spark.implicits._
+    // the annIvf geometry: ids 0/10 seed two cells (centroidStep 10);
+    // {0,1,2} land in cell 0, {10,11} in cell 10
+    val emb = Seq(
+      (0L,  Array(1f, 0f, 0f, 0f)),
+      (1L,  Array(0.95f, 0.05f, 0f, 0f)),
+      (2L,  Array(0.9f, 0.1f, 0.05f, 0f)),
+      (10L, Array(0f, 0f, 1f, 0f)),
+      (11L, Array(0f, 0.05f, 0.95f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id").isin(1L, 11L)
+    val got = Embeddings.annIvfPq(emb, pred, k = 3,
+        centroidStep = 10L, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // differential: full ADC ranking (k large enough to keep every
+    // candidate), filtered to same-cell pairs, re-ranked per query
+    val cells = Embeddings.ivfAssign(emb,
+        Embeddings.ivfCentroids(emb, centroidStep = 10L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Embeddings.pqAdcTopK(emb, pred, k = 100,
+        centroidStep = 10L, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val want = full
+      .filter { case (q, nb, _) => cells(q) == cells(nb) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, nb, d) => (d, nb) }.take(3).zipWithIndex
+          .map { case ((_, nb, d), i) => (q, nb, i + 1L, d) }
+      }
+    assert(got.toSet === want.toSet)
+    // the cell restriction is real: every result pair shares a cell
+    assert(got.forall { case (q, nb, _, _) => cells(q) == cells(nb) })
+    assert(got.nonEmpty)
+  }
+
   test("dupNgramStats flags exactly the cross-doc shared span") {
     import spark.implicits._
     // A and B share the 5-token span S1..S5 inside otherwise-unique
