@@ -572,22 +572,23 @@ object TextAnalysis {
       .select(col(idCol), col("__actual"), col("__c"),
         (col("__prior_bits") + coalesce(col("__tok_bits"), lit(0L)))
           .as("__cost"))
-    // argmin via min over a fixed-width (cost, class) string encoding:
-    // costs are nonnegative, so zero-padded decimal order = numeric
-    // order, and ties fall through to the lexicographically smallest
-    // class — the same ordering as min(struct(cost, class)), but a
-    // string min stays in HashAggregate (struct mins fall back to
-    // SortAggregate, which re-sorts the whole n·K grid per partition)
-    val enc = concat(lpad(col("__cost").cast("string"), 19, "0"), col("__c"))
+    // argmin = ONE min(struct(cost, class)) aggregation with map-side
+    // partials — lexicographic struct order gives (min cost, then min
+    // class), the deterministic tie-break. The planner realizes it as
+    // SortAggregate (struct buffers aren't hash-mutable — true of
+    // every max_by/min_by argmax in this library); the point is there
+    // is NO per-doc WindowExec: partial aggregation shrinks each map
+    // partition to one row per (doc) before the shuffle, which a
+    // window cannot do.
     grid.groupBy(col(idCol))
       .agg(
-        min(enc).as("__best"),
+        min(struct(col("__cost"), col("__c"))).as("__best"),
         first(col("__actual")).as("actual"))
       .select(col(idCol),
-        substring(col("__best"), 20, Int.MaxValue - 20).as("predicted"),
-        substring(col("__best"), 1, 19).cast("long").as("cost_bits"),
+        col("__best.__c").as("predicted"),
+        col("__best.__cost").as("cost_bits"),
         col("actual"),
-        when(substring(col("__best"), 20, Int.MaxValue - 20) === col("actual"),
-          lit(1L)).otherwise(lit(0L)).as("correct"))
+        when(col("__best.__c") === col("actual"), lit(1L))
+          .otherwise(lit(0L)).as("correct"))
   }
 }

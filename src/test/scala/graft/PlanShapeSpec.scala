@@ -192,6 +192,29 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("docs_classifier argmin is an aggregation with partials, not a window") {
+    // min(struct) aggregates with map-side partials (one row per doc
+    // leaves each map partition before the shuffle); a row_number
+    // window would shuffle the whole docs×classes grid. SortAggregate
+    // is expected — struct buffers aren't hash-mutable, same as every
+    // max_by argmax here — the assert is on the absence of a window
+    // and the presence of the partial pass.
+    val p = plan("docs_classifier")
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"classifier plans a per-doc window:\n${p.take(3000)}")
+    assert(p.contains("partial_min"),
+      s"classifier argmin lost its map-side partial:\n${p.take(3000)}")
+  }
+
+  test("emb_pq_search top-k is a WindowGroupLimit; docs_dup_ngrams uses ONE window") {
+    assert(plan("emb_pq_search").contains("WindowGroupLimit"),
+      "ADC top-k not pushed into a partial group limit")
+    val dup = plan("docs_dup_ngrams")
+    val windows = "WindowGroupLimit|Window \\[".r.findAllIn(dup).size
+    assert(windows === 1, // the gaps-and-islands pass over duplicated positions
+      s"expected exactly 1 window in docs_dup_ngrams, got $windows:\n${dup.take(3000)}")
+  }
+
   test("text_bm25 ranks with a WindowGroupLimit partial top-k") {
     val p = plan("text_bm25")
     assert(p.contains("WindowGroupLimit"),
