@@ -365,6 +365,32 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(seamBase === inline)
   }
 
+  test("pq codebooks round-trip parquet: frozen-codebook increment encoding") {
+    // the PQ sibling of the IVF maintenance seam: build + persist the
+    // per-subspace codebooks from the base corpus, then encode ONLY
+    // the increment against the frozen table — codes must be
+    // bit-identical to encoding against the in-memory codebooks, so
+    // accumulated code tables stay valid across runs.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val inc = emb.where(col("vec_id") % 2 === 1)
+    val cents = Embeddings.pqCentroids(base, centroidStep = 10L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    cents.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    def codes(c: org.apache.spark.sql.DataFrame) =
+      Embeddings.pqEncode(inc, c)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    val viaSeam = codes(persisted)
+    assert(viaSeam === codes(cents))
+    assert(viaSeam.nonEmpty)
+    // every increment vector carries all PqSubspaces codes
+    assert(viaSeam.keySet.map(_._1).forall(id =>
+      (0 until Embeddings.PqSubspaces).forall(s => viaSeam.contains(id -> s.toLong))))
+  }
+
   test("pqEncode: seeds are zero-distortion; codes point at the nearest subvector") {
     import spark.implicits._
     // 4-dim vectors, m = 2 subspaces of 2 dims. centroidStep = 10 →
