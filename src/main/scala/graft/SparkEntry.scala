@@ -235,14 +235,10 @@ object SparkEntry {
        |  WHERE nsq > 0)""".stripMargin
   }
 
-  /** Shared PQ prelude: [[embCte]]'s quantization + the
-    * [[Embeddings.PqSubspaces]]-way subvector split, the id %
-    * [[Embeddings.CentroidStep]] seed codebooks, and the exact-L2
-    * argmin encoding (`enc`) — every constant interpolated from
-    * [[Embeddings]] so engine and oracle can't drift. */
-  private val pqCte: String = {
-    val m = Embeddings.PqSubspaces
-    val step = Embeddings.CentroidStep
+  /** Parameterized PQ prelude: [[embCte]]'s quantization + an m-way
+    * subvector split, id % step seed codebooks, and the exact-L2
+    * argmin encoding (`enc`). */
+  private def pqCteFor(m: Int, step: Long): String = {
     s"""$embCte,
        |sv AS (
        |  SELECT vec_id, j AS sub,
@@ -264,6 +260,35 @@ object SparkEntry {
        |  QUALIFY row_number() OVER (
        |    PARTITION BY s.vec_id, s.sub ORDER BY qdist, c.cid) = 1)""".stripMargin
   }
+
+  /** The default-dial PQ prelude ([[Embeddings.PqSubspaces]],
+    * [[Embeddings.CentroidStep]]). */
+  private val pqCte: String =
+    pqCteFor(Embeddings.PqSubspaces, Embeddings.CentroidStep)
+
+  /** ADC search oracle at the given PQ dials: per-query exact distance
+    * table × the corpus code stream, summed per (query, neighbor),
+    * top-3 by (adist, neighbor). */
+  private def pqSearchSql(m: Int, step: Long): String =
+    s"""${pqCteFor(m, step)},
+       |qd AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+       |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
+       |           range(len(s.sqv)), i -> s.sqv[i+1] * c.cqv[i+1])) AS BIGINT)
+       |           AS pd
+       |  FROM sv s JOIN cents c USING (sub)
+       |  WHERE s.vec_id % 20 = 0),
+       |sc AS (
+       |  SELECT qd.query_id, e.vec_id AS neighbor_id,
+       |         CAST(sum(qd.pd) AS BIGINT) AS adist
+       |  FROM enc e JOIN qd ON qd.sub = e.sub AND qd.code = e.code
+       |  WHERE qd.query_id <> e.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
+       |FROM sc
+       |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+       |QUALIFY row_number() OVER w <= 3""".stripMargin
 
   /** DuckDB expression for the sign-LSH hyperplane weight w(p, j) —
     * same integer formula as Embeddings.weight. */
@@ -344,6 +369,18 @@ object SparkEntry {
     * K ≈ 64 ≈ √n quantizer, probing the top-2 cells. */
   val ScaledIvfStep: Long = Embeddings.centroidStepFor(ScaledEmbCorpus, 64L)
   val ScaledIvfNprobe: Int = 2
+
+  /** Scaled PQ: finer subspaces + bigger codebooks — the two accuracy
+    * dials. Measured ADC recall@3 vs exact L2 on the sf0.01 corpus
+    * (uniform synthetic — the quantizer worst case; real embedding
+    * corpora cluster and fare far better): default (m=8, step=32)
+    * 0.19; m=16 same codebooks 0.16→0.41 depending on K; this config
+    * (m=16, step=8 → K≈62/subspace) 0.47. Subspace count is the
+    * dominant dial on spread-out data — finer subdivision cuts
+    * per-subspace distortion — while K alone saturates (step 32→2
+    * moved recall only 0.19→0.25). */
+  val ScaledPqSubspaces: Int = 16
+  val ScaledPqStep: Long = 8L
 
   // ------------------------------------------------- curation battery dials
 
@@ -1384,6 +1421,12 @@ object SparkEntry {
     // (sub, code) equijoin + one hash-agg + WindowGroupLimit top-k.
     "emb_pq_search" -> ((s, dir) =>
       Embeddings.pqAdcTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
+    // …and the scaled-dial config: 16 finer subspaces + K≈62
+    // codebooks (the measured-recall accuracy dials — see
+    // ScaledPqSubspaces).
+    "emb_pq_search_m16" -> ((s, dir) =>
+      Embeddings.pqAdcTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
+        centroidStep = ScaledPqStep, m = ScaledPqSubspaces)),
     // IVF-PQ — the composed billion-scale index: IVF cells prune to
     // the home-cell candidates, PQ codes rank them by ADC; the search
     // join reads only assignments and codes, never corpus vectors.
@@ -2513,25 +2556,8 @@ object SparkEntry {
     // ADC: per-query exact distance table × the corpus code stream,
     // summed per (query, neighbor), top-3 by (adist, neighbor).
     "emb_pq_search" ->
-      s"""$pqCte,
-         |qd AS (
-         |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
-         |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
-         |           range(len(s.sqv)), i -> s.sqv[i+1] * c.cqv[i+1])) AS BIGINT)
-         |           AS pd
-         |  FROM sv s JOIN cents c USING (sub)
-         |  WHERE s.vec_id % 20 = 0),
-         |sc AS (
-         |  SELECT qd.query_id, e.vec_id AS neighbor_id,
-         |         CAST(sum(qd.pd) AS BIGINT) AS adist
-         |  FROM enc e JOIN qd ON qd.sub = e.sub AND qd.code = e.code
-         |  WHERE qd.query_id <> e.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id,
-         |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
-         |FROM sc
-         |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
-         |QUALIFY row_number() OVER w <= 3""".stripMargin,
+      pqSearchSql(Embeddings.PqSubspaces, Embeddings.CentroidStep),
+    "emb_pq_search_m16" -> pqSearchSql(ScaledPqSubspaces, ScaledPqStep),
 
     // IVF-PQ: the ivf argmax-cosine assignment (same ordering contract
     // as ivfOracleSql) composed with the PQ prelude — candidates from
