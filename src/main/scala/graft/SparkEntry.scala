@@ -1959,6 +1959,25 @@ object SparkEntry {
           coalesce(unix_micros(col("ts")) - col("click_us"), lit(-1L)).as("gap_us"))
     }),
 
+    // …and the forward direction: each purchase → the user's NEXT
+    // click at-or-after (the "response event" join); same union + one
+    // window pass, scanned in reverse time.
+    "events_asof_forward" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_us", unix_micros(col("ts")))
+      Sessions.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          payload = Seq("click_id", "click_us"), forward = true)
+        .select(
+          col("purchase_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_us") - unix_micros(col("ts")), lit(-1L)).as("gap_us"))
+    }),
+
     // Cohort retention matrix — users cohorted by first-event week,
     // cells = active members n weeks later; two hash-aggs + one
     // equijoin, cohort sizes joined back broadcast.
@@ -3324,6 +3343,20 @@ object SparkEntry {
         |       coalesce(c.click_id, -1) AS click_id,
         |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // forward as-of: DuckDB's native ASOF with the ordering inequality
+    // flipped picks the earliest right at-or-after.
+    "events_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(epoch_us(c.ts) - epoch_us(p.ts), -1) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
 
     "rel_semi_anti" ->
       """SELECT c_custkey,

@@ -188,13 +188,20 @@ object Sessions {
     *
     * @param payload right columns to pull; emitted under the same names
     */
+  /** `forward = true` flips the direction: match the EARLIEST right
+    * row at-or-after each left ts (the "next response event" join —
+    * purchase → next support ticket, impression → next click) instead
+    * of the latest at-or-before. Same single union + one window pass:
+    * the scan just runs in reverse time order, and the tolerance
+    * horizon bounds `rts − ts` instead of `ts − rts`. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
       payload: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val taken = left.columns.toSeq ++ right.columns ++ keys
     val side = graft.core.Cols.fresh("__side", taken)
     val pack = graft.core.Cols.fresh("__pack", taken)
@@ -218,8 +225,10 @@ object Sessions {
 
     val w = Window
       .partitionBy(keys.map(col): _*)
-      // right (side 0) sorts before left at equal ts → inclusive match
-      .orderBy(col(tsCol).asc, col(side).asc)
+      // right (side 0) sorts before left at equal ts → inclusive match;
+      // forward mode scans in reverse time so "last right seen" =
+      // earliest right at-or-after
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(rAligned)
       .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
@@ -233,8 +242,10 @@ object Sessions {
     val inHorizon = toleranceMicros match {
       case None => matched
       case Some(tol) =>
-        matched.withColumn(pack,
-          when(unix_micros(col(tsCol)) - col(s"$pack.$rTs") <= tol, col(pack)))
+        val gap =
+          if (forward) col(s"$pack.$rTs") - unix_micros(col(tsCol))
+          else unix_micros(col(tsCol)) - col(s"$pack.$rTs")
+        matched.withColumn(pack, when(gap <= tol, col(pack)))
     }
     inHorizon.select(
       left.columns.map(col) ++ payload.map(p => col(s"$pack.$p").as(p)): _*)

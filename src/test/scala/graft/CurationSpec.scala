@@ -427,6 +427,24 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Map(10L -> Some(7L), 11L -> None))
   }
 
+  test("asofJoin forward picks the earliest right row at-or-after; horizon bounds ahead") {
+    val (l, r) = asofFixture
+    val got = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid"),
+        forward = true)
+      .collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    // pid 10 (t=100): next click is rid 9 (t=200) — NOT the earlier 8
+    // pid 11 (t=5): equal timestamp still matches (inclusive)
+    // pid 20 (user 2): no clicks → unmatched
+    assert(got === Map(10L -> Some(9L), 11L -> Some(7L), 20L -> None))
+    // horizon: rid 9 is 100 s AHEAD → voided at a 10 s forward horizon
+    val bounded = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid"),
+        toleranceMicros = Some(10L * 1000000), forward = true)
+      .collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(bounded === Map(10L -> None, 11L -> Some(7L), 20L -> None))
+  }
+
   test("asofJoin tolerance voids matches older than the horizon") {
     val (l, r) = asofFixture
     val got = Sessions.asofJoin(l, r, Seq("user_id"), "ts", Seq("rid"),
