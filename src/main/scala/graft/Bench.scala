@@ -30,8 +30,11 @@ object Bench {
   def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()
 
-  /** Timed repetitions per query; the reported time is their min. */
-  val Reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+  /** Timed repetitions per query; the reported time is their min.
+    * Clamped to ≥1 — a zero/negative override would skip the timing
+    * loop entirely and record Double.MaxValue as a "measurement". */
+  val Reps: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -290,6 +290,18 @@ object SparkEntry {
        |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
        |QUALIFY row_number() OVER w <= 3""".stripMargin
 
+  // --- hex builders for the synthesized multimodal payloads (shared by
+  // multimodal_decode and multimodal_wav so a fix can't miss a copy)
+  private def idvCol(a: Column, b: Column): Column = call_function("div", a, b)
+  private def hx2(c: Column): Column = lpad(lower(hex(c % 256)), 2, "0")
+  private def beHex4(c: Column): Column = lpad(lower(hex(c)), 4, "0")
+  private def beHex8(c: Column): Column = lpad(lower(hex(c)), 8, "0")
+  private def leHex16(c: Column): Column =
+    concat(hx2(c), hx2(idvCol(c, lit(256))))
+  private def leHex32(c: Column): Column =
+    concat(hx2(c), hx2(idvCol(c, lit(256))),
+      hx2(idvCol(c, lit(65536))), hx2(idvCol(c, lit(16777216))))
+
   /** DuckDB expression for the sign-LSH hyperplane weight w(p, j) —
     * same integer formula as Embeddings.weight. */
   private def weightSql(p: String, j: String): String =
@@ -1487,22 +1499,17 @@ object SparkEntry {
     // JPEG SOF marker walk, all codegen built-ins. The oracle emits
     // the constructed ground truth, so any parser defect mismatches.
     "multimodal_decode" -> ((s, dir) => {
-      def idv(a: Column, b: Column) = call_function("div", a, b)
       val w0 = (col("doc_id") % 640 + 1).cast("long")
       val h0 = (col("doc_id") % 480 + 1).cast("long")
-      def hex4(c: Column) = lpad(lower(hex(c)), 4, "0")
-      def hex8(c: Column) = lpad(lower(hex(c)), 8, "0")
-      def le16(c: Column) = concat(
-        lpad(lower(hex(c % 256)), 2, "0"), lpad(lower(hex(idv(c, lit(256)))), 2, "0"))
       val pngHex = concat(
         lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
-        hex8(w0), hex8(h0), lit("0806000000"))
-      val gifHex = concat(lit("474946383961"), le16(w0), le16(h0), lit("f70000"))
+        beHex8(w0), beHex8(h0), lit("0806000000"))
+      val gifHex = concat(lit("474946383961"), leHex16(w0), leHex16(h0), lit("f70000"))
       val jpegHex = concat(
         lit("ffd8" + "ffe00010" + "4a46494600010100000100010000" + // APP0 JFIF
           "ffdb0005004142" +                                       // DQT stub
           "ffc00011" + "08"),                                      // SOF0, 8-bit
-        hex4(h0), hex4(w0), lit("03" + "011100021100031100"))
+        beHex4(h0), beHex4(w0), lit("03" + "011100021100031100"))
       val payload =
         when(col("doc_id") % 4 === 0, unhex(pngHex))
           .when(col("doc_id") % 4 === 1, unhex(gifHex))
@@ -1546,11 +1553,6 @@ object SparkEntry {
     // and data BEFORE fmt (chunk order is not a WAV contract). The
     // %4==3 arm stays text → all-null row (magic gate).
     "multimodal_wav" -> ((s, dir) => {
-      def idv(a: Column, b: Column) = call_function("div", a, b)
-      def hx2(c: Column) = lpad(lower(hex(c % 256)), 2, "0")
-      def le16(c: Column) = concat(hx2(c), hx2(idv(c, lit(256))))
-      def le32(c: Column) = concat(hx2(c), hx2(idv(c, lit(256))),
-        hx2(idv(c, lit(65536))), hx2(idv(c, lit(16777216))))
       val ch = (col("doc_id") % 2 + 1).cast("long")
       val rate = lit(8000L) + (col("doc_id") % 8) * 4000L
       val balign = ch * 2 // 16-bit samples
@@ -1558,8 +1560,8 @@ object SparkEntry {
       val dsize = (col("doc_id") % 100 + 1) * balign
       val fmtHex = concat(
         lit("666d7420" + "10000000" + "0100"), // "fmt ", size 16, PCM
-        le16(ch), le32(rate), le32(brate), le16(balign), lit("1000"))
-      val dataHex = concat(lit("64617461"), le32(dsize),
+        leHex16(ch), leHex32(rate), leHex32(brate), leHex16(balign), lit("1000"))
+      val dataHex = concat(lit("64617461"), leHex32(dsize),
         repeat(lit("00"), dsize.cast("int")))
       val listHex = // "LIST", odd size 5 ⇒ exercises the pad-byte skip
         lit("4c495354" + "05000000" + "494e464f31" + "00")
@@ -2423,14 +2425,19 @@ object SparkEntry {
     // gaps-and-islands window — the 60-bit sha256-slice gram key is
     // replicated so the engines agree even under (astronomically rare)
     // slice collisions.
-    "docs_dup_ngrams" ->
+    "docs_dup_ngrams" -> {
+      // gram width interpolated from NearDup.ShingleN (the Spark side's
+      // default) so the two can never silently drift
+      val gram = (0 until NearDup.ShingleN)
+        .map(j => if (j == 0) "ts[i]" else s"ts[i+$j]")
+        .mkString(" || ' ' || ")
       s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
          |pg AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |         CAST(CAST(('0x' || substring(
-         |           sha256(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+         |           sha256($gram),
          |           1, 15)) AS UBIGINT) AS BIGINT) AS k
-         |  FROM t2, unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
+         |  FROM t2, unnest(range(1, greatest(len(ts) - ${NearDup.ShingleN - 2}, 1))) AS u(i)),
          |dup AS (SELECT k FROM (SELECT DISTINCT doc_id, k FROM pg)
          |        GROUP BY k HAVING count(*) >= 2),
          |fl AS (SELECT doc_id, pos FROM pg WHERE k IN (SELECT k FROM dup)),
@@ -2451,7 +2458,8 @@ object SparkEntry {
          |       ELSE 0 END AS BIGINT) AS dup_x1000,
          |  CAST(coalesce(rd.max_run, 0) AS BIGINT) AS max_dup_run
          |FROM documents d
-         |LEFT JOIN tot USING (doc_id) LEFT JOIN rd USING (doc_id)""".stripMargin,
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN rd USING (doc_id)""".stripMargin
+    },
 
     // Transitive closure of the exact near-dup pairs via recursive CTE;
     // component id = min reachable doc id (matches star-contraction's

@@ -22,13 +22,21 @@ import org.apache.spark.sql.DataFrame
   */
 object IterCheckpoint {
 
+  /** The raw dir last installed per context — getCheckpointDir can't
+    * serve as the idempotence guard because setCheckpointDir stores a
+    * fs-qualified, UUID-suffixed path that never equals the caller's
+    * string; comparing against it would re-install (a mkdirs RPC + a
+    * fresh UUID subdirectory) on every truncation. */
+  private val installed =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   /** Truncate `df`'s lineage: reliable `checkpoint()` into `dir` when
     * set (idempotently installing it as the context's checkpoint dir),
     * else `localCheckpoint()`. */
   def truncate(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      if (installed.put(sc, d) != d) sc.setCheckpointDir(d)
       df.checkpoint()
     case None => df.localCheckpoint()
   }

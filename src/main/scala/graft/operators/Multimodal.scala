@@ -115,6 +115,14 @@ object Multimodal {
         val bail = struct(lit(-1L).as("off"), lit(-1L).as("w"), lit(-1L).as("h"))
         when(acc.getField("w") >= 0 || off < 0, acc)
           .when(m1 =!= 0xFFL || m2 === 0xD9L || m2 === 0xDAL, bail)
+          // the spec permits any number of 0xFF fill bytes before a
+          // marker — resync one byte forward or the length read below
+          // would consume the REAL marker and jump to a garbage offset
+          .when(m2 === 0xFFL, struct((off + 1).as("off"),
+            lit(-1L).as("w"), lit(-1L).as("h")))
+          // SOF truncated mid-dimensions: bail rather than parse the
+          // partial bytes as a bogus width/height
+          .when(sof && length(bin) < off + 8, bail)
           .when(sof, struct(off.as("off"),
             beU16At(bin, off + 7).as("w"), beU16At(bin, off + 5).as("h")))
           .when(standalone, struct((off + 2).as("off"),
@@ -142,12 +150,18 @@ object Multimodal {
     val hdr = lower(hex(substring(bin, 1, 8)))
     val nullDim = lit(null).cast("long")
     val jd = jpegDims(bin)
+    // length gates honor the truncation contract: a payload cut inside
+    // the dimension fields must yield nulls, not a number parsed from
+    // however many bytes happen to remain (PNG IHDR dims end at byte
+    // 24, the GIF screen descriptor at byte 10)
     when(hdr.startsWith("89504e470d0a1a0a"),
         struct(lit("png").as("format"),
-          beUInt(bin, 17, 4).as("width"), beUInt(bin, 21, 4).as("height")))
+          when(length(bin) >= 24, beUInt(bin, 17, 4)).as("width"),
+          when(length(bin) >= 24, beUInt(bin, 21, 4)).as("height")))
       .when(hdr.startsWith("474946383761") || hdr.startsWith("474946383961"),
         struct(lit("gif").as("format"),
-          leU16(bin, 7).as("width"), leU16(bin, 9).as("height")))
+          when(length(bin) >= 10, leU16(bin, 7)).as("width"),
+          when(length(bin) >= 10, leU16(bin, 9)).as("height")))
       .when(hdr.startsWith("ffd8ff"),
         struct(lit("jpeg").as("format"),
           jd.getField("w").as("width"), jd.getField("h").as("height")))
@@ -205,8 +219,13 @@ object Multimodal {
         val off = acc.getField("off")
         val cc = lower(hex(substr(bin, off.cast("int"), lit(4))))
         val size = leU32At(bin, off + 4)
-        // RIFF chunks are word-aligned: odd sizes carry a pad byte
-        val next = off + 8 + size + (size % 2)
+        // RIFF chunks are word-aligned: odd sizes carry a pad byte.
+        // Cap the next offset at one-past-payload: a corrupt size field
+        // (u32 up to ~4.3e9) would otherwise push `off` past
+        // Int.MaxValue, and the substr cast on the next step would
+        // throw under ANSI mode instead of yielding the null row.
+        val nextRaw = off + 8 + size + (size % 2)
+        val next = when(nextRaw > length(bin) + 1, lit(-1L)).otherwise(nextRaw)
         def keep(f: String) = acc.getField(f)
         val done = keep("ch") >= 0 && keep("dsize") >= 0
         val bail = struct(lit(-1L).as("off"), keep("ch").as("ch"),

@@ -187,13 +187,13 @@ object Sessions {
     * the right side (e.g. `max_by` per (key, ts)) to discharge it.
     *
     * @param payload right columns to pull; emitted under the same names
+    * @param forward flip the direction: match the EARLIEST right row
+    *   at-or-after each left ts (the "next response event" join —
+    *   purchase → next support ticket, impression → next click)
+    *   instead of the latest at-or-before. Same single union + one
+    *   window pass: the scan just runs in reverse time order, and the
+    *   tolerance horizon bounds `rts − ts` instead of `ts − rts`.
     */
-  /** `forward = true` flips the direction: match the EARLIEST right
-    * row at-or-after each left ts (the "next response event" join —
-    * purchase → next support ticket, impression → next click) instead
-    * of the latest at-or-before. Same single union + one window pass:
-    * the scan just runs in reverse time order, and the tolerance
-    * horizon bounds `rts − ts` instead of `ts − rts`. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

@@ -102,6 +102,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(4L) === (("unknown", None, None)))
   }
 
+  test("imageDims: payloads cut INSIDE dimension fields yield nulls, not partial parses") {
+    val out = dimsOf(
+      // PNG magic + IHDR len/type + only 2 width bytes (0x0280 = 640):
+      // parsing the remnant would report width 640, height null
+      1L -> hexBytes("89504e470d0a1a0a" + "0000000d" + "49484452" + "0280"),
+      // GIF89a cut after ONE byte of the u16 width
+      2L -> hexBytes("474946383961" + "80"),
+      // JPEG SOF0 truncated mid-dimensions (header + precision + 1 byte)
+      3L -> hexBytes("ffd8" + "ffc00011" + "08" + "01"))
+    assert(out(1L) === (("png", None, None)))
+    assert(out(2L) === (("gif", None, None)))
+    assert(out(3L) === (("jpeg", None, None)))
+  }
+
+  test("imageDims: JPEG 0xFF fill bytes between segments do not desync the walk") {
+    // the spec permits any number of 0xFF pad bytes before a marker;
+    // a walk that reads them as (marker, length) jumps to garbage
+    val h0 = 7; val w0 = 9
+    val sof = "ffc00011" + "08" + f"$h0%04x" + f"$w0%04x" + "03" + "011100021100031100"
+    val padded = hexBytes("ffd8" + "ffff" + sof) // one fill byte before SOF
+    val out = dimsOf(1L -> padded)
+    assert(out(1L) === (("jpeg", Some(w0.toLong), Some(h0.toLong))))
+  }
+
   // ------------------------------------------------ perceptual hash near-dup
 
   /** 2048-byte payload: block i (32 bytes) is 0xFF-filled iff `high(i)`. */
@@ -189,10 +213,17 @@ class MultimodalSpec extends SparkSpecBase {
     val truncated = hexBytes("52494646" + le32h(36) + "57415645" + "666d")
     // fmt only, no data chunk: fmt fields parse, duration/data null
     val noData = hexBytes(wavHex(fmtChunk()))
-    val got = wavOf(1L -> notRiff, 2L -> avi, 3L -> truncated, 4L -> noData)
+    // a corrupt chunk declaring a ~4.3 GB size: the capped walk must
+    // yield nulls, not push the offset past Int.MaxValue (which would
+    // throw CAST_OVERFLOW under ANSI mode and kill the whole query)
+    val hugeChunk = hexBytes(
+      "52494646" + le32h(36) + "57415645" + "4a554e4b" + "f0ffffff")
+    val got = wavOf(1L -> notRiff, 2L -> avi, 3L -> truncated,
+      4L -> noData, 5L -> hugeChunk)
     assert(got(1L) === nulls)
     assert(got(2L) === nulls)
     assert(got(3L) === nulls)
     assert(got(4L) === Seq[Any](2L, 44100L, 16L, null, null))
+    assert(got(5L) === nulls)
   }
 }
