@@ -1457,6 +1457,11 @@ object SparkEntry {
         aCol = "vec_a", bCol = "vec_b")
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
           col("cluster_size"), col("is_canonical"))),
+    // SemDeDup — IVF-cell-bounded semantic dedup (data-dependent cells,
+    // exhaustive comparison inside each cell, keep-first survivor rule).
+    "emb_semdedup" -> ((s, dir) =>
+      Embeddings.semDedup(T(s, dir, "embeddings"),
+        Embeddings.CentroidStep, NearDupCosMicro)),
 
     // -------- multimodal binary ops (north-star extension): the
     // documents text cast to binary stands in for an opaque payload;
@@ -2658,6 +2663,43 @@ object SparkEntry {
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       (vec_id = cluster_id) AS is_canonical
          |FROM comp""".stripMargin,
+
+    // SemDeDup: the IVF assignment prelude (same seeds/argmax contract
+    // as ivfOracleSql) + exhaustive intra-cell pairs + keep-first.
+    "emb_semdedup" ->
+      s"""$embCte,
+         |cents AS (
+         |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+         |  FROM n WHERE vec_id % ${Embeddings.CentroidStep} = 0),
+         |ac AS (
+         |  SELECT n.vec_id, c.cid,
+         |         CAST(list_sum(list_transform(range(len(n.qv)),
+         |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
+         |         n.nsq AS an, c.cnsq AS cn
+         |  FROM n, cents c),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(d AS DOUBLE) /
+         |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |nb AS (SELECT n.vec_id, n.qv, n.nsq, a.cell
+         |       FROM n JOIN assign a USING (vec_id)),
+         |pr AS (
+         |  SELECT a.vec_id AS ua, b.vec_id AS ub,
+         |         CAST(round(
+         |           CAST(list_sum(list_transform(range(len(a.qv)),
+         |             j -> a.qv[j+1] * b.qv[j+1])) AS DOUBLE) /
+         |           (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+         |           * 1000000.0) AS BIGINT) AS cos_x1e6
+         |  FROM nb a JOIN nb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dup AS (
+         |  SELECT ub, min(ua) AS dup_of FROM pr
+         |  WHERE cos_x1e6 >= $NearDupCosMicro GROUP BY ub)
+         |SELECT nb.vec_id, nb.cell,
+         |       coalesce(d.dup_of, -1) AS dup_of,
+         |       (d.ub IS NULL) AS kept
+         |FROM nb LEFT JOIN dup d ON nb.vec_id = d.ub""".stripMargin,
 
     "emb_ann_ivf" -> ivfOracleSql(Embeddings.CentroidStep, 1),
     "emb_ann_ivf_scaled" -> ivfOracleSql(ScaledIvfStep, ScaledIvfNprobe),

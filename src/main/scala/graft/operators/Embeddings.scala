@@ -359,6 +359,71 @@ object Embeddings {
       .distinct() // a pair bucketed together by several tables emits once
   }
 
+  /** SemDeDup — semantic deduplication in embedding space (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the corpus with the IVF coarse
+    * quantizer, compare pairs only WITHIN a cell, and drop every
+    * vector with a ≥-threshold twin of smaller id (keep-first — the
+    * same survivor rule as the exact-dedup family, so downstream
+    * semi/anti joins compose unchanged).
+    *
+    * vs [[cosineNearDupPairs]]: LSH buckets are data-OBLIVIOUS (fixed
+    * hyperplanes, recall depends on luck near bucket boundaries);
+    * SemDeDup's cells are data-DEPENDENT (rate-sampled seeds,
+    * optionally Lloyd-refined), which is the published formulation —
+    * semantic twins land in the same cell because the cell follows
+    * the density, and the intra-cell comparison is exhaustive (no
+    * banding miss INSIDE a cell).
+    *
+    * Scale shape: one n·K broadcast assignment pass (K bounded via
+    * [[centroidStepFor]]) + ONE cell equijoin — pair cost Σ|cell|² ≈
+    * n·(n/K), the paper's bound; with K ∝ n (fixed step) candidates
+    * stay linear in n. No all-pairs product anywhere; the keep/drop
+    * verdict is one `min` hash-agg + a left join, both on the id key.
+    *
+    * Output: (vec_id, cell, dup_of, kept) — `dup_of` = the smallest
+    * smaller-id cellmate at cosine ≥ threshold (−1 when none), `kept`
+    * = no such twin exists. Thresholding compares the ROUNDED
+    * fixed-point cos_x1e6, so both engines threshold identical
+    * integers.
+    */
+  def semDedup(
+      emb: DataFrame,
+      centroidStep: Long = CentroidStep,
+      thresholdMicro: Long = 950000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seedByHash: Boolean = false,
+      kmeansIter: Int = 0): DataFrame = {
+    require(centroidStep >= 1, s"centroidStep must be >= 1, got $centroidStep")
+    val base = prepped(emb, idCol, vecCol)
+    val cents = ivfCentroids(emb, centroidStep, idCol, vecCol, seedByHash, kmeansIter)
+    // argmax-cos cell per vector (ties → smaller cell id) — identical
+    // ordering contract to ivfAssign; qv/nsq ride along as grouping
+    // keys so the pair stage needs no re-join against the corpus
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
+      .groupBy(col(idCol), col("__qv"), col("__nsq"))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    val a = assigned.select(col(idCol).as("__ua"), col("__cell").as("__acell"),
+      col("__qv").as("__aqv"), col("__nsq").as("__ansq"))
+    val b = assigned.select(col(idCol).as("__ub"), col("__cell").as("__bcell"),
+      col("__qv").as("__bqv"), col("__nsq").as("__bnsq"))
+    val dups = a
+      .join(b, col("__acell") === col("__bcell") && col("__ua") < col("__ub"))
+      .withColumn("__cos",
+        round(cosine(dotQ(col("__aqv"), col("__bqv")),
+          col("__ansq"), col("__bnsq")) * 1e6).cast("long"))
+      .filter(col("__cos") >= thresholdMicro)
+      .groupBy(col("__ub")).agg(min(col("__ua")).as("__dupof"))
+    assigned.select(col(idCol), col("__cell"))
+      .join(dups, col(idCol) === col("__ub"), "left")
+      .select(col(idCol), col("__cell").as("cell"),
+        coalesce(col("__dupof"), lit(-1L)).as("dup_of"),
+        col("__dupof").isNull.as("kept"))
+  }
+
   /** Default IVF centroid sampling step: every `CentroidStep`-th vec_id
     * seeds a cell, so |centroids| ≈ n / step and cells hold ≈ step
     * vectors — candidates ≈ n · step, linear in n at fixed step.

@@ -201,6 +201,36 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(rows(1L)._3 === 998618L) // exact fixed-point cosine 9.5e13/√(9.05e13·1e14)
   }
 
+  test("semDedup drops higher-id intra-cell twins, dup_of = smallest twin") {
+    import spark.implicits._
+    // same IVF geometry as above: centroids 0 and 10. Ids 1, 2, 3 are
+    // identical vectors in cell 0 (cos = 1); 11 twins centroid 10.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),        // centroid of cell 0
+      (1L, Array(0.95f, 0.05f, 0f, 0f)),  // first-seen of the twin trio
+      (2L, Array(0.95f, 0.05f, 0f, 0f)),  // twin of 1 → dropped
+      (3L, Array(0.95f, 0.05f, 0f, 0f)),  // twin of 1 AND 2 → dup_of = min = 1
+      (10L, Array(0f, 1f, 0f, 0f)),       // centroid of cell 10
+      (11L, Array(0f, 1f, 0f, 0f)))       // twin of 10 → dropped
+      .toDF("vec_id", "embedding")
+    // τ = 999000: cos(1, 0) = 998618 < τ, so 1 survives its own
+    // centroid; only the EXACT twins (cos_x1e6 = 1000000) are dups
+    val got = Embeddings.semDedup(emb, centroidStep = 10L, thresholdMicro = 999000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L))
+    assert(got(0L) === ((0L, -1L, true)))
+    assert(got(1L) === ((0L, -1L, true)))
+    assert(got(2L) === ((0L, 1L, false)))
+    assert(got(3L) === ((0L, 1L, false))) // min twin, not 2
+    assert(got(10L) === ((10L, -1L, true)))
+    assert(got(11L) === ((10L, 10L, false)))
+    // at an impossible threshold nothing is dropped
+    val all = Embeddings.semDedup(emb, centroidStep = 10L, thresholdMicro = 1000001L)
+    assert(all.where(!col("kept")).count() === 0)
+  }
+
   test("IVF nprobe recovers a true neighbor split across a cell boundary") {
     import spark.implicits._
     // 2-D geometry: centroids c0 at 0° and c10 at ~25.8°; a (12°) homes

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name1,name2,...]
 
 Reads <verifyOutDir>/<name>/ (Spark parquet) and oracle_sql.json, runs each
 oracle against DuckDB views over <sfDir>/*.parquet, and compares sorted rows
-and (loosely) schemas. Prints PASS/FAIL per query.
+and (loosely) schemas. Prints PASS/FAIL per query. The optional 3rd arg
+restricts the compare to a comma-separated subset (mirrors Verify's own
+filter arg — local iteration aid; the driver always runs the full battery).
 """
 import json
 import math
@@ -40,6 +42,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
