@@ -1686,6 +1686,23 @@ object SparkEntry {
       Curation.contaminationHits(
         T(s, dir, "documents"), col("doc_id") % BenchmarkEvery === 0)),
 
+    // Bloom-filter decontamination — the membership shape for a
+    // reference set too big to broadcast as strings: benchmark grams →
+    // fixed-size bit-word table (one bit_or hash-agg, always
+    // broadcastable), corpus probes it with k sha256-derived positions.
+    // Deterministic hashing → the oracle replays the filter exactly;
+    // exact_hit rides along so the result data shows flagged ⊇ exact.
+    "docs_decontam_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val isBench = col("doc_id") % BenchmarkEvery === 0
+      val exact = Curation.contaminationHits(docs, isBench)
+        .select(col("doc_id"), lit(true).as("__ex"))
+      Curation.contaminationBloom(docs, isBench)
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+          col("bloom_hit"), coalesce(col("__ex"), lit(false)).as("exact_hit"))
+    }),
+
     // PII redaction audit. The fixture corpus is PII-free by
     // construction, so the query plants one email / IPv4 / phone per
     // doc from the doc's own columns — BOTH engines synthesize the
@@ -3041,6 +3058,49 @@ object SparkEntry {
          |FROM grams JOIN bench USING (g)
          |WHERE doc_id % $BenchmarkEvery <> 0
          |GROUP BY doc_id""".stripMargin
+    },
+
+    "docs_decontam_bloom" -> {
+      val n = Curation.ContaminationN
+      val m = Curation.BloomBits
+      val k = Curation.BloomHashes
+      // identical Kirsch–Mitzenmacher probes: h1/h2 = independent
+      // 60-bit sha256 slices reduced mod m, pos_i = (h1 + i·h2) mod m
+      def h(off: Int) =
+        s"CAST(CAST(('0x' || substring(sha256(g), $off, 15)) AS UBIGINT) AS BIGINT) % $m"
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+${n - 1}], ' ') AS g
+         |  FROM t2, UNNEST(range(1, len(ts) - ${n - 2})) AS t(i)),
+         |bp AS (
+         |  SELECT ((${h(1)}) + i * (${h(16)})) % $m AS p
+         |  FROM grams, UNNEST(range(0, $k)) AS t(i)
+         |  WHERE doc_id % $BenchmarkEvery = 0),
+         |words AS (
+         |  SELECT p // 32 AS w,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM bp GROUP BY 1),
+         |tp AS (
+         |  SELECT doc_id, g, ((${h(1)}) + i * (${h(16)})) % $m AS p
+         |  FROM grams, UNNEST(range(0, $k)) AS t(i)
+         |  WHERE doc_id % $BenchmarkEvery <> 0),
+         |mem AS (
+         |  SELECT doc_id, g,
+         |         bool_and((coalesce(w.bits, 0) &
+         |           (CAST(1 AS BIGINT) << CAST(tp.p % 32 AS INT))) <> 0) AS member
+         |  FROM tp LEFT JOIN words w ON w.w = tp.p // 32
+         |  GROUP BY doc_id, g),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchmarkEvery = 0),
+         |ex AS (
+         |  SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+         |  WHERE doc_id % $BenchmarkEvery <> 0)
+         |SELECT mem.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |       (sum(CASE WHEN member THEN 1 ELSE 0 END) > 0) AS bloom_hit,
+         |       (max(ex.doc_id) IS NOT NULL) AS exact_hit
+         |FROM mem LEFT JOIN ex ON mem.doc_id = ex.doc_id
+         |GROUP BY mem.doc_id""".stripMargin
     },
 
     "text_pii_scrub" -> {

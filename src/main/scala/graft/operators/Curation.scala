@@ -87,6 +87,127 @@ object Curation {
     docs.filter(!isBenchmark).join(hits, Seq(idCol), "left_anti")
   }
 
+  // --------------------------------------- bloom-filter membership scrub
+
+  /** Default Bloom filter size (bits) and probe count for
+    * [[contaminationBloom]]. 2²⁰ bits / 5 probes holds ~10⁵ reference
+    * grams under 1 % per-probe load — size real deployments with
+    * [[bloomBitsFor]] instead of freezing these. */
+  val BloomBits: Long = 1L << 20
+  val BloomHashes: Int = 5
+
+  /** Filter size for a target reference-set cardinality: the classic
+    * `bitsPerItem` sizing (fpp ≈ 0.6185^bitsPerItem — 16 bits/item
+    * ≈ 0.05 %), rounded up to whole 32-bit words. Mirrors
+    * [[Embeddings.centroidStepFor]]: the DIAL is part of the operator,
+    * so the filter grows with the reference set instead of silently
+    * saturating (a saturated bloom flags everything). */
+  def bloomBitsFor(nItems: Long, bitsPerItem: Int = 16): Long = {
+    require(nItems >= 1 && bitsPerItem >= 1)
+    val raw = nItems * bitsPerItem.toLong
+    ((raw + 31) / 32) * 32
+  }
+
+  /** Probe count matched to `bitsPerItem`: k = round(bits·ln 2), the
+    * fpp-minimizing choice (16 bits/item → 11 probes). */
+  def bloomHashesFor(bitsPerItem: Int = 16): Int =
+    math.max(1, math.round(bitsPerItem * math.log(2.0)).toInt)
+
+  /** 60-bit integer slice of sha256 — the library-wide engine-portable
+    * hash idiom (same as [[NearDup]]'s shingle keys). `from` is the
+    * 1-based hex-digit offset; slices 1 and 16 are independent. */
+  private def shaSlice60(c: Column, from: Int): Column =
+    conv(substring(sha2(c, 256), from, 15), 16, 10).cast("long")
+
+  /** The k probe positions of one item under Kirsch–Mitzenmacher
+    * double hashing, pos_i = (h1 + i·h2) mod m with h1, h2 reduced mod
+    * m first (so no sum ever leaves small-integer range). Emitted as
+    * one row per probe: (input row ++ __w word index, __mask bit). */
+  private def bloomProbes(
+      items: DataFrame, itemCol: String, mBits: Long, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h1 = pmod(shaSlice60(col(itemCol), 1), lit(mBits))
+    val h2 = pmod(shaSlice60(col(itemCol), 16), lit(mBits))
+    items
+      .withColumn("__i", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("__p", pmod(h1 + col("__i") * h2, lit(mBits)))
+      .withColumn("__w", expr("__p div 32"))
+      .withColumn("__mask", expr("shiftleft(cast(1 as bigint), cast(__p % 32 as int))"))
+      .drop("__i", "__p")
+  }
+
+  /** Build a Bloom filter over `items(itemCol)` as a TABLE of set
+    * 32-bit words — (`__w` word index, `bits`): the distributed
+    * representation of the filter, built by ONE hash-aggregation
+    * (`bit_or` with map-side partials; `bit_or` is idempotent, so
+    * duplicate items need no dedup shuffle first). At most mBits/32
+    * rows regardless of reference-set size — always broadcastable,
+    * which is the POINT: membership against a reference set too big to
+    * broadcast as strings becomes a broadcast of its fixed-size bit
+    * array. Absent words are all-zero (the probe side coalesces). */
+  def bloomBuild(
+      items: DataFrame,
+      itemCol: String,
+      mBits: Long = BloomBits,
+      k: Int = BloomHashes): DataFrame =
+    bloomProbes(items.select(col(itemCol)), itemCol, mBits, k)
+      .groupBy(col("__w"))
+      .agg(bit_or(col("__mask")).as("bits"))
+
+  /** Tag each row of `items` with `__member`: true iff ALL k probe
+    * bits are set in `bloom` (might-contain — false positives at the
+    * filter's fpp, NEVER false negatives). One narrow k-way explode, a
+    * broadcast left join on the word index, and one bool_and hash-agg
+    * back to row granularity; `groupCols` names the columns that
+    * identify a row (they ride the agg as grouping keys). */
+  def bloomMightContain(
+      items: DataFrame,
+      bloom: DataFrame,
+      itemCol: String,
+      groupCols: Seq[String],
+      mBits: Long = BloomBits,
+      k: Int = BloomHashes): DataFrame =
+    bloomProbes(items, itemCol, mBits, k)
+      .join(broadcast(bloom), Seq("__w"), "left")
+      .withColumn("__hit",
+        coalesce(col("bits"), lit(0L)).bitwiseAND(col("__mask")) =!= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bool_and(col("__hit")).as("__member"))
+
+  /** [[contaminationHits]] re-expressed through the Bloom filter — the
+    * shape that survives a reference set too large to broadcast as
+    * strings (cross-crawl dedup, multi-benchmark unions): the filter
+    * build touches the reference side once, the corpus probes a
+    * broadcast ≤ mBits/32-row word table, and NOTHING joins on the
+    * gram string. Per training doc: distinct-gram count, bloom-flagged
+    * gram count, and the verdict. False-positive grams can overcount
+    * `n_flagged` (at the filter's fpp, bounded by [[bloomBitsFor]]'s
+    * sizing); a flagged doc set is therefore a SUPERSET of the exact
+    * operator's — the safe direction for a leakage guard. */
+  def contaminationBloom(
+      docs: DataFrame,
+      isBenchmark: Column,
+      n: Int = ContaminationN,
+      mBits: Long = BloomBits,
+      k: Int = BloomHashes,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = NearDup.shingles(
+      docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
+      n = n, carryCols = Seq("__bench"))
+    val bloom = bloomBuild(grams.filter(col("__bench")), "s", mBits, k)
+    bloomMightContain(
+        grams.filter(!col("__bench")).select(col(idCol), col("s")),
+        bloom, "s", Seq(idCol, "s"), mBits, k)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__member"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("bloom_hit", col("n_flagged") > 0)
+  }
+
   // ----------------------------------------------------- PII scrubbing
 
   /** Email-ish pattern — kept to the Java-regex ∩ RE2 common subset so

@@ -50,6 +50,60 @@ class CurationSpec extends SparkSpecBase {
     assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
   }
 
+  // -------------------------------------------- bloom-filter membership
+
+  test("contaminationBloom flags a superset of the exact operator, no false negatives") {
+    val bloom = Curation
+      .contaminationBloom(contaminatedCorpus, col("doc_id") === 0L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // doc 1: 3 distinct 8-grams, exactly one shared with the benchmark;
+    // at 2^20 bits / 3 training grams a false positive is ~impossible,
+    // so the bloom verdicts EQUAL the exact ones here — and the
+    // no-false-negative direction is structural (all k true-member
+    // probes were set by the build pass by construction)
+    assert(bloom(1L) === ((3L, 1L, true)))
+    assert(bloom(2L) === ((3L, 0L, false)))
+    assert(!bloom.contains(0L)) // benchmark side is not scored
+  }
+
+  test("bloomBuild is idempotent under duplicate items: no pre-dedup shuffle needed") {
+    val once = Seq("g one", "g two").toDF("s")
+    val dup = Seq("g one", "g one", "g two", "g one").toDF("s")
+    def words(df: org.apache.spark.sql.DataFrame) =
+      Curation.bloomBuild(df, "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(words(once) === words(dup))
+  }
+
+  test("bloomMightContain: members always hit; a saturated filter flags everything") {
+    val ref = Seq("alpha", "beta").toDF("s")
+    val probeSet = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "s")
+    val bloom = Curation.bloomBuild(ref, "s")
+    val got = Curation.bloomMightContain(probeSet, bloom, "s", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && got(2L)) // structural: no false negatives
+    assert(!got(3L))           // fp at m = 2^20, n = 2 is ~0
+    // the saturation failure mode bloomBitsFor exists to prevent: an
+    // undersized filter (32 bits, 5 probes, 2 items) goes dense enough
+    // that even the non-member usually hits — all rows flagged members
+    val tiny = Curation.bloomBuild(ref, "s", mBits = 32L, k = 5)
+    val sat = Curation.bloomMightContain(probeSet, tiny, "s", Seq("id"),
+      mBits = 32L, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(sat(1L) && sat(2L)) // members still never miss
+  }
+
+  test("bloomBitsFor sizes with the reference set; bloomHashesFor with the density") {
+    assert(Curation.bloomBitsFor(1L) === 32L)       // rounds up to whole words
+    assert(Curation.bloomBitsFor(1000L, 16) === 16000L)
+    // doubling the reference set doubles the filter: load factor fixed
+    assert(Curation.bloomBitsFor(2000L, 16) === 2 * Curation.bloomBitsFor(1000L, 16))
+    assert(Curation.bloomHashesFor(16) === 11)      // round(16·ln2)
+    assert(Curation.bloomHashesFor(1) === 1)
+  }
+
   // ----------------------------------------------------- PII scrubbing
 
   test("scrubPii redacts emails, IPv4s and phone-likes and counts on the original") {
