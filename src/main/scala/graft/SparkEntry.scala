@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, Sketches, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -401,6 +401,11 @@ object SparkEntry {
     * benchmark is small, which is what makes the broadcast side of
     * [[graft.operators.Curation.contaminationHits]] sound). */
   val BenchmarkEvery: Long = 50L
+
+  /** CMS heavy-hitter cut for `text_heavy_hitters`: catches the ~30
+    * common fixture words (850+ occurrences at sf0.01) and excludes
+    * the rare tail. */
+  val HeavyHitterThreshold: Long = 500L
 
   /** Trailing horizon for the rolling-aggregate query: 7 days in
     * microseconds (the fixture spans 30 days, so frames genuinely
@@ -1595,6 +1600,16 @@ object SparkEntry {
       TextAnalysis.quality(T(s, dir, "documents"))),
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(T(s, dir, "documents"))),
+    // Count–Min heavy hitters: fixed-size frequency sketch (cells
+    // capped at depth·width per partition regardless of key
+    // cardinality), narrow broadcast-probe, exact count joined only
+    // against the survivors as the one-sided-error audit.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val toks = Tokenize.splitTokens(inputCol = "text")(
+        T(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(Scalars.wordNorm(col("word")).as("word"))
+      Sketches.heavyHitters(toks, "word", HeavyHitterThreshold)
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
     // Context-window chunking: fixed-size overlapping token windows,
@@ -2850,6 +2865,33 @@ object SparkEntry {
          |  CAST(len($tokList) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
          |FROM documents""".stripMargin,
+
+    // CMS replay: cell(r, c) = Σ counts of keys hashing there; the
+    // per-key estimate = min over its depth cells. Identical 60-bit
+    // sha256-slice hashing (offset 1+15r) mod width as Sketches.cell.
+    "text_heavy_hitters" -> {
+      val d = Sketches.CmsDepth
+      val w = Sketches.CmsWidth
+      s"""$toksCte,
+         |kc AS (SELECT lower(word) AS k, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM toks GROUP BY 1),
+         |pos AS (
+         |  SELECT k, r,
+         |         CAST(CAST(('0x' || substring(sha256(k), 1 + 15 * CAST(r AS INT), 15))
+         |           AS UBIGINT) AS BIGINT) % $w AS c
+         |  FROM kc, UNNEST(range(0, $d)) AS t(r)),
+         |cells AS (
+         |  SELECT p.r, p.c, CAST(sum(kc.cnt) AS BIGINT) AS cell
+         |  FROM pos p JOIN kc USING (k) GROUP BY 1, 2),
+         |estt AS (
+         |  SELECT p.k, min(cells.cell) AS est
+         |  FROM pos p JOIN cells ON cells.r = p.r AND cells.c = p.c
+         |  GROUP BY p.k)
+         |SELECT kc.k AS word, CAST(estt.est AS BIGINT) AS est_count,
+         |       kc.cnt AS exact_count
+         |FROM estt JOIN kc USING (k)
+         |WHERE estt.est >= $HeavyHitterThreshold""".stripMargin
+    },
 
     "text_fingerprint" -> {
       val w = TextAnalysis.FingerprintWindow
