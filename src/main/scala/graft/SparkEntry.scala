@@ -1345,6 +1345,14 @@ object SparkEntry {
     // gaps-and-islands window over duplicated positions only.
     "docs_dup_ngrams" -> ((s, dir) =>
       NearDup.dupNgramStats(T(s, dir, "documents"))),
+    // The rewrite half of substring dedup: the same duplicated-gram
+    // detection, applied as a transform — every cross-doc-duplicated
+    // token span is removed from all but its canonical (min-id) doc,
+    // and the cleaned text is rebuilt per doc. Gram keys shuffle as
+    // 60-bit sha slices; the duplicated vocabulary is Zipf-small so
+    // AQE broadcasts the flagging join.
+    "docs_substring_dedup" -> ((s, dir) =>
+      NearDup.substringDedup(T(s, dir, "documents"))),
     // Cluster resolution over the confirmed pairs: near-duplication is
     // not transitive, so "keep one per dup group" = connected components
     // (large-star/small-star) + canonical-min per component. Pairs come
@@ -2496,6 +2504,47 @@ object SparkEntry {
          |  CAST(coalesce(rd.max_run, 0) AS BIGINT) AS max_dup_run
          |FROM documents d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN rd USING (doc_id)""".stripMargin
+    },
+
+    // Rewrite half of substring dedup: duplicated grams (≥2 distinct
+    // docs) keep their canonical min-id doc's copies; every covered
+    // position elsewhere is dropped and the text is re-joined in
+    // position order. Same 60-bit sha gram key as docs_dup_ngrams.
+    "docs_substring_dedup" -> {
+      val gram = (0 until NearDup.ShingleN)
+        .map(j => if (j == 0) "ts[i]" else s"ts[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+         |words AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS w
+         |  FROM t2, unnest(range(1, len(ts) + 1)) AS u(i)),
+         |pg AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         CAST(CAST(('0x' || substring(
+         |           sha256($gram),
+         |           1, 15)) AS UBIGINT) AS BIGINT) AS k
+         |  FROM t2, unnest(range(1, greatest(len(ts) - ${NearDup.ShingleN - 2}, 1))) AS u(i)),
+         |gs AS (SELECT k, min(doc_id) AS canon
+         |       FROM (SELECT DISTINCT doc_id, k FROM pg)
+         |       GROUP BY k HAVING count(*) >= 2),
+         |fl AS (SELECT pg.doc_id AS doc_id, pg.pos AS pos
+         |       FROM pg JOIN gs USING (k) WHERE pg.doc_id > gs.canon),
+         |rm AS (SELECT DISTINCT doc_id, pos + j AS pos
+         |       FROM fl, unnest(range(0, ${NearDup.ShingleN})) AS v(j)),
+         |kept AS (SELECT w.doc_id, w.pos, w.w
+         |         FROM words w ANTI JOIN rm
+         |           ON w.doc_id = rm.doc_id AND w.pos = rm.pos),
+         |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+         |               count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_tokens FROM words GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  coalesce(reb.text, '') AS text,
+         |  CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(tot.n_tokens, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+         |    AS n_removed
+         |FROM documents d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
     },
 
     // Transitive closure of the exact near-dup pairs via recursive CTE;

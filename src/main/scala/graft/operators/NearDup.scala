@@ -610,4 +610,96 @@ object NearDup {
           .otherwise(lit(0L)).as("dup_x1000"),
         coalesce(col("__max_run"), lit(0L)).as("max_dup_run"))
   }
+
+  /** The REWRITE half of substring-granular dedup ([[dupNgramStats]]
+    * is the detection half): emit each document with its cross-corpus-
+    * duplicated token spans REMOVED, keeping exactly one surviving copy
+    * of every duplicated span — Lee et al.'s "Deduplicating Training
+    * Data Makes Language Models Better" applied as a transform, not
+    * just a signal. Semantics, all deterministic:
+    *
+    *   - a gram (word n-gram at 1-based position q, covering token
+    *     positions q..q+n−1) is DUPLICATED when it occurs in ≥
+    *     `minDocs` distinct documents;
+    *   - each duplicated gram's CANONICAL document is the minimum
+    *     doc id containing it (first-seen under id order — the same
+    *     keep-first convention as [[graft.operators.Dedup]]);
+    *   - token position p of doc d is removed iff some duplicated
+    *     gram covers it at an occurrence in d and d is NOT that gram's
+    *     canonical doc. The canonical doc keeps all its copies, so
+    *     every duplicated span survives somewhere. (Removal splices
+    *     the survivors of a doc together, which can create new grams —
+    *     a second pass may find fresh duplicates, as in any
+    *     remove-and-splice dedup; it converges because each pass only
+    *     ever shrinks non-canonical text.)
+    *
+    * Output: (idCol, text = kept tokens joined by one space — "" when
+    * everything was removed, n_tokens = original token count,
+    * n_removed) — one row per input doc; docs with < n tokens pass
+    * through untouched (re-tokenized join, so inter-token whitespace
+    * normalizes to single spaces).
+    *
+    * Scale shape: tokens and grams are narrow generates; grams travel
+    * every shuffle as the 60-bit sha256-slice key, never text. The
+    * duplicated-gram table (key → canonical id) is ONE hash-agg over
+    * distinct (doc, gram) — the wordstats shuffle — and is Zipf-small
+    * (duplicated vocabulary ≪ corpus), so AQE broadcasts the flagging
+    * join. Covered positions expand n-fold from FLAGGED occurrences
+    * only, dedup by (doc, pos), anti-join against the token table on
+    * (doc, pos) — both keyed equijoins co-partitioned by doc — and one
+    * per-doc hash-agg rebuilds the text (per-doc state bounded by doc
+    * length, the same bound the wholetext source already imposes).
+    * Nothing is all-pairs; nothing collects to the driver.
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = ShingleN,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    val words = docs
+      .select(col(idCol), posexplode(tokArr).as(Seq("__p0", "__w")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        col("__w"))
+    val key = conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
+      .cast("long").as("__k")
+    val pg = positionalNgrams(docs, idCol, textCol, n)
+      .select(col(idCol), col("pos"), key)
+    // duplicated grams with their canonical (min-id) doc, from the
+    // distinct (doc, gram) set — one hash-agg, Zipf-small output
+    val canon = pg.select(col(idCol), col("__k")).distinct()
+      .groupBy(col("__k")).agg(
+        count(lit(1)).as("__df"), min(col(idCol)).as("__canon"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"), col("__canon"))
+    // occurrences of duplicated grams outside their canonical doc,
+    // expanded to the n token positions each occurrence covers
+    val removed = pg.join(canon, Seq("__k"))
+      .where(col(idCol) > col("__canon"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = words.join(removed, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("__w")))),
+          x => x.getField("__w")),
+        " ").as("__text"),
+      count(lit(1)).as("__n_kept"))
+    val totals = words.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_tokens"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__text"), lit("")).as("text"),
+        coalesce(col("__n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__n_tokens"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -555,4 +555,50 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     // positions, non-consecutive → max run 1.
     assert(got(2L) === ((5L, 2L, 400L, 1L)))
   }
+
+  test("substringDedup removes covered spans everywhere but the canonical doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "u1 u2 u3 S1 S2 S3 S4 S5 u4 u5"),
+      (2L, "v1 v2 S1 S2 S3 S4 S5 v3 v4 v5"),
+      (3L, "c1 c2 c3 c4 c5"),
+      (4L, "a b"),
+      (5L, "r1 r2 r3 x r1 r2 r3")
+    ).toDF("doc_id", "text")
+    val got = NearDup.substringDedup(corpus)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 is canonical for the shared span → untouched; doc 2 loses
+    // positions 3..7 (the union of its three duplicated grams' spans);
+    // within-doc-only repetition (doc 5) is not duplication.
+    assert(got(1L) === (("u1 u2 u3 S1 S2 S3 S4 S5 u4 u5", 10L, 0L)))
+    assert(got(2L) === (("v1 v2 v3 v4 v5", 10L, 5L)))
+    assert(got(3L) === (("c1 c2 c3 c4 c5", 5L, 0L)))
+    assert(got(4L) === (("a b", 2L, 0L)))
+    assert(got(5L) === (("r1 r2 r3 x r1 r2 r3", 7L, 0L)))
+  }
+
+  test("substringDedup: full-duplicate doc empties; pass is idempotent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r"),
+      (2L, "p q r z p q r"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val once = NearDup.substringDedup(corpus)
+    val got = once.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // canon(p q r) = 1; doc 2 keeps only the uncovered "z"; doc 3
+    // empties entirely.
+    assert(got(1L) === (("p q r", 0L)))
+    assert(got(2L) === (("z", 6L)))
+    assert(got(3L) === (("", 3L)))
+    // idempotence: the surviving copies are all in canonical docs, so a
+    // second pass removes nothing.
+    val twice = NearDup.substringDedup(
+      once.select(col("doc_id"), col("text")))
+    assert(twice.agg(sum(col("n_removed"))).head.getLong(0) === 0L)
+  }
 }

@@ -178,6 +178,7 @@ class PlanShapeSpec extends SparkSpecBase {
       val bnljOk =
         Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
           "emb_ann_ivfpq", // same IVF n·K broadcast assignment pass
+          "emb_semdedup", // same IVF n·K broadcast assignment pass
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
           "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
           "docs_mixture_temperature",
