@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, BitwiseOr, CaseWhen, Cast, Floor, GreaterThan, Least, LessThanOrEqual, Literal, Multiply, Remainder, ShiftLeft, ShiftRight, Sqrt, Subtract}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.expressions.{DistinctShingles, DotProductLong}
+import graft.expressions.{DistinctShingles, DotProductLong, UnicodeNormalize}
 
 /** SparkSessionExtensions entry point — the deployment hook that makes
   * the library's custom Catalyst expressions first-class SQL functions:
@@ -85,6 +85,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         if (n < 1) analysisError(s"distinct_shingles: n must be >= 1, got $n", nExpr)
         DistinctShingles(exprs.head, n)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(
+        classOf[UnicodeNormalize].getName,
+        null,
+        "unicode_normalize",
+        "unicode_normalize(str, form) - Unicode-normalize a string; form is a " +
+          "foldable string in ('NFC','NFD','NFKC','NFKD')",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) analysisError(
+          s"unicode_normalize takes exactly 2 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val formExpr = exprs(1)
+        val form = (if (formExpr.resolved) formExpr.dataType
+          else org.apache.spark.sql.types.NullType) match {
+          case org.apache.spark.sql.types.StringType if formExpr.foldable =>
+            formExpr.eval() match {
+              case null => analysisError(
+                "unicode_normalize: form must not be NULL", formExpr)
+              case v => UnicodeNormalize.formOf(v.toString).getOrElse(
+                analysisError(
+                  s"unicode_normalize: unknown normalization form '$v' " +
+                    "(expected NFC, NFD, NFKC or NFKD)", formExpr))
+            }
+          case _ => analysisError(
+            s"unicode_normalize: form must be a foldable string literal, got ${formExpr.sql}",
+            formExpr)
+        }
+        UnicodeNormalize(exprs.head, form)
       }))
 
     // The determinism primitives, composed from built-in CATALYST

@@ -1788,6 +1788,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tags"), col("clean_text"))
     }),
 
+    // Unicode canonicalization (custom codegen expression — Spark has
+    // no built-in): seed canonically-DECOMPOSED text in-query (every
+    // 'a' gains a combining acute U+0301), then NFC-compose it back.
+    // Both engines implement the same Unicode canonical composition
+    // (JDK Normalizer vs DuckDB's utf8proc), so the composed text
+    // hash-matches; the char counts prove composition actually fired
+    // (n_decomposed − n_nfc = number of 'a's).
+    "text_nfc" -> ((s, dir) => {
+      val dec = regexp_replace(col("text"), "a", "a\u0301")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        Scalars.unicodeNormalize(dec, "NFC").as("text_nfc"),
+        length(dec).cast("long").as("n_decomposed"),
+        length(Scalars.unicodeNormalize(dec, "NFC")).cast("long").as("n_nfc"))
+    }),
+
     // Gopher-style repetition quality signals (integer fixed-point).
     "text_repetition" -> ((s, dir) =>
       Curation.repetitionStats(T(s, dir, "documents"))),
@@ -3292,6 +3308,19 @@ object SparkEntry {
         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
         |         '\s+', ' ', 'g')) AS clean_text
         |FROM seeded""".stripMargin,
+
+    // Decompose in-query (combining acute after every 'a'), NFC back.
+    // chr(769) = U+0301; utf8proc and the JDK implement the same
+    // Unicode canonical composition, so the text hash-matches.
+    "text_nfc" ->
+      """WITH dec AS (
+        |  SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |       nfc_normalize(d) AS text_nfc,
+        |       CAST(length(d) AS BIGINT) AS n_decomposed,
+        |       CAST(length(nfc_normalize(d)) AS BIGINT) AS n_nfc
+        |FROM dec""".stripMargin,
 
     "text_quality_buckets" ->
       s"""WITH q AS ($qualitySql),

@@ -61,4 +61,16 @@ object Scalars {
   /** Whitespace-or-empty predicate — the reference's ignore_word_fn
     * (`str.isspace` plus empty-string drop, example/main.py:111-112). */
   def isBlank(c: Column): Column = (c === "") || c.rlike("^\\s+$")
+
+  /** Unicode-normalize a string column ([[graft.expressions.UnicodeNormalize]]
+    * — codegen'd, ASCII fast path): the canonicalization every hash/
+    * shingle/exact-dedup key should pass through so canonically-
+    * equivalent byte sequences collapse. `form` ∈ NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(c),
+        graft.expressions.UnicodeNormalize.formOf(form).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown Unicode normalization form '$form'"))))
 }

@@ -77,6 +77,23 @@ class ExtensionsSkewSpec extends SparkSpecBase {
       intercept[org.apache.spark.sql.AnalysisException] {
         s2.sql("SELECT isqrt(1, 2)").collect()
       }
+      // unicode_normalize: composition, decomposition, compatibility
+      // (escapes: \u00e1 = precomposed a-acute, \u0301 = combining acute,
+      // \ufb01 = the fi ligature)
+      val un = s2.sql(
+        "SELECT unicode_normalize('a\u0301b', 'NFC') AS c, " +
+          "unicode_normalize('\u00e1b', 'nfd') AS d, " +
+          "unicode_normalize('\ufb01le', 'NFKC') AS k").head
+      assert(un.getString(0) === "\u00e1b")
+      assert(un.getString(1) === "a\u0301b")
+      assert(un.getString(2) === "file")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT unicode_normalize('x', form) FROM (SELECT 'NFC' AS form)")
+          .collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

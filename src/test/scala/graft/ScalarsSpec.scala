@@ -105,4 +105,30 @@ class ScalarsSpec extends SparkSpecBase {
       assert(rows(s).getBoolean(8) === model, s"blank($s)")
     }
   }
+
+  test("unicodeNormalize matches java.text.Normalizer on all four forms") {
+    import spark.implicits._
+    // ASCII (fast path), precomposed, decomposed, compatibility
+    // ligature, Arabic with diacritics, and a combining mark with no
+    // base letter (must pass through unchanged)
+    val inputs = Seq(
+      "plain ascii only",
+      "café déjà",
+      "café déjà",
+      "ﬁle ﬂow ①",
+      "مَدرس",
+      "́leading mark",
+      "")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = inputs.toDF("s")
+        .select(Scalars.unicodeNormalize(col("s"), form))
+        .collect().map(_.getString(0)).toSeq
+      val want = inputs.map(
+        java.text.Normalizer.normalize(_, java.text.Normalizer.Form.valueOf(form)))
+      assert(got === want, form)
+    }
+    intercept[IllegalArgumentException] {
+      Scalars.unicodeNormalize(col("s"), "NFX")
+    }
+  }
 }
