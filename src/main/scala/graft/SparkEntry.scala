@@ -1601,6 +1601,46 @@ object SparkEntry {
           info.getField("duration_ms").as("duration_ms"))
     }),
 
+    // Video sibling of multimodal_wav: synthesize valid ISO-BMFF
+    // (MP4) payloads from doc_id (parse∘construct = id, same oracle
+    // trick), exercising the box walk's three real shapes: moov AFTER
+    // mdat (the normal camera-write layout — the walk must skip mdat
+    // by size, not scan it), canonical ftyp→moov→mdat, and a free box
+    // before a version-1 mvhd (64-bit duration at the widened
+    // offsets). The %4==3 arm stays text → all-null row (magic gate).
+    "multimodal_mp4" -> ((s, dir) => {
+      val ts = lit(1000L) + (col("doc_id") % 16) * 500L
+      val dur = (col("doc_id") % 3600 + 1) * 100L
+      val brandHex = when(col("doc_id") % 2 === 0, lit("69736f6d")) // isom
+        .otherwise(lit("6d703432")) // mp42
+      val ftyp = concat(lit("00000010" + "66747970"), brandHex, lit("00000000"))
+      val mdatN = (col("doc_id") % 32).cast("int")
+      val mdat = concat(beHex8(lit(8L) + mdatN), lit("6d646174"),
+        repeat(lit("00"), mdatN))
+      val mvhd0 = concat(lit("0000001c" + "6d766864" + "00000000" +
+        "00000000" + "00000000"), beHex8(ts), beHex8(dur))
+      val mvhd1 = concat(lit("00000028" + "6d766864" + "01000000" +
+        "0000000000000000" + "0000000000000000"), beHex8(ts),
+        lpad(lower(hex(dur)), 16, "0"))
+      val moov0 = concat(lit("00000024" + "6d6f6f76"), mvhd0)
+      val moov1 = concat(lit("00000030" + "6d6f6f76"), mvhd1)
+      val free = lit("0000000c" + "66726565" + "00000000")
+      val payload =
+        when(col("doc_id") % 4 === 0, unhex(concat(ftyp, mdat, moov0)))
+          .when(col("doc_id") % 4 === 1, unhex(concat(ftyp, moov0, mdat)))
+          .when(col("doc_id") % 4 === 2,
+            unhex(concat(ftyp, free, moov1, mdat)))
+          .otherwise(col("text").cast("binary"))
+      val info = Multimodal.mp4Info(col("payload"))
+      T(s, dir, "documents")
+        .withColumn("payload", payload)
+        .select(col("doc_id"),
+          info.getField("brand").as("brand"),
+          info.getField("timescale").as("timescale"),
+          info.getField("duration").as("duration"),
+          info.getField("duration_ms").as("duration_ms"))
+    }),
+
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
@@ -2918,6 +2958,23 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 <= 2
         |       THEN CAST((doc_id % 100 + 1) * 1000
         |                   // (8000 + (doc_id % 8) * 4000) AS BIGINT) END
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "multimodal_mp4" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 <= 2 THEN
+        |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END END
+        |    AS brand,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST(1000 + (doc_id % 16) * 500 AS BIGINT) END
+        |    AS timescale,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST((doc_id % 3600 + 1) * 100 AS BIGINT) END
+        |    AS duration,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST((doc_id % 3600 + 1) * 100 * 1000
+        |                   // (1000 + (doc_id % 16) * 500) AS BIGINT) END
         |    AS duration_ms
         |FROM documents""".stripMargin,
 

@@ -183,6 +183,18 @@ object Multimodal {
       hex(substr(bin, off.cast("int") + 1, lit(1))),
       hex(substr(bin, off.cast("int"), lit(1)))), 16, 10).cast("long")
 
+  /** Big-endian u32 at a DYNAMIC 1-based offset (ISO-BMFF walk) — the
+    * hex of an in-order 4-byte slice IS the big-endian reading, so one
+    * `conv` suffices (no byte reversal like the RIFF readers). */
+  private def beU32At(bin: Column, off: Column): Column =
+    conv(hex(substr(bin, off.cast("int"), lit(4))), 16, 10).cast("long")
+
+  /** Big-endian u64 at a DYNAMIC 1-based offset (ISO-BMFF `largesize`
+    * and version-1 `mvhd` duration). Values ≥ 2⁶³ wrap negative under
+    * the signed cast; callers treat negative as corrupt and bail. */
+  private def beU64At(bin: Column, off: Column): Column =
+    conv(hex(substr(bin, off.cast("int"), lit(8))), 16, 10).cast("long")
+
   /** Chunks the bounded RIFF walk will visit before giving up. Real
     * WAV files put `fmt ` and `data` within the first few chunks
     * (LIST/INFO/fact/cue in between at most); each step is a constant
@@ -256,6 +268,113 @@ object Multimodal {
       pos(field("dsize")).as("data_bytes"),
       when(isWave && field("dsize") >= 0 && field("brate") > 0,
         idiv(field("dsize") * 1000, field("brate"))).as("duration_ms"))
+  }
+
+  /** Top-level / moov-child boxes the bounded ISO-BMFF walks will
+    * visit before giving up. Real MP4s put `moov` within the first few
+    * top-level boxes (`ftyp`, optional `free`/`wide`/`mdat` siblings)
+    * and `mvhd` is by spec the first `moov` child; each step is a
+    * constant number of byte reads, so the walk is O(1) per row
+    * regardless of payload size — `moov`-at-end files cost one extra
+    * step (skipping `mdat` by its declared size), not an `mdat` scan. */
+  val MaxMp4Boxes = 8
+
+  /** REAL video-container metadata from an ISO-BMFF (MP4/MOV) header —
+    * the video member of the no-codec decode family ([[imageDims]] /
+    * [[wavInfo]] are the image/audio ones): walk the top-level box
+    * chain (`size:u32be type:4cc`; `size==1` → 64-bit `largesize` at
+    * +8), find `moov`, walk its children to `mvhd`, and read the
+    * movie timescale/duration at the version-dependent offsets
+    * (version 0: u32 at +20/+24; version 1: u32 at +28, u64 at +32,
+    * after the widened create/modify times). Box order is not assumed:
+    * `moov` after `mdat` (the normal camera-write layout) parses the
+    * same because `mdat` is SKIPPED by its declared size, never read.
+    * Both walks are Catalyst `aggregate` HOFs over [[MaxMp4Boxes]]
+    * steps — pure codegen built-ins, no UDF, exactly [[wavInfo]]'s
+    * machinery.
+    *
+    * Output: struct(brand, timescale, duration, duration_ms) — brand =
+    * the `ftyp` major brand 4cc as a string; all fields null when the
+    * `ftyp` magic (bytes 5–8) is absent or `moov`/`mvhd` isn't found;
+    * duration_ms = duration·1000 div timescale (exact integer). */
+  def mp4Info(bin: Column): Column = {
+    val isMp4 = lower(hex(substring(bin, 5, 4))) === "66747970" // "ftyp"
+    val brand = substring(bin, 9, 4).cast("string")
+
+    // Shared per-step box-header decode: declared size (largesize-aware)
+    // and the bail-guarded next offset. A size below the header's own
+    // length, a negative (wrapped u64) size, or a next offset past
+    // one-past-payload ends the walk with -1.
+    def boxStep(off: Column, bound: Column): (Column, Column, Column) = {
+      val size32 = beU32At(bin, off)
+      val typ = lower(hex(substr(bin, off.cast("int") + 4, lit(4))))
+      val size = when(size32 === 1, beU64At(bin, off + 8)).otherwise(size32)
+      val nextRaw = off + size
+      val next = when(size32 === 1 && size < 16, lit(-1L))
+        .when(size32 =!= 1 && size < 8, lit(-1L))
+        .when(nextRaw > bound, lit(-1L))
+        .otherwise(nextRaw)
+      (typ, next, nextRaw)
+    }
+
+    // ---- walk 1: top-level boxes → moov's offset and end bound
+    val init1 = struct(lit(1L).as("off"), lit(-1L).as("moov"), lit(-1L).as("end"))
+    val top = aggregate(
+      sequence(lit(1), lit(MaxMp4Boxes)),
+      init1,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val (typ, next, nextRaw) = boxStep(off, length(bin) + 1)
+        def keep(f: String) = acc.getField(f)
+        val bail = struct(lit(-1L).as("off"),
+          keep("moov").as("moov"), keep("end").as("end"))
+        when(off < 0 || keep("moov") >= 0, acc)
+          .when(length(substr(bin, off.cast("int"), lit(8))) < 8, bail)
+          .when(typ === "6d6f6f76", struct(next.as("off"), // "moov"
+            off.as("moov"),
+            least(nextRaw, length(bin).cast("long") + 1).as("end")))
+          .otherwise(struct(next.as("off"),
+            keep("moov").as("moov"), keep("end").as("end")))
+      })
+    val moovOff = top.getField("moov")
+    val moovEnd = top.getField("end")
+
+    // ---- walk 2: moov children → mvhd's timescale + duration
+    val init2 = struct((moovOff + 8).as("off"), lit(-1L).as("ts"), lit(-1L).as("dur"))
+    val mv = aggregate(
+      sequence(lit(1), lit(MaxMp4Boxes)),
+      init2,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val (typ, next, _) = boxStep(off, moovEnd)
+        def keep(f: String) = acc.getField(f)
+        val bail = struct(lit(-1L).as("off"),
+          keep("ts").as("ts"), keep("dur").as("dur"))
+        val ver = u8At(bin, off + 8)
+        // mvhd version 0 needs 28 box bytes through duration, v1 40 —
+        // a payload cut inside the fields yields nulls, not a misparse.
+        val v0 = struct(next.as("off"),
+          beU32At(bin, off + 20).as("ts"), beU32At(bin, off + 24).as("dur"))
+        val v1 = struct(next.as("off"),
+          beU32At(bin, off + 28).as("ts"), beU64At(bin, off + 32).as("dur"))
+        when(moovOff < 0 || off < 0 || keep("ts") >= 0, acc)
+          .when(off + 8 > moovEnd ||
+            length(substr(bin, off.cast("int"), lit(8))) < 8, bail)
+          .when(typ === "6d766864" && ver === 1 && // "mvhd"
+            length(substr(bin, off.cast("int"), lit(40))) >= 40, v1)
+          .when(typ === "6d766864" && ver === 0 &&
+            length(substr(bin, off.cast("int"), lit(28))) >= 28, v0)
+          .when(typ === "6d766864", bail)
+          .otherwise(struct(next.as("off"),
+            keep("ts").as("ts"), keep("dur").as("dur")))
+      })
+    val ts = mv.getField("ts")
+    val dur = mv.getField("dur")
+    struct(
+      when(isMp4, brand).as("brand"),
+      when(isMp4 && ts >= 0, ts).as("timescale"),
+      when(isMp4 && ts >= 0 && dur >= 0, dur).as("duration"),
+      when(isMp4 && ts > 0 && dur >= 0, idiv(dur * 1000, ts)).as("duration_ms"))
   }
 
   // ------------------------------------------------- perceptual hash (64-bit)

@@ -204,6 +204,81 @@ class MultimodalSpec extends SparkSpecBase {
     assert(wavOf(4L -> mono)(4L) === Seq[Any](1L, 8000L, 16L, 4000L, 250L))
   }
 
+  // big-endian helpers for hand-built ISO-BMFF fixtures
+  private def be32h(v: Long): String = f"$v%08x"
+  private def be64h(v: Long): String = f"$v%016x"
+
+  private def boxHex(typ: String, payloadHex: String): String =
+    be32h(8 + payloadHex.length / 2) + typ.getBytes("US-ASCII").map(b => f"$b%02x").mkString + payloadHex
+
+  /** mvhd v0: create/modify 0, then timescale + duration (u32). */
+  private def mvhd0(ts: Long, dur: Long): String =
+    boxHex("mvhd", "00000000" + "00000000" + "00000000" + be32h(ts) + be32h(dur))
+
+  /** mvhd v1: 64-bit create/modify, u32 timescale, u64 duration. */
+  private def mvhd1(ts: Long, dur: Long): String =
+    boxHex("mvhd", "01000000" + "0" * 16 + "0" * 16 + be32h(ts) + be64h(dur))
+
+  private def ftypHex(brand: String = "isom"): String =
+    boxHex("ftyp", brand.getBytes("US-ASCII").map(b => f"$b%02x").mkString + "00000000")
+
+  private def mp4Of(payloads: (Long, Array[Byte])*): Map[Long, Seq[Any]] = {
+    import spark.implicits._
+    val df = payloads.toSeq.toDF("doc_id", "payload")
+    df.select(col("doc_id"), Multimodal.mp4Info(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.brand"), col("m.timescale"),
+        col("m.duration"), col("m.duration_ms"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.get(i)).toSeq)
+      .toMap
+  }
+
+  test("mp4Info parses canonical, moov-at-end, and v1-mvhd ISO-BMFF headers") {
+    val mdat = boxHex("mdat", "00" * 24)
+    // 90 s at timescale 600 -> duration 54000, duration_ms 90000
+    val canonical = hexBytes(ftypHex() + boxHex("moov", mvhd0(600, 54000)) + mdat)
+    // moov AFTER mdat — the camera-write layout; mdat must be skipped
+    val moovLast = hexBytes(ftypHex("mp42") + mdat + boxHex("moov", mvhd0(600, 54000)))
+    // version-1 mvhd (64-bit duration) behind a free box, with a
+    // non-mvhd first moov child (the child walk must skip it)
+    val v1 = hexBytes(ftypHex() + boxHex("free", "00" * 4) +
+      boxHex("moov", boxHex("iods", "00" * 4) + mvhd1(1000, 3500)))
+    // largesize mdat (size==1, u64 at +8): 8-byte payload declared via
+    // largesize 24 — the walk must advance by the 64-bit size
+    val mdatLarge = "00000001" + "6d646174" + be64h(24) + "00" * 8
+    val large = hexBytes(ftypHex() + mdatLarge + boxHex("moov", mvhd0(48000, 96000)))
+    val got = mp4Of(1L -> canonical, 2L -> moovLast, 3L -> v1, 4L -> large)
+    assert(got(1L) === Seq[Any]("isom", 600L, 54000L, 90000L))
+    assert(got(2L) === Seq[Any]("mp42", 600L, 54000L, 90000L))
+    assert(got(3L) === Seq[Any]("isom", 1000L, 3500L, 3500L))
+    assert(got(4L) === Seq[Any]("isom", 48000L, 96000L, 2000L))
+  }
+
+  test("mp4Info is honest about junk: bad magic, truncation, corrupt sizes") {
+    val nulls = Seq[Any](null, null, null, null)
+    val notMp4 = "definitely not an mp4 container".getBytes("UTF-8")
+    // valid ftyp, then truncated mid-moov-header: brand parses, rest null
+    val truncated = hexBytes(ftypHex() + "000000246d6f")
+    // moov present but its only child is NOT mvhd: timescale/duration null
+    val noMvhd = hexBytes(ftypHex() + boxHex("moov", boxHex("udta", "00" * 4)))
+    // mvhd declared but payload cut INSIDE the duration field
+    val cutMvhd = hexBytes(ftypHex() +
+      "000000246d6f6f76" + "0000001c6d766864" + "00000000" + "00000000")
+    // a corrupt box declaring a ~4.3 GB size: capped walk -> nulls, no
+    // ANSI cast overflow
+    val hugeBox = hexBytes(ftypHex() + "fffffff0" + "6a756e6b")
+    // size==0 (box-to-EOF in the spec) is treated as corrupt: bail
+    val zeroSize = hexBytes(ftypHex() + "00000000" + "6d6f6f76" + mvhd0(600, 600))
+    val got = mp4Of(1L -> notMp4, 2L -> truncated, 3L -> noMvhd,
+      4L -> cutMvhd, 5L -> hugeBox, 6L -> zeroSize)
+    assert(got(1L) === nulls)
+    assert(got(2L) === Seq[Any]("isom", null, null, null))
+    assert(got(3L) === Seq[Any]("isom", null, null, null))
+    assert(got(4L) === Seq[Any]("isom", null, null, null))
+    assert(got(5L) === Seq[Any]("isom", null, null, null))
+    assert(got(6L) === Seq[Any]("isom", null, null, null))
+  }
+
   test("wavInfo is honest about junk: bad magic, truncation, missing chunks") {
     val nulls = Seq[Any](null, null, null, null, null)
     val notRiff = "not a riff file at all".getBytes("UTF-8")
