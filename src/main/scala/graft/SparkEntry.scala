@@ -167,6 +167,39 @@ object SparkEntry {
   private val neardupSql: String =
     s"$neardupPreludeSql,\n${neardupTailSql("a.doc_id < b.doc_id")}"
 
+  /** Shared winnowing prelude replicating TextAnalysis.winnowSelected
+    * step for step — k-gram 60-bit hashes (`hs`), rightmost-min
+    * selected positions (`sel`, the identical reverse/list_position
+    * tie-break arithmetic), selected hashes (`selh`). Constants from
+    * [[TextAnalysis]] so engine and oracle can never drift. */
+  private val winnowPreludeSql: String = {
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowWindow
+    val gram = (0 until k).map(o => s"ts[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) >= $k THEN list_transform(
+       |           range(1, len(ts) - ${k - 2}),
+       |           i -> CAST(CAST(('0x' || substring(sha256($gram), 1, 15))
+       |                  AS UBIGINT) AS BIGINT))
+       |         ELSE []::BIGINT[] END AS hs
+       |  FROM t2),
+       |p AS (
+       |  SELECT doc_id, hs,
+       |    CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(
+       |                range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+       |                i -> i + len(hs[i:i+${w - 1}])
+       |                       - list_position(list_reverse(hs[i:i+${w - 1}]),
+       |                                       list_min(hs[i:i+${w - 1}]))))
+       |    END AS sel
+       |  FROM g),
+       |s AS (SELECT doc_id, hs, sel,
+       |             list_transform(sel, q -> hs[q]) AS selh
+       |      FROM p)""".stripMargin
+  }
+
   /** text_quality oracle — also composed (as a nested-WITH CTE) into
     * the docs_curated end-to-end pipeline oracle. */
   private val qualitySql: String =
@@ -1670,6 +1703,13 @@ object SparkEntry {
     // join output ∝ true overlaps, the winnowing-style scale shape).
     "text_overlap" -> ((s, dir) =>
       TextAnalysis.overlapPairs(T(s, dir, "documents"))),
+    // Winnowing (MOSS): rightmost-min-per-window fingerprint selection
+    // — ~2/(w+1) of the k-gram postings with a shared-run guarantee.
+    // Per-doc summary + the df-capped pair equijoin consumer.
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(T(s, dir, "documents"))),
+    "text_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(T(s, dir, "documents"))),
     // Top-3 distinctive terms per doc by fixed-point BM25 (k1=1.2,
     // b=0.75) + linear-idf TF-IDF — corpus-global statistics (df, avgdl)
     // the per-process reference cannot see. All-integer arithmetic so
@@ -3050,6 +3090,31 @@ object SparkEntry {
          |       count(*) AS shared_chunks
          |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    "text_winnow" ->
+      s"""$winnowPreludeSql
+         |SELECT doc_id,
+         |       CAST(len(hs) AS BIGINT) AS n_kgrams,
+         |       CAST(len(sel) AS BIGINT) AS n_fps,
+         |       list_min(selh) AS fp_min,
+         |       list_max(selh) AS fp_max
+         |FROM s""".stripMargin,
+
+    "text_winnow_pairs" -> {
+      val cap = TextAnalysis.WinnowMaxDocFreq
+      val ms = TextAnalysis.WinnowMinShared
+      s"""$winnowPreludeSql,
+         |fps AS (SELECT DISTINCT doc_id, fp
+         |        FROM (SELECT doc_id, unnest(selh) AS fp FROM s)),
+         |cnt AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+         |ok AS (SELECT f.doc_id, f.fp FROM fps f JOIN cnt USING (fp)
+         |       WHERE c BETWEEN 2 AND $cap)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS shared_fps
+         |FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $ms""".stripMargin
     },
 
     // Fixed-point BM25 — same all-integer scaled formula as

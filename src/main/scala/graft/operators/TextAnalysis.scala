@@ -199,6 +199,112 @@ object TextAnalysis {
       .filter(col("shared_chunks") >= minShared)
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing geometry (Schleimer–Wilkerson–Aiken, SIGMOD'03 — the
+    * MOSS local fingerprinting scheme): token k-gram size and window
+    * width. The winnowing guarantee: any token run shared between two
+    * docs of length ≥ [[WinnowK]] + [[WinnowWindow]] − 1 contributes
+    * at least one SHARED selected fingerprint, while only ~2/(w+1) of
+    * all k-grams are kept — position-robust partial-overlap detection
+    * at a fraction of the postings volume of [[overlapPairs]]. */
+  val WinnowK = 3
+  val WinnowWindow = 4
+
+  /** [[winnowPairs]] dials: drop fingerprints present in more than
+    * `MaxDocFreq` docs before the pair join (a stopword trigram's
+    * bucket would otherwise contribute df² candidate pairs — the same
+    * df-cap dial as NearDup's shingle path), and require ≥ `MinShared`
+    * distinct shared fingerprints per emitted pair. */
+  val WinnowMaxDocFreq = 50
+  val WinnowMinShared = 2L
+
+  /** 60-bit k-gram hash: leading 15 hex chars of sha256, the
+    * engine-portable hashing idiom shared with the CMS sketch. */
+  private def hash60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+  /** Shared winnowing core: per doc, the k-gram hash array `__hs`,
+    * the DISTINCT selected positions `__pos` (rightmost minimum of
+    * each sliding [[WinnowWindow]]-window; sub-window docs select the
+    * global rightmost min once), and the selected hashes `__sel`.
+    * Each stage materializes into a projected column before the next
+    * consumes it (the HOF-recompute trap); everything is a narrow
+    * zero-shuffle projection of codegen'd built-ins.
+    *
+    * Rightmost-min via reversal: `array_position` finds the FIRST
+    * occurrence, so position-in-reversed-slice `p` ⇒ rightmost index
+    * `i + len(slice) − p` — the identical arithmetic runs in the
+    * DuckDB oracle, making tie-breaks engine-exact. */
+  private def winnowSelected(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val k = WinnowK
+    val w = WinnowWindow
+    val tsC = graft.core.Cols.fresh("__ts", Seq(idCol))
+    val tokArr = filter(split(col(textCol), "\\s+"),
+      t => !(t === "" || t.rlike("^\\s+$")))
+    val grams = when(size(col(tsC)) >= k,
+      transform(sequence(lit(1), size(col(tsC)) - (k - 1)),
+        i => hash60(concat_ws(" ",
+          (0 until k).map(o => element_at(col(tsC), i + o)): _*))))
+      .otherwise(array().cast("array<long>"))
+    val m = size(col("__hs"))
+    val pos = when(m === 0, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(m - (w - 1), lit(1))),
+        i => {
+          val s = slice(col("__hs"), i, lit(w))
+          i.cast("long") + size(s) - array_position(reverse(s), array_min(s))
+        }))
+    docs.select(col(idCol), tokArr.as(tsC))
+      .select(col(idCol), grams.as("__hs"))
+      .withColumn("__pos", array_distinct(pos))
+      .withColumn("__sel",
+        transform(col("__pos"), p => element_at(col("__hs"), p.cast("int"))))
+  }
+
+  /** Per-doc winnowing summary: k-gram count, selected-fingerprint
+    * count, and the min/max selected hash — the one-row-per-doc shape
+    * whose density (`n_fps/n_kgrams` ≈ 2/(w+1)) is the tuning signal
+    * before [[winnowPairs]] runs corpus-wide. */
+  def winnow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    winnowSelected(docs, idCol, textCol)
+      .select(col(idCol),
+        size(col("__hs")).cast("long").as("n_kgrams"),
+        size(col("__pos")).cast("long").as("n_fps"),
+        array_min(col("__sel")).as("fp_min"),
+        array_max(col("__sel")).as("fp_max"))
+
+  /** Partial-overlap candidate pairs from winnowed fingerprints: the
+    * postings equijoin of [[overlapPairs]], but over the ~2/(w+1)
+    * winnowed subset instead of every window — the MOSS shape. The
+    * df-cap filter bounds any fingerprint's bucket at
+    * [[WinnowMaxDocFreq]] docs, so join fan-out is ≤ df²·|buckets|
+    * with df capped — never all-pairs. Shuffles: one hash-agg for the
+    * df counts, one semi-join back, one equijoin + pair agg — all on
+    * the fingerprint key. */
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // DISTINCT (doc, fp): a fingerprint re-selected at two positions
+    // of one doc is one posting; shared_fps counts distinct overlaps.
+    val fps = winnowSelected(docs, idCol, textCol)
+      .select(col(idCol), explode(array_distinct(col("__sel"))).as("__fp"))
+    val cnt = fps.groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2 && col("__c") <= WinnowMaxDocFreq)
+    val ok = fps.join(cnt.select("__fp"), Seq("__fp"))
+    ok.select(col(idCol).as("doc_a"), col("__fp"))
+      .join(ok.select(col(idCol).as("doc_b"), col("__fp")), Seq("__fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+  }
+
   /** Fixed-size token chunking with overlap — the context-window prep
     * step: document → `⌈(n − chunk)/step⌉ + 1` chunks of `chunkTokens`
     * whitespace tokens starting every `step = chunkTokens − overlap`

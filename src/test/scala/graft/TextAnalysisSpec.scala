@@ -223,4 +223,55 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(5L) === (("y", "y", 1L)))
     assert(got(6L) === (("x", "y", 0L))) // prior tie → smaller class
   }
+
+  test("winnow: density ~2/(w+1), sub-window docs select one fp, empties none") {
+    import spark.implicits._
+    import scala.util.Random
+    val rng = new Random(7)
+    // a long random-ish doc: selected density must be well below 1
+    // (winnowing keeps ~2/(w+1) = 40% of k-grams for w=4)
+    val long = (1 to 400).map(_ => s"w${rng.nextInt(5000)}").mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, "just three words"), // exactly k tokens -> 1 kgram -> 1 fp
+      (3L, "two words"),        // < k tokens -> 0 kgrams
+      (4L, "   ")               // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.get(3), r.get(4)))).toMap
+    val (nk, nf, mn, mx) = got(1L)
+    assert(nk === 400L - TextAnalysis.WinnowK + 1)
+    // guarantee floor: >= one fp per window stride; cap: every window
+    // adds at most one new fp
+    assert(nf >= nk / TextAnalysis.WinnowWindow && nf < nk)
+    assert(mn.asInstanceOf[Long] <= mx.asInstanceOf[Long])
+    assert(got(2L) === ((1L, 1L, got(2L)._3, got(2L)._3)))
+    assert(got(3L) === ((0L, 0L, null, null)))
+    assert(got(4L) === ((0L, 0L, null, null)))
+  }
+
+  test("winnowPairs: a shared >= k+w-1 token run pairs docs; df-cap kills stopword buckets") {
+    import spark.implicits._
+    // docs 1/2 share a 9-token run (>= k+w-1 = 6 ⇒ guaranteed >= 1
+    // shared fp; 9 tokens ⇒ 7 shared kgrams ⇒ >= MinShared selected)
+    // at DIFFERENT offsets; doc 3 is unrelated.
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (1L, s"unrelated prefix tokens here $run"),
+      (2L, s"$run completely different suffix material"),
+      (3L, "nothing in common with the others at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) >= TextAnalysis.WinnowMinShared)
+    assert(pairs.keySet === Set((1L, 2L)))
+    // df-cap: IDENTICAL docs in an oversized corpus would pair
+    // quadratically, but every one of their fingerprints has
+    // df > MaxDocFreq, so all buckets are dropped before the join
+    val flood = (1L to (TextAnalysis.WinnowMaxDocFreq + 5L)).map(i =>
+      (i, s"the same nine word sentence appears in every doc")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowPairs(flood).count() === 0L)
+  }
 }
