@@ -60,7 +60,13 @@ object Bench {
         case c => c.toString
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query-name filter (local iteration aid,
+    // mirrors Verify's 3rd arg; the driver always runs the full battery)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // min over Reps runs; stop timing at the first failure (reps of a
       // throwing query would just re-throw and double the error path).
       var best = Double.MaxValue

@@ -1623,15 +1623,54 @@ object SparkEntry {
             unhex(concat(riff, listHex, fmtHex, dataHex)))
           .when(col("doc_id") % 4 === 2, unhex(concat(riff, dataHex, fmtHex)))
           .otherwise(col("text").cast("binary"))
-      val info = Multimodal.wavInfo(col("payload"))
       T(s, dir, "documents")
         .withColumn("payload", payload)
+        .withColumn("__info", Multimodal.wavInfo(col("payload")))
         .select(col("doc_id"),
-          info.getField("channels").as("channels"),
-          info.getField("sample_rate").as("sample_rate"),
-          info.getField("bits_per_sample").as("bits_per_sample"),
-          info.getField("data_bytes").as("data_bytes"),
-          info.getField("duration_ms").as("duration_ms"))
+          col("__info.channels").as("channels"),
+          col("__info.sample_rate").as("sample_rate"),
+          col("__info.bits_per_sample").as("bits_per_sample"),
+          col("__info.data_bytes").as("data_bytes"),
+          col("__info.duration_ms").as("duration_ms"))
+    }),
+
+    // PCM sample decode: synthesize 8-bit mono WAVs whose data bytes
+    // follow s_i = (doc_id·31 + i·17) mod 256 (deterministic, analytic
+    // oracle), then compute REAL signal features from the payload
+    // bytes — peak/mean deviation and zero crossings. The %4==2 arm
+    // puts data BEFORE fmt so data_off is exercised under reordering;
+    // %4==3 stays text → all-null row (magic + PCM8 gate).
+    "multimodal_pcm" -> ((s, dir) => {
+      val k = (col("doc_id") % 80 + 16).cast("int")
+      val fmtHex = concat(
+        lit("666d7420" + "10000000" + "0100" + "0100"),
+        leHex32(lit(8000L)), leHex32(lit(8000L)), lit("0100" + "0800"))
+      val sampleHex = array_join(
+        transform(sequence(lit(0), k - 1),
+          i => hx2(col("doc_id") * 31 + i * 17)), "")
+      val dataHex = concat(lit("64617461"), leHex32(k), sampleHex)
+      // RIFF word alignment: an odd-sized data chunk carries a pad
+      // byte when another chunk follows it
+      val dataPadded = concat(dataHex,
+        when(k % 2 === 1, lit("00")).otherwise(lit("")))
+      val riff = lit("52494646" + "00000000" + "57415645")
+      val payload =
+        when(col("doc_id") % 4 === 2, unhex(concat(riff, dataPadded, fmtHex)))
+          .when(col("doc_id") % 4 <= 1, unhex(concat(riff, fmtHex, dataHex)))
+          .otherwise(col("text").cast("binary"))
+      // materialize the walk result, then the feature struct, each
+      // ONCE per row (HOFs are interpreted — inline getFields would
+      // re-run them per extracted field)
+      T(s, dir, "documents")
+        .withColumn("payload", payload)
+        .withColumn("__winfo", Multimodal.wavInfo(col("payload")))
+        .withColumn("__pcm",
+          Multimodal.pcmStats(col("payload"), col("__winfo")))
+        .select(col("doc_id"),
+          col("__pcm.n_samples").as("n_samples"),
+          col("__pcm.peak_dev").as("peak_dev"),
+          col("__pcm.mad_x100").as("mad_x100"),
+          col("__pcm.crossings").as("crossings"))
     }),
 
     // Video sibling of multimodal_wav: synthesize valid ISO-BMFF
@@ -1664,14 +1703,14 @@ object SparkEntry {
           .when(col("doc_id") % 4 === 2,
             unhex(concat(ftyp, free, moov1, mdat)))
           .otherwise(col("text").cast("binary"))
-      val info = Multimodal.mp4Info(col("payload"))
       T(s, dir, "documents")
         .withColumn("payload", payload)
+        .withColumn("__info", Multimodal.mp4Info(col("payload")))
         .select(col("doc_id"),
-          info.getField("brand").as("brand"),
-          info.getField("timescale").as("timescale"),
-          info.getField("duration").as("duration"),
-          info.getField("duration_ms").as("duration_ms"))
+          col("__info.brand").as("brand"),
+          col("__info.timescale").as("timescale"),
+          col("__info.duration").as("duration"),
+          col("__info.duration_ms").as("duration_ms"))
     }),
 
     // -------- text analysis extensions (training-data pipeline ops)
@@ -3000,6 +3039,35 @@ object SparkEntry {
         |                   // (8000 + (doc_id % 8) * 4000) AS BIGINT) END
         |    AS duration_ms
         |FROM documents""".stripMargin,
+
+    "multimodal_pcm" -> {
+      val cap = Multimodal.PcmMaxSamples
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 <= 2
+         |         THEN LEAST(doc_id % 80 + 16, $cap) END AS n
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n IS NOT NULL THEN
+         |      list_transform(range(0, n),
+         |                     i -> (doc_id * 31 + i * 17) % 256 - 128) END AS dev
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(list_max(list_transform(dev, x -> abs(x))) AS BIGINT)
+         |    AS peak_dev,
+         |  CAST(list_sum(list_transform(dev, x -> abs(x))) * 100 // n AS BIGINT)
+         |    AS mad_x100,
+         |  CAST(CASE WHEN n IS NULL THEN NULL
+         |            WHEN n >= 2 THEN len(list_filter(range(1, n),
+         |              i -> (CASE WHEN dev[i] > 0 THEN 1
+         |                         WHEN dev[i] < 0 THEN -1 ELSE 0 END)
+         |                 * (CASE WHEN dev[i+1] > 0 THEN 1
+         |                         WHEN dev[i+1] < 0 THEN -1 ELSE 0 END) = -1))
+         |            ELSE 0 END AS BIGINT) AS crossings
+         |FROM s""".stripMargin
+    },
 
     "multimodal_mp4" ->
       """SELECT doc_id,

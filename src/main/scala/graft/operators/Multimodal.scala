@@ -214,7 +214,7 @@ object Multimodal {
     * codegen built-ins, no UDF, exactly [[jpegDims]]' machinery.
     *
     * Output: struct(channels, sample_rate, bits_per_sample,
-    * data_bytes, duration_ms) of nullable longs — all null when the
+    * data_bytes, duration_ms, data_off) of nullable longs — all null when the
     * RIFF/WAVE magic is absent or the needed chunks aren't found;
     * duration_ms = data_bytes·1000 div byte_rate (exact integer), null
     * unless both chunks parsed and byte_rate > 0. */
@@ -223,7 +223,8 @@ object Multimodal {
       lower(hex(substring(bin, 9, 4))) === "57415645"
     val init = struct(
       lit(13L).as("off"), lit(-1L).as("ch"), lit(-1L).as("rate"),
-      lit(-1L).as("bits"), lit(-1L).as("brate"), lit(-1L).as("dsize"))
+      lit(-1L).as("bits"), lit(-1L).as("brate"), lit(-1L).as("dsize"),
+      lit(-1L).as("doff"))
     val walked = aggregate(
       sequence(lit(1), lit(MaxWavChunks)),
       init,
@@ -242,7 +243,8 @@ object Multimodal {
         val done = keep("ch") >= 0 && keep("dsize") >= 0
         val bail = struct(lit(-1L).as("off"), keep("ch").as("ch"),
           keep("rate").as("rate"), keep("bits").as("bits"),
-          keep("brate").as("brate"), keep("dsize").as("dsize"))
+          keep("brate").as("brate"), keep("dsize").as("dsize"),
+          keep("doff").as("doff"))
         when(off < 0 || done, acc)
           .when(length(substr(bin, off.cast("int"), lit(8))) < 8, bail)
           .when(cc === "666d7420", struct(next.as("off"), // "fmt "
@@ -250,14 +252,15 @@ object Multimodal {
             leU32At(bin, off + 12).as("rate"),
             leU16At(bin, off + 22).as("bits"),
             leU32At(bin, off + 16).as("brate"),
-            keep("dsize").as("dsize")))
+            keep("dsize").as("dsize"), keep("doff").as("doff")))
           .when(cc === "64617461", struct(next.as("off"), // "data"
             keep("ch").as("ch"), keep("rate").as("rate"),
             keep("bits").as("bits"), keep("brate").as("brate"),
-            size.as("dsize")))
+            size.as("dsize"), (off + 8).as("doff")))
           .otherwise(struct(next.as("off"), keep("ch").as("ch"),
             keep("rate").as("rate"), keep("bits").as("bits"),
-            keep("brate").as("brate"), keep("dsize").as("dsize")))
+            keep("brate").as("brate"), keep("dsize").as("dsize"),
+            keep("doff").as("doff")))
       })
     def field(f: String) = walked.getField(f)
     def pos(c: Column) = when(isWave && c >= 0, c)
@@ -267,7 +270,68 @@ object Multimodal {
       pos(field("bits")).as("bits_per_sample"),
       pos(field("dsize")).as("data_bytes"),
       when(isWave && field("dsize") >= 0 && field("brate") > 0,
-        idiv(field("dsize") * 1000, field("brate"))).as("duration_ms"))
+        idiv(field("dsize") * 1000, field("brate"))).as("duration_ms"),
+      pos(field("doff")).as("data_off"))
+  }
+
+  /** Samples [[pcmStats]] reads per payload — a fixed cap so the
+    * feature pass stays O(1) byte probes per row (the same bounded-
+    * probe argument as every walk here); real pipelines raise it or
+    * window it, the plan shape is unchanged. */
+  val PcmMaxSamples = 64
+
+  /** REAL audio-sample decode for 8-bit mono PCM — the first member
+    * of the decode family to cross from metadata into SAMPLES, shrinking
+    * [[stubDecode]]'s scope to codec-requiring formats: locate the
+    * `data` chunk via [[wavInfo]]'s walk (`data_off`), read up to
+    * [[PcmMaxSamples]] unsigned bytes, and emit integer signal
+    * features over the deviation stream `s − 128` (PCM8's zero line):
+    * peak |dev|, mean |dev| ×100 (exact integer div), and the strict
+    * zero-crossing count (sign product −1; touching the zero line is
+    * not a crossing — deterministic in any engine). Null struct unless
+    * the payload is a parseable 8-bit mono WAV with data.
+    *
+    * `info` is the [[wavInfo]] struct ALREADY PROJECTED into a column
+    * by the caller — passing `wavInfo(bin)` inline would re-run the
+    * chunk walk for every sample probe inside the transform lambdas
+    * (HOFs evaluate interpreted; nothing eliminates the duplicated
+    * subtree), turning an O(samples) pass into O(samples·walk). */
+  def pcmStats(bin: Column, info: Column): Column = {
+    val doff = info.getField("data_off")
+    val dsize = info.getField("data_bytes")
+    val ok = doff.isNotNull && dsize > 0 &&
+      info.getField("bits_per_sample") === 8 && info.getField("channels") === 1
+    val n = least(dsize, lit(PcmMaxSamples.toLong))
+    val devs = transform(sequence(lit(1), n.cast("int")),
+      i => u8At(bin, doff + i - 1) - 128)
+    // ONE fold computes every feature (state: Σ|dev|, max|dev|,
+    // previous sign, crossing count) and the `finish` lambda shapes
+    // the output struct from the final state. Separate per-feature
+    // aggregates — or a sign ARRAY referenced from inside a lambda —
+    // would re-evaluate their whole input per use (interpreted HOFs,
+    // no CSE): the array-reference form measured O(n²·probe), 13.7 s
+    // for 5 k rows at sf0.1 vs ~2 s for this shape.
+    val feat = aggregate(
+      devs,
+      struct(lit(0L).as("sum"), lit(0L).as("peak"),
+        lit(0L).as("prev"), lit(0L).as("cnt")),
+      (st, d) => {
+        val ad = abs(d)
+        val sg = when(d > 0, 1L).when(d < 0, -1L).otherwise(0L)
+        struct(
+          (st.getField("sum") + ad).as("sum"),
+          greatest(st.getField("peak"), ad).as("peak"),
+          sg.as("prev"),
+          (st.getField("cnt") +
+            when(st.getField("prev") * sg === -1, 1L).otherwise(0L))
+            .as("cnt"))
+      },
+      st => struct(
+        n.as("n_samples"),
+        st.getField("peak").as("peak_dev"),
+        idiv(st.getField("sum") * 100, n).as("mad_x100"),
+        st.getField("cnt").as("crossings")))
+    when(ok, feat)
   }
 
   /** Top-level / moov-child boxes the bounded ISO-BMFF walks will
@@ -289,9 +353,16 @@ object Multimodal {
     * after the widened create/modify times). Box order is not assumed:
     * `moov` after `mdat` (the normal camera-write layout) parses the
     * same because `mdat` is SKIPPED by its declared size, never read.
-    * Both walks are Catalyst `aggregate` HOFs over [[MaxMp4Boxes]]
-    * steps — pure codegen built-ins, no UDF, exactly [[wavInfo]]'s
-    * machinery.
+    *
+    * Both levels run in ONE `aggregate` HOF as a state machine (mode
+    * 0 = top-level scan, mode 1 = inside moov; the `bound` field
+    * shrinks to moov's end on descent) over 2·[[MaxMp4Boxes]] steps.
+    * One pass matters: a second aggregate parameterized by the
+    * first's result would re-embed the entire first walk in every
+    * step of the second (HOFs evaluate interpreted — no codegen CSE),
+    * a ~10× per-row blowup measured at sf0.1. Same bounded-probe
+    * machinery as [[wavInfo]]; callers should project the struct into
+    * a column ONCE before extracting fields.
     *
     * Output: struct(brand, timescale, duration, duration_ms) — brand =
     * the `ftyp` major brand 4cc as a string; all fields null when the
@@ -300,76 +371,55 @@ object Multimodal {
   def mp4Info(bin: Column): Column = {
     val isMp4 = lower(hex(substring(bin, 5, 4))) === "66747970" // "ftyp"
     val brand = substring(bin, 9, 4).cast("string")
-
-    // Shared per-step box-header decode: declared size (largesize-aware)
-    // and the bail-guarded next offset. A size below the header's own
-    // length, a negative (wrapped u64) size, or a next offset past
-    // one-past-payload ends the walk with -1.
-    def boxStep(off: Column, bound: Column): (Column, Column, Column) = {
-      val size32 = beU32At(bin, off)
-      val typ = lower(hex(substr(bin, off.cast("int") + 4, lit(4))))
-      val size = when(size32 === 1, beU64At(bin, off + 8)).otherwise(size32)
-      val nextRaw = off + size
-      val next = when(size32 === 1 && size < 16, lit(-1L))
-        .when(size32 =!= 1 && size < 8, lit(-1L))
-        .when(nextRaw > bound, lit(-1L))
-        .otherwise(nextRaw)
-      (typ, next, nextRaw)
-    }
-
-    // ---- walk 1: top-level boxes → moov's offset and end bound
-    val init1 = struct(lit(1L).as("off"), lit(-1L).as("moov"), lit(-1L).as("end"))
-    val top = aggregate(
-      sequence(lit(1), lit(MaxMp4Boxes)),
-      init1,
+    val init = struct(lit(1L).as("off"),
+      (length(bin).cast("long") + 1).as("bound"), lit(0L).as("mode"),
+      lit(-1L).as("ts"), lit(-1L).as("dur"))
+    val walked = aggregate(
+      sequence(lit(1), lit(MaxMp4Boxes * 2)),
+      init,
       (acc, _) => {
         val off = acc.getField("off")
-        val (typ, next, nextRaw) = boxStep(off, length(bin) + 1)
+        val bound = acc.getField("bound")
+        val mode = acc.getField("mode")
         def keep(f: String) = acc.getField(f)
-        val bail = struct(lit(-1L).as("off"),
-          keep("moov").as("moov"), keep("end").as("end"))
-        when(off < 0 || keep("moov") >= 0, acc)
-          .when(length(substr(bin, off.cast("int"), lit(8))) < 8, bail)
-          .when(typ === "6d6f6f76", struct(next.as("off"), // "moov"
-            off.as("moov"),
-            least(nextRaw, length(bin).cast("long") + 1).as("end")))
-          .otherwise(struct(next.as("off"),
-            keep("moov").as("moov"), keep("end").as("end")))
-      })
-    val moovOff = top.getField("moov")
-    val moovEnd = top.getField("end")
-
-    // ---- walk 2: moov children → mvhd's timescale + duration
-    val init2 = struct((moovOff + 8).as("off"), lit(-1L).as("ts"), lit(-1L).as("dur"))
-    val mv = aggregate(
-      sequence(lit(1), lit(MaxMp4Boxes)),
-      init2,
-      (acc, _) => {
-        val off = acc.getField("off")
-        val (typ, next, _) = boxStep(off, moovEnd)
-        def keep(f: String) = acc.getField(f)
-        val bail = struct(lit(-1L).as("off"),
-          keep("ts").as("ts"), keep("dur").as("dur"))
+        def st(o: Column, b: Column, m: Column, t: Column, d: Column) =
+          struct(o.as("off"), b.as("bound"), m.as("mode"),
+            t.as("ts"), d.as("dur"))
+        // box-header decode: declared size (largesize-aware) and the
+        // bail-guarded next offset — a size below the header's own
+        // length, a negative (wrapped u64) size, or a next offset past
+        // the current bound ends the walk with -1.
+        val size32 = beU32At(bin, off)
+        val typ = lower(hex(substr(bin, off.cast("int") + 4, lit(4))))
+        val size = when(size32 === 1, beU64At(bin, off + 8)).otherwise(size32)
+        val nextRaw = off + size
+        val next = when(size32 === 1 && size < 16, lit(-1L))
+          .when(size32 =!= 1 && size < 8, lit(-1L))
+          .when(nextRaw > bound, lit(-1L))
+          .otherwise(nextRaw)
         val ver = u8At(bin, off + 8)
+        val bail = st(lit(-1L), bound, mode, keep("ts"), keep("dur"))
         // mvhd version 0 needs 28 box bytes through duration, v1 40 —
         // a payload cut inside the fields yields nulls, not a misparse.
-        val v0 = struct(next.as("off"),
-          beU32At(bin, off + 20).as("ts"), beU32At(bin, off + 24).as("dur"))
-        val v1 = struct(next.as("off"),
-          beU32At(bin, off + 28).as("ts"), beU64At(bin, off + 32).as("dur"))
-        when(moovOff < 0 || off < 0 || keep("ts") >= 0, acc)
-          .when(off + 8 > moovEnd ||
+        val v0 = st(next, bound, mode,
+          beU32At(bin, off + 20), beU32At(bin, off + 24))
+        val v1 = st(next, bound, mode,
+          beU32At(bin, off + 28), beU64At(bin, off + 32))
+        when(off < 0 || keep("ts") >= 0, acc)
+          .when(off + 8 > bound ||
             length(substr(bin, off.cast("int"), lit(8))) < 8, bail)
-          .when(typ === "6d766864" && ver === 1 && // "mvhd"
+          .when(mode === 0 && typ === "6d6f6f76", // "moov" → descend
+            st(off + 8, least(nextRaw, length(bin).cast("long") + 1),
+              lit(1L), keep("ts"), keep("dur")))
+          .when(mode === 1 && typ === "6d766864" && ver === 1 && // "mvhd"
             length(substr(bin, off.cast("int"), lit(40))) >= 40, v1)
-          .when(typ === "6d766864" && ver === 0 &&
+          .when(mode === 1 && typ === "6d766864" && ver === 0 &&
             length(substr(bin, off.cast("int"), lit(28))) >= 28, v0)
-          .when(typ === "6d766864", bail)
-          .otherwise(struct(next.as("off"),
-            keep("ts").as("ts"), keep("dur").as("dur")))
+          .when(mode === 1 && typ === "6d766864", bail)
+          .otherwise(st(next, bound, mode, keep("ts"), keep("dur")))
       })
-    val ts = mv.getField("ts")
-    val dur = mv.getField("dur")
+    val ts = walked.getField("ts")
+    val dur = walked.getField("dur")
     struct(
       when(isMp4, brand).as("brand"),
       when(isMp4 && ts >= 0, ts).as("timescale"),

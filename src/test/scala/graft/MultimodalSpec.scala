@@ -204,6 +204,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(wavOf(4L -> mono)(4L) === Seq[Any](1L, 8000L, 16L, 4000L, 250L))
   }
 
+  private def pcmOf(payloads: (Long, Array[Byte])*): Map[Long, Seq[Any]] = {
+    import spark.implicits._
+    val df = payloads.toSeq.toDF("doc_id", "payload")
+    df.withColumn("__w", Multimodal.wavInfo(col("payload")))
+      .select(col("doc_id"),
+        Multimodal.pcmStats(col("payload"), col("__w")).as("p"))
+      .select(col("doc_id"), col("p.n_samples"), col("p.peak_dev"),
+        col("p.mad_x100"), col("p.crossings"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.get(i)).toSeq)
+      .toMap
+  }
+
+  test("pcmStats computes hand-checked features from real PCM8 bytes") {
+    // samples 128,200,56,128,130 -> devs 0,+72,-72,0,+2:
+    // peak 72, mad = (0+72+72+0+2)*100 // 5 = 2920, crossings: one
+    // strict +/- flip (72 -> -72); -72 -> 0 -> +2 touches zero, no cross
+    val pcm8fmt = "666d7420" + le32h(16) + le16h(1) + le16h(1) +
+      le32h(8000) + le32h(8000) + le16h(1) + le16h(8)
+    val samples = Array(128, 200, 56, 128, 130)
+    val dataHex = "64617461" + le32h(5) + samples.map(s => f"$s%02x").mkString
+    val canonical = hexBytes(wavHex(pcm8fmt, dataHex))
+    // data BEFORE fmt, odd size -> pad byte: data_off must still land
+    // on the first sample
+    val swapped = hexBytes(wavHex(dataHex + "00", pcm8fmt))
+    val got = pcmOf(1L -> canonical, 2L -> swapped)
+    val want = Seq[Any](5L, 72L, 2920L, 1L)
+    assert(got(1L) === want)
+    assert(got(2L) === want)
+  }
+
+  test("pcmStats gates honestly: 16-bit or stereo or dataless WAVs -> nulls") {
+    val nulls = Seq[Any](null, null, null, null)
+    val data = "64617461" + le32h(4) + "80808080"
+    // 16-bit mono and 8-bit stereo: parseable WAVs, but not PCM8 mono
+    val bits16 = hexBytes(wavHex("666d7420" + le32h(16) + le16h(1) + le16h(1) +
+      le32h(8000) + le32h(16000) + le16h(2) + le16h(16), data))
+    val stereo = hexBytes(wavHex("666d7420" + le32h(16) + le16h(1) + le16h(2) +
+      le32h(8000) + le32h(16000) + le16h(2) + le16h(8), data))
+    val noData = hexBytes(wavHex("666d7420" + le32h(16) + le16h(1) + le16h(1) +
+      le32h(8000) + le32h(8000) + le16h(1) + le16h(8)))
+    val notWav = "plain text, not audio".getBytes("UTF-8")
+    val got = pcmOf(1L -> bits16, 2L -> stereo, 3L -> noData, 4L -> notWav)
+    assert(got(1L) === nulls)
+    assert(got(2L) === nulls)
+    assert(got(3L) === nulls)
+    assert(got(4L) === nulls)
+  }
+
   // big-endian helpers for hand-built ISO-BMFF fixtures
   private def be32h(v: Long): String = f"$v%08x"
   private def be64h(v: Long): String = f"$v%016x"
