@@ -1673,6 +1673,58 @@ object SparkEntry {
           col("__pcm.crossings").as("crossings"))
     }),
 
+    // Pixel-decode sibling of multimodal_pcm: synthesize uncompressed
+    // 24-bpp BMPs (BGR triples, 4-byte-aligned rows, channel bytes
+    // derived from doc_id and the pixel index) and compute REAL
+    // per-channel means from the payload. The %4==2 arm is a 16-bpp
+    // BMP: dims parse, pixel stats gate to null; %4==3 stays text.
+    "multimodal_bmp" -> ((s, dir) => {
+      val w = (col("doc_id") % 6 + 2).cast("int")
+      val h = (col("doc_id") % 4 + 1).cast("int")
+      val stride = (idvCol(w * 3 + 3, lit(4)) * 4).cast("int")
+      val stride16 = (idvCol(w * 2 + 3, lit(4)) * 4).cast("int")
+      val rowsHex = transform(sequence(lit(0), h - 1), r =>
+        concat(
+          array_join(transform(sequence(lit(0), w - 1), c => {
+            val p = r * w + c
+            concat(hx2(col("doc_id") * 7 + p * 13),
+              hx2(col("doc_id") * 11 + p * 19),
+              hx2(col("doc_id") * 3 + p * 29))
+          }), ""),
+          repeat(lit("00"), stride - w * 3)))
+      val pxHex = array_join(rowsHex, "")
+      def fileHdr(sz: Column) =
+        concat(lit("424d"), leHex32(lit(54L) + sz), lit("00000000"),
+          leHex32(lit(54L)))
+      def dibHdr(bppHex: String, sz: Column) =
+        concat(leHex32(lit(40L)), leHex32(w), leHex32(h), lit("0100"),
+          lit(bppHex), lit("00000000"), leHex32(sz),
+          leHex32(lit(2835L)), leHex32(lit(2835L)),
+          lit("00000000" + "00000000"))
+      val sz24 = (stride * h).cast("long")
+      val sz16 = (stride16 * h).cast("long")
+      val bmp24 = concat(fileHdr(sz24), dibHdr("1800", sz24), pxHex)
+      val bmp16 = concat(fileHdr(sz16), dibHdr("1000", sz16),
+        repeat(lit("00"), stride16 * h))
+      val payload =
+        when(col("doc_id") % 4 <= 1, unhex(bmp24))
+          .when(col("doc_id") % 4 === 2, unhex(bmp16))
+          .otherwise(col("text").cast("binary"))
+      T(s, dir, "documents")
+        .withColumn("payload", payload)
+        .withColumn("__hdr", Multimodal.bmpHeader(col("payload")))
+        .withColumn("__bmp",
+          Multimodal.bmpStats(col("payload"), col("__hdr")))
+        .select(col("doc_id"),
+          col("__bmp.width").as("width"),
+          col("__bmp.height").as("height"),
+          col("__bmp.bpp").as("bpp"),
+          col("__bmp.px.n_sampled").as("n_sampled"),
+          col("__bmp.px.mean_r_x100").as("mean_r_x100"),
+          col("__bmp.px.mean_g_x100").as("mean_g_x100"),
+          col("__bmp.px.mean_b_x100").as("mean_b_x100"))
+    }),
+
     // Video sibling of multimodal_wav: synthesize valid ISO-BMFF
     // (MP4) payloads from doc_id (parse∘construct = id, same oracle
     // trick), exercising the box walk's three real shapes: moov AFTER
@@ -3039,6 +3091,32 @@ object SparkEntry {
         |                   // (8000 + (doc_id % 8) * 4000) AS BIGINT) END
         |    AS duration_ms
         |FROM documents""".stripMargin,
+
+    "multimodal_bmp" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 <= 2 THEN doc_id % 6 + 2 END AS w,
+        |    CASE WHEN doc_id % 4 <= 2 THEN doc_id % 4 + 1 END AS h,
+        |    doc_id % 4 <= 1 AS is24
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, h, is24, w * h AS npix FROM m)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 4 <= 2
+        |       THEN CAST(CASE WHEN is24 THEN 24 ELSE 16 END AS BIGINT) END
+        |    AS bpp,
+        |  CASE WHEN is24 THEN CAST(npix AS BIGINT) END AS n_sampled,
+        |  CASE WHEN is24 THEN CAST(list_sum(list_transform(range(0, npix),
+        |         p -> (doc_id * 3 + p * 29) % 256)) * 100 // npix AS BIGINT) END
+        |    AS mean_r_x100,
+        |  CASE WHEN is24 THEN CAST(list_sum(list_transform(range(0, npix),
+        |         p -> (doc_id * 11 + p * 19) % 256)) * 100 // npix AS BIGINT) END
+        |    AS mean_g_x100,
+        |  CASE WHEN is24 THEN CAST(list_sum(list_transform(range(0, npix),
+        |         p -> (doc_id * 7 + p * 13) % 256)) * 100 // npix AS BIGINT) END
+        |    AS mean_b_x100
+        |FROM n""".stripMargin,
 
     "multimodal_pcm" -> {
       val cap = Multimodal.PcmMaxSamples

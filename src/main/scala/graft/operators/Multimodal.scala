@@ -427,6 +427,82 @@ object Multimodal {
       when(isMp4 && ts > 0 && dur >= 0, idiv(dur * 1000, ts)).as("duration_ms"))
   }
 
+  /** BMP (BITMAPINFOHEADER) header fields in one probe pass, ungated
+    * except the magic/size check: struct(is_bmp, dib_size, width,
+    * height, bpp, compression, data_off) — width/height SIGNED i32
+    * (negative height = top-down row order). Deliberately NOT merged
+    * into [[imageDims]]' sniffing chain: `BM` is a weak 2-byte magic,
+    * so BMP claims are additionally gated on DIB size / bpp /
+    * compression here instead of polluting the 4-byte-magic path.
+    * Callers project this ONCE and hand it to [[bmpStats]]. */
+  def bmpHeader(bin: Column): Column = {
+    def sgn32(u: Column): Column =
+      when(u > 2147483647L, u - 4294967296L).otherwise(u)
+    struct(
+      (lower(hex(substring(bin, 1, 2))) === "424d" &&
+        length(bin) >= 54).as("is_bmp"),
+      leU32At(bin, lit(15)).as("dib_size"),
+      sgn32(leU32At(bin, lit(19))).as("width"),
+      sgn32(leU32At(bin, lit(23))).as("height"),
+      leU16At(bin, lit(29)).as("bpp"),
+      leU32At(bin, lit(31)).as("compression"),
+      leU32At(bin, lit(11)).as("data_off"))
+  }
+
+  /** Pixels sampled per payload by [[bmpStats]] — the bounded-probe
+    * cap (see [[PcmMaxSamples]]). */
+  val BmpMaxPixels = 64
+
+  /** REAL image-pixel decode for uncompressed 24-bit BMP — with
+    * [[pcmStats]] this narrows [[stubDecode]]'s scope to formats that
+    * genuinely need a codec (DCT/inflate): BI_RGB pixel arrays are
+    * plain BGR byte triples in 4-byte-aligned rows, so per-channel
+    * statistics are pure byte probes. Samples up to [[BmpMaxPixels]]
+    * evenly-spaced pixels (`p_j = ⌊j·npix/k⌋` in storage order —
+    * row order doesn't affect means, so bottom-up vs top-down is
+    * irrelevant here) and folds Σ per channel in ONE aggregate pass.
+    *
+    * Output: struct(width, height, bpp — header-level, null unless a
+    * plausible BMP; px: struct(n_sampled, mean_r_x100, mean_g_x100,
+    * mean_b_x100) — null unless 24-bpp BI_RGB with the WHOLE declared
+    * pixel array present). The pixel block is a nested struct so one
+    * projection of the outer struct evaluates the fold exactly once;
+    * `hdr` is the [[bmpHeader]] struct already projected by the
+    * caller (same interpreted-HOF argument as [[pcmStats]]). */
+  def bmpStats(bin: Column, hdr: Column): Column = {
+    val okHdr = hdr.getField("is_bmp") && hdr.getField("dib_size") >= 40
+    val w = hdr.getField("width")
+    val hAbs = abs(hdr.getField("height"))
+    val dataOff = hdr.getField("data_off")
+    val stride = idiv(w * 3 + 3, lit(4)) * 4
+    val npix = w * hAbs
+    val okPx = okHdr && hdr.getField("bpp") === 24 &&
+      hdr.getField("compression") === 0 && w >= 1 && hAbs >= 1 &&
+      dataOff >= 54 && length(bin) >= dataOff + stride * hAbs
+    val kk = least(npix, lit(BmpMaxPixels.toLong))
+    val feat = aggregate(
+      sequence(lit(0), (kk - 1).cast("int")),
+      struct(lit(0L).as("b"), lit(0L).as("g"), lit(0L).as("r")),
+      (st, j) => {
+        val p = idiv(j.cast("long") * npix, kk)
+        val off0 = dataOff + idiv(p, w) * stride + (p % w) * 3
+        struct(
+          (st.getField("b") + u8At(bin, off0 + 1)).as("b"),
+          (st.getField("g") + u8At(bin, off0 + 2)).as("g"),
+          (st.getField("r") + u8At(bin, off0 + 3)).as("r"))
+      },
+      st => struct(
+        kk.as("n_sampled"),
+        idiv(st.getField("r") * 100, kk).as("mean_r_x100"),
+        idiv(st.getField("g") * 100, kk).as("mean_g_x100"),
+        idiv(st.getField("b") * 100, kk).as("mean_b_x100")))
+    struct(
+      when(okHdr, w).as("width"),
+      when(okHdr, hdr.getField("height")).as("height"),
+      when(okHdr, hdr.getField("bpp")).as("bpp"),
+      when(okPx, feat).as("px"))
+  }
+
   // ------------------------------------------------- perceptual hash (64-bit)
 
   /** Blockhash-style signature geometry: 64 equal byte-range blocks,

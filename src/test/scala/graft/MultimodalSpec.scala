@@ -253,6 +253,64 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(4L) === nulls)
   }
 
+  private def bmpOf(payloads: (Long, Array[Byte])*): Map[Long, Seq[Any]] = {
+    import spark.implicits._
+    val df = payloads.toSeq.toDF("doc_id", "payload")
+    df.withColumn("__h", Multimodal.bmpHeader(col("payload")))
+      .select(col("doc_id"),
+        Multimodal.bmpStats(col("payload"), col("__h")).as("b"))
+      .select(col("doc_id"), col("b.width"), col("b.height"), col("b.bpp"),
+        col("b.px.n_sampled"), col("b.px.mean_r_x100"),
+        col("b.px.mean_g_x100"), col("b.px.mean_b_x100"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 7).map(i => r.get(i)).toSeq)
+      .toMap
+  }
+
+  /** Minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER. */
+  private def bmpHex(w: Int, h: Int, bpp: Int, comp: Int, pxHex: String): String =
+    "424d" + le32h(54 + pxHex.length / 2) + "00000000" + le32h(54) +
+      le32h(40) + le32h(w) + le32h(h) + le16h(1) + le16h(bpp) +
+      le32h(comp) + le32h(pxHex.length / 2) + le32h(2835) + le32h(2835) +
+      le32h(0) + le32h(0) + pxHex
+
+  test("bmpStats decodes hand-checked 24bpp pixels, stride padding skipped") {
+    // 2x2, BGR triples; stride = 8 so each 6-byte row carries 2 pad
+    // bytes that must NOT enter the sums. Channel layout check:
+    // pixel (B,G,R) = (10,20,30) x4 -> means B=1000, G=2000, R=3000
+    val uniform = bmpHex(2, 2, 24, 0,
+      "0a141e" + "0a141e" + "ffff" + "0a141e" + "0a141e" + "ffff")
+    // distinct values: B 0,100,200,44 -> sum 344; G 1,2,3,4 -> 10;
+    // R 255,0,128,17 -> 400
+    val mixed = bmpHex(2, 2, 24, 0,
+      "0001ff" + "6402" + "00" + "0000" + "c803" + "80" + "2c04" + "11" + "0000")
+    val got = bmpOf(1L -> hexBytes(uniform), 2L -> hexBytes(mixed))
+    assert(got(1L) === Seq[Any](2L, 2L, 24L, 4L, 3000L, 2000L, 1000L))
+    assert(got(2L) === Seq[Any](2L, 2L, 24L, 4L,
+      400L * 100 / 4, 10L * 100 / 4, 344L * 100 / 4))
+  }
+
+  test("bmpStats gates honestly: 16bpp dims-only, compressed/truncated/junk null") {
+    val all = Seq.fill(7)(null)
+    // 16bpp: header parses (dims visible), pixel stats null
+    val b16 = bmpHex(3, 2, 16, 0, "00" * 16)
+    // BI_RLE8 compression: dims visible, pixels gated off
+    val rle = bmpHex(2, 2, 24, 1, "00" * 16)
+    // declared 2x2 but pixel array cut short: whole-array gate -> null px
+    val short = bmpHex(2, 2, 24, 0, "0a141e")
+    val junk = "BM but not actually a bitmap".getBytes("UTF-8")
+    val got = bmpOf(1L -> hexBytes(b16), 2L -> hexBytes(rle),
+      3L -> hexBytes(short), 4L -> junk, 5L -> "tiny".getBytes("UTF-8"))
+    assert(got(1L) === Seq[Any](3L, 2L, 16L, null, null, null, null))
+    assert(got(2L) === Seq[Any](2L, 2L, 24L, null, null, null, null))
+    assert(got(3L) === Seq[Any](2L, 2L, 24L, null, null, null, null))
+    // "BM" magic but junk DIB: dib_size won't be >= 40 plausible? it
+    // reads arbitrary bytes — accept either header-null or dims junk,
+    // but pixel stats MUST be null (whole-array length gate)
+    assert(got(4L).drop(3) === Seq[Any](null, null, null, null))
+    assert(got(5L) === all)
+  }
+
   // big-endian helpers for hand-built ISO-BMFF fixtures
   private def be32h(v: Long): String = f"$v%08x"
   private def be64h(v: Long): String = f"$v%016x"
