@@ -1119,6 +1119,21 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(65536L)),
           pmod(col("l_partkey"), lit(65536L)))).as("z"))),
 
+    // Small-file compaction planning over a synthesized file listing
+    // (dir = partition directory, deterministic pseudo-sizes): files
+    // >= target stay `keep`, the rest get dir#bin group ids from a
+    // per-directory path-ordered running sum. One window partitioned
+    // by directory — never a global sort.
+    "layout_compaction" -> ((s, dir) => {
+      val listing = T(s, dir, "documents").select(
+        concat(lit("part="), col("doc_id") % 10).as("dir"),
+        concat(lit("f"), lpad(col("doc_id").cast("string"), 8, "0"))
+          .as("path"),
+        ((col("doc_id") * col("doc_id")) % 97 + 1) * 131072L)
+        .toDF("dir", "path", "bytes")
+      Layout.compactionPlan(listing, targetBytes = 4194304L)
+    }),
+
     // Full cross-dimensional super-aggregates — CUBE computes all 2^k
     // grouping sets (4 here) from ONE scan + Expand + one hash-agg,
     // the cross-tab sibling of rel_rollup's hierarchy.
@@ -2506,6 +2521,26 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey,
          |       ${Layout.zValueSql(Seq("(l_orderkey % 65536)", "(l_partkey % 65536)"))} AS z
          |FROM lineitem""".stripMargin,
+
+    "layout_compaction" ->
+      """WITH f AS (
+        |  SELECT 'part=' || (doc_id % 10) AS dir,
+        |         'f' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+        |         ((doc_id * doc_id) % 97 + 1) * 131072 AS bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT dir, path, bytes, bytes < 4194304 AS small,
+        |         coalesce(sum(bytes) OVER (
+        |           PARTITION BY dir, bytes < 4194304 ORDER BY path
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum
+        |  FROM f)
+        |SELECT dir, path, CAST(bytes AS BIGINT) AS bytes,
+        |       CASE WHEN small THEN 'compact' ELSE 'keep' END AS action,
+        |       CASE WHEN small
+        |            THEN dir || '#' || CAST(cum // 4194304 AS VARCHAR) END
+        |         AS group_id
+        |FROM c""".stripMargin,
 
     "rel_cube" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

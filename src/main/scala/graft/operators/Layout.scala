@@ -77,4 +77,46 @@ object Layout {
       .sortWithinPartitions(col(z))
       .drop(z)
   }
+
+  /** Small-file compaction planning — the operational counterpart of
+    * [[zOrderBy]]: a table that has absorbed many small appends reads
+    * at open-one-file-per-task speed until its files are rewritten
+    * into ~`targetBytes` groups. Given a file listing `(dir, path,
+    * bytes)`, files already ≥ `targetBytes` are marked `keep`
+    * (rewriting them buys nothing); smaller files get a deterministic
+    * group id `dir#⌊exclusive-cumsum(bytes)/targetBytes⌋` via a
+    * path-ordered running sum — each group's total lands in
+    * [targetBytes − last-file, targetBytes + one-file), the standard
+    * streaming-friendly binning (first-fit-decreasing packs ~equally
+    * but needs a size-sorted sequential pass; cumsum binning is
+    * order-deterministic and engine-reproducible).
+    *
+    * Scale shape: ONE window partitioned by `(dir, small?)` — a
+    * table's compaction unit is the partition directory, so the sort
+    * is per-directory, never global; output is the per-file
+    * assignment, the artifact a rewrite job consumes group by group.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      targetBytes: Long,
+      dirCol: String = "dir",
+      pathCol: String = "path",
+      bytesCol: String = "bytes"): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val small = col(bytesCol) < targetBytes
+    val smallC = graft.core.Cols.fresh("__small", Seq(dirCol, pathCol, bytesCol))
+    val w = Window.partitionBy(col(dirCol), col(smallC))
+      .orderBy(col(pathCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn(smallC, small)
+      .withColumn("__cum", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .select(col(dirCol), col(pathCol),
+        col(bytesCol).cast("long").as(bytesCol),
+        when(col(smallC), lit("compact")).otherwise(lit("keep")).as("action"),
+        when(col(smallC), concat(col(dirCol), lit("#"),
+          call_function("div", col("__cum"), lit(targetBytes))))
+          .as("group_id"))
+  }
 }

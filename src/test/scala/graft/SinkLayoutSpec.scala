@@ -161,4 +161,35 @@ class SinkLayoutSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
       s"orc scan did not get the partition filter:\n${plan.take(2000)}")
   }
+
+  test("compactionPlan: big files keep, small files bin to ~target per dir") {
+    import spark.implicits._
+    val target = 100L
+    // dir A: 5 small files of 40 -> cumsum bins 0,0,0(120? no: exclusive
+    // cumsum 0,40,80,120,160 -> bins 0,0,0,1,1); one big file of 250
+    // stays keep. dir B: one tiny file -> single bin 0.
+    val listing = Seq(
+      ("A", "a1", 40L), ("A", "a2", 40L), ("A", "a3", 40L),
+      ("A", "a4", 40L), ("A", "a5", 40L), ("A", "big", 250L),
+      ("B", "b1", 10L)).toDF("dir", "path", "bytes")
+    val got = graft.operators.Layout.compactionPlan(listing, target)
+      .collect().map(r => r.getString(1) ->
+        ((r.getString(3), Option(r.getString(4))))).toMap
+    assert(got("big") === (("keep", None)))
+    assert(got("a1") === (("compact", Some("A#0"))))
+    assert(got("a2") === (("compact", Some("A#0"))))
+    assert(got("a3") === (("compact", Some("A#0"))))
+    assert(got("a4") === (("compact", Some("A#1"))))
+    assert(got("a5") === (("compact", Some("A#1"))))
+    assert(got("b1") === (("compact", Some("B#0"))))
+    // every compact group's total stays under target + one member file
+    val totals = graft.operators.Layout.compactionPlan(listing, target)
+      .where(col("action") === "compact")
+      .groupBy("group_id")
+      .agg(sum("bytes").as("t"), max("bytes").as("m"))
+      .collect()
+    totals.foreach(r =>
+      assert(r.getLong(1) < target + r.getLong(2),
+        s"group ${r.getString(0)} total ${r.getLong(1)} exceeds envelope"))
+  }
 }
