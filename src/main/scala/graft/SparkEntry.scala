@@ -1033,6 +1033,21 @@ object SparkEntry {
     // to TRUE — a drifting sketch turns the row red. The exact count
     // here is the battery-scale validation harness; production runs
     // the sketch alone (see also CoreSpec's error-bound tests).
+    // KMV distinct-count sketch: DETERMINISTIC hashing means the
+    // estimate itself is oracle-exact (unlike the HLL/KLL rows whose
+    // contract is a bound), and per-partition sketches merge without
+    // revisiting raw data. WindowGroupLimit caps the sort at k rows
+    // per set map-side.
+    "events_kmv_distinct" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(ev, "event_type", "user_id"), "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("kmv_distinct"))
+    }),
+
     "rel_approx_count_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .agg(
@@ -2472,6 +2487,27 @@ object SparkEntry {
     "rel_approx_count_distinct" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
         |       TRUE AS within_2pct FROM lineitem""".stripMargin,
+    "events_kmv_distinct" -> {
+      val k = Sketches.KmvK
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS UBIGINT) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM d),
+         |s AS (SELECT event_type, count(*) AS n, max(h) AS hk
+         |      FROM r WHERE rk <= $k GROUP BY 1),
+         |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY 1)
+         |SELECT e.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+         |       CAST(CASE WHEN s.n < $k THEN s.n
+         |                 ELSE CAST(${k - 1} AS HUGEINT) * ${1L << 60} // s.hk
+         |            END AS BIGINT) AS kmv_distinct
+         |FROM e JOIN s USING (event_type)""".stripMargin
+    },
     "rel_approx_quantiles" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok,

@@ -77,4 +77,41 @@ class SketchesSpec extends SparkSpecBase {
     // one-sided error contract on whatever survives
     hh.values.foreach { case (est, ex) => assert(est >= ex) }
   }
+
+  test("kmv: exact below k, ~1/sqrt(k) accurate above, deterministic") {
+    // set "small": 50 distinct keys (< k=64) -> sketch is the set, exact
+    // set "big": 5000 distinct keys -> estimate within 3 RSE (~40%)
+    val items = ((1 to 50).map(i => ("small", s"s$i")) ++
+      (1 to 5000).map(i => ("big", s"b$i"))).toDF("grp", "key")
+    def run(): Map[String, Long] =
+      Sketches.kmvEstimate(Sketches.kmvSketch(items, "grp", "key"), "grp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = run()
+    assert(est("small") === 50L)
+    assert(math.abs(est("big") - 5000L) <= 2000L,
+      s"kmv estimate ${est("big")} off by > 3 RSE from 5000")
+    assert(est === run()) // deterministic hash -> identical sketch
+  }
+
+  test("kmvMerge(kmv(A), kmv(B)) equals kmv(A union B) row for row") {
+    val a = (1 to 300).map(i => ("g", s"a$i")).toDF("grp", "key")
+    val b = (1 to 300).map(i => ("g", s"x$i")).toDF("grp", "key")
+    val u = ((1 to 300).map(i => ("g", s"a$i")) ++
+      (1 to 300).map(i => ("g", s"x$i"))).toDF("grp", "key")
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(a, "grp", "key"),
+      Sketches.kmvSketch(b, "grp", "key"), "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Sketches.kmvSketch(u, "grp", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged === direct)
+  }
+
+  test("kmv plan: the per-set sort is WindowGroupLimit-capped") {
+    val items = (1 to 500).map(i => (s"g${i % 3}", s"k$i")).toDF("grp", "key")
+    val plan = Sketches.kmvSketch(items, "grp", "key")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side top-k pushdown:\n${plan.take(2000)}")
+  }
 }
