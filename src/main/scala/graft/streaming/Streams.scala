@@ -158,4 +158,64 @@ object Streams {
           KeyTotal(key, total)
       }
   }
+
+  /** Open-session state of [[timeoutSessions]]: (n_events, t_first_ms,
+    * t_last_ms). */
+  final case class OpenSession(n: Long, first: Long, last: Long)
+
+  /** Output row of [[timeoutSessions]]: `closed_by` records WHY the
+    * session emitted — "gap" (a later event arrived beyond the gap) or
+    * "timeout" (the watermark passed last + gap with no successor). */
+  final case class SessionOut(
+      key: String, n_events: Long, t_first: Long, t_last: Long,
+      closed_by: String)
+
+  /** Gap sessionization via flatMapGroupsWithState + EVENT-TIME
+    * timeout — the bring-your-own-state-machine form of
+    * [[sessionCounts]], for semantics `session_window` cannot express:
+    * each emitted session carries close PROVENANCE, and arbitrary
+    * per-session state (counters, payload digests) rides along. A
+    * session closes either when a later event for the key arrives
+    * past the gap, or when the watermark passes `last + gap`
+    * (`setTimeoutTimestamp` + `hasTimedOut`) — so quiet keys still
+    * emit, and state is bounded by OPEN sessions exactly like the
+    * built-in. Input must carry a watermark on the timestamp column;
+    * events inside one micro-batch are sorted per key (the iterator
+    * has no order contract). */
+  def timeoutSessions(
+      ds: Dataset[(String, java.sql.Timestamp)],
+      gapMs: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.n, s.first, s.last, "timeout"))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Array.newBuilder[SessionOut]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.n + 1, s.first, math.max(s.last, t)))
+                case Some(s) =>
+                  closed += SessionOut(key, s.n, s.first, s.last, "gap")
+                  open = Some(OpenSession(1L, t, t))
+                case None =>
+                  open = Some(OpenSession(1L, t, t))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

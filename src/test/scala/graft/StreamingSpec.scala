@@ -211,6 +211,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("timeoutSessions closes by gap on arrival and by watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val src = in.toDS().toDF("key", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Timestamp)]
+    val q = Streams.timeoutSessions(src, gapMs = 120000L)
+      .writeStream.format("memory").queryName("tsess").outputMode("append")
+      .start()
+    try {
+      // k1: two events 1 min apart with a 2-minute gap dial (one
+      // session), then one far later in the SAME batch -> the first
+      // session closes by gap immediately
+      in.addData(("k1", ts(1)), ("k1", ts(1, 1)), ("k1", ts(1, 45)))
+      q.processAllAvailable()
+      val afterGap = spark.table("tsess").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+      assert(afterGap === Set(("k1", 2L, "gap")))
+      // an unrelated key far in the future advances the watermark past
+      // k1's last + gap -> k1's open session must emit as "timeout"
+      in.addData(("k2", ts(3)))
+      q.processAllAvailable()
+      in.addData(("k2", ts(4))) // one more batch so the timer fires
+      q.processAllAvailable()
+      val all = spark.table("tsess").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+      assert(all.contains(("k1", 1L, "timeout")),
+        s"open session did not time out: $all")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
