@@ -15,7 +15,11 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan("q1_pricing")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(3000))
+    // each pushed filter independently — filter ORDER in the list is
+    // not a stable contract across Spark optimizer versions
+    assert(p.contains("PushedFilters: ["), p.take(3000))
+    assert(p.contains("IsNotNull(l_shipdate)"), p.take(3000))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(3000))
   }
 
   test("tokenize prunes the documents scan to doc_id + text") {
