@@ -551,6 +551,12 @@ object SparkEntry {
   /** Synchronous label-propagation rounds over the k-NN graph. */
   val LpaIters: Int = 4
 
+  /** BFS hop bound for graph_bfs (seeds = vec_id % 50 = 0). */
+  val BfsMaxHops: Int = 3
+
+  /** Selection size of docs_sample_weighted. */
+  val WeightedSampleK: Int = 120
+
   /** Unrolled deterministic-LPA oracle over the `knn` CTE — the same
     * min-label-tie-break argmax as [[graft.operators.Graph.labelPropagation]],
     * replayed [[LpaIters]] times. */
@@ -576,6 +582,27 @@ object SparkEntry {
        |l0 AS (SELECT id, id AS c FROM nodes),
        |$rounds
        |SELECT id AS vec_id, c AS community FROM l$LpaIters""".stripMargin
+  }
+
+  /** Unrolled multi-source BFS oracle over the `knn` CTE — dense
+    * min-relaxation per round (equivalent to the operator's frontier
+    * iteration), replayed [[BfsMaxHops]] times. */
+  private lazy val bfsSql: String = {
+    val rounds = (1 to BfsMaxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON d.id = e.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnGraphCte,
+       |e AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |d0 AS (SELECT DISTINCT vec_id AS id, CAST(0 AS BIGINT) AS dist
+       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |$rounds
+       |SELECT id AS vec_id, dist AS hops FROM d$BfsMaxHops""".stripMargin
   }
 
   /** Squared z-score cutoff (milli²) the events_outliers oracle
@@ -1468,6 +1495,17 @@ object SparkEntry {
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
         iters = PageRankIters)
         .select(col("id").as("vec_id"), col("pr").as("pr_x1e12"))),
+    // Bounded multi-source BFS over the same k-NN graph: exact hop
+    // distance from the nearest seed (frontier iteration — each round
+    // touches only newly-reached nodes, not the visited set).
+    "graph_bfs" -> ((s, dir) =>
+      graft.operators.Graph.bfs(
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+        seeds = T(s, dir, "embeddings").where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("id")),
+        maxHops = BfsMaxHops)
+        .select(col("id").as("vec_id"), col("dist").as("hops"))),
     // IVF-style ANN: deterministic coarse quantizer (seed-by-id
     // centroids, broadcast n·K assignment) + cell equijoin.
     "emb_ann_ivf" -> ((s, dir) =>
@@ -1974,6 +2012,26 @@ object SparkEntry {
           length(col("text")).cast("long").as("text_len"))
     }),
 
+    // Snapshot diff audit — recover the change set between two table
+    // versions (added/removed/changed + the columns that moved). The
+    // "after" snapshot is synthesized from the same parquet (drops,
+    // in-place edits, inserts), so both engines diff byte-identical
+    // inputs and every classification branch is exercised.
+    "docs_diff" -> ((s, dir) => {
+      val before = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val after = before.where(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+          col("source"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1L)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(before.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+            col("source"), col("n_chars")))
+      Cdc.snapshotDiff(before, after, Seq("doc_id"))
+    }),
+
     // Markup cleaning. Like text_pii_scrub, the markup is planted from
     // the doc's own columns so BOTH engines synthesize byte-identical
     // dirty text and the strip + entity unescape + collapse is
@@ -2048,6 +2106,15 @@ object SparkEntry {
         partitionCols = Seq("source"),
         orderCols = Seq(Curation.hashOrder(col("doc_id")), col("doc_id")))
         .select(col("doc_id"), col("source"), col("rk"))),
+
+    // Deterministic weighted top-k: integer priority sampling
+    // (hashOrder div weight, k smallest) — inclusion odds scale with
+    // n_chars, selection replays bit-for-bit on any engine. One
+    // narrow projection + one distributed top-k, no global sort.
+    "docs_sample_weighted" -> ((s, dir) =>
+      Curation.sampleWeighted(
+        T(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        k = WeightedSampleK)),
 
     // Token-budget mixture selection — per-source hash-ordered prefix
     // under a token budget, computed as a distributed prefix scan
@@ -2257,6 +2324,13 @@ object SparkEntry {
           col("value"), col("event_id")),
         keys = Seq("user_id"), tsCol = "ts",
         payload = Seq("value"), tieBreak = Seq("event_id"))),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (what follows what, with exact-permille shares) —
+    // one user-shuffle + lead, then a hash-agg onto the tiny
+    // |types|² pair space.
+    "events_transitions" -> ((s, dir) =>
+      Sessions.transitions(eventsTable(s, dir))),
 
     // Two-snapshot categorical drift (χ² homogeneity per source) —
     // snapshots here are the doc-id parity halves; one conditional
@@ -2533,6 +2607,13 @@ object SparkEntry {
          |           ORDER BY ${Curation.hashOrderSql("doc_id")},
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents) WHERE rk <= $FixedSamplePerSource""".stripMargin,
+
+    "docs_sample_weighted" ->
+      s"""SELECT doc_id, source, n_chars,
+         |       CAST((${Curation.hashOrderSql("doc_id")})
+         |            // greatest(n_chars, 1) AS BIGINT) AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id LIMIT $WeightedSampleK""".stripMargin,
 
     "rel_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM lineitem l
@@ -2984,6 +3065,7 @@ object SparkEntry {
     // fixed-point PageRank over the knn edges — the unrolled integer
     // update; see pageRankSql.
     "graph_pagerank" -> pageRankSql,
+    "graph_bfs" -> bfsSql,
 
     // vector-space dedup clusters: same recursive-CTE closure as
     // dedup_clusters, over the cosine near-dup pairs.
@@ -3632,6 +3714,41 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS text_len
         |FROM m WHERE NOT del""".stripMargin,
 
+    // same synthesized after-snapshot; IS DISTINCT FROM mirrors the
+    // null-safe <=> comparisons, concat_ws skips the NULL branches in
+    // both dialects so changed_cols agrees byte-for-byte.
+    "docs_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents),
+        |a AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |         source,
+        |         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |         b.doc_id IS NOT NULL AS in_b, a.doc_id IS NOT NULL AS in_a,
+        |         b.lang IS DISTINCT FROM a.lang AS d_lang,
+        |         b.source IS DISTINCT FROM a.source AS d_source,
+        |         b.n_chars IS DISTINCT FROM a.n_chars AS d_nc
+        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN NOT in_b THEN 'added'
+        |            WHEN NOT in_a THEN 'removed'
+        |            ELSE 'changed' END AS change,
+        |       CASE WHEN in_b AND in_a
+        |            THEN concat_ws(',',
+        |                   CASE WHEN d_lang THEN 'lang' END,
+        |                   CASE WHEN d_source THEN 'source' END,
+        |                   CASE WHEN d_nc THEN 'n_chars' END)
+        |            ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE (NOT in_b) OR (NOT in_a) OR d_lang OR d_source OR d_nc""".stripMargin,
+
     "text_clean" ->
       """WITH seeded AS (
         |  SELECT doc_id,
@@ -4042,6 +4159,22 @@ object SparkEntry {
         |       (lead(ts) OVER w2 IS NULL) AS is_current
         |FROM k
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // adjacent-pair observations per user via lead, then the pair
+    // count with its per-source integer permille share (DuckDB's
+    // sum(BIGINT) promotes to HUGEINT — re-cast after the division).
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST((n * 1000) // sum(n) OVER (PARTITION BY from_type)
+        |            AS BIGINT) AS share_x1000
+        |FROM c""".stripMargin,
 
     // χ² homogeneity across the doc-id parity snapshots, the
     // cross-multiplied integer form the operator emits.

@@ -94,4 +94,55 @@ object Cdc {
       .drop("__keep")
       .drop(tieBreak: _*)
   }
+
+  /** Keyed snapshot diff — classify every key as `added` / `removed` /
+    * `changed` between two table versions and name the columns that
+    * moved. The audit dual of [[upsert]]: upsert APPLIES a change
+    * batch, diff RECOVERS one from two snapshots (regression checks
+    * between pipeline runs, "what did the re-crawl actually touch",
+    * deriving a CDC stream when the producer doesn't emit one).
+    * Unchanged keys are absent from the output, so the diff of
+    * identical snapshots is empty — the property a regression gate
+    * asserts.
+    *
+    * Shape: ONE full-outer hash join on the key — both snapshots
+    * partition on the same key, so on bucketed storage this is
+    * shuffle-free — then a narrow projection of null-safe `<=>`
+    * comparisons per payload column. `changed_cols` is the
+    * comma-joined list of differing columns in declaration order
+    * (deterministic — no set semantics to diverge on).
+    */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(before.columns.sameElements(after.columns),
+      "snapshots must share a schema; align columns before diffing")
+    val payload = before.columns.filterNot(keys.contains).toSeq
+    val all = before.columns.toSeq
+    val inB = graft.core.Cols.fresh("__in_b", all)
+    val inA = graft.core.Cols.fresh("__in_a", all)
+    val b = payload.foldLeft(before.withColumn(inB, lit(true))) {
+      (d, c) => d.withColumnRenamed(c, s"__b_$c")
+    }
+    val a = payload.foldLeft(after.withColumn(inA, lit(true))) {
+      (d, c) => d.withColumnRenamed(c, s"__a_$c")
+    }
+    val diffCols = payload.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+    val anyDiff =
+      if (diffCols.isEmpty) lit(false) else diffCols.reduce(_ || _)
+    b.join(a, keys, "full_outer")
+      .withColumn("change",
+        when(col(inB).isNull, lit("added"))
+          .when(col(inA).isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .where(col("change").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change") === "changed",
+          concat_ws(",", payload.map(c =>
+            when(!(col(s"__b_$c") <=> col(s"__a_$c")), lit(c))): _*))
+          .otherwise(lit("")))
+      .select(keys.map(col) ++ Seq(col("change"), col("changed_cols")): _*)
+  }
 }

@@ -368,6 +368,39 @@ object Curation {
       .drop("__permille")
   }
 
+  /** Deterministic weighted top-k sampling — fixed-size selection where
+    * a row's inclusion odds scale with its weight (token count, quality
+    * score, importance weight from [[dsirWeights]]): the integer
+    * priority-sampling scheme `priority = hashOrder(id) div weight`,
+    * keep the k smallest (priority, id). A row with twice the weight
+    * halves its priority, doubling its selection odds under the
+    * ~uniform hash — the fixed-point cousin of A-Res exponential
+    * sampling, chosen because it is EXACT integer arithmetic both
+    * engines replay bit-for-bit (no log/pow to drift). Weights clamp
+    * to ≥ 1 so zero-weight rows stay selectable at the floor rather
+    * than dividing by zero.
+    *
+    * Shape: a narrow projection computes priorities in the scan, then
+    * ONE distributed top-k (TakeOrderedAndProject — per-partition
+    * partial top-k, never a global sort). Selection is stable under
+    * re-runs, engine swaps, and partitioning changes; adding rows can
+    * only displace, never reshuffle, the kept set — the same
+    * incremental-ingest property the hash-membership samplers here
+    * share.
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("priority",
+        call_function("div", hashOrder(col(idCol)),
+          greatest(col(weightCol), lit(1L))))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Markup stripping + whitespace normalization — the first transform
     * a web crawl sees: drop tags (`<[^>]*>` → space, so adjacent words
     * never fuse), unescape the four core HTML entities (`&amp;` LAST —

@@ -459,4 +459,40 @@ object Sessions {
         col("cohort_size"),
         expr("(n_users * 10000) div cohort_size").as("retained_x10000"))
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the path-analysis primitive behind "what do users do
+    * after X" funnels and behavioral anomaly screens (a crawler whose
+    * view→view self-loop share is 999‰ is not a person). Each user's
+    * events are ordered by (ts, tie); every adjacent pair contributes
+    * one (from_type, to_type) observation; output is the pair count
+    * plus its per-source share in exact integer permille
+    * (`n·1000 div Σ_from n`, so rows hash-match any engine replaying
+    * the integer ops).
+    *
+    * Shape: ONE shuffle on user (the same partitioning every other
+    * sequence operator here uses — a pre-bucketed events table serves
+    * them all), a per-partition sort for the `lead`, then a hash-agg
+    * onto the (from, to) pair space — whose cardinality is bounded by
+    * |event types|², not by the corpus. The share window runs over
+    * that tiny aggregate, not over events.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val nxt = graft.core.Cols.fresh("__next", Seq(userCol, tsCol, typeCol, tieCol))
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn(nxt, lead(col(typeCol), 1).over(w))
+      .where(col(nxt).isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col(nxt).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_x1000",
+        call_function("div", col("n") * lit(1000L), sum(col("n")).over(byFrom)))
+  }
 }

@@ -743,4 +743,78 @@ class CurationSpec extends SparkSpecBase {
     // identical docs score identically (the model is corpus-global)
     assert(got(1L) === got(2L) && got(5L) === got(6L))
   }
+
+  // ----------------------------------------------------- weighted sampling
+
+  test("sampleWeighted keeps the k smallest integer priorities, stable under repartition") {
+    val rows = (1L to 200L).map(i => (i, i % 7 + 1)) // weights 1..7
+    val df = rows.toDF("doc_id", "w")
+    val hashMul = Curation.HashMul
+    def prio(id: Long, w: Long) = ((id % 2147483647L) * hashMul % 4294967296L) / math.max(w, 1L)
+    val expect = rows.map { case (i, w) => (prio(i, w), i) }.sorted.take(25).map(_._2).toSet
+    val got = Curation.sampleWeighted(df, k = 25, idCol = "doc_id", weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expect)
+    // partitioning must not change the selection
+    val got17 = Curation.sampleWeighted(df.repartition(17), 25, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got17 === got)
+  }
+
+  test("sampleWeighted clamps non-positive weights instead of dividing by zero") {
+    val df = Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("doc_id", "w")
+    // all rows remain selectable; k = all rows returns all rows
+    val got = Curation.sampleWeighted(df, k = 3, idCol = "doc_id", weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  // ----------------------------------------------------- snapshot diff
+
+  test("snapshotDiff classifies added/removed/changed and names moved columns") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "s", "v")
+    val after = Seq(
+      (1L, "a", 10L), // unchanged → absent from the diff
+      (2L, "B", 21L), // both payload columns moved
+      (4L, "d", 41L), // one column moved; id 3 removed
+      (5L, "e", 50L)) // added
+      .toDF("id", "s", "v")
+    val got = graft.operators.Cdc.snapshotDiff(before, after, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (2L, "changed", "s,v"), (3L, "removed", ""),
+      (4L, "changed", "v"), (5L, "added", "")))
+  }
+
+  test("snapshotDiff is empty on identical snapshots and null-safe on payload") {
+    val a = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "s")
+    assert(graft.operators.Cdc.snapshotDiff(a, a, Seq("id")).count() === 0L)
+    val b = Seq((1L, Some("y")), (2L, Option.empty[String])).toDF("id", "s")
+    val got = graft.operators.Cdc.snapshotDiff(a, b, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // null→value and value→null are both real changes
+    assert(got === Set((1L, "changed", "s"), (2L, "changed", "s")))
+  }
+
+  // ----------------------------------------------------- transitions
+
+  test("transitions counts adjacent pairs per user with exact permille shares") {
+    // user 1: a→b→a→b ; user 2: b→b→c
+    val events = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "b"),
+      (1L, ts(2), 3L, "a"), (1L, ts(3), 4L, "b"),
+      (2L, ts(0), 5L, "b"), (2L, ts(1), 6L, "b"), (2L, ts(2), 7L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.transitions(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // from a: a→b twice (1000‰); from b: one each of a/b/c (333‰ floor)
+    assert(got === Map(
+      ("a", "b") -> ((2L, 1000L)),
+      ("b", "a") -> ((1L, 333L)),
+      ("b", "b") -> ((1L, 333L)),
+      ("b", "c") -> ((1L, 333L))))
+  }
 }

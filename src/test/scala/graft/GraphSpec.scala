@@ -136,4 +136,60 @@ class GraphSpec extends SparkSpecBase {
     for (iters <- Seq(1, 3))
       assert(lpa(edges, iters) === lpaModel(edges, iters), s"iters=$iters")
   }
+
+  // --------------------------------------------------------------- BFS
+
+  /** Sequential BFS distances up to maxHops from the seed set. */
+  private def bfsModel(
+      edges: Seq[(Long, Long)], seeds: Set[Long], maxHops: Int): Map[Long, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (i <- 1 to maxHops) {
+      val reached = edges.collect {
+        case (s, d) if frontier.contains(s) && !dist.contains(d) => d
+      }.toSet
+      dist ++= reached.map(_ -> i.toLong)
+      frontier = reached
+    }
+    dist
+  }
+
+  private def bfs(
+      edges: Seq[(Long, Long)], seeds: Set[Long], maxHops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.bfs(
+        edges.toDF("src", "dst"),
+        seeds.toSeq.toDF("id"),
+        maxHops = maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs finds nearest-seed hop distances, directed, bounded") {
+    // 0→1→2→3→4 chain plus a shortcut 0→3; seed {0}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L))
+    val got = bfs(edges, Set(0L), maxHops = 2)
+    // 3 is reached at hop 1 via the shortcut, 4 at hop 2; 2 also hop 2;
+    // edges are DIRECTED — nothing upstream of 0 exists to reach
+    assert(got === Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L))
+    // hop bound respected: maxHops=1 must not reach 2 or 4
+    assert(bfs(edges, Set(0L), maxHops = 1) === Map(0L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
+
+  test("bfs multi-source takes the nearest seed; isolated seeds still emit") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 3L))
+    val got = bfs(edges, Set(1L, 9L, 50L), maxHops = 3)
+    // 3 is 1 hop from seed 9, not 2 hops from seed 1; 50 has no edges
+    assert(got === Map(1L -> 0L, 9L -> 0L, 50L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfs equals the sequential model on a random graph") {
+    val rnd = new scala.util.Random(11L)
+    val edges = (for {
+      s <- 0L until 30L
+      d <- Seq.fill(2)(rnd.nextLong(30L).abs) if d != s
+    } yield (s, d)).distinct
+    val seeds = Set(0L, 7L, 13L)
+    for (hops <- Seq(1, 3, 5))
+      assert(bfs(edges, seeds, hops) === bfsModel(edges, seeds, hops), s"hops=$hops")
+  }
 }
