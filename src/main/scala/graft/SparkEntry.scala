@@ -557,6 +557,14 @@ object SparkEntry {
   /** Selection size of docs_sample_weighted. */
   val WeightedSampleK: Int = 120
 
+  /** text_keywords: top-k size and TextRank rounds. */
+  val KeywordsK: Int = 25
+  val KeywordsIters: Int = 4
+
+  /** text_tfidf_sim: df cap and cosine floor (×10⁶). */
+  val TfidfMaxDf: Long = 100L
+  val TfidfMinCos: Long = 250000L
+
   /** Unrolled deterministic-LPA oracle over the `knn` CTE — the same
     * min-label-tie-break argmax as [[graft.operators.Graph.labelPropagation]],
     * replayed [[LpaIters]] times. */
@@ -603,6 +611,47 @@ object SparkEntry {
        |       FROM embeddings WHERE vec_id % 50 = 0),
        |$rounds
        |SELECT id AS vec_id, dist AS hops FROM d$BfsMaxHops""".stripMargin
+  }
+
+  /** Unrolled TextRank oracle — the [[graft.operators.Graph.pageRank]]
+    * integer update over the adjacent-token co-occurrence graph (edges
+    * via the text_lm_bigram array trick; tokens are \s+-split, so the
+    * space join in the pair string is unambiguous), replayed
+    * [[KeywordsIters]] times, top [[KeywordsK]] by (pr, word). */
+  private lazy val keywordsSql: String = {
+    val s = graft.operators.Graph.PrScale
+    val keep = graft.operators.Graph.DampingPctKeep
+    val base = (100L - keep) * s / 100L
+    val rounds = (1 to KeywordsIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id,
+         |         CAST($base + ($keep * coalesce(s$i.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // d.dg) AS c
+         |    FROM sym e JOIN pr${i - 1} p ON p.id = e.src
+         |               JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s$i ON s$i.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH arr AS (
+       |  SELECT list_transform($tokList, w -> lower(trim(w))) AS a
+       |  FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT
+       |    least(split_part(b, ' ', 1), split_part(b, ' ', 2)) AS lo,
+       |    greatest(split_part(b, ' ', 1), split_part(b, ' ', 2)) AS hi
+       |  FROM (
+       |    SELECT unnest(list_transform(range(1, len(a)),
+       |      i -> a[i] || ' ' || a[i+1])) AS b
+       |    FROM arr WHERE len(a) >= 2)
+       |  WHERE split_part(b, ' ', 1) <> split_part(b, ' ', 2)),
+       |sym AS (SELECT lo AS src, hi AS dst FROM e0
+       |        UNION ALL SELECT hi AS src, lo AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
+       |pr0 AS (SELECT id, CAST($s AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT id AS word, pr AS pr_x1e12 FROM pr$KeywordsIters
+       |ORDER BY pr DESC, word LIMIT $KeywordsK""".stripMargin
   }
 
   /** Squared z-score cutoff (milli²) the events_outliers oracle
@@ -2376,6 +2425,19 @@ object SparkEntry {
     // Unigram-LM cross-entropy scoring (the CCNet-style perplexity
     // filter) in exact integer bits: tf hash-agg → Zipf-bounded model
     // join → per-doc rollup; -log2 p as floorlog2 via bin().
+    // Sparse TF-IDF cosine pairs — lexical "related documents" with
+    // exact integer weights/norms; candidates from a df-capped TERM
+    // equijoin, never all-pairs.
+    "text_tfidf_sim" -> ((s, dir) =>
+      TextAnalysis.tfidfSimilarity(T(s, dir, "documents"),
+        maxDf = TfidfMaxDf, minCosX1e6 = TfidfMinCos)),
+
+    // TextRank corpus keywords: integer PageRank over the adjacent-
+    // token co-occurrence graph, top-k by centrality.
+    "text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(T(s, dir, "documents"),
+        k = KeywordsK, iters = KeywordsIters)),
+
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(T(s, dir, "documents"))),
 
@@ -4319,6 +4381,45 @@ object SparkEntry {
 
     // -log2 p(w) as floorlog2(total) - floorlog2(cnt) via bin-string
     // lengths — exact integers end to end on both engines.
+    // same tf/idf-bits arithmetic; isqrt replicated via the corrected
+    // float-sqrt (the docs_mixture_temperature trick); the cosine
+    // division runs in HUGEINT to mirror Spark's DECIMAL(38,0).
+    "text_tfidf_sim" ->
+      s"""$toksCte,
+         |tf AS (SELECT doc_id, lower(trim(word)) AS w, count(*) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         |dft AS (SELECT w, count(*) AS df FROM tf
+         |        GROUP BY 1 HAVING count(*) <= $TfidfMaxDf),
+         |idf AS (SELECT w, CAST(length(bin(n)) - length(bin(df)) AS BIGINT) AS idf
+         |        FROM dft, nd),
+         |wt AS (SELECT tf.doc_id, tf.w, CAST(tf.tf * idf.idf AS BIGINT) AS wt
+         |       FROM tf JOIN idf USING (w) WHERE tf.tf * idf.idf > 0),
+         |n2 AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM wt GROUP BY 1),
+         |s0 AS (SELECT doc_id, n2,
+         |              CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS e
+         |       FROM n2),
+         |s1 AS (SELECT doc_id, n2,
+         |              CASE WHEN (e+1)*(e+1) <= n2 THEN e+1 ELSE e END AS e
+         |       FROM s0),
+         |nrm AS (SELECT doc_id, CASE WHEN e*e > n2 THEN e-1 ELSE e END AS nrm
+         |        FROM s1),
+         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+         |         FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |cosd AS (
+         |  SELECT id_a, id_b,
+         |         CAST((CAST(dot AS HUGEINT) * 1000000)
+         |              // (CAST(na.nrm AS HUGEINT) * nb.nrm) AS BIGINT) AS cos_x1e6
+         |  FROM dots
+         |  JOIN nrm na ON na.doc_id = dots.id_a AND na.nrm > 0
+         |  JOIN nrm nb ON nb.doc_id = dots.id_b AND nb.nrm > 0)
+         |SELECT id_a, id_b, cos_x1e6 FROM cosd
+         |WHERE cos_x1e6 >= $TfidfMinCos""".stripMargin,
+
+    "text_keywords" -> keywordsSql,
+
     "text_lm_score" ->
       s"""$toksCte,
          |tf AS (SELECT doc_id, lower(trim(word)) AS w, count(*) AS tf

@@ -697,4 +697,117 @@ object TextAnalysis {
         when(col("__best.__c") === col("actual"), lit(1L))
           .otherwise(lit(0L)).as("correct"))
   }
+
+  /** Sparse TF-IDF cosine document similarity — "related documents" by
+    * term overlap, the LEXICAL complement of
+    * [[Embeddings.cosineNearDup]]'s dense-vector pairs: weights are the
+    * exact integers `tf · idf_bits` with `idf_bits = ⌊log2 N⌋ −
+    * ⌊log2 df⌋` (the [[lmScore]] bin-length trick), norms are
+    * [[Curation.isqrt]] exact integer roots, and the cosine ×10⁶ is
+    * computed in DECIMAL(38,0) before flooring back to int64 — every
+    * step replayable bit-for-bit by another engine.
+    *
+    * Shape: per-doc tf hash-agg FIRST (one row per (doc, term) enters
+    * the join — no token-multiplicity skew), a vocabulary-sized df
+    * agg, then the pair candidates from a TERM equijoin — never
+    * all-pairs. `maxDf` is the load-bearing dial: pair work is
+    * Σ_term df² ≤ maxDf · Σ df, linear in the posting stream with the
+    * cap as the constant, and the words it drops are exactly the
+    * near-zero-idf stopwords that contribute noise, not signal —
+    * same cap, same reason as [[invertedIndex]] and the hot-shingle
+    * cap in [[NearDup.ngramJaccardPairs]]. Pairs below `minCosX1e6`
+    * are filtered after one decimal division per surviving pair.
+    *
+    * Overflow envelope: weights are ≤ tf·64; a doc with 10⁵-token tf
+    * and 30-bit idf has wt ≈ 3·10⁶, so the int64 norm² sum holds to
+    * ~10⁶ distinct terms per doc — far past real documents. The
+    * cosine numerator `dot·10⁶` is the term that would wrap first
+    * (~10¹⁴ on big docs), hence the DECIMAL(38,0) arithmetic there.
+    */
+  def tfidfSimilarity(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Long = 100L,
+      minCosX1e6: Long = 250000L): DataFrame = {
+    val norm = graft.functions.Scalars.wordNorm(col("word"))
+    val tokens = Tokenize.splitTokens(inputCol = textCol)(
+      docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), norm.as("__w"))
+    val tf = tokens.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val dfs = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+    val idf = dfs.crossJoin(broadcast(nDocs))
+      .select(col("__w"),
+        (length(bin(col("__n"))) - length(bin(col("__df"))))
+          .cast("long").as("__idf"))
+    val wts = tf.join(idf, "__w")
+      .select(col(idCol), col("__w"), (col("__tf") * col("__idf")).as("__wt"))
+      .where(col("__wt") > 0)
+    val norms = wts.groupBy(col(idCol))
+      .agg(sum(col("__wt") * col("__wt")).as("__n2"))
+      .select(col(idCol), Curation.isqrt(col("__n2")).as("__nrm"))
+      .where(col("__nrm") > 0)
+    val dots = wts.select(col(idCol).as("id_a"), col("__w"), col("__wt").as("__wa"))
+      .join(wts.select(col(idCol).as("id_b"), col("__w"), col("__wt").as("__wb")),
+        "__w")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("__nrm").as("__na")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("__nrm").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("""(cast(__dot as decimal(38,0)) * 1000000)
+               | div (cast(__na as decimal(38,0)) * cast(__nb as decimal(38,0)))"""
+          .stripMargin.replace("\n", " ")).as("cos_x1e6"))
+      .where(col("cos_x1e6") >= minCosX1e6)
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as the PageRank centers of the word co-occurrence
+    * graph: nodes are normalized tokens, an undirected edge links
+    * every ADJACENT token pair, and [[Graph.pageRank]]'s exact
+    * fixed-point integer update scores centrality. Composes two
+    * existing families end-to-end — the bigram array pass of
+    * [[lmScoreBigram]] builds the edges, the graph machinery ranks —
+    * with no new arithmetic to verify.
+    *
+    * Shape: edge generation is one narrow zip_with pass + a distinct
+    * (vocabulary-pair-sized, ≪ token stream); the rank loop is
+    * [[Graph.pageRank]]'s one-join-one-agg per round over a
+    * vocabulary-sized node set; the final top-k is a distributed
+    * TakeOrderedAndProject, no global sort. At web-corpus vocabularies
+    * pass a smaller `scale` through [[Graph.pageRank]]'s headroom
+    * note (n·scale must stay inside int64).
+    */
+  def keywords(
+      docs: DataFrame,
+      k: Int = 25,
+      iters: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val raw = filter(split(col(textCol), "\\s+"),
+      t => !graft.functions.Scalars.isBlank(t))
+    val arr = transform(raw, w => graft.functions.Scalars.wordNorm(w))
+    val edges = docs.select(arr.as("__a"))
+      .where(size(col("__a")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__a"), lit(1), size(col("__a")) - 1),
+        slice(col("__a"), lit(2), size(col("__a")) - 1),
+        (x, y) => struct(least(x, y).as("lo"), greatest(x, y).as("hi"))))
+        .as("__e"))
+      .select(col("__e.lo").as("lo"), col("__e.hi").as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+    val sym = edges.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
+    Graph.pageRank(sym, iters = iters)
+      .orderBy(col("pr").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("word"), col("pr").as("pr_x1e12"))
+  }
 }

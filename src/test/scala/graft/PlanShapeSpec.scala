@@ -185,6 +185,8 @@ class PlanShapeSpec extends SparkSpecBase {
           "emb_semdedup", // same IVF n·K broadcast assignment pass
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
           "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
+          // 1-row doc-count broadcast feeding the idf-bits projection
+          "text_tfidf_sim",
           "docs_mixture_temperature",
           // 1-row totals broadcast (DSIR) and the docs×classes n·K
           // scoring grid + 1-row train-count broadcast (NB classifier)

@@ -274,4 +274,60 @@ class TextAnalysisSpec extends SparkSpecBase {
       (i, s"the same nine word sentence appears in every doc")).toDF("doc_id", "text")
     assert(TextAnalysis.winnowPairs(flood).count() === 0L)
   }
+
+  // ------------------------------------------------- TF-IDF similarity
+
+  test("tfidfSimilarity pairs identical docs at ~1.0, skips disjoint ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical to 1
+      (3L, "epsilon zeta eta theta"),   // disjoint from 1/2
+      (4L, "alpha beta iota kappa"))    // half-overlaps 1/2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfSimilarity(d, minCosX1e6 = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical docs: cos = 1.0 exactly up to the integer floor
+    assert(got((1L, 2L)) >= 990000L && got((1L, 2L)) <= 1000000L)
+    // disjoint docs never pair (no shared term ⇒ no candidate)
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+    // partial overlap scores strictly between
+    assert(got((1L, 4L)) > 100000L && got((1L, 4L)) < got((1L, 2L)))
+  }
+
+  test("tfidfSimilarity df-cap drops corpus-wide terms from pairing") {
+    import spark.implicits._
+    // "common" appears in every doc; with maxDf = 2 it cannot pair
+    // anything, and the docs share nothing else
+    val d = Seq(
+      (1L, "common aaa"), (2L, "common bbb"), (3L, "common ccc"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfSimilarity(d, maxDf = 2L, minCosX1e6 = 1L).count() === 0L)
+  }
+
+  // ------------------------------------------------- TextRank keywords
+
+  test("keywords ranks the co-occurrence hub first") {
+    import spark.implicits._
+    // "hub" is adjacent to six distinct words; the others see two
+    val d = Seq(
+      (1L, "aaa hub bbb hub ccc hub ddd"),
+      (2L, "eee hub fff"),
+      (3L, "aaa bbb"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(d, k = 3).collect()
+    assert(got.head.getString(0) === "hub")
+    assert(got.length === 3)
+    // ranks are the exact integer PageRank values — all positive
+    assert(got.forall(_.getLong(1) > 0L))
+  }
+
+  test("keywords k caps the output and single-token docs contribute nothing") {
+    import spark.implicits._
+    val d = Seq((1L, "solo"), (2L, "aaa bbb ccc")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(d, k = 10)
+      .collect().map(_.getString(0)).toSet
+    // "solo" has no adjacency — absent; the chain's 3 words all rank
+    assert(got === Set("aaa", "bbb", "ccc"))
+  }
 }
