@@ -405,6 +405,16 @@ object SparkEntry {
   val ScaledSimHashBandBits: Int = NearDup.simHashBandBitsFor(500L)
   val ScaledSimHashWidth: Int = ScaledSimHashBands * ScaledSimHashBandBits
 
+  /** Banded MinHash: r = 2 rows per band, b = k/r = 8 bands — the
+    * precision dial on the flagship dedup path (see
+    * [[NearDup.minHashBandedCandidates]]: at r = 1 a J = 0.3 pair is a
+    * candidate with P ≈ 99.7 %; at r = 2 P ≈ 53 %, and P falls
+    * geometrically with J, while J ≥ 0.8 recall stays ≥ 99.97 %).
+    * Probabilistic recall ⇒ the battery uses the cross-engine
+    * [[NearDup.Sha256MinHashFamily]] so the oracle replicates the
+    * banded candidate generation itself, not just ground truth. */
+  val BandedMinHashRows: Int = 2
+
   /** Scaled sign-LSH ANN: planes from corpus size (≈64-vector buckets),
     * 2 independent hyperplane families for recall. */
   val ScaledLshPlanes: Int = Embeddings.planesFor(ScaledEmbCorpus, 64L)
@@ -979,6 +989,48 @@ object SparkEntry {
        |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
   }
 
+  /** DuckDB oracle for the banded MinHash mode — replicates the FULL
+    * r×b candidate generation (a probabilistic configuration cannot be
+    * held to exact ground truth): min-hash word i of a doc =
+    * min over its shingles of the 60-bit sha256("i:" + shingle) slice
+    * (bit-identical to Spark's [[NearDup.Sha256MinHashFamily]]), band
+    * key = the r consecutive words comma-joined in hash-index order,
+    * candidates = band equijoin, then the standard exact-Jaccard
+    * confirm. */
+  private def minhashBandedSql: String = {
+    val k = NearDup.NumMinHashes
+    val r = BandedMinHashRows
+    val t = NearDup.ThresholdMilli
+    s"""$neardupPreludeSql,
+       |mh AS (
+       |  SELECT doc_id, i.i AS hi,
+       |         min(CAST(CAST(('0x' || substring(
+       |               sha256(CAST(i.i AS VARCHAR) || ':' || s), 1, 15))
+       |               AS UBIGINT) AS BIGINT)) AS hv
+       |  FROM sh, range($k) i(i)
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, hi // $r AS bi,
+       |         string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hi) AS bv
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT cd.doc_a, cd.doc_b, count(*) AS ic
+       |  FROM cand cd
+       |  JOIN sh a ON a.doc_id = cd.doc_a
+       |  JOIN sh b ON b.doc_id = cd.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST((1000 * ic) // (sa.nn + sb.nn - ic) AS BIGINT) AS jaccard_x1000
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1460,6 +1512,14 @@ object SparkEntry {
       NearDup.simHashPairs(T(s, dir, "documents"),
         widthBits = ScaledSimHashWidth, bands = ScaledSimHashBands,
         hammingMax = ScaledSimHashWidth, family = NearDup.Sha256Family)),
+    // r×b MinHash banding — candidates need r = 2 consecutive hash
+    // agreements (band key = the 2 words joined), cutting moderate-J
+    // junk candidates an order of magnitude below the r = 1 path while
+    // keeping planted J ≥ 0.8 pairs at P ≈ 99.97 %. See
+    // BandedMinHashRows for why the hash family is sha256.
+    "neardup_minhash_banded" -> ((s, dir) =>
+      NearDup.minHashPairsBanded(T(s, dir, "documents"),
+        rowsPerBand = BandedMinHashRows, word = NearDup.Sha256MinHashFamily)),
     // Incremental (cross-corpus) dedup — the daily-ingest shape: the
     // even-id half plays the accumulated base corpus, the odd-id half
     // the new increment; only base×increment pairs are candidates, so
@@ -2846,6 +2906,10 @@ object SparkEntry {
     "neardup_ngram" -> neardupSql,
     "neardup_minhash" -> neardupSql,
     "neardup_simhash" -> neardupSql,
+    // banded mode is probabilistic, so the oracle replicates the FULL
+    // r×b candidate generation (sha256 min-hash words, band key =
+    // comma-joined words in hash-index order), then exact-confirms.
+    "neardup_minhash_banded" -> minhashBandedSql,
     // cross-corpus form: doc_a from the even-id base, doc_b from the
     // odd-id increment — same exact-Jaccard prelude, different pairing.
     "neardup_incremental" ->

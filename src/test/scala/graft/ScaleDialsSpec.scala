@@ -20,6 +20,43 @@ import graft.operators.{Embeddings, NearDup}
   */
 class ScaleDialsSpec extends SparkSpecBase {
 
+  // -------------------------------------------------- MinHash banding
+
+  /** Moderate-similarity corpus: every doc = a 9-token shared template
+    * prefix + 31 unique tokens → pairwise J ≈ 7/69 ≈ 0.10 (the fat
+    * tail that degenerates r = 1 banding), plus one planted near-dup
+    * pair (docs 1000/1001, one token changed, J ≈ 0.85). */
+  private lazy val moderateCorpus = {
+    import spark.implicits._
+    val template = (1 to 9).map(i => s"tmpl$i").mkString(" ")
+    val background = (0 until 40).map { i =>
+      (i.toLong, template + " " + (1 to 31).map(j => s"d${i}u$j").mkString(" "))
+    }
+    val base = template + " " + (1 to 31).map(j => s"plu$j").mkString(" ")
+    (background ++ Seq((1000L, base), (1001L, base.replace("plu15", "CHANGED"))))
+      .toDF("doc_id", "text")
+  }
+
+  test("r=2 banding cuts moderate-J candidates ~10x, keeps the planted J>=0.8 pair") {
+    val sh = NearDup.shingles(moderateCorpus)
+    val r1 = NearDup.minHashBandedCandidates(sh, rowsPerBand = 1).count()
+    val r2 = NearDup.minHashBandedCandidates(sh, rowsPerBand = 2).count()
+    val n = 42L
+    val allPairs = n * (n - 1) / 2
+    // r=1: P(cand) = 1-(1-J)^16 ≈ 0.82 at J = 0.10 — most pairs pay
+    // for exact confirmation; the r=1 mode has degenerated.
+    assert(r1 > allPairs / 2, s"expected r=1 to degenerate: $r1 of $allPairs")
+    // r=2: P(cand) = 1-(1-J^2)^8 ≈ 0.08 — an order of magnitude fewer.
+    assert(r2 * 8 < r1, s"expected ~10x cut: r1=$r1 r2=$r2")
+    // ...while the planted near-dup pair still confirms (P ≈ 1-3.5e-5),
+    // under the battery's cross-engine sha256 family.
+    val got = NearDup.minHashPairsBanded(moderateCorpus, rowsPerBand = 2,
+        word = NearDup.Sha256MinHashFamily)
+      .select("doc_a", "doc_b").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
+    assert(got.contains((1000L, 1001L)), s"planted pair missing from $got")
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** n docs of 10 globally-unique tokens each → disjoint shingle sets,
