@@ -415,6 +415,18 @@ object SparkEntry {
     * banded candidate generation itself, not just ground truth. */
   val BandedMinHashRows: Int = 2
 
+  /** Inverted-index df cap for the battery, as a CORPUS FRACTION:
+    * maxDf = |docs| / 10. Words in more than 10 % of documents are
+    * stopwords — no retrieval signal, and their posting cell is the
+    * corpus-growth hazard the dial exists for. Corpus-relative (the
+    * form real indexers use) so the cap fires identically at every
+    * scale factor — the fixture's 31-word vocabulary is 30 ~78 %-df
+    * stopwords + 1 rare word, so an absolute cap tuned at sf0.01
+    * would flip behavior at sf0.1. The |docs| count is one scalar
+    * metadata-only job; the oracle replicates the cap as a scalar
+    * subquery. */
+  val InvertedIndexMaxDfPctDen: Long = 10L
+
   /** Scaled sign-LSH ANN: planes from corpus size (≈64-vector buckets),
     * 2 independent hyperplane families for recall. */
   val ScaledLshPlanes: Int = Embeddings.planesFor(ScaledEmbCorpus, 64L)
@@ -2001,10 +2013,19 @@ object SparkEntry {
     // for a downstream trainer.
     "text_hashed_features" -> ((s, dir) =>
       Relevance.hashedFeatures(docTokens(s, dir), buckets = HashedFeatureBuckets)),
-    // Inverted-index build: word → (df, sorted posting string); the
-    // maxDf giant-row dial stays off here so the oracle sees every word.
+    // Inverted-index build: word → (df, sorted posting string), with
+    // the maxDf giant-row dial ENGAGED (words in more docs than the cap
+    // carry no retrieval signal and their collect_list cell would grow
+    // with the corpus). The oracle replicates the cap.
     "text_inverted_index" -> ((s, dir) =>
-      TextAnalysis.invertedIndex(docTokens(s, dir))),
+      TextAnalysis.invertedIndex(docTokens(s, dir),
+        maxDf = T(s, dir, "documents").count() / InvertedIndexMaxDfPctDen)),
+    // The 100 TB posting-list shape: fixed-size posting CHUNK rows —
+    // no cap needed for boundedness, because no CELL grows with the
+    // corpus (a stopword's postings are df/chunk bounded rows flowing
+    // through spillable sort/agg, not one unbounded string).
+    "text_inverted_index_sharded" -> ((s, dir) =>
+      TextAnalysis.invertedIndexSharded(docTokens(s, dir))),
     // Per-language length distribution: nearest-rank p50/p90/p99 in
     // pure integer rank arithmetic (engine-exact, no interpolation).
     "text_length_stats" -> ((s, dir) =>
@@ -3646,7 +3667,24 @@ object SparkEntry {
       s"""$toksCte
          |SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
          |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
-         |FROM toks GROUP BY word""".stripMargin,
+         |FROM toks GROUP BY word
+         |HAVING count(DISTINCT doc_id) <=
+         |       (SELECT count(*) // $InvertedIndexMaxDfPctDen FROM documents)""".stripMargin,
+
+    // chunked postings: per-word doc rank → chunk_no = (rn-1)//chunk;
+    // df from the per-word count window, true before any filtering.
+    "text_inverted_index_sharded" ->
+      s"""$toksCte,
+         |pairs AS (SELECT DISTINCT word, doc_id FROM toks),
+         |r AS (SELECT word, doc_id,
+         |             row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn,
+         |             count(*) OVER (PARTITION BY word) AS df
+         |      FROM pairs)
+         |SELECT word, CAST(df AS BIGINT) AS df,
+         |       CAST((rn - 1) // ${TextAnalysis.PostingsChunkSize} AS BIGINT) AS chunk_no,
+         |       array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM r
+         |GROUP BY word, df, (rn - 1) // ${TextAnalysis.PostingsChunkSize}""".stripMargin,
 
     // bucket = low 60 bits of sha256 (cross-engine, same slice as the
     // scaled-SimHash family) mod the bucket count; linear-idf fixed

@@ -391,6 +391,48 @@ object TextAnalysis {
                 |  ',')""".stripMargin).as("postings"))
       .where(col("df") <= maxDf)
 
+  /** Default postings chunk size for [[invertedIndexSharded]]. */
+  val PostingsChunkSize = 32
+
+  /** Sharded inverted index: word → fixed-size posting CHUNKS
+    * (word, df, chunk_no, postings), each chunk ≤ `chunkSize` doc ids
+    * of the word's sorted posting list. This is the 100 TB shape of
+    * [[invertedIndex]]: no CELL grows with the corpus — a stopword's
+    * postings become df/chunkSize bounded ROWS, and rows (unlike one
+    * unbounded `collect_list` cell on the reduce side) flow through
+    * spillable sorts and hash aggregates.
+    *
+    * Shape: distinct (word, doc) pairs [one shuffle] → one exchange on
+    * `word` serving BOTH window functions (per-word rank orders the
+    * postings, per-word count is the true df) — WindowExec's sort
+    * spills, so even a corpus-wide posting list never needs to fit in
+    * memory — → hash-agg per (word, chunk) [final shuffle] where
+    * `collect_list` is bounded by chunkSize. `maxDf` composes as in
+    * [[invertedIndex]] (filters after the df count, so df stays true).
+    */
+  def invertedIndexSharded(
+      toks: DataFrame,
+      idCol: String = "doc_id",
+      wordCol: String = "word",
+      chunkSize: Int = PostingsChunkSize,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val byWord = org.apache.spark.sql.expressions.Window.partitionBy(col(wordCol))
+    val ranked = toks.select(col(wordCol), col(idCol)).distinct()
+      .withColumn("__rn", row_number().over(byWord.orderBy(col(idCol))))
+      .withColumn("__df", count(lit(1)).over(byWord))
+      .where(col("__df") <= maxDf)
+    ranked
+      .groupBy(col(wordCol),
+        idiv((col("__rn") - 1).cast("long"), lit(chunkSize.toLong)).as("chunk_no"))
+      .agg(
+        max(col("__df")).as("df"),
+        expr(s"""array_join(
+                |  transform(sort_array(collect_list($idCol)), x -> CAST(x AS STRING)),
+                |  ',')""".stripMargin).as("postings"))
+      .select(col(wordCol), col("df"), col("chunk_no"), col("postings"))
+  }
+
   /** Per-language document-length distribution: nearest-rank p50/p90/
     * p99 of the whitespace token count, composed from [[langId]] ×
     * [[tokenCounts]]. Nearest-rank (idx = ⌈q·n⌉, all-integer: `(q_num·n

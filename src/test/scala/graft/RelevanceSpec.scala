@@ -67,6 +67,27 @@ class RelevanceSpec extends SparkSpecBase {
     assert(capped === Set("common", "only2"))
   }
 
+  test("invertedIndexSharded: chunked postings, true df, chunk ordering, maxDf") {
+    // 7 docs all containing "w"; chunkSize=3 → chunks of 3/3/1 in
+    // numeric doc order; df is the TRUE per-word count on every chunk.
+    val docs = (1L to 7L).map(i => (i, if (i <= 2) "w rare" else "w"))
+    val idx = TextAnalysis
+      .invertedIndexSharded(toks(docs: _*), chunkSize = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> (r.getLong(1), r.getString(3)))
+      .toMap
+    assert(idx(("w", 0L)) === (7L, "1,2,3"))
+    assert(idx(("w", 1L)) === (7L, "4,5,6"))
+    assert(idx(("w", 2L)) === (7L, "7"))
+    assert(idx(("rare", 0L)) === (2L, "1,2"))
+    assert(!idx.keySet.exists { case (_, c) => c > 2 })
+    // the cap composes: df computed before filtering, so w (df=7) dies
+    val capped = TextAnalysis
+      .invertedIndexSharded(toks(docs: _*), chunkSize = 3, maxDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(capped === Set("rare"))
+  }
+
   test("collocations: lift isolates the glued pair from independent fillers") {
     // "new york" always adjacent (5×); filler words are shuffled around
     // so their pairings vary; minCount=2 keeps counts small
