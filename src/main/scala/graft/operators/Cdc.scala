@@ -117,8 +117,20 @@ object Cdc {
       after: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
-    require(before.columns.sameElements(after.columns),
-      "snapshots must share a schema; align columns before diffing")
+    // compare column SETS, then realign: identically-schemed snapshots
+    // whose columns merely differ in order are the same table version
+    // and must diff, not throw
+    require(before.columns.toSet == after.columns.toSet,
+      s"snapshots must share a column set; before has ${
+        before.columns.mkString(",")} vs after ${after.columns.mkString(",")}")
+    val missingKeys = keys.filterNot(before.columns.contains)
+    require(missingKeys.isEmpty,
+      s"key column(s) ${missingKeys.mkString(",")} absent from the snapshots")
+    // the output claims `change` / `changed_cols`; an input column with
+    // either name would be silently clobbered by withColumn
+    require(!before.columns.contains("change") && !before.columns.contains("changed_cols"),
+      "'change' / 'changed_cols' are reserved output column names; rename the input column")
+    val after0 = after.select(before.columns.map(col).toIndexedSeq: _*)
     val payload = before.columns.filterNot(keys.contains).toSeq
     val all = before.columns.toSeq
     val inB = graft.core.Cols.fresh("__in_b", all)
@@ -126,7 +138,7 @@ object Cdc {
     val b = payload.foldLeft(before.withColumn(inB, lit(true))) {
       (d, c) => d.withColumnRenamed(c, s"__b_$c")
     }
-    val a = payload.foldLeft(after.withColumn(inA, lit(true))) {
+    val a = payload.foldLeft(after0.withColumn(inA, lit(true))) {
       (d, c) => d.withColumnRenamed(c, s"__a_$c")
     }
     val diffCols = payload.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))

@@ -299,9 +299,15 @@ object Multimodal {
   def pcmStats(bin: Column, info: Column): Column = {
     val doff = info.getField("data_off")
     val dsize = info.getField("data_bytes")
-    val ok = doff.isNotNull && dsize > 0 &&
-      info.getField("bits_per_sample") === 8 && info.getField("channels") === 1
     val n = least(dsize, lit(PcmMaxSamples.toLong))
+    // honest gating (the bmpStats contract): every probed byte must be
+    // PRESENT — a truncated payload whose data-chunk size field claims
+    // more bytes than exist would otherwise feed u8At's -1 sentinel
+    // into the stats as fabricated -129 deviations. The last probe is
+    // doff + n - 1.
+    val ok = doff.isNotNull && dsize > 0 &&
+      info.getField("bits_per_sample") === 8 && info.getField("channels") === 1 &&
+      length(bin) >= doff + n - 1
     val devs = transform(sequence(lit(1), n.cast("int")),
       i => u8At(bin, doff + i - 1) - 128)
     // ONE fold computes every feature (state: Σ|dev|, max|dev|,
@@ -470,9 +476,19 @@ object Multimodal {
     * `hdr` is the [[bmpHeader]] struct already projected by the
     * caller (same interpreted-HOF argument as [[pcmStats]]). */
   def bmpStats(bin: Column, hdr: Column): Column = {
-    val okHdr = hdr.getField("is_bmp") && hdr.getField("dib_size") >= 40
     val w = hdr.getField("width")
     val hAbs = abs(hdr.getField("height"))
+    // plausibility-gated header accept, not just the DIB-size probe:
+    // any text payload starting with "BM" has printable ASCII where
+    // the header fields live and decodes to junk dims (dib_size alone
+    // is >= 40 for most ASCII), so require a LEGAL bpp, a BI_* range
+    // compression code, and sane dims before claiming the header
+    // parsed — the differential oracle emits NULLs for non-BMP arms
+    // and must never disagree on data-dependent "BM" text.
+    val okHdr = hdr.getField("is_bmp") && hdr.getField("dib_size") >= 40 &&
+      hdr.getField("bpp").isin(1L, 4L, 8L, 16L, 24L, 32L) &&
+      hdr.getField("compression").between(0L, 13L) &&
+      w.between(1L, 1L << 20) && hAbs.between(1L, 1L << 20)
     val dataOff = hdr.getField("data_off")
     val stride = idiv(w * 3 + 3, lit(4)) * 4
     val npix = w * hAbs

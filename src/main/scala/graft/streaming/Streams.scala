@@ -202,7 +202,13 @@ object Streams {
             times.foreach { t =>
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(OpenSession(s.n + 1, s.first, math.max(s.last, t)))
+                  // min the first timestamp too: a late-but-within-
+                  // watermark event from a LATER micro-batch can
+                  // predate the open session's start (in-batch events
+                  // are sorted, cross-batch ones aren't), and t_first
+                  // must be the session's true earliest event
+                  open = Some(OpenSession(s.n + 1,
+                    math.min(s.first, t), math.max(s.last, t)))
                 case Some(s) =>
                   closed += SessionOut(key, s.n, s.first, s.last, "gap")
                   open = Some(OpenSession(1L, t, t))

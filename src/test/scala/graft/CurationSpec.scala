@@ -797,6 +797,21 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Set((1L, "changed", "s"), (2L, "changed", "s")))
   }
 
+  test("snapshotDiff tolerates column order and rejects reserved output names") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
+    // same column SET, different declaration order — the same table
+    // version, realigned internally rather than rejected
+    val after = Seq((10L, 1L, "a2"), (20L, 2L, "b")).toDF("v", "id", "s")
+    val got = graft.operators.Cdc.snapshotDiff(before, after, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "changed", "s")))
+    val reserved = Seq((1L, "x")).toDF("id", "change")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Cdc.snapshotDiff(reserved, reserved, Seq("id"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   // ----------------------------------------------------- transitions
 
   test("transitions counts adjacent pairs per user with exact permille shares") {

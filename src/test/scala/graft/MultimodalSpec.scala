@@ -246,11 +246,20 @@ class MultimodalSpec extends SparkSpecBase {
     val noData = hexBytes(wavHex("666d7420" + le32h(16) + le16h(1) + le16h(1) +
       le32h(8000) + le32h(8000) + le16h(1) + le16h(8)))
     val notWav = "plain text, not audio".getBytes("UTF-8")
-    val got = pcmOf(1L -> bits16, 2L -> stereo, 3L -> noData, 4L -> notWav)
+    // data chunk DECLARES 16 bytes but the payload carries only 4: the
+    // whole-declared-range gate must null the struct rather than let
+    // u8At's -1 sentinel enter the stats as fabricated -129 deviations
+    val truncated = hexBytes(wavHex(
+      "666d7420" + le32h(16) + le16h(1) + le16h(1) +
+        le32h(8000) + le32h(8000) + le16h(1) + le16h(8),
+      "64617461" + le32h(16) + "80818283"))
+    val got = pcmOf(1L -> bits16, 2L -> stereo, 3L -> noData, 4L -> notWav,
+      5L -> truncated)
     assert(got(1L) === nulls)
     assert(got(2L) === nulls)
     assert(got(3L) === nulls)
     assert(got(4L) === nulls)
+    assert(got(5L) === nulls)
   }
 
   private def bmpOf(payloads: (Long, Array[Byte])*): Map[Long, Seq[Any]] = {
@@ -304,10 +313,11 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(1L) === Seq[Any](3L, 2L, 16L, null, null, null, null))
     assert(got(2L) === Seq[Any](2L, 2L, 24L, null, null, null, null))
     assert(got(3L) === Seq[Any](2L, 2L, 24L, null, null, null, null))
-    // "BM" magic but junk DIB: dib_size won't be >= 40 plausible? it
-    // reads arbitrary bytes — accept either header-null or dims junk,
-    // but pixel stats MUST be null (whole-array length gate)
-    assert(got(4L).drop(3) === Seq[Any](null, null, null, null))
+    // "BM" magic but junk DIB: printable ASCII where the header fields
+    // live decodes to dib_size >= 40 with huge dims — the plausibility
+    // gates (legal bpp, BI_* compression range, sane dims) must null
+    // the WHOLE header, matching the oracle's NULLs on text arms
+    assert(got(4L) === all)
     assert(got(5L) === all)
   }
 

@@ -243,6 +243,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("timeoutSessions mins t_first when a cross-batch late event predates the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val src = in.toDS().toDF("key", "ts")
+      .withWatermark("ts", "30 minutes")
+      .as[(String, Timestamp)]
+    val q = Streams.timeoutSessions(src, gapMs = 20 * 60000L)
+      .writeStream.format("memory").queryName("tsess_late").outputMode("append")
+      .start()
+    try {
+      // batch 1 opens the session at 2:00
+      in.addData(("k", ts(2)))
+      q.processAllAvailable()
+      // batch 2: a late-but-within-watermark event at 1:50 — predates
+      // the open session's first but is within gap of its last, so it
+      // must MERGE and pull t_first back to 1:50
+      in.addData(("k", ts(1, 50)))
+      q.processAllAvailable()
+      // far-future same-key event closes the session by gap
+      in.addData(("k", ts(9)))
+      q.processAllAvailable()
+      val got = spark.table("tsess_late").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      val sess = got.find(_._4 == "gap").get
+      assert(sess._2 === 2L, s"expected both events in the session: $got")
+      assert(sess._3 === ts(1, 50).getTime,
+        s"t_first must be the true earliest event: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
