@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.Scalars
 import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, Sketches, TextAnalysis, Tokenize, WordStats}
@@ -56,20 +57,37 @@ object SparkEntry {
   /** Deterministic money output: exact decimal sum → round(2) → double. */
   private def money(c: Column): Column = round(c, 2).cast("double")
 
-  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses by default (no nanosecond TimestampType). Read nanos as long
-    * and convert to microsecond timestamps explicitly (`div`, not `/`, to
-    * stay in exact integer arithmetic — epoch-nanos exceed 2^53 and would
-    * lose precision through a double). Fixture values are µs-aligned, so
-    * the conversion is lossless and matches DuckDB's view of the column.
+  /** Normalize the events fixture's `ts` to session-zoned `TimestampType`
+    * micros regardless of the fixture's physical encoding. The generator
+    * has shipped two encodings across regenerations:
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` in the
-    * session (set by every main and the test base) — a query builder
-    * must not mutate session conf, so the session owns the flag; a
-    * session without it gets Spark's own clear unsupported-nanos error.
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 has no type for — read as
+    *    int64 epoch-nanos via `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (set by every main and the test base) and divided down with `div`,
+    *    not `/`, because epoch-nanos exceed 2^53 and would lose precision
+    *    through a double;
+    *  - parquet timestamp[us] without UTC adjustment, which Spark reads as
+    *    `TIMESTAMP_NTZ` — cast to `TimestampType`, lossless because every
+    *    session here pins `spark.sql.session.timeZone=UTC`, so the naive
+    *    wall-clock reinterprets to the identical epoch-micros instant.
+    *
+    * Both paths land on the same values DuckDB sees reading the fixture
+    * natively, so the oracle SQL needs no per-encoding variant. Any third
+    * encoding fails loudly here, naming the column — not 18 queries deep
+    * in an analysis error.
     */
+  def normalizeEventTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events fixture column '$c': unsupported physical type $other " +
+          "(expected int64 epoch-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+
   private def eventsTable(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(T(s, dir, "events"))
 
   /** doc_id + 0-based token position + word, blanks dropped — the shared
     * tokenized view of `documents` used by the parity queries. */

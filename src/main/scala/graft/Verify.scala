@@ -19,6 +19,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-schema guard: name any drifted column BEFORE the battery
+    // turns it into n generic analysis errors (the round-8 events.ts
+    // regen cost 18 queries before any diagnostic named the column).
+    // Diagnose-and-continue: a tolerated-but-unexpected change should
+    // still let unaffected queries certify.
+    graft.sources.FixtureSchema.check(spark, sfDir).foreach { v =>
+      System.err.println(s"[verify] FIXTURE SCHEMA DRIFT: $v")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -81,9 +81,9 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming windowed counts over the events fixture equal the batch result") {
     val dir = "/root/testdata/sf0.001/events.parquet"
-    val raw = spark.read.parquet(dir) // nanosAsLong set in TestSpark
+    val raw = spark.read.parquet(dir)
     def toTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      SparkEntry.normalizeEventTs(df)
 
     val expected = Streams.windowedCounts(toTs(raw))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
@@ -108,7 +108,7 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming watermark dedup over the events fixture equals batch dropDuplicates") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     def toTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      SparkEntry.normalizeEventTs(df)
     val keys = Seq("user_id", "event_type")
 
     // batch ground truth: the distinct key set (first-seen row choice is
@@ -135,7 +135,7 @@ class StreamingSpec extends SparkSpecBase {
   test("session windows equal the batch gap sessionizer on the events fixture") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     def toTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      SparkEntry.normalizeEventTs(df)
 
     // batch ground truth from the window-function sessionizer
     val expected = graft.operators.Sessions.sessionStats(toTs(raw))
