@@ -139,6 +139,59 @@ object Streams {
         col("session_window.start").as("t_first"),
         col("t_last"), col(keyCol), col("n_events"))
 
+  /** Streaming ingest of the reference's canonical job
+    * (example/main.py:59-137: walk a directory of .txt files → word
+    * stats → file sink) as an incremental-batch pipeline:
+    * `readStream` file source + `Trigger.AvailableNow` drains whatever
+    * is in the directory now, checkpoints progress, and exits — rerun
+    * it and ONLY files that arrived since the last run are processed.
+    * That is the 100 TB-scale shape for "a new tranche of corpus lands
+    * every night": per-run cost is proportional to the increment, with
+    * exactly-once file tracking from the checkpoint, where the batch
+    * job re-reads the world every run.
+    *
+    * The aggregation runs inside `foreachBatch`: WordStats groups by
+    * (file, normalized word), and `wholetext` makes each file ONE
+    * source row, so every group is fully contained in whichever
+    * micro-batch carries its file — per-batch aggregation + parquet
+    * append is then exactly the batch result, no cross-batch state
+    * needed. (A line-granular source would need watermarked streaming
+    * aggregation instead; file-granular semantics make the cheap shape
+    * correct.)
+    *
+    * Returns the started query; callers decide whether to await. */
+  def ingestWordStats(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      outPath: String,
+      checkpoint: String,
+      glob: String = "*.txt"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Scalars
+    import graft.operators.WordStats
+    val files = spark.readStream
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .text(dir)
+      // input_file_name() is undefined on streaming sources; the file
+      // source's _metadata column is the supported provenance channel
+      .select(col("_metadata.file_path").as("file_path"),
+        col("value").as("content"))
+    files.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        WordStats(batch, idCol = "file_path", textCol = "content")
+          .withColumn("file", Scalars.truncate269(
+            Scalars.lastPathComponents(col("file_path"), 5)))
+          .select(col("word"), col("word_len"), col("word_truncated"),
+            col("file"), col("words_count"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

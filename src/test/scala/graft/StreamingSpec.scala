@@ -311,6 +311,68 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ingestWordStats: AvailableNow file ingest equals the batch canonical pipeline") {
+    // The reference's actual job (example/main.py:59-137): directory of
+    // .txt files → word stats → file sink, here as the incremental-batch
+    // streaming pipeline. Stage the corpus in a temp dir so the
+    // incremental second run can add a file.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val booksDir = Paths.get("/root/reference/example/sample_data/books")
+    val work = Files.createTempDirectory("graft_ingest")
+    val (inDir, outDir, ckpt) =
+      (work.resolve("in"), work.resolve("out"), work.resolve("ckpt"))
+    Files.createDirectories(inDir)
+    val books = Files.list(booksDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".txt")).sortBy(_.toString)
+    assert(books.length >= 2)
+    // first tranche: all but the last book
+    books.dropRight(1).foreach(p =>
+      Files.copy(p, inDir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING))
+
+    val q1 = Streams.ingestWordStats(
+      spark, inDir.toString, outDir.toString, ckpt.toString)
+    q1.awaitTermination()
+
+    def batchStats(dir: String) = {
+      // same provenance channel as the stream (_metadata.file_path):
+      // input_file_name() renders file:///… vs _metadata's file:/…, and
+      // the `file` projection keys off path components
+      val docs = spark.read
+        .option("wholetext", "true").option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt").text(dir)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("value").as("content"))
+      graft.operators.WordStats(docs, idCol = "file_path", textCol = "content")
+        .withColumn("file", graft.functions.Scalars.truncate269(
+          graft.functions.Scalars.lastPathComponents(col("file_path"), 5)))
+        .select("word", "word_len", "word_truncated", "file", "words_count")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getString(3), r.getLong(4))).toSet
+
+    val streamed1 = rows(spark.read.parquet(outDir.toString))
+    assert(streamed1 === rows(batchStats(inDir.toString)))
+    assert(streamed1.nonEmpty)
+
+    // second tranche: ONE new file arrives; the rerun must process only
+    // the increment (checkpoint-tracked) and the union must equal the
+    // batch result over the whole directory
+    Files.copy(books.last, inDir.resolve(books.last.getFileName))
+    val q2 = Streams.ingestWordStats(
+      spark, inDir.toString, outDir.toString, ckpt.toString)
+    q2.awaitTermination()
+
+    val streamed2 = rows(spark.read.parquet(outDir.toString))
+    assert(streamed2 === rows(batchStats(inDir.toString)))
+    val increment = streamed2 -- streamed1
+    assert(increment.nonEmpty)
+    // every appended row belongs to the new file only: incremental cost
+    assert(increment.map(_._4).forall(_.endsWith(books.last.getFileName.toString)))
+    // and rows from tranche 1 were not rewritten
+    assert(streamed1.subsetOf(streamed2))
+  }
+
   test("foreachBatch + Cdc.upsert maintains a live snapshot from a change stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
