@@ -64,38 +64,79 @@ object Bench {
     // mirrors Verify's 3rd arg; the driver always runs the full battery)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // SPARK_GRAFT_BENCH_SCALE=N (N>1): soak mode. Replicate the fixture
+    // N× with per-replica markers (Soak.materializeDir) and run the
+    // candidate-generating queries on BOTH corpora, gating each on
+    // output-row growth ≤ 1.5·N (replicas share no token/shingle, so a
+    // linear operator emits ~N× the rows of one replica; a quadratic
+    // candidate path emits cross-replica rows and blows the bound).
+    val soakScale: Option[Int] =
+      sys.env.get("SPARK_GRAFT_BENCH_SCALE").map(_.toInt).filter(_ > 1)
+    val benchDir = soakScale match {
+      case Some(nRep) => Soak.materializeDir(spark, sfDir, nRep)
+      case None => sfDir
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .filter { case (name, _) =>
+        soakScale.isEmpty || Soak.soakQueries(SparkEntry.queries.keySet)(name) }
+
+    val results = selected.map { case (name, fn) =>
       // min over Reps runs; stop timing at the first failure (reps of a
       // throwing query would just re-throw and double the error path).
       var best = Double.MaxValue
+      var rows = -1L
       var err: Option[String] = None
       var rep = 0
       while (rep < Reps && err.isEmpty) {
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
+        try rows = materialize(fn(spark, benchDir))
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
         val sec = (System.nanoTime() - t0) / 1e9
         if (err.isEmpty && sec < best) best = sec
         rep += 1
       }
-      (name, if (err.isEmpty) best else 0.0, err)
+      // soak gate: untimed single run against the UNSCALED fixture for
+      // the row baseline the growth bound compares against
+      val growthBad: Option[String] = soakScale.flatMap { nRep =>
+        if (err.isDefined) None
+        else {
+          val rows1 = try materialize(fn(spark, sfDir))
+          catch { case _: Throwable => -1L }
+          if (rows1 < 0) Some("baseline run failed")
+          else if (rows > 0 && rows1 == 0)
+            Some(s"rows grew from 0 to $rows")
+          else if (rows1 > 0 && rows.toDouble / rows1 > 1.5 * nRep)
+            Some(f"rows $rows1 -> $rows (x${rows.toDouble / rows1}%.1f) " +
+              s"exceeds 1.5x linear bound at scale $nRep")
+          else None
+        }
+      }
+      (name, if (err.isEmpty) best else 0.0, rows, err, growthBad)
     }
-    val qs = results.map { case (name, sec, err) =>
-      val okPart = err match {
-        case None    => "\"ok\":true"
-        case Some(m) => "\"ok\":false,\"error\":\"" + esc(m.take(200)) + "\""
+    val qs = results.map { case (name, sec, rows, err, growthBad) =>
+      val okPart = (err, growthBad) match {
+        case (Some(m), _) => "\"ok\":false,\"error\":\"" + esc(m.take(200)) + "\""
+        case (None, Some(g)) =>
+          "\"ok\":false,\"rows\":" + rows + ",\"error\":\"" + esc(g.take(200)) + "\""
+        case (None, None) if soakScale.isDefined =>
+          "\"ok\":true,\"rows\":" + rows
+        case (None, None) => "\"ok\":true"
       }
       "\"" + esc(name) + "\":{\"sec\":" + f"$sec%.4f" + "," + okPart + "}"
     }.mkString("{", ",", "}")
-    val okResults = results.collect { case (_, sec, None) => sec }
+    val okResults = results.collect { case (_, sec, _, None, None) => sec }
     val total = okResults.sum
     val nOk = okResults.size
     val n = results.size
+    val metric = if (soakScale.isDefined) "soak_total_ok" else "total_ok"
+    val scalePart = soakScale
+      .map(nRep => s""","scale":$nRep,"excluded":["neardup_simhash (documented-quadratic exact mode)"]""")
+      .getOrElse("")
     println(
-      s"""{"metric":"total_ok","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart}""")
     spark.stop()
     if (nOk < n) sys.exit(1)
   }

@@ -751,8 +751,11 @@ object Embeddings {
     * Shape — the part that must survive 100 TB: the corpus is touched
     * only through its codes (m small ints per vector, never the
     * original vectors); the per-query distance table (|Q|·m·K exact
-    * int64 entries — queries × codebook, both tiny) broadcasts, and
-    * the scan is ONE equijoin of the code stream on (sub, cid) + one
+    * int64 entries) broadcasts at runtime via AQE while the query
+    * batch is small — the deployment shape — and degrades to a
+    * shuffled join instead of an executor OOM when |Q| is a corpus
+    * fraction; the scan is ONE equijoin of the code stream on
+    * (sub, cid) + one
     * (query, vec) hash-agg summing m partial distances + a top-k
     * WindowGroupLimit over |Q| partitions. Self-matches excluded;
     * ties → smaller neighbor id. Output: (query_id, neighbor_id,
@@ -775,8 +778,14 @@ object Embeddings {
       .select(col("query_id"), col("sub"), col("__cid").as("code"),
         (col("__snsq") + col("__cnsq") -
           lit(2L) * dotQ(col("__sqv"), col("__cqv"))).as("__pd"))
+    // no broadcast HINT on the distance table: its q·m·K rows are tiny
+    // for the deployment shape (a small query batch against a big
+    // corpus) and AQE converts the join to broadcast at runtime from
+    // TRUE size stats — but a corpus-fraction query set makes the table
+    // O(n·K), and a forced hint then builds an unbounded hash table on
+    // every executor (the 10× soak's OOM). Let the engine decide.
     val scored = codes
-      .join(broadcast(qdist), Seq("sub", "code"))
+      .join(qdist, Seq("sub", "code"))
       .where(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__pd")).as("adist"))
@@ -833,7 +842,10 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"))
     val scored = cand
       .join(codes, Seq("neighbor_id"))
-      .join(broadcast(qdist), Seq("query_id", "sub", "code"))
+      // unhinted for the same reason as pqAdcTopK: q·m·K only stays
+      // broadcastable while the query batch is small; AQE re-plans the
+      // broadcast at runtime when it truly is.
+      .join(qdist, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__pd")).as("adist"))
     val w = Window.partitionBy(col("query_id"))

@@ -160,6 +160,67 @@ class ScaleDialsSpec extends SparkSpecBase {
     assert(got === baseline)
   }
 
+  // ------------------------------------------- winnowing df cap
+
+  /** Every doc opens with the same 6-token hot preamble (several
+    * corpus-wide winnow fingerprints — k=3, w=4 selects at least one
+    * k-gram of any 6-token run) and continues with unique filler;
+    * docs (n+100, n+101) are identical (the planted pair). */
+  private def hotWinnowCorpus(n: Int) = {
+    import spark.implicits._
+    val hot = "wina winb winc wind wine winf"
+    val planted = hot + " " + (1 to 20).map(i => s"wpl$i").mkString(" ")
+    val background = (0 until n).map { i =>
+      (i.toLong, hot + " " + (0 until 20).map(j => s"wbg${i}u$j").mkString(" "))
+    }
+    (background ++ Seq((n + 100L, planted), (n + 101L, planted)))
+      .toDF("doc_id", "text")
+  }
+
+  test("winnowPairs: the df cap bounds hot-fingerprint growth, keeps the planted pair") {
+    import graft.operators.TextAnalysis
+    // Above the WinnowMaxDocFreq cap the hot preamble's fingerprints
+    // are dropped from the candidate join entirely: pair count must not
+    // grow as the corpus doubles (a quadratic join would quadruple).
+    val p1 = TextAnalysis.winnowPairs(hotWinnowCorpus(100)).count()
+    val p2 = TextAnalysis.winnowPairs(hotWinnowCorpus(200)).count()
+    assert(p1 === 1L, s"expected only the planted pair, got $p1")
+    assert(p2 === 1L, s"expected only the planted pair at 2x corpus, got $p2")
+    val got = TextAnalysis.winnowPairs(hotWinnowCorpus(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((200L, 201L)))
+    // and BELOW the cap the hot fingerprints do pair (the dial is the
+    // only thing standing between this corpus and all-pairs)
+    val small = TextAnalysis.winnowPairs(hotWinnowCorpus(20)).count()
+    assert(small > 20L, s"sub-cap corpus should pair via the hot preamble: $small")
+  }
+
+  test("tfidfSimilarity: maxDf drops corpus-hot terms; pair count stays bounded") {
+    import graft.operators.TextAnalysis
+    def corpus(n: Int) = {
+      import spark.implicits._
+      val hot = (1 to 6).map(i => s"hot$i").mkString(" ")
+      val planted = (1 to 20).map(i => s"tpl$i").mkString(" ")
+      val background = (0 until n).map { i =>
+        (i.toLong, hot + " " + (0 until 20).map(j => s"tbg${i}u$j").mkString(" "))
+      }
+      (background ++ Seq((n + 100L, hot + " " + planted),
+        (n + 101L, hot + " " + planted))).toDF("doc_id", "text")
+    }
+    // maxDf = 50: the hot terms (df = n+2 > 50) leave the posting
+    // stream, so the term equijoin pairs only docs sharing RARE terms —
+    // the planted twins — independent of corpus size.
+    val p1 = TextAnalysis.tfidfSimilarity(corpus(100), maxDf = 50L).count()
+    val p2 = TextAnalysis.tfidfSimilarity(corpus(200), maxDf = 50L).count()
+    assert(p1 === 1L, s"expected only the planted pair, got $p1")
+    assert(p2 === 1L, s"expected only the planted pair at 2x corpus, got $p2")
+    val row = TextAnalysis.tfidfSimilarity(corpus(100), maxDf = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert((row._1, row._2) === (200L, 201L))
+    // identical rare-term vectors → cosine 1.0 (up to integer division)
+    assert(row._3 >= 999000L, s"twin cosine should be ~1e6: ${row._3}")
+  }
+
   // ------------------------------------------------------ ANN dials
 
   private lazy val randomEmb = {

@@ -124,6 +124,61 @@ class SinkLayoutSpec extends SparkSpecBase {
     assert(meanFileRange("l_partkey") < 0.6 * globalRange("l_partkey"))
   }
 
+  test("z-order: MEASURED row-group skipping — a 2-D box scan reads a fraction of a 1-D sort's rows") {
+    // The bounding-box test shows the boxes tighten; this one shows the
+    // reader actually SKIPS: parquet row-group stats pruning happens
+    // inside the scan, so the FileSourceScanExec numOutputRows metric
+    // counts only rows from row groups the predicate could not rule
+    // out. Layout A: classic 1-D range sort on l_orderkey. Layout B:
+    // z-order on (l_orderkey, l_partkey). A selective l_partkey box
+    // then measures real I/O: the 1-D layout's every file spans the
+    // full partkey range (nothing skips), the z-layout's files cover
+    // ~a quadrant strip each (most skip).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val maxes = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head
+    val (maxOrder, maxPart) = (maxes.getLong(0), maxes.getLong(1))
+
+    val sortedOut = Files.createTempDirectory("graft_zskip_sorted").toString
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sortedOut)
+    val zOut = Files.createTempDirectory("graft_zskip_z").toString
+    graft.operators.Layout.zOrderBy(li,
+      Seq(
+        graft.operators.Layout.normalize(col("l_orderkey"), maxOrder + 1),
+        graft.operators.Layout.normalize(col("l_partkey"), maxPart + 1)),
+      numFiles = 16).write.mode("overwrite").parquet(zOut)
+
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(pred)
+      // collect() executes THIS Dataset's queryExecution (count() would
+      // build and execute a different derived plan, leaving these
+      // metrics untouched)
+      val result = df.collect().length.toLong
+      val scans = df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
+      (scans.map(_.metrics("numOutputRows").value).sum, result)
+    }
+
+    // bottom-eighth partkey box — selective on the dimension the 1-D
+    // layout did NOT sort by
+    val box = col("l_partkey") <= maxPart / 8
+    val (sortedRead, sortedResult) = scanRows(sortedOut, box)
+    val (zRead, zResult) = scanRows(zOut, box)
+    assert(sortedResult === zResult, "both layouts must answer identically")
+    val total = li.count()
+    // 1-D-sorted: no file can be skipped on partkey → reads ~everything
+    assert(sortedRead > (total * 0.9).toLong,
+      s"expected the 1-D layout to read ~all $total rows, read $sortedRead")
+    // z-ordered: partkey strips skip most quadrant files (ideal 4/16;
+    // sampling-based splits and column-index effects leave slack)
+    assert(zRead < sortedRead / 2,
+      s"z-order should read < half the 1-D layout's rows: $zRead vs $sortedRead")
+  }
+
   test("dynamic partition overwrite rewrites only the incoming partitions") {
     val out = Files.createTempDirectory("graft_layout3").toString
     val sink = ParquetSink(out, partitionBy = Seq("lang"))
