@@ -320,6 +320,48 @@ object SparkEntry {
   /** ADC search oracle at the given PQ dials: per-query exact distance
     * table × the corpus code stream, summed per (query, neighbor),
     * top-3 by (adist, neighbor). */
+  private def ivfPqSql(m: Int, step: Long): String =
+    s"""${pqCteFor(m, step)},
+       |icents AS (
+       |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+       |  FROM n WHERE vec_id % $step = 0),
+       |iac AS (
+       |  SELECT n.vec_id, c.cid,
+       |         CAST(list_sum(list_transform(range(len(n.qv)),
+       |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
+       |         n.nsq AS an, c.cnsq AS cn
+       |  FROM n, icents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(d AS DOUBLE) /
+       |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+       |    FROM iac) WHERE rn = 1),
+       |qd AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+       |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
+       |           range(len(s.sqv)), i -> s.sqv[i+1] * c.cqv[i+1])) AS BIGINT)
+       |           AS pd
+       |  FROM sv s JOIN cents c USING (sub)
+       |  WHERE s.vec_id % 20 = 0),
+       |cand AS (
+       |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+       |  FROM assign qa JOIN assign ca ON qa.cell = ca.cell
+       |  WHERE qa.vec_id % 20 = 0 AND ca.vec_id <> qa.vec_id),
+       |sc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         CAST(sum(qd.pd) AS BIGINT) AS adist
+       |  FROM cand
+       |  JOIN enc e ON e.vec_id = cand.neighbor_id
+       |  JOIN qd ON qd.query_id = cand.query_id
+       |         AND qd.sub = e.sub AND qd.code = e.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
+       |FROM sc
+       |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+       |QUALIFY row_number() OVER w <= 3""".stripMargin
+
   private def pqSearchSql(m: Int, step: Long): String =
     s"""${pqCteFor(m, step)},
        |qd AS (
@@ -1697,6 +1739,14 @@ object SparkEntry {
     // join reads only assignments and codes, never corpus vectors.
     "emb_ann_ivfpq" -> ((s, dir) =>
       Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
+    // the bounded-codebook IVF-PQ config: centroidStepFor-sized step
+    // bounds BOTH the coarse-cell count and the PQ codebook size, so
+    // the ADC distance table's q·m·K rows stay broadcastable as the
+    // corpus grows — the dial the 10× soak proved load-bearing (the
+    // frozen-step default OOM'd at 10× before the hint removal).
+    "emb_ann_ivfpq_scaled" -> ((s, dir) =>
+      Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
+        centroidStep = ScaledIvfStep)),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -3180,46 +3230,13 @@ object SparkEntry {
     // as ivfOracleSql) composed with the PQ prelude — candidates from
     // the cell self-join, ranked by the summed ADC partials.
     "emb_ann_ivfpq" ->
-      s"""$pqCte,
-         |icents AS (
-         |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
-         |  FROM n WHERE vec_id % ${Embeddings.CentroidStep} = 0),
-         |iac AS (
-         |  SELECT n.vec_id, c.cid,
-         |         CAST(list_sum(list_transform(range(len(n.qv)),
-         |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
-         |         n.nsq AS an, c.cnsq AS cn
-         |  FROM n, icents c),
-         |assign AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY CAST(d AS DOUBLE) /
-         |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
-         |    FROM iac) WHERE rn = 1),
-         |qd AS (
-         |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
-         |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
-         |           range(len(s.sqv)), i -> s.sqv[i+1] * c.cqv[i+1])) AS BIGINT)
-         |           AS pd
-         |  FROM sv s JOIN cents c USING (sub)
-         |  WHERE s.vec_id % 20 = 0),
-         |cand AS (
-         |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
-         |  FROM assign qa JOIN assign ca ON qa.cell = ca.cell
-         |  WHERE qa.vec_id % 20 = 0 AND ca.vec_id <> qa.vec_id),
-         |sc AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |         CAST(sum(qd.pd) AS BIGINT) AS adist
-         |  FROM cand
-         |  JOIN enc e ON e.vec_id = cand.neighbor_id
-         |  JOIN qd ON qd.query_id = cand.query_id
-         |         AND qd.sub = e.sub AND qd.code = e.code
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id,
-         |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
-         |FROM sc
-         |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
-         |QUALIFY row_number() OVER w <= 3""".stripMargin,
+      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep),
+    // the bounded-codebook config (centroidStepFor-sized step for BOTH
+    // the coarse cells and the PQ codebooks) — the dial the 10x soak
+    // proved load-bearing: K stays ~fixed as the corpus grows, so the
+    // ADC distance table stays broadcastable by size, not by hope.
+    "emb_ann_ivfpq_scaled" ->
+      ivfPqSql(Embeddings.PqSubspaces, ScaledIvfStep),
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).
