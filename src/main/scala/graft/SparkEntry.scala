@@ -2294,6 +2294,24 @@ object SparkEntry {
             lit("test"))
           .otherwise(lit("train")).as("split"))),
 
+    // Train/held-out LEAKAGE audit: near-dup pairs that CROSS the
+    // docs_split boundary (doc_a in train, doc_b in val/test) — the
+    // contamination mode decontamination misses because both sides are
+    // in-corpus. Same cross-corpus base×increment machinery as
+    // neardup_incremental (candidates never pair train×train or
+    // held×held), same exact-Jaccard confirm; an empty result is the
+    // clean-split certificate. The held-out side is the SMALL side by
+    // construction (~10% of docs), which is exactly the shape
+    // minHashPairsBetween scales on: recurring cost follows the
+    // increment.
+    "docs_split_leakage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val heldOut =
+        Curation.hashBucket(col("doc_id")) < SplitValPermille + SplitTestPermille
+      NearDup.minHashPairsBetween(
+        docs.where(!heldOut), docs.where(heldOut))
+    }),
+
     // … and the fixed-COUNT form: exactly k docs per stratum, chosen
     // by hash order (a uniform deterministic sample) — rank filter →
     // WindowGroupLimit partial top-k, same machinery as topKPerKey.
@@ -3003,6 +3021,14 @@ object SparkEntry {
     // odd-id increment — same exact-Jaccard prelude, different pairing.
     "neardup_incremental" ->
       s"$neardupPreludeSql,\n${neardupTailSql("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}",
+
+    // train×held-out pairing via the SAME split hash as docs_split.
+    "docs_split_leakage" -> {
+      val cut = SplitValPermille + SplitTestPermille
+      s"$neardupPreludeSql,\n${neardupTailSql(
+        s"(${Curation.hashOrderSql("a.doc_id")}) % 1000 >= $cut " +
+          s"AND (${Curation.hashOrderSql("b.doc_id")}) % 1000 < $cut")}"
+    },
 
     // same shingle-equijoin candidate set, Levenshtein confirm — the
     // full DP here (DuckDB has no banded threshold variant); identical

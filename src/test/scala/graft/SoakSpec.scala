@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The soak gate's premises, asserted — the row-growth bound in Bench's
+  * soak mode is only meaningful if the replication really produces
+  * token-disjoint document replicas (so linear operators do exactly N×
+  * one replica's work) and realistically-perturbed embedding replicas.
+  */
+class SoakSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("document replicas are token-disjoint and replica 0 is the original") {
+    val n = 3
+    val rep = Soak.replicatedDocs(spark, sfDir, n).cache()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rep.count() === n * base.count())
+
+    // replica 0 byte-identical to the fixture
+    val r0 = rep.filter(col("doc_id") < Soak.IdOffset)
+    assert(r0.exceptAll(base).count() === 0)
+    assert(base.exceptAll(r0).count() === 0)
+
+    // tokens never cross replicas: each distinct token belongs to ONE
+    // replica's id range
+    val toks = rep.select((col("doc_id") / Soak.IdOffset).cast("int").as("rep"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val shared = toks.groupBy("tok")
+      .agg(countDistinct(col("rep")).as("nrep"))
+      .filter(col("nrep") > 1)
+    assert(shared.count() === 0, "a token appears in more than one replica")
+
+    // within-replica structure preserved: per-doc token counts match the
+    // original doc's (the token bijection keeps Jaccard/tf/df shapes)
+    val cnt = rep.select(pmod(col("doc_id"), lit(Soak.IdOffset)).as("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("ntok"))
+      .groupBy("doc_id").agg(countDistinct(col("ntok")).as("variants"))
+    assert(cnt.filter(col("variants") > 1).count() === 0,
+      "a replica changed some doc's token count")
+  }
+
+  test("embedding replicas perturb every replica deterministically and boundedly") {
+    val n = 3
+    val rep = Soak.replicatedEmbeddings(spark, sfDir, n).cache()
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(rep.count() === n * base.count())
+    val r0 = rep.filter(col("vec_id") < Soak.IdOffset)
+    assert(r0.exceptAll(base).count() === 0)
+
+    // per-dimension perturbation of replicas 1..n-1 is within ±0.1 and
+    // not identically zero (the replica is a twin, not a copy)
+    val joined = rep.filter(col("vec_id") >= Soak.IdOffset)
+      .select(pmod(col("vec_id"), lit(Soak.IdOffset)).as("vec_id"),
+        col("embedding").as("e1"))
+      .join(base.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
+      .select(zip_with(col("e1"), col("e0"), (a, b) => abs(a - b)).as("d"))
+      .select(array_max(col("d")).as("dmax"), array_min(col("d")).as("dmin"))
+    val stats = joined.agg(max(col("dmax")), sum(col("dmax"))).head
+    assert(stats.getFloat(0) <= 0.11f, s"perturbation exceeds bound: ${stats.getFloat(0)}")
+    assert(stats.getDouble(1) > 0.0, "replicas are unperturbed copies")
+
+    // determinism: regenerating gives the identical frame
+    val again = Soak.replicatedEmbeddings(spark, sfDir, n)
+    assert(rep.exceptAll(again).count() === 0)
+  }
+}
