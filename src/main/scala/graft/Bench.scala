@@ -135,8 +135,16 @@ object Bench {
     val scalePart = soakScale
       .map(nRep => s""","scale":$nRep,"excluded":["neardup_simhash (documented-quadratic exact mode)"]""")
       .getOrElse("")
-    println(
-      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart}""")
+    val line =
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart}"""
+    println(line)
+    // Also persist the full per-query map: harness-side artifacts keep
+    // only an stdout tail, which cannot substantiate per-query failures
+    // (the r8 advice) — BENCH_LAST.json always holds the whole record.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        if (soakScale.isDefined) "SOAK_LAST.json" else "BENCH_LAST.json"), line)
+    catch { case _: Throwable => () } // never fail the bench over a file write
     spark.stop()
     if (nOk < n) sys.exit(1)
   }
