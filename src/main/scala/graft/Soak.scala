@@ -35,7 +35,8 @@ object Soak {
     * whose 100 TB story is "candidates grow ≤ c·n". */
   def soakQueries(all: Set[String]): Set[String] = all.filter { q =>
     (q.startsWith("neardup_") || q.startsWith("emb_ann_") ||
-      q == "text_winnow_pairs" || q == "text_tfidf_sim") &&
+      q == "text_winnow_pairs" || q == "text_tfidf_sim" ||
+      q == "docs_split_leakage") &&
       // the exact 64-bit pigeonhole mode is DOCUMENTED quadratic
       // (16 values per 4-bit band ⇒ ~64 % of all pairs collide) — it
       // exists as the small-corpus correctness oracle, and at 10× the

@@ -728,18 +728,36 @@ object Embeddings {
       m: Int = PqSubspaces,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dist = col("__snsq") + col("__cnsq") -
-      lit(2L) * dotQ(col("__sqv"), col("__cqv"))
+    // Each subspace's whole codebook packs into ONE array row (cid
+    // ascending), broadcast m rows total, and the argmin runs as an
+    // in-row fold over the K entries — the FAISS encode shape. The
+    // previous plan materialized the n·m·K (subvector × centroid) row
+    // grid through a struct-buffered SortAggregate; with a frozen
+    // centroid step K grows with n, and at the 10× soak that sort's
+    // memory (~4·10⁸ rows) OOM'd under 32-way task concurrency. The
+    // fold touches the same n·m·K (subvector, centroid) combinations
+    // but holds only one accumulator per row — nothing to sort, spill,
+    // or grow. Strict `<` over the cid-ascending array keeps the first
+    // minimum: min distance, ties → min cid, the exact contract of the
+    // max_by it replaces (oracles unchanged).
+    val packed = centroids
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(
+        struct(col("__cid"), col("__cqv"), col("__cnsq")))).as("__cb"))
     subvectors(emb, m, idCol, vecCol)
-      .join(broadcast(centroids), Seq("sub"))
-      .withColumn("__dist", dist)
-      .groupBy(col(idCol), col("sub"))
-      .agg(max_by(
-          struct(col("__cid"), col("__dist")),
-          struct(-col("__dist"), -col("__cid"))).as("__best"))
+      .join(broadcast(packed), Seq("sub"))
+      .withColumn("__best", aggregate(
+        col("__cb"),
+        struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
+        (acc, c) => {
+          val d = col("__snsq") + c.getField("__cnsq") -
+            lit(2L) * dotQ(col("__sqv"), c.getField("__cqv"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.getField("__cid").as("cid"))).otherwise(acc)
+        }))
       .select(col(idCol), col("sub").cast("long").as("sub"),
-        col("__best.__cid").as("code"),
-        col("__best.__dist").as("qdist"))
+        col("__best.cid").as("code"),
+        col("__best.d").as("qdist"))
   }
 
   /** Asymmetric-distance (ADC) PQ search: approximate top-k neighbors
