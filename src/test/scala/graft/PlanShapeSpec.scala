@@ -222,6 +222,18 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected exactly 1 window in docs_dup_ngrams, got $windows:\n${dup.take(3000)}")
   }
 
+  test("emb_pq_codes encodes via the in-row codebook fold, not a grid sort-agg") {
+    // the r9 soak OOM lesson: the n·m·K subvector×centroid grid through
+    // a struct-buffered SortAggregate was a memory cliff; the fold plan
+    // has NO aggregate after the codebook broadcast join — the argmin
+    // lives inside a projection over the packed array column.
+    val p = plan("emb_pq_codes")
+    assert(!p.contains("SortAggregate"),
+      s"pq encode regressed to the grid sort-agg:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"packed codebook is not broadcast:\n${p.take(3000)}")
+  }
+
   test("text_bm25 ranks with a WindowGroupLimit partial top-k") {
     val p = plan("text_bm25")
     assert(p.contains("WindowGroupLimit"),
