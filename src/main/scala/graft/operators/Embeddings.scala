@@ -715,13 +715,14 @@ object Embeddings {
     * billion-vector ANN fit a cluster, one rung past
     * [[scalarQuantize]]'s 8-bit codes.
     *
-    * Shape: the subvector split is narrow; scoring is the n·(m·K)
-    * broadcast grid (the PQ sibling of IVF's n·K assignment pass —
-    * the codebook join key is `sub`, so each subvector meets only its
-    * own subspace's K centroids); the argmin is one map-side-partial
-    * `max_by` hash-agg. Long-form output (id, sub, code, qdist) —
-    * qdist is the exact squared quantization error, the per-subspace
-    * distortion audit. */
+    * Shape: the subvector split is narrow; each subspace's codebook is
+    * ONE broadcast array row (m rows total), and the argmin is an
+    * in-row fold over its K entries — no (subvector × centroid) row
+    * grid exists at any point, so encode memory is O(row), independent
+    * of K (see the round-9 SCALE.md note: the grid's SortAggregate was
+    * an executor-OOM cliff at 10×). Long-form output (id, sub, code,
+    * qdist) — qdist is the exact squared quantization error, the
+    * per-subspace distortion audit. */
   def pqEncode(
       emb: DataFrame,
       centroids: DataFrame,
