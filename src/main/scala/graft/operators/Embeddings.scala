@@ -537,21 +537,44 @@ object Embeddings {
     (1 to kmeansIter).foldLeft(seeds)((c, _) => lloydRefine(base, c, idCol))
   }
 
+  /** The whole centroid table packed into ONE cid-ordered array row —
+    * the broadcast side of the fold-based assignment (the IVF sibling
+    * of [[pqEncode]]'s packed codebook). */
+  private def packedCentroids(centroids: DataFrame): DataFrame =
+    centroids.groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("__cid"), col("__cqv"), col("__cnsq")))).as("__cb"))
+
+  /** Argmax-cosine cell id from an in-row loop over the packed
+    * centroid array: max cosine, exact double compare, ties → smaller
+    * cid (strict `>` over the cid-ascending array keeps the first
+    * maximum — the same ordering contract as the max_by grid-agg it
+    * replaces). One accumulator per row, no n·K row grid, no
+    * SortAggregate — the round-9 soak's OOM-cliff lesson applied to
+    * the assignment pass — and the loop is a native codegen'd
+    * expression ([[graft.expressions.IvfArgmaxCell]]), so it runs
+    * inside whole-stage codegen at grid-agg speed. */
+  private def argmaxCell(cb: Column, qv: Column, nsq: Column): Column =
+    org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.IvfArgmaxCell(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(cb),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(qv),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(nsq)))
+
   /** Assign vectors to their argmax-cosine cell of an EXISTING
     * centroid table (same ordering contract as the inline assignment:
     * max cosine, ties → smaller cell id) — the incremental half of the
-    * IVF index: one n·K broadcast scoring pass over the increment
+    * IVF index: one broadcast of K packed centroids over the increment
     * only, the accumulated corpus untouched. Output: (id, cell). */
   def ivfAssign(
       emb: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    prepped(emb, idCol, vecCol).crossJoin(broadcast(centroids))
-      .withColumn("__ccos",
-        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
-      .groupBy(col(idCol))
-      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("cell"))
+    prepped(emb, idCol, vecCol).crossJoin(broadcast(packedCentroids(centroids)))
+      .where(size(col("__cb")) > 0) // empty index assigns nothing
+      .select(col(idCol),
+        argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("cell"))
 
   def annIvf(
       emb: DataFrame,
@@ -567,20 +590,18 @@ object Embeddings {
     val base = prepped(emb, idCol, vecCol)
     val cents = ivfCentroids(emb, centroidStep, idCol, vecCol, seedByHash, kmeansIter)
 
-    // n·K assignment scores. nprobe = 1 (the default): argmax-cos
-    // centroid (ties → smaller id) as one map-side-partial max_by hash
-    // agg — no sort anywhere; qv/nsq ride along as grouping keys to
-    // avoid a re-join. nprobe > 1 (the recall dial — a true neighbor
-    // sitting just across a cell boundary is recovered by probing the
-    // query's top-nprobe cells): top-nprobe needs ranked cells, a
-    // window over the K scores of each vector — K rows per vec, so the
-    // per-partition sort is over the (small) centroid count, not data.
-    val scored = base.crossJoin(broadcast(cents))
-      .withColumn("__ccos",
-        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
-    val assigned = scored
-      .groupBy(col(idCol), col("__qv"), col("__nsq"))
-      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    // Cell assignment: an in-row fold over the packed centroid array
+    // (argmax cosine, ties → smaller id) — one row per vector, no n·K
+    // row grid, no aggregate at all (see [[argmaxCell]]). nprobe > 1
+    // (the recall dial — a true neighbor sitting just across a cell
+    // boundary is recovered by probing the query's top-nprobe cells)
+    // still builds the K-rows-per-vector scored frame: top-nprobe
+    // needs ranked cells, and the per-partition window sort is over
+    // the (small) centroid count, not data.
+    val assigned = base.crossJoin(broadcast(packedCentroids(cents)))
+      .where(size(col("__cb")) > 0)
+      .select(col(idCol), col("__qv"), col("__nsq"),
+        argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("__cell"))
 
     // probe-side cells: home cell at nprobe=1 (same frame, no window)
     val probes =
@@ -589,7 +610,9 @@ object Embeddings {
       else {
         val w = Window.partitionBy(col(idCol))
           .orderBy(col("__ccos").desc, col("__cid"))
-        scored
+        base.crossJoin(broadcast(cents))
+          .withColumn("__ccos",
+            cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= nprobe)
           .select(col(idCol), col("__cid").as("__probe"), col("__qv"), col("__nsq"))
@@ -745,20 +768,17 @@ object Embeddings {
       .groupBy(col("sub"))
       .agg(sort_array(collect_list(
         struct(col("__cid"), col("__cqv"), col("__cnsq")))).as("__cb"))
+    val best = org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.PqArgminCode(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(col("__cb")),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(col("__sqv")),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(col("__snsq"))))
     subvectors(emb, m, idCol, vecCol)
       .join(broadcast(packed), Seq("sub"))
-      .withColumn("__best", aggregate(
-        col("__cb"),
-        struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
-        (acc, c) => {
-          val d = col("__snsq") + c.getField("__cnsq") -
-            lit(2L) * dotQ(col("__sqv"), c.getField("__cqv"))
-          when(d < acc.getField("d"),
-            struct(d.as("d"), c.getField("__cid").as("cid"))).otherwise(acc)
-        }))
+      .withColumn("__best", best)
       .select(col(idCol), col("sub").cast("long").as("sub"),
-        col("__best.cid").as("code"),
-        col("__best.d").as("qdist"))
+        col("__best.code").as("code"),
+        col("__best.qdist").as("qdist"))
   }
 
   /** Asymmetric-distance (ADC) PQ search: approximate top-k neighbors

@@ -65,6 +65,97 @@ class ExpressionEquivalenceSpec extends SparkSpecBase {
     }
   }
 
+  // ---- packed-codebook argmin/argmax loops (the r9 soak-OOM fixes) ----
+
+  /** A random packed codebook: K entries of (cid ascending, d-dim
+    * quantized vector, its exact squared norm). */
+  private def packedRows(rnd: scala.util.Random, k: Int, d: Int)
+      : Seq[(Long, Array[Long], Long)] = {
+    val cids = Seq.fill(k)(rnd.nextLong().abs % 1000000L).distinct.sorted
+    cids.map { cid =>
+      val v = Array.fill(d)(rnd.nextLong() % 1000L)
+      (cid, v, v.map(x => x * x).sum)
+    }
+  }
+
+  test("IvfArgmaxCell equals the HOF argmax fold on random codebooks (incl. ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9090L)
+    val rows = (0 until 300).map { i =>
+      val d = 1 + rnd.nextInt(16)
+      val cb = packedRows(rnd, 1 + rnd.nextInt(12), d)
+      // every third row: duplicate an entry's VECTOR under a higher cid
+      // so the cosine ties exactly and the tie-break is exercised
+      val cbT = if (i % 3 == 0 && cb.nonEmpty)
+        cb :+ ((cb.head._1 + 1000001L, cb.head._2, cb.head._3)) else cb
+      val q = Array.fill(d)(rnd.nextLong() % 1000L)
+      (cbT, q, q.map(x => x * x).sum)
+    }
+    val df = rows.toDF("cb", "qv", "nsq")
+      .select(col("cb"), col("qv"), col("nsq"))
+      .withColumn("cbS", expr("transform(cb, c -> struct(c._1 AS __cid, c._2 AS __cqv, c._3 AS __cnsq))"))
+    val native = ColumnAdapter.column(graft.expressions.IvfArgmaxCell(
+      ColumnAdapter.expression(col("cbS")),
+      ColumnAdapter.expression(col("qv")),
+      ColumnAdapter.expression(col("nsq"))))
+    val hof = aggregate(col("cbS"),
+      struct(lit(Double.NegativeInfinity).as("c"), lit(Long.MinValue).as("cid")),
+      (acc, c) => {
+        val cos = dotHof(col("qv"), c.getField("__cqv")).cast("double") /
+          (sqrt(col("nsq").cast("double")) * sqrt(c.getField("__cnsq").cast("double")))
+        when(cos > acc.getField("c"),
+          struct(cos.as("c"), c.getField("__cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+    val got = df.select(native.as("n"), hof.as("h"))
+    assert(got.filter(col("n") =!= col("h")).count() === 0)
+  }
+
+  test("PqArgminCode equals the HOF argmin fold on random codebooks (incl. ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7171L)
+    val rows = (0 until 300).map { i =>
+      val d = 1 + rnd.nextInt(8)
+      val cb = packedRows(rnd, 1 + rnd.nextInt(12), d)
+      val cbT = if (i % 3 == 0 && cb.nonEmpty)
+        cb :+ ((cb.head._1 + 1000001L, cb.head._2, cb.head._3)) else cb
+      val s = Array.fill(d)(rnd.nextLong() % 1000L)
+      (cbT, s, s.map(x => x * x).sum)
+    }
+    val df = rows.toDF("cb", "sqv", "snsq")
+      .withColumn("cbS", expr("transform(cb, c -> struct(c._1 AS __cid, c._2 AS __cqv, c._3 AS __cnsq))"))
+    val native = ColumnAdapter.column(graft.expressions.PqArgminCode(
+      ColumnAdapter.expression(col("cbS")),
+      ColumnAdapter.expression(col("sqv")),
+      ColumnAdapter.expression(col("snsq"))))
+    val hof = aggregate(col("cbS"),
+      struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("cid")),
+      (acc, c) => {
+        val dist = col("snsq") + c.getField("__cnsq") -
+          lit(2L) * dotHof(col("sqv"), c.getField("__cqv"))
+        when(dist < acc.getField("d"),
+          struct(dist.as("d"), c.getField("__cid").as("cid"))).otherwise(acc)
+      })
+    val got = df.select(native.getField("code").as("nc"), native.getField("qdist").as("nd"),
+      hof.getField("cid").as("hc"), hof.getField("d").as("hd"))
+    assert(got.filter(col("nc") =!= col("hc") || col("nd") =!= col("hd")).count() === 0)
+  }
+
+  test("packed argmin/argmax expressions return null on an empty codebook") {
+    val df = spark.sql(
+      """SELECT cast(array() as array<struct<c1:bigint,c2:array<bigint>,c3:bigint>>) AS cb,
+        |       array(1L, 2L) AS v, 5L AS nsq""".stripMargin)
+    val got = df.select(
+      ColumnAdapter.column(graft.expressions.IvfArgmaxCell(
+        ColumnAdapter.expression(col("cb")),
+        ColumnAdapter.expression(col("v")),
+        ColumnAdapter.expression(col("nsq")))).as("a"),
+      ColumnAdapter.column(graft.expressions.PqArgminCode(
+        ColumnAdapter.expression(col("cb")),
+        ColumnAdapter.expression(col("v")),
+        ColumnAdapter.expression(col("nsq")))).as("p")).head
+    assert(got.isNullAt(0) && got.isNullAt(1))
+  }
+
   test("null elements: DotProductLong skips the term, DistinctShingles ignores the token") {
     // null-element arrays are SQL-reachable through the registered
     // functions; the operators themselves never produce them. The
