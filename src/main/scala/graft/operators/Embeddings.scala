@@ -493,12 +493,13 @@ object Embeddings {
     * + an n·d dimension shuffle (d = vector width) — the canonical
     * distributed k-means step. */
   private def lloydRefine(base: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
-    val scored = base.crossJoin(broadcast(cents))
-      .withColumn("__ccos",
-        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
-    val assigned = scored
-      .groupBy(col(idCol), col("__qv"))
-      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    // assignment via the same packed-array codegen loop as ivfAssign —
+    // each Lloyd iteration scores n·K combinations with O(row) memory
+    // (the row-grid + max_by form was the soak's OOM-cliff shape)
+    val assigned = base.crossJoin(broadcast(packedCentroids(cents)))
+      .where(size(col("__cb")) > 0)
+      .select(col(idCol), col("__qv"),
+        argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("__cell"))
     val means = assigned
       .select(col("__cell"), posexplode(col("__qv")).as(Seq("__j", "__x")))
       .groupBy(col("__cell"), col("__j"))
