@@ -32,9 +32,13 @@ object Soak {
   val IdOffset = 10_000_000L
 
   /** Battery queries the soak runs: the candidate-generating family
-    * whose 100 TB story is "candidates grow ≤ c·n". */
+    * whose 100 TB story is "candidates grow ≤ c·n", plus the
+    * events/time-series family (replicated user key-space over the
+    * SAME time range — sessionization, as-of/range joins, windows must
+    * stay per-key-linear when only the key population grows). */
   def soakQueries(all: Set[String]): Set[String] = all.filter { q =>
     (q.startsWith("neardup_") || q.startsWith("emb_ann_") ||
+      q.startsWith("events_") ||
       q == "text_winnow_pairs" || q == "text_tfidf_sim" ||
       q == "docs_split_leakage") &&
       // the exact 64-bit pigeonhole mode is DOCUMENTED quadratic
@@ -71,6 +75,22 @@ object Soak {
     }.reduce(_ unionByName _)
   }
 
+  /** N× events: replica users/event-ids offset into disjoint ranges,
+    * timestamps/types/values UNCHANGED — the realistic event-stream
+    * scale-up is more concurrent keys over the same time window, so
+    * per-key operators (sessionize, as-of, rolling, transitions) must
+    * grow exactly linearly and time-keyed joins (range_join's bin
+    * equijoin) face N× the population per time bin. */
+  def replicatedEvents(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until n).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("event_id", col("event_id") + lit(i * IdOffset))
+        .withColumn("user_id", col("user_id") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+  }
+
   /** Materialize the N× fixture dir (idempotent overwrite; generation
     * is deterministic and takes seconds). Returns the dir to bench. */
   def materializeDir(spark: SparkSession, sfDir: String, n: Int): String = {
@@ -80,8 +100,10 @@ object Soak {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     replicatedEmbeddings(spark, sfDir, n)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    replicatedEvents(spark, sfDir, n)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+      "orders", "lineitem")
     others.foreach { t =>
       Files.copy(Paths.get(s"$sfDir/$t.parquet"),
         Paths.get(s"$out/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)

@@ -41,6 +41,34 @@ class SoakSpec extends SparkSpecBase {
       "a replica changed some doc's token count")
   }
 
+  test("event replicas are key-disjoint over the SAME time range") {
+    val n = 3
+    val rep = Soak.replicatedEvents(spark, sfDir, n).cache()
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(rep.count() === n * base.count())
+    // replica 0 identical
+    val r0 = rep.filter(col("event_id") < Soak.IdOffset)
+    assert(r0.exceptAll(base).count() === 0)
+    // user key-spaces are disjoint ranges; the time range is shared
+    // (same min/max ts in every replica — the "more concurrent users,
+    // same window" scale-up)
+    val perRep = rep
+      .groupBy((col("event_id") / Soak.IdOffset).cast("int").as("rep"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+        min(col("user_id")).as("u0"), max(col("user_id")).as("u1"))
+      .collect().sortBy(_.getInt(0))
+    assert(perRep.length === n)
+    // getAs[Any]: the fixture's ts may surface as TIMESTAMP_NTZ
+    // (LocalDateTime) or TIMESTAMP depending on the generator encoding
+    assert(perRep.map(r => (r.getAs[Any](1), r.getAs[Any](2))).distinct.length === 1,
+      "every replica must cover the same event-time window")
+    val ranges = perRep.map(r => (r.getLong(3), r.getLong(4))).sorted
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"user ranges overlap across replicas: ${ranges.mkString(", ")}")
+  }
+
   test("embedding replicas perturb every replica deterministically and boundedly") {
     val n = 3
     val rep = Soak.replicatedEmbeddings(spark, sfDir, n).cache()
