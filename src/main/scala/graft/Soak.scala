@@ -38,9 +38,16 @@ object Soak {
     * stay per-key-linear when only the key population grows). */
   def soakQueries(all: Set[String]): Set[String] = all.filter { q =>
     (q.startsWith("neardup_") || q.startsWith("emb_ann_") ||
-      q.startsWith("events_") ||
+      q.startsWith("events_") || q.startsWith("graph_") ||
       q == "text_winnow_pairs" || q == "text_tfidf_sim" ||
-      q == "docs_split_leakage") &&
+      q == "docs_split_leakage" ||
+      // iterative/graph + banded-Hamming families: per-node outputs
+      // (pagerank/communities = one row per vector, bfs ≤ reach) are
+      // linear by construction, so the row gate checks the CANDIDATE
+      // paths feeding them (knn buckets, wedge equijoin, banding,
+      // star-contraction) didn't go quadratic — and that round counts
+      // and executor memory survive 10×.
+      q == "multimodal_phash" || q == "dedup_clusters") &&
       // the exact 64-bit pigeonhole mode is DOCUMENTED quadratic
       // (16 values per 4-bit band ⇒ ~64 % of all pairs collide) — it
       // exists as the small-corpus correctness oracle, and at 10× the
@@ -51,6 +58,18 @@ object Soak {
 
   def replicatedDocs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // The replica bijection appends `xq{i}z` to every \S+ token, so
+    // replicas are token-disjoint ONLY IF no base token already ends
+    // with the marker pattern (base "fooxq1z" would equal replica-1
+    // "foo"+marker). The fixture generator never emits such tokens
+    // today; assert it, so a regenerated fixture that does breaks the
+    // soak loudly here instead of silently voiding the linear-growth
+    // gate's premise.
+    val clash = base.where(col("text").rlike("xq\\d+z(\\s|$)")).count()
+    require(clash == 0L,
+      s"soak marker collision: $clash document(s) contain a token ending " +
+        "in the per-replica marker pattern xq<digits>z — replica token-" +
+        "disjointness (the linear-growth gate's premise) does not hold")
     (0 until n).map { i =>
       if (i == 0) base
       else base.select(

@@ -71,19 +71,30 @@ object SparkEntry {
     *    session here pins `spark.sql.session.timeZone=UTC`, so the naive
     *    wall-clock reinterprets to the identical epoch-micros instant.
     *
-    * Both paths land on the same values DuckDB sees reading the fixture
-    * natively, so the oracle SQL needs no per-encoding variant. Any third
+    * A bare int64 column carries no unit, so the LongType arm dispatches
+    * per-row on MAGNITUDE: ≥ 10¹⁷ is epoch-nanos (every instant after
+    * 1973-03; micros would put it past year 5138), below is epoch-micros
+    * (the plausible next regen: raw int64 micros without a logical type).
+    * The branch is a per-row `when`, not a scan — it stays inside
+    * whole-stage codegen and tolerates a fixture that mixes encodings
+    * across row groups.
+    *
+    * All paths land on the same values DuckDB sees reading the fixture
+    * natively, so the oracle SQL needs no per-encoding variant. Any other
     * encoding fails loudly here, naming the column — not 18 queries deep
     * in an analysis error.
     */
   def normalizeEventTs(df: DataFrame, c: String = "ts"): DataFrame =
     df.schema(c).dataType match {
-      case LongType => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case LongType => df.withColumn(c, timestamp_micros(
+        when(abs(col(c)) >= lit(100000000000000000L), expr(s"`$c` div 1000"))
+          .otherwise(col(c))))
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalArgumentException(
         s"events fixture column '$c': unsupported physical type $other " +
-          "(expected int64 epoch-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+          "(expected int64 epoch-nanos, int64 epoch-micros, TIMESTAMP_NTZ, " +
+          "or TIMESTAMP)")
     }
 
   private def eventsTable(s: SparkSession, dir: String): DataFrame =

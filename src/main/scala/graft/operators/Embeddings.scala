@@ -562,11 +562,29 @@ object Embeddings {
         org.apache.spark.sql.graft.ColumnAdapter.expression(qv),
         org.apache.spark.sql.graft.ColumnAdapter.expression(nsq)))
 
+  /** Top-`nprobe` cosine cells from the same packed array — element 1
+    * is [[argmaxCell]]'s home cell (identical ordering contract), so
+    * multi-probe assignment and probe lists come from ONE evaluation
+    * (see [[graft.expressions.IvfTopCells]]). */
+  private def topCells(cb: Column, qv: Column, nsq: Column, nprobe: Int): Column =
+    org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.IvfTopCells(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(cb),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(qv),
+        org.apache.spark.sql.graft.ColumnAdapter.expression(nsq), nprobe))
+
   /** Assign vectors to their argmax-cosine cell of an EXISTING
     * centroid table (same ordering contract as the inline assignment:
     * max cosine, ties → smaller cell id) — the incremental half of the
     * IVF index: one broadcast of K packed centroids over the increment
-    * only, the accumulated corpus untouched. Output: (id, cell). */
+    * only, the accumulated corpus untouched. Output: (id, cell).
+    *
+    * `idCol` must be unique per vector (the fixture contract, and the
+    * contract of every index here — centroid identities ARE ids). The
+    * fold emits one row per INPUT row, so duplicate ids would yield
+    * duplicate (id, cell) rows — where the grid-agg form this replaced
+    * collapsed them arbitrarily; dedup upstream if your corpus can
+    * carry duplicate keys. */
   def ivfAssign(
       emb: DataFrame,
       centroids: DataFrame,
@@ -596,28 +614,30 @@ object Embeddings {
     // row grid, no aggregate at all (see [[argmaxCell]]). nprobe > 1
     // (the recall dial — a true neighbor sitting just across a cell
     // boundary is recovered by probing the query's top-nprobe cells)
-    // still builds the K-rows-per-vector scored frame: top-nprobe
-    // needs ranked cells, and the per-partition window sort is over
-    // the (small) centroid count, not data.
-    val assigned = base.crossJoin(broadcast(packedCentroids(cents)))
-      .where(size(col("__cb")) > 0)
-      .select(col(idCol), col("__qv"), col("__nsq"),
-        argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("__cell"))
+    // ranks cells through the SAME fold ([[topCells]]: top-nprobe
+    // slots maintained in-row, element 1 = the home cell), so the
+    // corpus is scanned once per consumer and the K-rows-per-vector
+    // grid + window sort the ranking used to need never exist.
+    val packedCb = broadcast(packedCentroids(cents))
+    val scanned = base.crossJoin(packedCb).where(size(col("__cb")) > 0)
+    // nprobe=1 keeps the scalar argmax fold (no per-row array); the
+    // multi-probe fold's element 1 is the identical home cell.
+    val assigned =
+      if (nprobe == 1)
+        scanned.select(col(idCol), col("__qv"), col("__nsq"),
+          argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("__cell"))
+      else
+        scanned.select(col(idCol), col("__qv"), col("__nsq"),
+          topCells(col("__cb"), col("__qv"), col("__nsq"), nprobe).as("__cells"))
+          .select(col(idCol), col("__qv"), col("__nsq"),
+            element_at(col("__cells"), 1).as("__cell"), col("__cells"))
 
-    // probe-side cells: home cell at nprobe=1 (same frame, no window)
+    // probe-side cells: home cell at nprobe=1 (same frame, no explode)
     val probes =
       if (nprobe == 1) assigned.select(col(idCol), col("__cell").as("__probe"),
         col("__qv"), col("__nsq"))
-      else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("__ccos").desc, col("__cid"))
-        base.crossJoin(broadcast(cents))
-          .withColumn("__ccos",
-            cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= nprobe)
-          .select(col(idCol), col("__cid").as("__probe"), col("__qv"), col("__nsq"))
-      }
+      else assigned.select(col(idCol),
+        explode(col("__cells")).as("__probe"), col("__qv"), col("__nsq"))
 
     val b = assigned.select(
       col(idCol).as("__nid"), col("__cell").as("__ncell"),

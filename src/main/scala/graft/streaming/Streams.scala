@@ -148,7 +148,12 @@ object Streams {
     * That is the 100 TB-scale shape for "a new tranche of corpus lands
     * every night": per-run cost is proportional to the increment, with
     * exactly-once file tracking from the checkpoint, where the batch
-    * job re-reads the world every run.
+    * job re-reads the world every run. The sink is idempotent too —
+    * each micro-batch dynamically OVERWRITES its own `batch_id=N`
+    * partition, so a failure after the write but before the checkpoint
+    * commit replays the batch into the same partition instead of
+    * appending duplicates (a blind append would make the pipeline only
+    * at-least-once on retry).
     *
     * The aggregation runs inside `foreachBatch`: WordStats groups by
     * (file, normalized word), and `wholetext` makes each file ONE
@@ -180,13 +185,18 @@ object Streams {
     files.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         WordStats(batch, idCol = "file_path", textCol = "content")
           .withColumn("file", Scalars.truncate269(
             Scalars.lastPathComponents(col("file_path"), 5)))
           .select(col("word"), col("word_len"), col("word_truncated"),
             col("file"), col("words_count"))
-          .write.mode("append").parquet(outPath)
+          // idempotent-on-replay: overwrite THIS batch's partition only
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
         ()
       }
       .start()

@@ -140,6 +140,78 @@ class ExpressionEquivalenceSpec extends SparkSpecBase {
     assert(got.filter(col("nc") =!= col("hc") || col("nd") =!= col("hd")).count() === 0)
   }
 
+  test("IvfTopCells equals the window ranking it replaced (incl. ties, K < nprobe)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337L)
+    // nonzero-norm vectors only: the ANSI window form throws on a
+    // zero-norm division where the native fold yields a NaN ordering —
+    // not a caller-reachable shape (quantized real embeddings)
+    def nzVec(d: Int) = Array.fill(d)(1L + rnd.nextLong().abs % 999L)
+    val rows = (0 until 300).map { i =>
+      val d = 1 + rnd.nextInt(16)
+      // small K on purpose: K < nprobe rows exercise the short-array arm
+      val cids = Seq.fill(1 + rnd.nextInt(8))(rnd.nextLong().abs % 1000000L)
+        .distinct.sorted
+      val cb = cids.map { cid =>
+        val v = nzVec(d); (cid, v, v.map(x => x * x).sum)
+      }
+      val cbT = if (i % 3 == 0 && cb.nonEmpty)
+        cb :+ ((cb.head._1 + 1000001L, cb.head._2, cb.head._3)) else cb
+      val q = nzVec(d)
+      (i.toLong, cbT, q, q.map(x => x * x).sum)
+    }
+    val df = rows.toDF("id", "cb", "qv", "nsq")
+      .withColumn("cbS", expr("transform(cb, c -> struct(c._1 AS __cid, c._2 AS __cqv, c._3 AS __cnsq))"))
+    for (nprobe <- Seq(1, 2, 4)) {
+      val native = df.select(col("id"),
+        ColumnAdapter.column(graft.expressions.IvfTopCells(
+          ColumnAdapter.expression(col("cbS")),
+          ColumnAdapter.expression(col("qv")),
+          ColumnAdapter.expression(col("nsq")), nprobe)).as("n"))
+      // the replaced plan: K rows per vector, cosine window rank
+      val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+      val ranked = df.select(col("id"), col("nsq"), col("qv"),
+          explode(col("cbS")).as("c"))
+        .select(col("id"),
+          col("c.__cid").as("cid"),
+          (dotHof(col("qv"), col("c.__cqv")).cast("double") /
+            (sqrt(col("nsq").cast("double")) *
+              sqrt(col("c.__cnsq").cast("double")))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .groupBy(col("id"))
+        .agg(transform(sort_array(collect_list(struct(col("rn"), col("cid")))),
+          s => s.getField("cid")).as("h"))
+      val got = native.join(ranked, "id")
+      assert(got.filter(col("n") =!= col("h")).count() === 0,
+        s"mismatch at nprobe=$nprobe")
+      // element 1 is the home cell: the scalar argmax contract
+      val home = df.select(
+        ColumnAdapter.column(graft.expressions.IvfTopCells(
+          ColumnAdapter.expression(col("cbS")),
+          ColumnAdapter.expression(col("qv")),
+          ColumnAdapter.expression(col("nsq")), nprobe)).getItem(0).as("t"),
+        ColumnAdapter.column(graft.expressions.IvfArgmaxCell(
+          ColumnAdapter.expression(col("cbS")),
+          ColumnAdapter.expression(col("qv")),
+          ColumnAdapter.expression(col("nsq")))).as("a"))
+      assert(home.filter(col("t") =!= col("a")).count() === 0)
+    }
+  }
+
+  test("IvfTopCells returns null on an empty codebook") {
+    val df = spark.sql(
+      """SELECT cast(array() as array<struct<c1:bigint,c2:array<bigint>,c3:bigint>>) AS cb,
+        |       array(1L, 2L) AS v, 5L AS nsq""".stripMargin)
+    val got = df.select(
+      ColumnAdapter.column(graft.expressions.IvfTopCells(
+        ColumnAdapter.expression(col("cb")),
+        ColumnAdapter.expression(col("v")),
+        ColumnAdapter.expression(col("nsq")), 2)).as("t")).head
+    assert(got.isNullAt(0))
+  }
+
   test("packed argmin/argmax expressions return null on an empty codebook") {
     val df = spark.sql(
       """SELECT cast(array() as array<struct<c1:bigint,c2:array<bigint>,c3:bigint>>) AS cb,

@@ -21,15 +21,18 @@ class FixtureSchemaSpec extends SparkSpecBase {
 
   test("normalizeEventTs lands every tolerated ts encoding on TimestampType micros") {
     import spark.implicits._
-    // one µs-aligned instant in all three physical encodings
+    // one µs-aligned instant in all four physical encodings — a bare
+    // int64 carries no unit, so nanos vs micros dispatches on per-row
+    // magnitude (≥ 10¹⁷ ⇒ nanos: post-1973 as nanos, pre-5138 as micros)
     val micros = 1_767_225_600_123_456L // 2026-01-01T00:00:00.123456Z
     val asNanos = Seq((1L, micros * 1000)).toDF("event_id", "ts")
+    val asMicros = Seq((1L, micros)).toDF("event_id", "ts")
     val asNtz = Seq((1L, micros)).toDF("event_id", "us")
       .select(col("event_id"),
         timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
     val asLtz = Seq((1L, micros)).toDF("event_id", "us")
       .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
-    for (df <- Seq(asNanos, asNtz, asLtz)) {
+    for (df <- Seq(asNanos, asMicros, asNtz, asLtz)) {
       val out = SparkEntry.normalizeEventTs(df)
       assert(out.schema("ts").dataType === TimestampType)
       assert(out.select(unix_micros(col("ts"))).head().getLong(0) === micros)
