@@ -1360,6 +1360,53 @@ object SparkEntry {
       Layout.compactionPlan(listing, targetBytes = 4194304L)
     }),
 
+    // …and the plan EXECUTED against real files: stage the documents
+    // corpus as ~40 small parquet files, plan their compaction from a
+    // real FS listing, rewrite every planned group (Layout.compact:
+    // one distributed scan + broadcast path→group join + one file per
+    // group), structurally assert the rewritten layout (exactly one
+    // file per group, group count = plan count — violations throw),
+    // then return the corpus READ BACK FROM THE REWRITTEN FILES plus
+    // untouched keeps. The oracle is plain `documents`: any row lost,
+    // duplicated, or corrupted by the rewrite breaks the hash — the
+    // compaction contract (content-identical, layout-better),
+    // oracle-checked end to end. Group ids themselves depend on
+    // physical parquet byte sizes, which no other engine can predict —
+    // content preservation is the portable contract.
+    "layout_compaction_exec" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_compact_exec"
+      val stage = s"$base/stage"
+      val out = s"$base/out"
+      T(s, dir, "documents")
+        .repartition(40, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val listing = Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (stage, f.getAbsolutePath, f.length()))
+        .toSeq.toDF("dir", "path", "bytes")
+      val plan = Layout.compactionPlan(listing, targetBytes = 262144L)
+      val manifest = Layout.compact(s, plan, out)
+      val planned = plan.filter(col("action") === "compact")
+        .select(col("group_id")).distinct().count()
+      val written = manifest.count()
+      val multi = manifest.filter(col("out_files") =!= 1L).count()
+      require(written == planned && multi == 0,
+        s"compaction layout contract violated: $planned planned groups, " +
+          s"$written written, $multi with more than one file")
+      val keeps = plan.filter(col("action") === "keep")
+        .select(col("path")).as[String].collect()
+      val rewritten = s.read.parquet(out)
+        .drop(Layout.CompactGroupCol)
+      val kept =
+        if (keeps.isEmpty) rewritten.limit(0)
+        else s.read.parquet(keeps.toIndexedSeq: _*)
+      rewritten.unionByName(kept)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
+
     // Full cross-dimensional super-aggregates — CUBE computes all 2^k
     // grouping sets (4 here) from ONE scan + Expand + one hash-agg,
     // the cross-tab sibling of rel_rollup's hierarchy.
@@ -2898,6 +2945,12 @@ object SparkEntry {
         |            THEN dir || '#' || CAST(cum // 4194304 AS VARCHAR) END
         |         AS group_id
         |FROM c""".stripMargin,
+
+    // the executed rewrite preserves the corpus bit-exactly — the
+    // engine-portable half of the compaction contract (group ids
+    // depend on physical parquet sizes no other engine can predict)
+    "layout_compaction_exec" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "rel_cube" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data-layout clustering — Z-order (Morton)
@@ -118,5 +118,61 @@ object Layout {
         when(col(smallC), concat(col(dirCol), lit("#"),
           call_function("div", col("__cum"), lit(targetBytes))))
           .as("group_id"))
+  }
+
+  /** Partition-directory name [[compact]] writes rewrite groups under. */
+  val CompactGroupCol = "compact_group"
+
+  /** Execute a [[compactionPlan]] over real parquet files: every
+    * `compact`-planned file is rewritten into exactly ONE output file
+    * per rewrite group under `outDir/compact_group=<group_id>/`;
+    * `keep` files are (correctly) not touched — rewriting a file that
+    * is already at target size buys nothing.
+    *
+    * Scale shape: the data path is fully distributed — ONE parquet
+    * scan over the union of compact-planned files, per-row provenance
+    * from the file source's `_metadata.file_path`, a broadcast join of
+    * the (path → group) plan slice, then a hash `repartition` on the
+    * group id so each group lands whole in one task, whose
+    * `partitionBy` write emits one file per group value it holds —
+    * exactly one per group overall. Only the plan's PATH LIST touches
+    * the driver (metadata, one row per file — the same shape lakehouse
+    * OPTIMIZE jobs collect to build their rewrite jobs); row data
+    * never does. Plan `path`s must be absolute; `file:` URIs and bare
+    * paths both join (the scheme is normalized away on both sides).
+    *
+    * Returns the post-write manifest — `(group_id, out_files,
+    * out_bytes)`, one row per group directory actually written, from a
+    * fresh listing (NOT an echo of the plan) — so callers can assert
+    * the layout contract: `out_files == 1` per group, group count ==
+    * planned count. An empty/`keep`-only plan writes nothing and
+    * returns an empty manifest. */
+  def compact(spark: SparkSession, plan: DataFrame, outDir: String): DataFrame = {
+    import spark.implicits._
+    val normalize = (p: Column) => regexp_replace(p, "^file:/+", "/")
+    val toCompact = plan.filter(col("action") === lit("compact"))
+      .select(normalize(col("path")).as("__src"), col("group_id"))
+    val paths = toCompact.select(col("__src")).as[String].collect().sorted
+    if (paths.nonEmpty) {
+      spark.read.parquet(paths.toIndexedSeq: _*)
+        .withColumn("__src", normalize(col("_metadata.file_path")))
+        .join(broadcast(toCompact.withColumnRenamed("group_id", CompactGroupCol)),
+          Seq("__src"))
+        .drop("__src")
+        .repartition(col(CompactGroupCol))
+        .write.mode("overwrite").partitionBy(CompactGroupCol).parquet(outDir)
+    }
+    val groupDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(CompactGroupCol + "="))
+    val manifest = groupDirs.toSeq.map { g =>
+      val parts = Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      // partitionBy hive-escapes special chars ('#' → %23) in dir names
+      val gid = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(g.getName.stripPrefix(CompactGroupCol + "="))
+      (gid, parts.length.toLong, parts.map(_.length()).sum)
+    }
+    manifest.toDF("group_id", "out_files", "out_bytes")
   }
 }

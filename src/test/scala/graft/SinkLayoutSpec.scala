@@ -247,4 +247,75 @@ class SinkLayoutSpec extends SparkSpecBase {
       assert(r.getLong(1) < target + r.getLong(2),
         s"group ${r.getString(0)} total ${r.getLong(1)} exceeds envelope"))
   }
+
+  test("compact executes the plan: one file per group, keeps untouched, content exact") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val stage = s"$work/stage"
+    val out = s"$work/out"
+    // a small-file tree: 12 single-row-group files of ~equal size
+    val rows = (0L until 240L).map(i => (i, s"v$i", i % 7))
+    rows.toDF("id", "v", "k").repartition(12, col("id"))
+      .write.parquet(stage)
+    def listFiles(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val staged = listFiles(stage)
+    assert(staged.length >= 8) // some hash partitions may be empty
+    // target ≈ 4 files ⇒ ~3 rewrite groups; one file made keep-sized by
+    // choosing target just under its byte size is brittle — instead
+    // append one genuinely big file (many rows) so keep is exercised
+    val bigDir = s"$work/big"
+    (100000L until 101000L).map(i => (i, s"v$i", i % 7)).toDF("id", "v", "k")
+      .coalesce(1).write.parquet(bigDir)
+    val bigFile = listFiles(bigDir).head
+    val bigDest = java.nio.file.Paths.get(stage, "zz_big.parquet")
+    java.nio.file.Files.move(bigFile.toPath, bigDest)
+
+    val all = listFiles(stage)
+    val target = staged.map(_.length()).sorted.apply(staged.length / 2) * 4
+    assert(bigDest.toFile.length() >= target, "keep arm needs a big file")
+    val listing = all.map(f => (stage, f.getAbsolutePath, f.length()))
+      .toSeq.toDF("dir", "path", "bytes")
+    val plan = Layout.compactionPlan(listing, target)
+    val nGroups = plan.where(col("action") === "compact")
+      .select("group_id").distinct().count()
+    assert(nGroups >= 2, s"want multiple rewrite groups, got $nGroups")
+    assert(plan.where(col("action") === "keep").count() === 1L)
+
+    val keepModifiedBefore = bigDest.toFile.lastModified()
+    val manifest = Layout.compact(spark, plan, out)
+
+    // layout contract: every planned group wrote exactly one file
+    val got = manifest.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size.toLong === nGroups)
+    assert(got.values.forall(_ === 1L), s"multi-file groups: $got")
+    // keep file untouched on disk
+    assert(bigDest.toFile.exists() &&
+      bigDest.toFile.lastModified() === keepModifiedBefore)
+    // content contract: rewritten ∪ keep == staged corpus exactly
+    val back = spark.read.parquet(out).drop(Layout.CompactGroupCol)
+      .unionByName(spark.read.parquet(bigDest.toString))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = (rows ++ (100000L until 101000L).map(i => (i, s"v$i", i % 7))).toSet
+    assert(back === want)
+    // input-bytes envelope per executed group (the plan's binning bound)
+    plan.where(col("action") === "compact")
+      .groupBy("group_id").agg(sum("bytes").as("t"), max("bytes").as("m"))
+      .collect().foreach(r =>
+        assert(r.getLong(1) < target + r.getLong(2),
+          s"group ${r.getString(0)} total ${r.getLong(1)} exceeds envelope"))
+  }
+
+  test("compact on a keep-only plan writes nothing and returns an empty manifest") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_k").toString
+    val plan = Seq(("d", s"$work/nope.parquet", 10L, "keep", null: String))
+      .toDF("dir", "path", "bytes", "action", "group_id")
+    val manifest = Layout.compact(spark, plan, s"$work/out")
+    assert(manifest.count() === 0L)
+    assert(!new java.io.File(s"$work/out").exists())
+  }
 }
