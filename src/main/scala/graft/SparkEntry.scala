@@ -1157,6 +1157,18 @@ object SparkEntry {
           Scalars.removeDiac(col("word")).as("word_nodiac"))
     }),
 
+    // -------- codepoint n-gram tokenizer — the whitespace-free-script
+    // fallback (CJK/Thai): every overlapping 3-codepoint gram with its
+    // position, same long-form shape as `tokenize`, so grams feed the
+    // dedup/BM25/winnowing machinery exactly as words do. One narrow
+    // codegen stage (split-to-chars once + slice per gram — linear in
+    // text length, never a per-gram substring rescan), no shuffle.
+    "text_ngram_tokens" -> ((s, dir) =>
+      Tokenize.cjkNgrams(inputCol = "text", n = 3)(
+        T(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("gram"))),
+
     // -------- per-group fold / count (transformers/aggregators.py:13-67)
     "token_count" -> ((s, dir) =>
       T(s, dir, "documents").select(
@@ -2772,6 +2784,15 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS id, CAST(p - 1 AS BIGINT) AS pos, word,
          |       translate(word, '$diac', '') AS word_nodiac
          |FROM runs""".stripMargin,
+
+    "text_ngram_tokens" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 2)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |       substr(text, i, 3) AS gram
+        |FROM g""".stripMargin,
 
     "token_count" ->
       s"""$toksCte

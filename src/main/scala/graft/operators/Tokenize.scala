@@ -87,6 +87,41 @@ object Tokenize {
     * diacritics strips to "" and is dropped — only possible with
     * stripDiacritics=true, where an empty "word" is meaningless.
     */
+  /** Codepoint n-gram tokenizer — the fallback for whitespace-free
+    * scripts (CJK, Thai, …) where `\s+` splitting degenerates to one
+    * giant token: emit every overlapping n-codepoint gram with its
+    * 0-based position, the same long-form (carried…, pos, token) shape
+    * as [[splitTokens]], so the downstream machinery (shingle MinHash,
+    * BM25 term stats, winnowing) consumes grams exactly as it consumes
+    * words. Texts shorter than `n` emit nothing.
+    *
+    * Shape: ONE narrow codegen stage, no shuffle, no UDF — split into
+    * a codepoint array once, then `slice` + `array_join` per gram (O(n)
+    * each, linear in text length overall; a per-gram `substring(text,
+    * i, n)` would rescan from the string head each time — quadratic in
+    * document length, a real cliff on book-sized documents). The
+    * `length >= n` guard matters: Spark's `sequence(1, stop)` counts
+    * DOWN when `stop < 1`, which would emit phantom grams for short
+    * texts instead of none.
+    */
+  def cjkNgrams(
+      inputCol: String,
+      n: Int = 3,
+      outputCol: String = "gram",
+      posCol: String = "pos"): Transform = { df =>
+    require(n >= 1, s"n must be >= 1, got $n")
+    val chars = Cols.fresh("__chars", df.columns :+ outputCol :+ posCol)
+    val carried =
+      df.columns.filterNot(c => c == inputCol || c == outputCol || c == posCol)
+        .map(col).toSeq
+    val grams = when(length(col(inputCol)) >= n,
+        transform(sequence(lit(1), length(col(inputCol)) - n + 1),
+          i => array_join(slice(col(chars), i, lit(n)), "")))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn(chars, split(col(inputCol), ""))
+      .select(carried :+ posexplode(grams).as(Seq(posCol, outputCol)): _*)
+  }
+
   def arabicTokens(
       inputCol: String,
       outputCol: String = "word",

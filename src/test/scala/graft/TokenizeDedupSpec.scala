@@ -111,6 +111,56 @@ class TokenizeDedupSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getInt(1))).toSet === Set(("b", 1), ("B", 3)))
   }
 
+  test("cjkNgrams: exact grams + positions on a whitespace-free string") {
+    import spark.implicits._
+    // a CJK-style string \s+ tokenization would keep as ONE token
+    val df = Seq((1L, "天地玄黄宇宙"), (2L, "ab"), (3L, ""), (4L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = Tokenize.cjkNgrams("text", n = 3)(df)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, 0, "天地玄"), (1L, 1, "地玄黄"), (1L, 2, "玄黄宇"), (1L, 3, "黄宇宙"),
+      (4L, 0, "xyz")))
+    // shorter-than-n texts emit NOTHING (the descending-sequence guard)
+    assert(!got.exists(g => g._1 == 2L || g._1 == 3L))
+  }
+
+  test("cjkNgrams matches a JVM sliding-window model on random text (n=1,2,3)") {
+    import spark.implicits._
+    val df = docs
+    for (n <- Seq(1, 2, 3)) {
+      val got = Tokenize.cjkNgrams("text", n = n)(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.sliding(n).zipWithIndex.collect {
+          case (g, p) if g.length == n => (i.toLong, p, g)
+        }
+      }.toSet
+      assert(got === want, s"mismatch at n=$n")
+    }
+  }
+
+  test("cjkNgrams output feeds the dedup machinery like word tokens do") {
+    import spark.implicits._
+    // two near-identical whitespace-free docs + one unrelated: gram-set
+    // Jaccard separates them where \s+ tokens (one giant token each)
+    // see zero overlap
+    val df = Seq(
+      (1L, "春眠不觉晓处处闻啼鸟"),
+      (2L, "春眠不觉晓处处闻蹄鸟"), // one codepoint changed
+      (3L, "红豆生南国此物最相思")).toDF("doc_id", "text")
+    val grams = Tokenize.cjkNgrams("text", n = 2)(df)
+    // keepFirst (the dedup aggregator) consumes grams as words
+    val first = Dedup.keepFirst(Seq("doc_id"), "gram", "pos")(grams)
+    assert(first.count() > 0)
+    def gramSet(id: Long) = grams.filter(col("doc_id") === id)
+      .select("gram").collect().map(_.getString(0)).toSet
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac(gramSet(1L), gramSet(2L)) > 0.6)
+    assert(jac(gramSet(1L), gramSet(3L)) === 0.0)
+  }
+
   test("arabic tokenizer: reference class edges (marbuta splits, digits excluded)") {
     import spark.implicits._
     val df = Seq(
