@@ -1817,6 +1817,25 @@ object SparkEntry {
     "emb_ann_ivfpq_scaled" -> ((s, dir) =>
       Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
         centroidStep = ScaledIvfStep)),
+    // …and the FROZEN-index deployment shape: build the IVF centroid
+    // table + PQ codebooks, persist BOTH to parquet, reload, and search
+    // the corpus against the reloaded artifacts — the daily-increment
+    // run's actual lifecycle (index built once, queries served against
+    // the frozen copy). Centroid identities are seed-vector ids, so the
+    // round trip is bit-stable and the oracle is the SAME composed
+    // ivf+pq SQL as emb_ann_ivfpq — which is the point: a user of the
+    // frozen index gets exactly the inline index's answers.
+    "emb_ann_ivfpq_frozen" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_frozen_index"
+      Embeddings.ivfCentroids(emb)
+        .write.mode("overwrite").parquet(s"$base/ivf_centroids.parquet")
+      Embeddings.pqCentroids(emb)
+        .write.mode("overwrite").parquet(s"$base/pq_codebooks.parquet")
+      Embeddings.annIvfPqWith(emb, col("vec_id") % 20 === 0,
+        s.read.parquet(s"$base/ivf_centroids.parquet"),
+        s.read.parquet(s"$base/pq_codebooks.parquet"))
+    }),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
@@ -3348,6 +3367,10 @@ object SparkEntry {
     // ADC distance table stays broadcastable by size, not by hope.
     "emb_ann_ivfpq_scaled" ->
       ivfPqSql(Embeddings.PqSubspaces, ScaledIvfStep),
+    // frozen == inline by construction (seed-id centroid identities),
+    // so the frozen-index search shares emb_ann_ivfpq's oracle verbatim
+    "emb_ann_ivfpq_frozen" ->
+      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep),
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).

@@ -882,9 +882,31 @@ object Embeddings {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val icents = ivfCentroids(emb, centroidStep, idCol, vecCol)
+    annIvfPqWith(emb, queryPred,
+      ivfCentroids(emb, centroidStep, idCol, vecCol),
+      pqCentroids(emb, centroidStep, m, idCol, vecCol),
+      k, m, idCol, vecCol)
+  }
+
+  /** IVF-PQ search against EXISTING index artifacts — the deployment
+    * shape of [[annIvfPq]]: the coarse-centroid table and per-subspace
+    * PQ codebooks are whatever the caller hands in, typically frozen
+    * to parquet by a build job and reloaded by each daily search run
+    * (centroid identities are seed-vector ids, so assignments, codes,
+    * and therefore search results are bit-stable across the
+    * round trip — NearDupEmbeddingsSpec pins both seams). [[annIvfPq]]
+    * is exactly this with freshly-built artifacts. */
+  def annIvfPqWith(
+      emb: DataFrame,
+      queryPred: Column,
+      icents: DataFrame,
+      pcents: DataFrame,
+      k: Int = 3,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val cells = ivfAssign(emb, icents, idCol, vecCol)
-    val pcents = pqCentroids(emb, centroidStep, m, idCol, vecCol)
     val codes = pqEncode(emb, pcents, m, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
     val queries = emb.filter(queryPred)

@@ -421,6 +421,27 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
       (0 until Embeddings.PqSubspaces).forall(s => viaSeam.contains(id -> s.toLong))))
   }
 
+  test("frozen-index IVF-PQ search equals the inline build (full round trip)") {
+    // the composed deployment seam: persist BOTH index artifacts,
+    // reload, search via annIvfPqWith — results must be bit-identical
+    // to annIvfPq's inline build of the same index
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_frozen").toString
+    Embeddings.ivfCentroids(emb, centroidStep = 10L)
+      .write.mode("overwrite").parquet(s"$dir/ivf")
+    Embeddings.pqCentroids(emb, centroidStep = 10L)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val frozen = key(Embeddings.annIvfPqWith(emb, col("vec_id") % 5 === 0,
+      spark.read.parquet(s"$dir/ivf"), spark.read.parquet(s"$dir/pq")))
+    val inline = key(Embeddings.annIvfPq(emb, col("vec_id") % 5 === 0,
+      centroidStep = 10L))
+    assert(frozen === inline)
+    assert(frozen.nonEmpty)
+  }
+
   test("pqEncode: seeds are zero-distortion; codes point at the nearest subvector") {
     import spark.implicits._
     // 4-dim vectors, m = 2 subspaces of 2 dims. centroidStep = 10 →
