@@ -181,7 +181,8 @@ class PlanShapeSpec extends SparkSpecBase {
       // the broadcast 1-row corpus-stats crossJoin (BM25's N and SDL)
       val bnljOk =
         Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
-          "emb_ann_ivfpq", "emb_ann_ivfpq_scaled", // same IVF n·K broadcast assignment pass
+          // same IVF n·K broadcast assignment pass (frozen = reloaded artifacts)
+          "emb_ann_ivfpq", "emb_ann_ivfpq_scaled", "emb_ann_ivfpq_frozen",
           "emb_semdedup", // same IVF n·K broadcast assignment pass
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
           "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
