@@ -481,9 +481,11 @@ object SparkEntry {
     * [[NearDup.minHashBandedCandidates]]: at r = 1 a J = 0.3 pair is a
     * candidate with P ≈ 99.7 %; at r = 2 P ≈ 53 %, and P falls
     * geometrically with J, while J ≥ 0.8 recall stays ≥ 99.97 %).
-    * Probabilistic recall ⇒ the battery uses the cross-engine
-    * [[NearDup.Sha256MinHashFamily]] so the oracle replicates the
-    * banded candidate generation itself, not just ground truth. */
+    * Probabilistic recall ⇒ the battery uses a cross-engine sha256
+    * word family so the oracle replicates the banded candidate
+    * generation itself, not just ground truth — the SLICED family
+    * ([[NearDup.SlicedSha256MinHashFamily]]: four 60-bit words per
+    * digest), which costs ⌈k/4⌉ digests per shingle instead of k. */
   val BandedMinHashRows: Int = 2
 
   /** Inverted-index df cap for the battery, as a CORPUS FRACTION:
@@ -1074,12 +1076,13 @@ object SparkEntry {
 
   /** DuckDB oracle for the banded MinHash mode — replicates the FULL
     * r×b candidate generation (a probabilistic configuration cannot be
-    * held to exact ground truth): min-hash word i of a doc =
-    * min over its shingles of the 60-bit sha256("i:" + shingle) slice
-    * (bit-identical to Spark's [[NearDup.Sha256MinHashFamily]]), band
-    * key = the r consecutive words comma-joined in hash-index order,
-    * candidates = band equijoin, then the standard exact-Jaccard
-    * confirm. */
+    * held to exact ground truth): min-hash word i of a doc = min over
+    * its shingles of a 60-bit slice of sha256("(i div 4):" + shingle)
+    * at hex offset 1 + 15·(i mod 4) — bit-identical to Spark's
+    * [[NearDup.SlicedSha256MinHashFamily]] (four words per digest, a
+    * quarter of the hash cost of one-digest-per-word), band key = the
+    * r consecutive words comma-joined in hash-index order, candidates
+    * = band equijoin, then the standard exact-Jaccard confirm. */
   private def minhashBandedSql: String = {
     val k = NearDup.NumMinHashes
     val r = BandedMinHashRows
@@ -1088,7 +1091,8 @@ object SparkEntry {
        |mh AS (
        |  SELECT doc_id, i.i AS hi,
        |         min(CAST(CAST(('0x' || substring(
-       |               sha256(CAST(i.i AS VARCHAR) || ':' || s), 1, 15))
+       |               sha256(CAST(i.i // 4 AS VARCHAR) || ':' || s),
+       |               1 + 15 * (i.i % 4), 15))
        |               AS UBIGINT) AS BIGINT)) AS hv
        |  FROM sh, range($k) i(i)
        |  GROUP BY 1, 2),
@@ -1661,7 +1665,8 @@ object SparkEntry {
     // BandedMinHashRows for why the hash family is sha256.
     "neardup_minhash_banded" -> ((s, dir) =>
       NearDup.minHashPairsBanded(T(s, dir, "documents"),
-        rowsPerBand = BandedMinHashRows, word = NearDup.Sha256MinHashFamily)),
+        rowsPerBand = BandedMinHashRows,
+        word = NearDup.SlicedSha256MinHashFamily)),
     // Incremental (cross-corpus) dedup — the daily-ingest shape: the
     // even-id half plays the accumulated base corpus, the odd-id half
     // the new increment; only base×increment pairs are candidates, so

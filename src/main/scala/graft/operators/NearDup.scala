@@ -288,6 +288,19 @@ object NearDup {
   val Sha256MinHashFamily: (Int, Column) => Column =
     (i, c) => conv(substring(sha2(concat(lit(s"$i:"), c), 256), 1, 15), 16, 10).cast("long")
 
+  /** [[Sha256MinHashFamily]] at a quarter of the hash cost: one sha256
+    * digest carries 64 hex chars = FOUR independent 60-bit words, so
+    * word i slices chars [1+15·(i mod 4), +15) of sha256("(i div 4):"
+    * + s) — k words cost ⌈k/4⌉ digests per shingle instead of k (and
+    * aggregate codegen's subexpression elimination shares each digest
+    * across its four min-accumulators). Same replicability contract:
+    * the oracle slices the identical digest, and distinct (salt,
+    * slice) windows of a cryptographic hash are independent uniform
+    * words, so banding statistics are unchanged. */
+  val SlicedSha256MinHashFamily: (Int, Column) => Column =
+    (i, c) => conv(substring(sha2(concat(lit(s"${i / 4}:"), c), 256),
+      1 + 15 * (i % 4), 15), 16, 10).cast("long")
+
   /** MinHash signatures: (doc, hash index i, min over shingles of
     * word(i, shingle)) — one hash-agg, k longs per doc. */
   def minHashSignatures(

@@ -49,12 +49,35 @@ class ScaleDialsSpec extends SparkSpecBase {
     // r=2: P(cand) = 1-(1-J^2)^8 ≈ 0.08 — an order of magnitude fewer.
     assert(r2 * 8 < r1, s"expected ~10x cut: r1=$r1 r2=$r2")
     // ...while the planted near-dup pair still confirms (P ≈ 1-3.5e-5),
-    // under the battery's cross-engine sha256 family.
+    // under the battery's cross-engine SLICED sha256 family.
     val got = NearDup.minHashPairsBanded(moderateCorpus, rowsPerBand = 2,
-        word = NearDup.Sha256MinHashFamily)
+        word = NearDup.SlicedSha256MinHashFamily)
       .select("doc_a", "doc_b").as[(Long, Long)](
         org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
     assert(got.contains((1000L, 1001L)), s"planted pair missing from $got")
+  }
+
+  test("SlicedSha256MinHashFamily words are the documented digest slices") {
+    import spark.implicits._
+    // word i must equal the 60-bit window of sha256("(i div 4):"+s) at
+    // hex offset 1 + 15·(i mod 4) — computed here via the long-form
+    // reference expressions, row by row, for two digests' worth of i.
+    val df = Seq("alpha beta gamma", "x").toDF("s")
+    val checks = (0 until 8).map { i =>
+      val digest = sha2(concat(lit(s"${i / 4}:"), col("s")), 256)
+      val expected = conv(substring(digest, 1 + 15 * (i % 4), 15), 16, 10)
+        .cast("long")
+      (NearDup.SlicedSha256MinHashFamily(i, col("s")) === expected).as(s"ok$i")
+    }
+    val row = df.select(checks: _*).collect()
+    assert(row.forall(r => (0 until 8).forall(i => r.getBoolean(i))))
+    // and distinct i map to distinct words on real text (independence
+    // smoke check — a slicing bug that reused a window would collide)
+    val words = df.limit(1).select(
+      (0 until 8).map(i =>
+        NearDup.SlicedSha256MinHashFamily(i, col("s")).as(s"w$i")): _*)
+      .collect().head
+    assert((0 until 8).map(words.getLong).distinct.size === 8)
   }
 
   // ---------------------------------------------------------- SimHash
