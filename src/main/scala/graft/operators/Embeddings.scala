@@ -908,8 +908,34 @@ object Embeddings {
     require(k >= 1, s"k must be >= 1, got $k")
     val cells = ivfAssign(emb, icents, idCol, vecCol)
     val codes = pqEncode(emb, pcents, m, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
-    val queries = emb.filter(queryPred)
+      .select(col(idCol), col("sub"), col("code"))
+    annIvfPqServe(emb.filter(queryPred), icents, pcents, cells, codes,
+      k, m, idCol, vecCol)
+  }
+
+  /** The SERVE half of IVF-PQ, split from index maintenance: search
+    * `queries` against an ALREADY-ASSIGNED corpus — `cells` (id, cell)
+    * and `codes` (id, sub, code) are whatever assignment/encode pass
+    * produced them, typically the incrementally-maintained tables a
+    * streaming ingest job appends tranche by tranche against the
+    * frozen artifacts ([[graft.streaming.Streams.ingestIndexCodes]]).
+    * Only the query batch ever touches raw vectors here: corpus cost
+    * is the (cell) candidate equijoin + the m-code ADC scoring join —
+    * the true daily-search recurring cost once assignment is amortized
+    * into ingest. [[annIvfPqWith]] is exactly this with cells/codes
+    * built inline, so served results are bit-identical to the inline
+    * (and oracle-checked) search given equal tables. */
+  def annIvfPqServe(
+      queries: DataFrame,
+      icents: DataFrame,
+      pcents: DataFrame,
+      cells: DataFrame,
+      codes: DataFrame,
+      k: Int = 3,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val qcells = ivfAssign(queries, icents, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("cell"))
     val qdist = subvectors(queries, m, idCol, vecCol)
@@ -923,7 +949,8 @@ object Embeddings {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
     val scored = cand
-      .join(codes, Seq("neighbor_id"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("sub"), col("code")),
+        Seq("neighbor_id"))
       // unhinted for the same reason as pqAdcTopK: q·m·K only stays
       // broadcastable while the query batch is small; AQE re-plans the
       // broadcast at runtime when it truly is.

@@ -202,6 +202,174 @@ object Streams {
       .start()
   }
 
+  /** A maintained-store read for the ingest jobs: the store's rows
+    * from batches BEFORE `batchId` (a replayed batch must not see its
+    * own previous half-written attempt as prior state, or replay
+    * would double-pair/double-assign), or an empty frame of
+    * `template`'s schema when the store doesn't exist yet (first
+    * batch). */
+  private def priorStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batchId: Long,
+      template: DataFrame): DataFrame =
+    scala.util.Try(spark.read.parquet(path))
+      .map(_.where(col("batch_id") < batchId).drop("batch_id"))
+      .getOrElse(template.limit(0))
+
+  /** Idempotent per-batch append: every ingest write lands in its own
+    * `batch_id=N` partition via dynamic partition overwrite, so a
+    * replayed micro-batch overwrites its previous attempt instead of
+    * duplicating rows — the same exactly-once-on-replay contract as
+    * [[ingestWordStats]]. */
+  private def writeBatchPartition(df: DataFrame, batchId: Long, path: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Streaming IVF-PQ index MAINTENANCE — the incremental half of the
+    * frozen-index lifecycle ([[graft.operators.Embeddings.ivfCentroids]]
+    * / [[graft.operators.Embeddings.pqCentroids]] are trained once and
+    * persisted; this job keeps the searchable tables current): each
+    * tranche of embedding parquet landing in `dir` is assigned to its
+    * IVF cell and PQ-encoded against the FROZEN artifacts, and the
+    * (id, cell, sub, code, qdist) rows append to the maintained table —
+    * per-run cost follows the increment, the corpus is never
+    * re-assigned, and cell/code identities are stable because centroid
+    * identities are seed-vector ids. Search then reads ONLY the
+    * maintained table ([[graft.operators.Embeddings.annIvfPqServe]]):
+    * `cells` = distinct (id, cell), `codes` = (id, sub, code).
+    *
+    * AvailableNow + checkpoint = exactly-once file tracking;
+    * batch_id-partitioned dynamic overwrite = idempotent on replay —
+    * end-to-end exactly-once like [[ingestWordStats]].
+    *
+    * The landing dir must hold at least one tranche before the first
+    * run (the streaming parquet source needs a schema; it is read from
+    * the existing files). Returns the started query. */
+  def ingestIndexCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      icentsPath: String,
+      pcentsPath: String,
+      outPath: String,
+      checkpoint: String,
+      m: Int = graft.operators.Embeddings.PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Embeddings
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val icents = s.read.parquet(icentsPath)
+        val pcents = s.read.parquet(pcentsPath)
+        val cells = Embeddings.ivfAssign(batch, icents, idCol, vecCol)
+        val codes = Embeddings.pqEncode(batch, pcents, m, idCol, vecCol)
+        writeBatchPartition(
+          cells.join(codes, Seq(idCol))
+            .select(col(idCol), col("cell"), col("sub"), col("code"),
+              col("qdist")),
+          batchId, outPath)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming incremental near-duplicate detection — the daily-ingest
+    * loop of [[graft.operators.NearDup.minHashPairsBetween]] run as a
+    * checkpointed pipeline: each tranche of documents landing in `dir`
+    * is MinHash-signed once, candidate pairs come from the signature
+    * equijoin of the NEW tranche against the accumulated signature
+    * store (plus within-tranche pairs), and only candidate-involved
+    * base docs are re-shingled for the exact-Jaccard confirm — so the
+    * recurring cost is increment × collisions, never a re-pass over
+    * the corpus, and each doc's signature is computed exactly once
+    * across the pipeline's lifetime.
+    *
+    * State is two batch_id-partitioned parquet stores under
+    * `statePath`: `sigs` (doc, hash index, hash value — k longs per
+    * doc) and `docs` (raw text, read back only for confirm, restricted
+    * to candidate doc ids by a left-semi join). Confirmed pairs land in
+    * `outPairs`, normalized to doc_a < doc_b. The UNION of all batch
+    * partitions equals the one-shot batch
+    * [[graft.operators.NearDup.minHashPairs]] over the full corpus
+    * (same signatures ⇒ same candidates; same shingles ⇒ same
+    * confirm): a cross-tranche pair is found by the later doc's batch,
+    * a within-tranche pair by its own — StreamingSpec pins the
+    * equality. Ids must be unique corpus-wide (the contract of every
+    * index here). Exactly-once like the other ingest jobs: AvailableNow
+    * file tracking + per-batch dynamic partition overwrite on all
+    * three outputs, and prior state reads exclude the current
+    * batch_id so a replay cannot pair a tranche against its own
+    * half-written previous attempt. */
+  def ingestNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      statePath: String,
+      outPairs: String,
+      checkpoint: String,
+      k: Int = graft.operators.NearDup.NumMinHashes,
+      thresholdMilli: Int = graft.operators.NearDup.ThresholdMilli,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.NearDup
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val sigStore = s"$statePath/sigs"
+        val docStore = s"$statePath/docs"
+        val newDocs = batch.select(col(idCol), col(textCol))
+        val newSh = NearDup.shingles(newDocs, idCol, textCol)
+        val newSig = NearDup.minHashSignatures(newSh, idCol, k)
+          .select(col(idCol),
+            posexplode(array((0 until k).map(i => col(s"h$i")): _*))
+              .as(Seq("__hi", "__hv")))
+        val baseSig = priorStore(s, sigStore, batchId, newSig)
+        val baseDocs = priorStore(s, docStore, batchId, newDocs)
+
+        val newKeyed = newSig.select(
+          col(idCol).as("doc_b"), col("__hi"), col("__hv"))
+        val candCross = baseSig
+          .select(col(idCol).as("doc_a"), col("__hi"), col("__hv"))
+          .join(newKeyed, Seq("__hi", "__hv"))
+          .select("doc_a", "doc_b").distinct()
+        val candWithin = newSig
+          .select(col(idCol).as("doc_a"), col("__hi"), col("__hv"))
+          .join(newKeyed, Seq("__hi", "__hv"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+
+        // re-shingle ONLY base docs that collided — confirm cost is
+        // bounded by the candidate set, not the accumulated corpus
+        val involved = candCross.select(col("doc_a").as(idCol)).distinct()
+        val baseShCand = NearDup.shingles(
+          baseDocs.join(involved, Seq(idCol), "left_semi"), idCol, textCol)
+        val pairs = NearDup
+          .confirmBetween(candCross, baseShCand, newSh, idCol, thresholdMilli)
+          .unionByName(NearDup.confirm(candWithin, newSh, idCol, thresholdMilli))
+          .select(
+            least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("jaccard_x1000"))
+
+        writeBatchPartition(pairs, batchId, outPairs)
+        writeBatchPartition(newSig, batchId, sigStore)
+        writeBatchPartition(newDocs, batchId, docStore)
+        ()
+      }
+      .start()
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

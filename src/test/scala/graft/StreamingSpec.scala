@@ -458,6 +458,130 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  /** Write `df` as one parquet file inside the landing dir (streaming
+    * file sources track individual files; a tranche = one new file). */
+  private def stageTranche(
+      df: org.apache.spark.sql.DataFrame,
+      inDir: java.nio.file.Path,
+      tag: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = Files.createTempDirectory(s"graft_tranche_$tag")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, inDir.resolve(s"$tag-${p.getFileName}"),
+        StandardCopyOption.REPLACE_EXISTING))
+  }
+
+  test("ingestIndexCodes maintains the IVF-PQ tables; served search equals inline") {
+    import java.nio.file.Files
+    import graft.operators.Embeddings
+    val work = Files.createTempDirectory("graft_idx_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (outPath, ckpt) = (work.resolve("codes").toString, work.resolve("ckpt").toString)
+    val (icentsPath, pcentsPath) =
+      (work.resolve("icents").toString, work.resolve("pcents").toString)
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val t1 = emb.where(col("vec_id") % 2 === 0)
+    val t2 = emb.where(col("vec_id") % 2 === 1)
+    val step = 20L
+
+    // train + freeze both index artifacts from the initial corpus
+    Embeddings.ivfCentroids(t1, step).write.parquet(icentsPath)
+    Embeddings.pqCentroids(t1, step).write.parquet(pcentsPath)
+
+    stageTranche(t1, inDir, "t1")
+    Streams.ingestIndexCodes(spark, inDir.toString, icentsPath, pcentsPath,
+      outPath, ckpt).awaitTermination()
+    val afterT1 = spark.read.parquet(outPath)
+    assert(afterT1.select("vec_id").distinct().count() === t1.count())
+
+    stageTranche(t2, inDir, "t2")
+    Streams.ingestIndexCodes(spark, inDir.toString, icentsPath, pcentsPath,
+      outPath, ckpt).awaitTermination()
+
+    val maintained = spark.read.parquet(outPath)
+    // the increment run assigned ONLY tranche 2 (checkpoint-tracked);
+    // NB the partition column reads back as its directory-inferred type
+    val lastBatch = maintained
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    assert(maintained.where(col("batch_id") === lastBatch)
+      .select("vec_id").distinct().count() === t2.count())
+
+    // maintained tables == one-shot batch assignment of the union
+    // against the same frozen artifacts
+    val icents = spark.read.parquet(icentsPath)
+    val pcents = spark.read.parquet(pcentsPath)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "sub", "code")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cellSet(maintained) === cellSet(Embeddings.ivfAssign(emb, icents)))
+    assert(codeSet(maintained) === codeSet(Embeddings.pqEncode(emb, pcents)))
+
+    // and the SERVE path over the maintained tables is bit-identical to
+    // the inline frozen-artifact search over the union corpus
+    val pred = col("vec_id") % 40 === 0
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val served = Embeddings.annIvfPqServe(
+      emb.filter(pred), icents, pcents,
+      maintained.select("vec_id", "cell").distinct(),
+      maintained.select("vec_id", "sub", "code"))
+    val inline = Embeddings.annIvfPqWith(emb, pred, icents, pcents)
+    assert(resultSet(served) === resultSet(inline))
+    assert(resultSet(served).nonEmpty)
+  }
+
+  test("ingestNearDup: per-batch pair partitions union to the one-shot batch result") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_nd_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (statePath, outPairs, ckpt) = (work.resolve("state").toString,
+      work.resolve("pairs").toString, work.resolve("ckpt").toString)
+
+    // 17-token docs: one final-token edit keeps n-gram Jaccard at
+    // 14/16 = 875 per-mille — above the 800 confirm threshold
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog while the moon rises over the far hill")
+    val d2 = (2L, "the quick brown fox jumps over the lazy dog while the moon rises over the far ridge")
+    val d3 = (3L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages in the engine")
+    val d4 = (4L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages in the engines")
+    val d5 = (5L, "wholly unrelated fresh content streaming in now with nothing shared")
+
+    // tranche 1 carries a WITHIN-tranche pair (1,2); tranche 2's doc 4
+    // pairs CROSS-tranche with doc 3
+    stageTranche(Seq(d1, d2, d3).toDF("doc_id", "text"), inDir, "t1")
+    Streams.ingestNearDup(spark, inDir.toString, statePath, outPairs, ckpt)
+      .awaitTermination()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard_x1000")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val afterT1 = pairSet(spark.read.parquet(outPairs))
+    assert(afterT1.map(p => (p._1, p._2)) === Set((1L, 2L)))
+
+    stageTranche(Seq(d4, d5).toDF("doc_id", "text"), inDir, "t2")
+    Streams.ingestNearDup(spark, inDir.toString, statePath, outPairs, ckpt)
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(outPairs)
+    // the increment batch emitted ONLY the cross-tranche pair
+    val lastBatch = streamed
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    assert(pairSet(streamed.where(col("batch_id") === lastBatch))
+      .map(p => (p._1, p._2)) === Set((3L, 4L)))
+    // union over batches == the one-shot batch MinHash pass over the
+    // full corpus, jaccard values included
+    val oneShot = pairSet(graft.operators.NearDup.minHashPairs(
+      Seq(d1, d2, d3, d4, d5).toDF("doc_id", "text")))
+    assert(pairSet(streamed) === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("foreachBatch + minHashPairsBetween dedups an ingest stream against the base corpus") {
     // The daily-ingest near-dup shape run as a stream: each micro-batch
     // of arriving docs is paired against the STATIC accumulated corpus
