@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   *    linear operator then does exactly N× the work of one replica,
   *    and any cross-replica candidate a query emits is pure banding
   *    noise. Within a replica the token bijection preserves Jaccard,
-  *    tf/df shape, and winnow selection, so per-replica results mirror
-  *    the original corpus.
+  *    tf/df shape, and winnow selection (modulo the first-token
+  *    byte-pad below), so per-replica results mirror the original
+  *    corpus. A replica-length byte PAD glued to the first token
+  *    additionally pushes replicas apart in the BYTE domain: the
+  *    token-level premise says nothing about byte-stream similarity,
+  *    and the perceptual-hash family is by design invariant to the
+  *    uniform marker insertion (it merely rescales the stream) — the
+  *    pad's block-dependent sample-window slide is what makes
+  *    cross-replica pHash pairs noise rather than truth.
   *  - `embeddings`: deterministic per-replica hash-noise perturbation
   *    (±0.1 per dimension), keeping the vector distribution realistic
   *    (clustered, not iid) while replica twins stay near their
@@ -30,6 +37,14 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   val IdOffset = 10_000_000L
+
+  /** Length (chars) of the per-replica byte-offset pad per replica
+    * index — sized so adjacent replicas' pads differ by ≥ 4× the
+    * 4-byte pHash sample window across most of the 64 blocks (the
+    * sampled window of block k slides by Δpad·(1 − k/64) bytes, so a
+    * 24-char step decorrelates blocks k ≤ 53 — expected cross-replica
+    * Hamming ≈ 26 ≫ the 6 cutoff). */
+  val PadUnit = 24
 
   /** Battery queries the soak runs: the candidate-generating family
     * whose 100 TB story is "candidates grow ≤ c·n", plus the
@@ -72,12 +87,53 @@ object Soak {
         "disjointness (the linear-growth gate's premise) does not hold")
     (0 until n).map { i =>
       if (i == 0) base
-      else base.select(
-        (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1xq${i}z").as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select(base.columns.map(col): _*)
+      else {
+        // Byte-domain disruptor, GLUED to the first token (no new
+        // token, so per-doc token counts stay invariant): a pad of
+        // i·PadUnit chars slides every pHash sample window by a
+        // block-dependent offset, pushing replicas out of the
+        // Hamming-≤6 ball of their origin AND of other replicas. The
+        // uniform per-token marker alone is INSIDE blockhash's
+        // invariance class (it rescales the byte stream, so sampled
+        // windows re-align with the same content — the r10 soak
+        // measured cross-replica pairs at 3134× baseline without the
+        // pad). The pad carries the doc id so its shingles stay
+        // doc-unique (no corpus-wide hot shingle); cost: the ~2
+        // first-token shingles per doc leave the token bijection —
+        // a bounded Jaccard epsilon (≈ 3/shingle-count), while the
+        // gate's real premises (replica token-disjointness, linear
+        // per-replica work) hold exactly.
+        // Pad CONTENT must be pseudo-random per (doc, replica) AND
+        // byte-statistically text-like. A constant filler ("aaa…")
+        // makes every pad-sampled window sum identical, so short docs
+        // whose replicas are majority-pad collapse to the ~zero
+        // signature and pair with each other (the r10 rerun measured
+        // 760× growth from exactly that; the fixture's median doc is
+        // 295 chars, so pads ARE a large stream fraction). Raw sha hex
+        // is pseudo-random but BIMODAL ('0'-'9' ≈ 52 vs 'a'-'f' ≈ 99
+        // mean byte, text ≈ 108): the block-sum median then splits
+        // pad blocks from text blocks and the signature degenerates
+        // to a pad/text step function — near-identical for adjacent
+        // replicas. Translating the digest into 16 spread lowercase
+        // letters keeps the randomness and moves pad windows into the
+        // text byte range, so every pad-sampled bit is a fair coin
+        // against the median.
+        val pad = concat(lit("p"),
+          translate(
+            substring(
+              repeat(sha2(concat(col("doc_id").cast("string"), lit(s":$i")), 256),
+                PadUnit * i / 64 + 1),
+              1, PadUnit * i),
+            "0123456789abcdef", "azbycxdwevfugths"))
+        val padded = when(length(trim(col("text"))) > 0,
+          concat(pad, ltrim(col("text")))).otherwise(col("text"))
+        base.select(
+          (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
+          regexp_replace(padded, "(\\S+)", s"$$1xq${i}z").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(base.columns.map(col): _*)
+      }
     }.reduce(_ unionByName _)
   }
 

@@ -1932,7 +1932,12 @@ object SparkEntry {
     // the SAME banded-Hamming candidate machinery as SimHash
     // (NearDup.bandedHammingPairs; 8 bands × 8 bits ⇒ pigeonhole-exact
     // for the Hamming ≤ 6 cutoff). Candidates are a band equijoin,
-    // never all pairs. Every doc_id % 101 == 0 payload also enters as
+    // never all pairs, and a midpoint-grid SECOND signature confirms
+    // each pair — a fixed 64-bit cutoff has a fixed ~7e-7 random
+    // collision rate, making single-signature output quadratic in
+    // corpus size (the 10× soak finding); two approximately
+    // independent signatures square it away while K-byte edits stay
+    // ≤ K windows inside each. Every doc_id % 101 == 0 payload also enters as
     // a "re-encode twin" (id + 10⁷) with ONE byte overwritten in
     // place — the byte-level corruption a pixel tweak / bit-rot
     // produces, which is the perturbation class phash exists for
@@ -3492,7 +3497,12 @@ object SparkEntry {
     // Full replication of the 64-bit blockhash signature + 8×8-bit
     // banding + Hamming cutoff (the neardup_simhash_scaled pattern:
     // bits as rows, bands as grouped sums, candidates as the band
-    // equijoin, Hamming counted over the bit rows).
+    // equijoin, Hamming counted over the bit rows), PLUS the
+    // midpoint-grid confirm signature (`k = 1` sample offsets at
+    // len·(2i+1)/128) — a pair must sit within the cutoff on BOTH
+    // signatures, squaring the fixed random-collision rate that made
+    // single-signature output quadratic in corpus size (the 10× soak
+    // finding).
     "multimodal_phash" ->
       s"""WITH b0 AS (
          |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
@@ -3504,44 +3514,50 @@ object SparkEntry {
          |         length(substring(hx, 1, 20) || '00' || substring(hx, 23)) // 2 AS len
          |  FROM b0 WHERE doc_id % 101 = 0),
          |v AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, k.k,
          |         list_transform(range(${Multimodal.PHashBlocks}), i ->
          |           coalesce(TRY_CAST(('0x' || substring(hx,
-         |             CAST(((len * i) // ${Multimodal.PHashBlocks}) * 2 + 1 AS BIGINT),
+         |             CAST((CASE WHEN k.k = 0
+         |                   THEN (len * i) // ${Multimodal.PHashBlocks}
+         |                   ELSE (len * (2 * i + 1)) // ${2 * Multimodal.PHashBlocks}
+         |                   END) * 2 + 1 AS BIGINT),
          |             ${Multimodal.PHashSampleBytes * 2})) AS BIGINT), 0)) AS vs
-         |  FROM b),
+         |  FROM b, range(2) k(k)),
          |f AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, k,
          |         list_transform(vs, x -> ${(0 until Multimodal.PHashSampleBytes)
                     .map(b => s"((x >> ${8 * b}) & 255)").mkString(" + ")}) AS feats
          |  FROM v),
          |m AS (
-         |  SELECT doc_id, feats,
+         |  SELECT doc_id, k, feats,
          |         list_sort(feats)[${Multimodal.PHashBlocks / 2}]
          |           + list_sort(feats)[${Multimodal.PHashBlocks / 2 + 1}] AS med2
          |  FROM f),
          |bits AS (
-         |  SELECT doc_id, j.j,
+         |  SELECT doc_id, k, j.j,
          |         CASE WHEN feats[j.j + 1] * 2 > med2 THEN 1 ELSE 0 END AS b
          |  FROM m, range(${Multimodal.PHashBlocks}) j(j)),
          |bands AS (
          |  SELECT doc_id, j // ${64 / Multimodal.PHashBands} AS bi,
          |         CAST(sum(b << (j % ${64 / Multimodal.PHashBands})) AS BIGINT) AS bv
-         |  FROM bits GROUP BY 1, 2),
+         |  FROM bits WHERE k = 0 GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
          |    AND a.doc_id < c.doc_id),
          |ham AS (
          |  SELECT cd.doc_a, cd.doc_b,
-         |         CAST(sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS hamming_dist
+         |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS hamming_dist,
+         |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ham_m
          |  FROM cand cd
          |  JOIN bits ba ON ba.doc_id = cd.doc_a
-         |  JOIN bits bb ON bb.doc_id = cd.doc_b AND bb.j = ba.j
+         |  JOIN bits bb ON bb.doc_id = cd.doc_b AND bb.j = ba.j AND bb.k = ba.k
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, hamming_dist
-         |FROM ham WHERE hamming_dist <= ${Multimodal.PHashMaxHamming}""".stripMargin,
+         |FROM ham WHERE hamming_dist <= ${Multimodal.PHashMaxHamming}
+         |  AND ham_m <= ${Multimodal.PHashMaxHamming}""".stripMargin,
 
     // multimodal_wav: parse∘construct = id — the payloads are built
     // FROM these doc_id-derived fields, so the oracle emits them

@@ -550,11 +550,17 @@ object Multimodal {
     * contributes 0 for the missing bytes, so this is exactly the
     * per-byte sum at a quarter of the expression count (64 convs, not
     * 256 — small enough for whole-stage codegen to compile). */
-  def pHashFeatures(bin: Column): Column = {
+  def pHashFeatures(bin: Column, midpoint: Boolean = false): Column = {
     val hx = lower(hex(bin))
     val len = length(bin).cast("long")
     array((0 until PHashBlocks).map { i =>
-      val start = idiv(len * i, lit(PHashBlocks)) // 0-based byte offset
+      // midpoint = the CONFIRM signature's sample grid: windows at the
+      // half-step offsets len·(2i+1)/128, byte-disjoint from the
+      // primary grid's len·i/64 windows once blocks span ≥ 8 bytes —
+      // an (approximately) independent second 64-bit draw.
+      val start =
+        if (midpoint) idiv(len * (2 * i + 1), lit(2 * PHashBlocks))
+        else idiv(len * i, lit(PHashBlocks)) // 0-based byte offset
       val v = coalesce(
         conv(substr(hx, (start * 2 + 1).cast("int"), lit(PHashSampleBytes * 2)),
           16, 10).cast("long"),
@@ -581,29 +587,55 @@ object Multimodal {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Per-payload packed signature table `(idCol, __sig0)` — the shape
-    * [[graft.operators.NearDup.bandedHammingPairs]] consumes. Narrow,
+  /** Per-payload packed signature table `(idCol, __sig0, __sigm)` —
+    * `__sig0` is the primary signature (the banding/candidate key,
+    * the shape [[graft.operators.NearDup.bandedHammingPairs]]
+    * consumes), `__sigm` the midpoint-grid CONFIRM signature. Narrow,
     * zero-shuffle. */
   def pHashSignatures(df: DataFrame, idCol: String, binCol: String): DataFrame =
-    df.select(col(idCol), pHashFeatures(col(binCol)).as("__feats"))
-      .select(col(idCol), pHash64(col("__feats")).as("__sig0"))
+    df.select(col(idCol),
+        pHashFeatures(col(binCol)).as("__feats"),
+        pHashFeatures(col(binCol), midpoint = true).as("__featsm"))
+      .select(col(idCol),
+        pHash64(col("__feats")).as("__sig0"),
+        pHash64(col("__featsm")).as("__sigm"))
 
   /** Perceptual near-dup pairs (doc_a < doc_b, hamming_dist ≤
     * maxHamming) — signatures through the SAME banded-Hamming
     * candidate machinery as SimHash ([[NearDup.bandedHammingPairs]]):
     * candidates come from a band equijoin, never all pairs, and with
-    * the default dials (8 bands × 8 bits, Hamming ≤ 6) the pair set
-    * is pigeonhole-exact. */
+    * the default dials (8 bands × 8 bits, Hamming ≤ 6) the primary
+    * pair set is pigeonhole-exact.
+    *
+    * A pair must ALSO sit within `maxHamming` on the second,
+    * midpoint-grid signature. One 64-bit signature with an absolute
+    * cutoff has a FIXED per-pair random-collision rate (measured ≈
+    * 7·10⁻⁷ on the fixture corpus), so its pair output grows
+    * quadratically with corpus size no matter how good the banding is
+    * — the 10× soak surfaced exactly that. Requiring both
+    * (approximately independent) signatures squares the noise rate to
+    * ~5·10⁻¹³ while a genuine byte-edit near-dup — K edited bytes
+    * touch ≤ K sample windows on EACH grid — stays far inside both
+    * cutoffs. `hamming_dist` in the output remains the primary
+    * signature's distance (the documented contract). */
   def pHashPairs(
       df: DataFrame,
       idCol: String = "doc_id",
       binCol: String = "payload",
       bands: Int = PHashBands,
-      maxHamming: Int = PHashMaxHamming): DataFrame =
-    NearDup.bandedHammingPairs(
-      pHashSignatures(df, idCol, binCol),
+      maxHamming: Int = PHashMaxHamming): DataFrame = {
+    val sigs = pHashSignatures(df, idCol, binCol)
+    val prim = NearDup.bandedHammingPairs(
+      sigs.select(col(idCol), col("__sig0")),
       idCol, widthBits = 64, bands = bands, hammingMax = maxHamming)
       .distinct()
+    val m = sigs.select(col(idCol), col("__sigm"))
+    prim
+      .join(m.select(col(idCol).as("doc_a"), col("__sigm").as("__ma")), "doc_a")
+      .join(m.select(col(idCol).as("doc_b"), col("__sigm").as("__mb")), "doc_b")
+      .where(bit_count(col("__ma").bitwiseXOR(col("__mb"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming_dist"))
+  }
 
   /** Full metadata projection over a binary column: one narrow,
     * shuffle-free pass per payload. */

@@ -145,6 +145,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs.toSeq === Seq((1L, 2L, 1L))) // Hamming exactly 1, c unpaired
   }
 
+  test("pHashPairs drops primary-signature collisions that fail the midpoint confirm") {
+    import spark.implicits._
+    // Two 2048-byte payloads agreeing on every PRIMARY sample window
+    // (bytes [32i, 32i+4) all zero) but maximally different on the
+    // midpoint grid (bytes [32i+16, 32i+20): 0xFF on alternating
+    // blocks, inverted between the two) — the single-signature false
+    // positive class the confirm signature exists to kill.
+    def payload(highMid: Int => Boolean): Array[Byte] = {
+      val b = Array.fill[Byte](2048)(0x00)
+      for (i <- 0 until 64 if highMid(i); o <- 0 until 4) b(32 * i + 16 + o) = 0xFF.toByte
+      b
+    }
+    val df = Seq(
+      (1L, payload(i => i % 2 == 0)),
+      (2L, payload(i => i % 2 == 1))).toDF("doc_id", "payload")
+    // primary signatures collide exactly (all-ties zero)…
+    val sigs = Multimodal.pHashSignatures(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sigs(0)._1 === sigs(1)._1)
+    assert(sigs(0)._2 !== sigs(1)._2)
+    // …so the pair is a candidate at Hamming 0, and must still be dropped
+    assert(Multimodal.pHashPairs(df).count() === 0L)
+  }
+
   test("pHash64 is deterministic and edge-safe on tiny/empty payloads") {
     import spark.implicits._
     val df = Seq((1L, Array.empty[Byte]), (2L, Array[Byte](7, 7)),

@@ -41,6 +41,38 @@ class SoakSpec extends SparkSpecBase {
       "a replica changed some doc's token count")
   }
 
+  test("document replicas leave the pHash ball of their origin and of other replicas") {
+    // The token-disjointness premise does not cover BYTE-domain
+    // similarity: the per-token marker alone is inside blockhash's
+    // invariance class (uniform insertion rescales the stream, so the
+    // evenly-spaced sample windows re-align with the same content),
+    // and the r10 soak measured cross-replica pHash pairs at 3134×
+    // baseline because of it. The glued first-token pad must push
+    // every replica beyond the banded-Hamming cutoff of its origin
+    // and of the other replicas of the same doc.
+    import graft.operators.Multimodal
+    // n = 10 deliberately: the large-pad replicas are where the first
+    // two pad designs failed (constant filler → zero-signature
+    // collapse on short docs), so the premise must hold at the soak's
+    // real replica count, not a gentle n = 3.
+    val n = 10
+    val rep = Soak.replicatedDocs(spark, sfDir, n)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .where(length(col("payload")) > 0)
+    // pHashSignatures (not pHash64∘pHashFeatures inline — the feature
+    // array must materialize once or the 64-conv tree explodes)
+    val sigs = Multimodal.pHashSignatures(rep, "doc_id", "payload")
+      .select(pmod(col("doc_id"), lit(Soak.IdOffset)).as("origin"),
+        (col("doc_id") / Soak.IdOffset).cast("int").as("rep"),
+        col("__sig0").as("sig"))
+    val close = sigs.as("a").join(sigs.as("b"),
+        col("a.origin") === col("b.origin") && col("a.rep") < col("b.rep"))
+      .select(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("ham"))
+      .where(col("ham") <= Multimodal.PHashMaxHamming)
+    assert(close.count() === 0,
+      "a replica stayed inside the pHash Hamming cutoff of a same-doc sibling")
+  }
+
   test("event replicas are key-disjoint over the SAME time range") {
     val n = 3
     val rep = Soak.replicatedEvents(spark, sfDir, n).cache()
