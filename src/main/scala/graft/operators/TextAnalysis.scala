@@ -292,8 +292,18 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     // DISTINCT (doc, fp): a fingerprint re-selected at two positions
     // of one doc is one posting; shared_fps counts distinct overlaps.
+    // Materialized-once seam: winnowSelected is a narrow zero-shuffle
+    // pipeline (a sha256 per k-gram), and it feeds THREE consumers
+    // below — the df-count agg and both sides of the pair self-join.
+    // Ending the postings in one exchange on the fingerprint key makes
+    // all three subtrees share the same canonical shuffle (AQE stage
+    // reuse), so the k-gram hashing runs once; the agg and the join
+    // then consume an already-__fp-partitioned 2-long postings table
+    // with no further exchange. The same structure a 100 TB run wants:
+    // shuffle the narrow postings, never recompute the text hashing.
     val fps = winnowSelected(docs, idCol, textCol)
       .select(col(idCol), explode(array_distinct(col("__sel"))).as("__fp"))
+      .repartition(col("__fp"))
     val cnt = fps.groupBy("__fp").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2 && col("__c") <= WinnowMaxDocFreq)
     val ok = fps.join(cnt.select("__fp"), Seq("__fp"))
