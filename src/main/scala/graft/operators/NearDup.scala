@@ -320,7 +320,16 @@ object NearDup {
       textCol: String = "text",
       k: Int = NumMinHashes,
       thresholdMilli: Int = ThresholdMilli): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // Materialized-once seam (same structure as winnowPairs): the
+    // shingle generate is narrow and feeds FOUR consumers — the
+    // signature agg and confirm's a-side, b-side, and size aggs — so
+    // without an exchange of its own each consumer re-runs the
+    // tokenize + n-gram build. One repartition on the doc key turns
+    // all four subtrees into the same canonical shuffle (computed
+    // once, AQE stage reuse); the signature and size aggs then run
+    // one-phase on already-id-partitioned shingles and confirm's
+    // a-side join needs no further exchange.
+    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
     val sig = minHashSignatures(sh, idCol, k)
       .select(col(idCol),
         posexplode(array((0 until k).map(i => col(s"h$i")): _*)).as(Seq("__hi", "__hv")))
@@ -387,7 +396,8 @@ object NearDup {
       rowsPerBand: Int = 2,
       thresholdMilli: Int = ThresholdMilli,
       word: (Int, Column) => Column = XxMinHashFamily): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // Materialized-once seam — see [[minHashPairs]].
+    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
     confirm(minHashBandedCandidates(sh, idCol, k, rowsPerBand, word),
       sh, idCol, thresholdMilli)
   }
@@ -409,8 +419,9 @@ object NearDup {
       textCol: String = "text",
       k: Int = NumMinHashes,
       thresholdMilli: Int = ThresholdMilli): DataFrame = {
-    val shA = shingles(base, idCol, textCol)
-    val shB = shingles(increment, idCol, textCol)
+    // Materialized-once seam per side — see [[minHashPairs]].
+    val shA = shingles(base, idCol, textCol).repartition(col(idCol))
+    val shB = shingles(increment, idCol, textCol).repartition(col(idCol))
     def sig(sh: DataFrame, as: String) =
       minHashSignatures(sh, idCol, k)
         .select(col(idCol).as(as),
@@ -605,7 +616,10 @@ object NearDup {
       bands: Int = SimHashBands,
       hammingMax: Int = HammingMax,
       family: SimHashFamily = XxHashFamily): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // Same materialized-once seam as [[minHashPairs]]: the narrow
+    // shingle generate feeds the signature agg, both confirm sides and
+    // the size aggs — one exchange on the doc key, computed once.
+    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
     val cand = simHashCandidatesFromShingles(sh, idCol, widthBits, bands, hammingMax, family)
     confirm(cand, sh, idCol, thresholdMilli)
   }
