@@ -62,9 +62,14 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       broadcastBenchmark: Boolean = true): DataFrame = {
+    // Materialized-once seam (see NearDup.minHashPairs): the narrow
+    // shingle generate feeds the benchmark side and the training side
+    // (and, in the composed exact+bloom battery query, the SAME
+    // canonical exchange is shared with contaminationBloom's grams).
     val grams = NearDup.shingles(
       docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
       n = n, carryCols = Seq("__bench"))
+      .repartition(col(idCol))
     val bench = grams.filter(col("__bench")).select(col("s")).distinct()
     val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
     grams.filter(!col("__bench"))
@@ -194,9 +199,13 @@ object Curation {
       k: Int = BloomHashes,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // Same materialized-once seam as [[contaminationHits]] — and the
+    // same canonical exchange, so the composed battery query computes
+    // the shingle table once for both operators.
     val grams = NearDup.shingles(
       docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
       n = n, carryCols = Seq("__bench"))
+      .repartition(col(idCol))
     val bloom = bloomBuild(grams.filter(col("__bench")), "s", mBits, k)
     bloomMightContain(
         grams.filter(!col("__bench")).select(col(idCol), col("s")),

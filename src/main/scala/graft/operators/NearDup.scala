@@ -681,8 +681,12 @@ object NearDup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val key = conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
       .cast("long").as("__k")
+    // Materialized-once seam on the gram key — see [[minHashPairs]]:
+    // pg (one sha256 per gram occurrence) feeds the dup-set agg, the
+    // flagging join, and the per-doc totals agg.
     val pg = positionalNgrams(docs, idCol, textCol, n)
       .select(col(idCol), col("pos"), key)
+      .repartition(col("__k"))
     // duplicated-gram set: distinct (doc, gram) first (collapses within-
     // doc multiplicity), then per-gram distinct-doc counts
     val dupSet = pg.select(col(idCol), col("__k")).distinct()
@@ -770,8 +774,12 @@ object NearDup {
         col("__w"))
     val key = conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
       .cast("long").as("__k")
+    // Materialized-once seam on the gram key — see [[minHashPairs]]:
+    // the positional-gram generate (one sha256 per gram occurrence)
+    // feeds both the canonical-doc agg and the flagging join.
     val pg = positionalNgrams(docs, idCol, textCol, n)
       .select(col(idCol), col("pos"), key)
+      .repartition(col("__k"))
     // duplicated grams with their canonical (min-id) doc, from the
     // distinct (doc, gram) set — one hash-agg, Zipf-small output
     val canon = pg.select(col(idCol), col("__k")).distinct()
