@@ -26,4 +26,50 @@ class DocSyncSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracleSql without queries: ${(o -- q).mkString(", ")}")
     assert((q -- o).isEmpty, s"queries without oracleSql: ${(q -- o).mkString(", ")}")
   }
+
+  /** Query names inside a committed bench/soak artifact. Both files are
+    * the one-line JSON graft.Bench writes; the per-query map is keyed
+    * `"name":{"sec":...}` — a shape this extracts without a JSON
+    * dependency. */
+  private def artifactQueryNames(path: String): Option[Set[String]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val raw = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Some("\"([a-z0-9_]+)\":\\{\"sec\"".r
+        .findAllMatchIn(raw).map(_.group(1)).toSet)
+    }
+  }
+
+  /** Committed artifacts must only NAME real battery queries: a rename
+    * or removal in SparkEntry with a stale BENCH_LAST/SOAK artifact (or
+    * a hand-edited artifact naming a query that never ran) fails here
+    * instead of in a round review. The inverse direction (a NEW query
+    * missing from the artifact) is deliberately not asserted — that
+    * lag is closed by the end-of-round bench refresh, and asserting it
+    * would force a 10-minute bench run into every mid-round commit. */
+  test("committed bench/soak artifacts name only real battery queries") {
+    for (f <- Seq("BENCH_LAST.json", "SOAK_LAST.json", "SOAK_x10.json");
+         names <- artifactQueryNames(f)) {
+      val ghosts = (names -- SparkEntry.queries.keySet).toSeq.sorted
+      assert(ghosts.isEmpty,
+        s"$f records queries that do not exist in SparkEntry: ${ghosts.mkString(", ")}")
+    }
+  }
+
+  /** The soak's gated families are a scale CLAIM (SCALE.md / SURVEY.md
+    * cite "41 gated queries" across the candidate-generating, events,
+    * graph and banded-Hamming families); if a battery rename silently
+    * shrinks the gate set, the claim goes stale without any failure.
+    * Pin each documented family to at least one gated member. */
+  test("soak gate covers every documented family") {
+    val gated = Soak.soakQueries(SparkEntry.queries.keySet)
+    for (family <- Seq("neardup_", "emb_ann_", "events_", "graph_")) {
+      assert(gated.exists(_.startsWith(family)),
+        s"no gated soak query left in documented family $family")
+    }
+    for (q <- Seq("multimodal_phash", "dedup_clusters", "text_winnow_pairs"))
+      assert(gated.contains(q), s"documented gated query $q missing")
+  }
 }
