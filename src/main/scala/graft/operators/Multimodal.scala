@@ -543,14 +543,31 @@ object Multimodal {
     * exposed separately so callers materialize it ONCE before both
     * the sort and the per-bit comparisons consume it.
     *
+    * Each feature is the unsigned byte sum of the block's sampled
+    * window, computed by [[graft.expressions.PHashFeatureSums]] — one
+    * native codegen'd loop straight off the payload bytes (no hex
+    * round trip, O(row) generated code). [[pHashFeaturesComposed]]
+    * keeps the original conv-over-hex formulation as the
+    * equivalence-spec reference. */
+  def pHashFeatures(bin: Column, midpoint: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.PHashFeatureSums(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(bin),
+        midpoint, PHashBlocks, PHashSampleBytes))
+
+  /** The composed (hex + conv + shift-and-mask) form of
+    * [[pHashFeatures]] — the cross-engine reference formula the DuckDB
+    * oracle mirrors, kept as the equivalence oracle for the native
+    * expression (ExpressionEquivalenceSpec pins native == composed).
+    *
     * Each feature is the byte sum of the block's sampled window, read
     * with a SINGLE `conv` of the window's hex slice and decomposed by
     * shift-and-mask — the byte sum of a big-endian-read value is
     * shift-invariant, and a window truncated by end-of-payload
     * contributes 0 for the missing bytes, so this is exactly the
     * per-byte sum at a quarter of the expression count (64 convs, not
-    * 256 — small enough for whole-stage codegen to compile). */
-  def pHashFeatures(bin: Column, midpoint: Boolean = false): Column = {
+    * 256). */
+  private[graft] def pHashFeaturesComposed(bin: Column, midpoint: Boolean = false): Column = {
     val hx = lower(hex(bin))
     val len = length(bin).cast("long")
     array((0 until PHashBlocks).map { i =>

@@ -244,4 +244,52 @@ class ExpressionEquivalenceSpec extends SparkSpecBase {
     assert(got.getSeq[String](1) === Seq("a b", "b c"))
     assert(!got.getSeq[String](1).contains(null))
   }
+
+  test("PHashFeatureSums equals the composed conv-over-hex form on ASCII payloads") {
+    import spark.implicits._
+    // ASCII-range bytes: the domain the composed form is defined on
+    // (a full 8-byte window with the top bit set overflows its 64-bit
+    // cast — pinned separately below). Lengths straddle every window
+    // geometry: empty, shorter than one window, non-multiples of 64,
+    // and long enough for disjoint windows on both grids.
+    val rnd = new scala.util.Random(20260814L)
+    val payloads = Seq(0, 1, 7, 63, 64, 65, 511, 1024, 4099).flatMap { n =>
+      (0 until 25).map(_ => Array.fill(n)((rnd.nextInt(128)).toByte))
+    }
+    for (mid <- Seq(false, true)) {
+      val df = payloads.toDF("p")
+        .select(
+          graft.operators.Multimodal.pHashFeatures(col("p"), mid).as("n"),
+          graft.operators.Multimodal.pHashFeaturesComposed(col("p"), mid).as("h"))
+      assert(df.filter(not(col("n") <=> col("h"))).count() === 0,
+        s"native != composed (midpoint=$mid)")
+    }
+  }
+
+  test("PHashFeatureSums handles high bytes; 8-byte geometry zeroes overflow windows") {
+    import spark.implicits._
+    def feats(c: Column, sampleBytes: Int): Column =
+      ColumnAdapter.column(graft.expressions.PHashFeatureSums(
+        ColumnAdapter.expression(c), false, 64, sampleBytes))
+    val hi = Array.fill(512)(0x90.toByte) // top bit set everywhere
+    val lo = Array.fill(512)(0x41.toByte) // 'A' = 65
+    val got = Seq((hi, lo)).toDF("hi", "lo")
+      .select(
+        // operator geometry (sampleBytes = 4): a 4-byte window maxes
+        // at 2^32 — no overflow, plain unsigned byte sums on BOTH
+        // high- and low-byte payloads (4·0x90 = 576, 4·65 = 260)
+        feats(col("hi"), 4).as("h4"),
+        feats(col("lo"), 4).as("l4"),
+        // 8-byte geometry: a full window starting >= 0x80 reads as a
+        // value >= 2^63, which the composed form's 64-bit cast (and
+        // the DuckDB oracle's TRY_CAST) rejects to 0 — the native
+        // loop must replicate that; sub-top-bit windows still sum
+        feats(col("hi"), 8).as("h8"),
+        feats(col("lo"), 8).as("l8"))
+      .head
+    assert(got.getSeq[Long](0).forall(_ == 576L))
+    assert(got.getSeq[Long](1).forall(_ == 260L))
+    assert(got.getSeq[Long](2).forall(_ == 0L))
+    assert(got.getSeq[Long](3).forall(_ == 520L))
+  }
 }
