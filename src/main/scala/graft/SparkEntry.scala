@@ -3542,9 +3542,12 @@ object SparkEntry {
          |         CAST(sum(b << (j % ${64 / Multimodal.PHashBands})) AS BIGINT) AS bv
          |  FROM bits WHERE k = 0 GROUP BY 1, 2),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  -- minSharedBands = 2: a candidate agrees on >= 2 bands
+         |  -- (equivalent to the Spark side's band-PAIR join keys)
+         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
          |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
-         |    AND a.doc_id < c.doc_id),
+         |    AND a.doc_id < c.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |ham AS (
          |  SELECT cd.doc_a, cd.doc_b,
          |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 0 THEN 1 ELSE 0 END)

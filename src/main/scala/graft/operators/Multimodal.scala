@@ -654,9 +654,17 @@ object Multimodal {
     // "persist the signatures" step of any real near-dup deployment,
     // expressed as plan structure instead of a cache.
     val sigs = pHashSignatures(df, idCol, binCol).repartition(col(idCol))
+    // minSharedBands = 2: the 64-bit signature's 8-bit single-band
+    // keys give only 256 buckets, so the single-band equijoin is
+    // quadratic in corpus size (1.9·10⁸ candidate rows at the 10×
+    // soak); requiring an agreeing band PAIR keys the join on 16 bits
+    // at an UNCHANGED exact-recall contract — Hamming ≤ 6 over 8
+    // bands always leaves ≥ 2 bands intact. See the dial's scaladoc
+    // in [[graft.operators.NearDup.bandedHammingPairs]].
     val prim = NearDup.bandedHammingPairs(
       sigs.select(col(idCol), col("__sig0")),
-      idCol, widthBits = 64, bands = bands, hammingMax = maxHamming)
+      idCol, widthBits = 64, bands = bands, hammingMax = maxHamming,
+      minSharedBands = 2)
       .distinct()
     val m = sigs.select(col(idCol), col("__sigm"))
     prim

@@ -540,27 +540,55 @@ object NearDup {
     * [[confirm]] does).
     *
     * Recall contract: exact (all Hamming ≤ hammingMax pairs) iff
-    * `bands > hammingMax` (pigeonhole); otherwise probabilistic, with
+    * `bands − minSharedBands + 1 > hammingMax` (pigeonhole: h
+    * differing bits corrupt ≤ h bands, so ≥ bands − h stay intact —
+    * enough for an intact `minSharedBands`-subset exactly when
+    * bands − h ≥ minSharedBands); otherwise probabilistic, with
     * per-pair miss rate (1−(1−p)^bandBits)^bands at per-bit
-    * disagreement p. Pass `hammingMax = widthBits` to disable the
-    * Hamming filter (then candidates = raw band collisions). */
+    * disagreement p for the single-band mode. Pass
+    * `hammingMax = widthBits` to disable the Hamming filter (then
+    * candidates = raw band collisions).
+    *
+    * `minSharedBands` is the candidate-volume dial for SHORT fixed
+    * signatures: a 64-bit signature in 8 bands has 8-bit band keys —
+    * 256 buckets, so the single-band equijoin's output grows as
+    * n²·bands/2^bandBits no matter how good the hash is (measured:
+    * 1.9·10⁸ candidate rows for 5.1·10⁴ docs at the 10× soak, ~40 s
+    * of pure join). With `minSharedBands = 2` the join key is a BAND
+    * PAIR — C(bands, 2) keys of 2·bandBits — so the same corpus
+    * buckets over 65 536 values instead of 256: ~3.5 C(8,2)/2¹⁶·n²
+    * ≈ 5·10⁵ candidates, at an unchanged EXACT recall contract
+    * (bands − hammingMax ≥ 2 still pigeonholes an intact pair of
+    * bands for every true match). The simHash path keeps
+    * minSharedBands = 1 and widens the SIGNATURE instead
+    * (`simHashBandBitsFor`) — the right dial when the signature
+    * width is free; pHash's 64 blocks are fixed by the algorithm. */
   def bandedHammingPairs(
       sig: DataFrame,
       idCol: String,
       widthBits: Int,
       bands: Int,
-      hammingMax: Int): DataFrame = {
+      hammingMax: Int,
+      minSharedBands: Int = 1): DataFrame = {
     require(bands >= 1 && widthBits % bands == 0,
       s"bands ($bands) must divide widthBits ($widthBits)")
+    require(minSharedBands == 1 || minSharedBands == 2,
+      s"minSharedBands must be 1 or 2, got $minSharedBands")
     val bandBits = widthBits / bands
-    require(bandBits <= 60, s"bandBits ($bandBits) must be <= 60")
+    require(bandBits * minSharedBands <= 60,
+      s"join-key bits (${bandBits * minSharedBands}) must be <= 60")
     val words = (widthBits + 63) / 64
     val sigCols = (0 until words).map(w => s"__sig$w")
+    def bv(b: Int) = bandValue(w => col(s"__sig$w"), bandBits, b)
+    // join keys: single bands, or all C(bands, 2) band pairs packed
+    // into one ≤60-bit long (index packs the same way)
+    val keys: Seq[Column] =
+      if (minSharedBands == 1) (0 until bands).map(bv)
+      else for (i <- 0 until bands; j <- i + 1 until bands)
+        yield shiftleft(bv(i), bandBits).bitwiseOR(bv(j))
     val banded = sig
       .select(col(idCol) +: sigCols.map(col) :+
-        posexplode(array((0 until bands).map { b =>
-          bandValue(w => col(s"__sig$w"), bandBits, b)
-        }: _*)).as(Seq("__bi", "__bv")): _*)
+        posexplode(array(keys: _*)).as(Seq("__bi", "__bv")): _*)
     val a = banded.select(col(idCol).as("doc_a") +:
       sigCols.map(c => col(c).as(s"__a$c")) :+ col("__bi") :+ col("__bv"): _*)
     val b = banded.select(col(idCol).as("doc_b") +:
