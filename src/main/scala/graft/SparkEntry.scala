@@ -3149,9 +3149,16 @@ object SparkEntry {
     // integer distances either way.
     "neardup_edit" ->
       s"""$neardupPreludeSql,
+         |shh AS (
+         |  -- 60-bit sha slice of each shingle: the identical digest the
+         |  -- Spark side joins on, so candidate sets match bit-for-bit
+         |  SELECT doc_id,
+         |         CAST(CAST(('0x' || substring(sha256(s), 1, 15)) AS UBIGINT)
+         |           AS BIGINT) AS h
+         |  FROM sh),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
          |FROM cand

@@ -263,7 +263,15 @@ object NearDup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
     val candSh = maxDocFreq.map(shinglesWithDfCap(sh, idCol, _)).getOrElse(sh)
-    candidatePairsOf(candSh, idCol)
+    // Candidates equijoin on the 60-bit sha slice of the shingle, not
+    // the shingle string: the self-join shuffles 8-byte longs instead
+    // of text, and because the DuckDB oracle slices the IDENTICAL
+    // digest, the candidate set matches bit-for-bit even in the
+    // astronomically-unlikely collision case (a collision only ADDS a
+    // candidate on both engines; levenshtein decides membership).
+    val hashed = candSh.select(col(idCol),
+      conv(substring(sha2(col("s"), 256), 1, 15), 16, 10).cast("long").as("s"))
+    candidatePairsOf(hashed, idCol)
       .join(docs.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), Seq("doc_a"))
       .join(docs.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
