@@ -2254,9 +2254,13 @@ object SparkEntry {
     "docs_decontam_bloom" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val isBench = col("doc_id") % BenchmarkEvery === 0
-      val exact = Curation.contaminationHits(docs, isBench)
+      // materializeGrams: this composed query consumes the tagged gram
+      // table four times (exact hits + bloom build/probe); the seam's
+      // shared exchange computes it once (Curation.contaminationGrams)
+      val exact = Curation.contaminationHits(docs, isBench,
+          materializeGrams = true)
         .select(col("doc_id"), lit(true).as("__ex"))
-      Curation.contaminationBloom(docs, isBench)
+      Curation.contaminationBloom(docs, isBench, materializeGrams = true)
         .join(exact, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"), col("n_flagged"),
           col("bloom_hit"), coalesce(col("__ex"), lit(false)).as("exact_hit"))

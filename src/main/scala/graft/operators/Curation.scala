@@ -55,21 +55,44 @@ object Curation {
     * side never shuffles when the benchmark broadcasts; join output is
     * ∝ true contamination, because grams are distinct on BOTH sides.
     */
+  /** Tagged shingle table shared by the two decontamination operators.
+    *
+    * `materialize = false` (the default) keeps it a NARROW generate:
+    * the benchmark side re-runs the tokenize, but the corpus-sized
+    * gram table never shuffles — the right trade when the operator
+    * runs ALONE, because the recompute is one cheap compiled pass
+    * while the materialized row is a gram STRING (not a packed long,
+    * unlike the minhash/winnow seams). `materialize = true` ends the
+    * table in one exchange on the doc key — the materialized-once
+    * seam (see [[NearDup.minHashPairs]]) for COMPOSED queries that
+    * consume the same grams several times: the exact+bloom battery
+    * query evaluates the generate 4× without it, and because the
+    * exchange is canonically identical across both operators, AQE's
+    * stage cache computes it once for the whole composed plan
+    * (measured: 2.6 s → 1.0 s at sf0.1). */
+  private def contaminationGrams(
+      docs: DataFrame,
+      isBenchmark: Column,
+      n: Int,
+      idCol: String,
+      textCol: String,
+      materialize: Boolean): DataFrame = {
+    val grams = NearDup.shingles(
+      docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
+      n = n, carryCols = Seq("__bench"))
+    if (materialize) grams.repartition(col(idCol)) else grams
+  }
+
   def contaminationHits(
       docs: DataFrame,
       isBenchmark: Column,
       n: Int = ContaminationN,
       idCol: String = "doc_id",
       textCol: String = "text",
-      broadcastBenchmark: Boolean = true): DataFrame = {
-    // Materialized-once seam (see NearDup.minHashPairs): the narrow
-    // shingle generate feeds the benchmark side and the training side
-    // (and, in the composed exact+bloom battery query, the SAME
-    // canonical exchange is shared with contaminationBloom's grams).
-    val grams = NearDup.shingles(
-      docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
-      n = n, carryCols = Seq("__bench"))
-      .repartition(col(idCol))
+      broadcastBenchmark: Boolean = true,
+      materializeGrams: Boolean = false): DataFrame = {
+    val grams = contaminationGrams(docs, isBenchmark, n, idCol, textCol,
+      materializeGrams)
     val bench = grams.filter(col("__bench")).select(col("s")).distinct()
     val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
     grams.filter(!col("__bench"))
@@ -198,14 +221,10 @@ object Curation {
       mBits: Long = BloomBits,
       k: Int = BloomHashes,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // Same materialized-once seam as [[contaminationHits]] — and the
-    // same canonical exchange, so the composed battery query computes
-    // the shingle table once for both operators.
-    val grams = NearDup.shingles(
-      docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
-      n = n, carryCols = Seq("__bench"))
-      .repartition(col(idCol))
+      textCol: String = "text",
+      materializeGrams: Boolean = false): DataFrame = {
+    val grams = contaminationGrams(docs, isBenchmark, n, idCol, textCol,
+      materializeGrams)
     val bloom = bloomBuild(grams.filter(col("__bench")), "s", mBits, k)
     bloomMightContain(
         grams.filter(!col("__bench")).select(col(idCol), col("s")),

@@ -4,7 +4,9 @@ package graft
   * lock the plan SHAPE, which is what survives (or dies at) 100 TB:
   * filters pushed to the scan, columns pruned, one shuffle where one is
   * claimed, dims broadcast but facts never, the dot product native, and
-  * no Cartesian product anywhere. Planning only — nothing executes.
+  * no Cartesian product anywhere. Planning only (one marked exception:
+  * the seam-reuse test executes a tiny in-memory frame, because AQE
+  * stage reuse is observable only at runtime).
   */
 class PlanShapeSpec extends SparkSpecBase {
 
@@ -302,5 +304,33 @@ class PlanShapeSpec extends SparkSpecBase {
     val sorts = "\\bSort \\[".r.findAllIn(p).size
     assert(sorts === 1,
       s"lag and running-sum share one window spec → one sort, got $sorts:\n${p.take(3000)}")
+  }
+
+  test("materialized-once seams actually reuse: one shuffle feeds every consumer") {
+    // The one EXECUTING test in this suite, because AQE stage reuse is
+    // a runtime decision — the static plan shows no ReusedExchange.
+    // The seam contract (SCALE.md round-10): the expensive narrow
+    // signature/postings pipeline ends in one repartition whose
+    // canonical exchange every consumer shares, so the hashing runs
+    // once. If a refactor drops the seam (or breaks canonical
+    // equality between the self-join sides), the reuse count here
+    // goes to zero and the recompute tax silently returns.
+    import spark.implicits._
+    val docs = Seq.tabulate(120) { i =>
+      (i.toLong, s"tok${i % 7} tok${(i + 1) % 5} tok${(i + 2) % 11} " +
+        s"tok${(i + 3) % 13} alpha beta gamma delta")
+    }.toDF("doc_id", "text")
+    def reuseCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.queryExecution.toRdd.count() // drive AQE to the final plan
+      "ReusedExchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    assert(reuseCount(operators.NearDup.minHashPairs(docs)) >= 1,
+      "minHashPairs: shingle seam not reused")
+    assert(reuseCount(operators.TextAnalysis.winnowPairs(docs)) >= 1,
+      "winnowPairs: postings seam not reused")
+    val bin = docs.select(docs("doc_id"), docs("text").cast("binary").as("payload"))
+    assert(reuseCount(operators.Multimodal.pHashPairs(bin)) >= 1,
+      "pHashPairs: signature seam not reused")
   }
 }
