@@ -60,6 +60,15 @@ object Graph {
     * single oracle-checkable DAG; runs past that truncate, and
     * `checkpointDir` upgrades the truncation to a reliable checkpoint
     * that survives executor loss ([[graft.core.IterCheckpoint]]).
+    *
+    * The EDGE list is materialized up front (GraphX's cache-the-graph
+    * move, and the same seam [[DedupClusters.components]] applies to
+    * its pair input): callers here feed DERIVED graphs — a k-NN graph
+    * is itself an LSH-bucket + top-k pipeline — and without the
+    * truncation every round's DAG re-inlines that whole subtree,
+    * growing planning + codegen linearly in rounds even when AQE
+    * dedupes the execution. One eager truncation makes each round's
+    * plan a reference to materialized blocks.
     */
   def pageRank(
       edges: DataFrame,
@@ -71,7 +80,8 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = graft.core.IterCheckpoint.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), checkpointDir)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -177,7 +187,9 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e0 = canonicalEdges(edges, srcCol, dstCol)
+    // edge materialization: same rationale as [[pageRank]]
+    val e0 = graft.core.IterCheckpoint.truncate(
+      canonicalEdges(edges, srcCol, dstCol), checkpointDir)
     val sym = e0.select(col("lo").as("src"), col("hi").as("dst"))
       .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
@@ -226,7 +238,9 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edge materialization: same rationale as [[pageRank]]
+    val e = graft.core.IterCheckpoint.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), checkpointDir)
     var dist = seeds.select(col(seedIdCol).as("id")).distinct()
       .withColumn("dist", lit(0L))
     var frontier = dist.select(col("id"))
