@@ -32,12 +32,26 @@ object IterCheckpoint {
 
   /** Truncate `df`'s lineage: reliable `checkpoint()` into `dir` when
     * set (idempotently installing it as the context's checkpoint dir),
-    * else `localCheckpoint()`. */
-  def truncate(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    * else `localCheckpoint()`.
+    *
+    * `eager = true` (the default) materializes NOW — required inside
+    * iteration loops, where the driver's convergence probe must see
+    * the round's result. `eager = false` defers materialization to the
+    * first action: the right mode for up-front INPUT truncation (e.g.
+    * the graph operators' edge lists), where an eager call would run a
+    * full Spark job at DataFrame-CONSTRUCTION time — surprising a
+    * caller that only wanted `explain()`. Either way the blocks live
+    * until the wrapping RDD is garbage collected (ContextCleaner then
+    * drops them), so repeated constructions are bounded by driver GC,
+    * not leaked for the session's lifetime. */
+  def truncate(
+      df: DataFrame,
+      dir: Option[String],
+      eager: Boolean = true): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
       if (installed.put(sc, d) != d) sc.setCheckpointDir(d)
-      df.checkpoint()
-    case None => df.localCheckpoint()
+      df.checkpoint(eager)
+    case None => df.localCheckpoint(eager)
   }
 }

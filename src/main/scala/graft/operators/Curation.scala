@@ -55,6 +55,24 @@ object Curation {
     * side never shuffles when the benchmark broadcasts; join output is
     * ∝ true contamination, because grams are distinct on BOTH sides.
     */
+  def contaminationHits(
+      docs: DataFrame,
+      isBenchmark: Column,
+      n: Int = ContaminationN,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastBenchmark: Boolean = true,
+      materializeGrams: Boolean = false): DataFrame = {
+    val grams = contaminationGrams(docs, isBenchmark, n, idCol, textCol,
+      materializeGrams)
+    val bench = grams.filter(col("__bench")).select(col("s")).distinct()
+    val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
+    grams.filter(!col("__bench"))
+      .join(benchSide, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Tagged shingle table shared by the two decontamination operators.
     *
     * `materialize = false` (the default) keeps it a NARROW generate:
@@ -81,24 +99,6 @@ object Curation {
       docs.withColumn("__bench", isBenchmark), idCol = idCol, textCol = textCol,
       n = n, carryCols = Seq("__bench"))
     if (materialize) grams.repartition(col(idCol)) else grams
-  }
-
-  def contaminationHits(
-      docs: DataFrame,
-      isBenchmark: Column,
-      n: Int = ContaminationN,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      broadcastBenchmark: Boolean = true,
-      materializeGrams: Boolean = false): DataFrame = {
-    val grams = contaminationGrams(docs, isBenchmark, n, idCol, textCol,
-      materializeGrams)
-    val bench = grams.filter(col("__bench")).select(col("s")).distinct()
-    val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
-    grams.filter(!col("__bench"))
-      .join(benchSide, "s")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared_grams"))
   }
 
   /** The clean corpus: training-side docs with NO `n`-gram overlap with

@@ -61,14 +61,17 @@ object Graph {
     * `checkpointDir` upgrades the truncation to a reliable checkpoint
     * that survives executor loss ([[graft.core.IterCheckpoint]]).
     *
-    * The EDGE list is materialized up front (GraphX's cache-the-graph
+    * The EDGE list is materialized once (GraphX's cache-the-graph
     * move, and the same seam [[DedupClusters.components]] applies to
     * its pair input): callers here feed DERIVED graphs — a k-NN graph
     * is itself an LSH-bucket + top-k pipeline — and without the
     * truncation every round's DAG re-inlines that whole subtree,
     * growing planning + codegen linearly in rounds even when AQE
-    * dedupes the execution. One eager truncation makes each round's
-    * plan a reference to materialized blocks.
+    * dedupes the execution. The truncation is LAZY (`eager = false`):
+    * constructing the DataFrame stays job-free (an `explain()` costs
+    * nothing), the edges materialize at the first action, and every
+    * round's plan is then a reference to the materialized blocks,
+    * which live until the wrapping RDD is GC'd.
     */
   def pageRank(
       edges: DataFrame,
@@ -81,7 +84,8 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = graft.core.IterCheckpoint.truncate(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), checkpointDir)
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), checkpointDir,
+      eager = false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -189,7 +193,7 @@ object Graph {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // edge materialization: same rationale as [[pageRank]]
     val e0 = graft.core.IterCheckpoint.truncate(
-      canonicalEdges(edges, srcCol, dstCol), checkpointDir)
+      canonicalEdges(edges, srcCol, dstCol), checkpointDir, eager = false)
     val sym = e0.select(col("lo").as("src"), col("hi").as("dst"))
       .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
@@ -240,7 +244,8 @@ object Graph {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // edge materialization: same rationale as [[pageRank]]
     val e = graft.core.IterCheckpoint.truncate(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), checkpointDir)
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), checkpointDir,
+      eager = false)
     var dist = seeds.select(col(seedIdCol).as("id")).distinct()
       .withColumn("dist", lit(0L))
     var frontier = dist.select(col("id"))

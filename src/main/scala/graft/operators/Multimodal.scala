@@ -641,6 +641,14 @@ object Multimodal {
       binCol: String = "payload",
       bands: Int = PHashBands,
       maxHamming: Int = PHashMaxHamming): DataFrame = {
+    // This operator PROMISES exact recall, and its candidate stage
+    // requires agreement on a band PAIR (minSharedBands = 2 below), so
+    // the pigeonhole argument needs two bands to survive maxHamming
+    // corrupted bits. A wider cutoff must also widen the band count —
+    // fail loudly instead of silently losing pairs.
+    require(bands - maxHamming >= 2,
+      s"pHashPairs is exact only when bands - maxHamming >= 2 " +
+        s"(band-pair candidates); got bands=$bands, maxHamming=$maxHamming")
     // Materialize the signature table through ONE exchange. The sig
     // pipeline is narrow (no shuffle of its own) and every join below
     // broadcasts, so without this seam nothing in the plan is reusable

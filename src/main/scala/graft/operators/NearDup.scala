@@ -582,6 +582,9 @@ object NearDup {
       s"bands ($bands) must divide widthBits ($widthBits)")
     require(minSharedBands == 1 || minSharedBands == 2,
       s"minSharedBands must be 1 or 2, got $minSharedBands")
+    require(bands >= minSharedBands,
+      s"bands ($bands) must be >= minSharedBands ($minSharedBands) — " +
+        "fewer bands than the agreement order leaves no join keys at all")
     val bandBits = widthBits / bands
     require(bandBits * minSharedBands <= 60,
       s"join-key bits (${bandBits * minSharedBands}) must be <= 60")
