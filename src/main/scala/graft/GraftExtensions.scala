@@ -41,7 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null,
         "dot_product_long",
         "dot_product_long(a, b) - exact int64 dot product of two array<bigint> columns",
-        ""),
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2) analysisError(
           s"dot_product_long takes exactly 2 arguments, got ${exprs.length}",
@@ -56,7 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null,
         "distinct_shingles",
         "distinct_shingles(tokens, n) - distinct word n-grams of an array<string>, first-occurrence order",
-        ""),
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2) analysisError(
           s"distinct_shingles takes exactly 2 arguments, got ${exprs.length}",
@@ -95,7 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "unicode_normalize",
         "unicode_normalize(str, form) - Unicode-normalize a string; form is a " +
           "foldable string in ('NFC','NFD','NFKC','NFKD')",
-        ""),
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2) analysisError(
           s"unicode_normalize takes exactly 2 arguments, got ${exprs.length}",
@@ -132,7 +132,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null,
         "hash_order",
         "hash_order(id) - the deterministic multiplicative-hash shuffle order of an int64 id",
-        ""),
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 1) analysisError(
           s"hash_order takes exactly 1 argument, got ${exprs.length}",
@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null,
         "z_value",
         "z_value(bits, d1, d2, ...) - Morton bit-interleave of dimensions already in [0, 2^bits)",
-        ""),
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => {
         if (exprs.length < 2) analysisError(
           s"z_value takes a bits literal plus at least 1 dimension, got ${exprs.length} arguments",
@@ -193,7 +193,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "isqrt",
         "isqrt(n) - exact integer square root of a non-negative int64 " +
           "(float estimate + overflow-safe correction; engine-exact)",
-        ""),
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 1) analysisError(
           s"isqrt takes exactly 1 argument, got ${exprs.length}",

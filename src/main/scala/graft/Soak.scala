@@ -132,7 +132,7 @@ object Soak {
           regexp_replace(padded, "(\\S+)", s"$$1xq${i}z").as("text"),
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
-          .select(base.columns.map(col): _*)
+          .select(base.columns.toIndexedSeq.map(col): _*)
       }
     }.reduce(_ unionByName _)
   }

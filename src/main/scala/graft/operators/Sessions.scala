@@ -163,7 +163,7 @@ object Sessions {
     // shared spec behind per-step projections and Catalyst plans one
     // WindowExec (and one sort) PER aggregate; a single projection
     // collapses them into one (PlanShapeSpec-asserted)
-    df.select(df.columns.map(col) ++
+    df.select(df.columns.toIndexedSeq.map(col) ++
       aggs.map { case (name, a) => a.over(w).as(name) }: _*)
   }
 
@@ -217,10 +217,10 @@ object Sessions {
       keys.map(col) ++ Seq(col(tsCol), lit(0).as(side), packed.as(pack)): _*)
     val structType = r.schema(pack).dataType
     val l = left.select(
-      left.columns.map(col) ++
+      left.columns.toIndexedSeq.map(col) ++
         Seq(lit(1).as(side), lit(null).cast(structType).as(pack)): _*)
     // align by name: right lacks left's non-key columns
-    val rAligned = r.select(l.columns.map(c =>
+    val rAligned = r.select(l.columns.toIndexedSeq.map(c =>
       if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)): _*)
 
     val w = Window
@@ -248,7 +248,7 @@ object Sessions {
         matched.withColumn(pack, when(gap <= tol, col(pack)))
     }
     inHorizon.select(
-      left.columns.map(col) ++ payload.map(p => col(s"$pack.$p").as(p)): _*)
+      left.columns.toIndexedSeq.map(col) ++ payload.map(p => col(s"$pack.$p").as(p)): _*)
   }
 
   /** Time-series resampling to a fixed slot grid with gap-fill and

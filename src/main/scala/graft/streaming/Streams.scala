@@ -105,7 +105,7 @@ object Streams {
       r(rightTsCol) <= l(tsCol) &&
         r(rightTsCol) >= l(tsCol) - expr(s"INTERVAL $horizon")
     l.join(r, keyEq && inWindow, "inner")
-      .select(l("*") +: right.columns.filterNot(keys.contains)
+      .select(l("*") +: right.columns.toIndexedSeq.filterNot(keys.contains)
         .map(c => r(if (c == tsCol) rightTsCol else c)): _*)
   }
 
