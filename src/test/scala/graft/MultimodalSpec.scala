@@ -442,4 +442,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(4L) === Seq[Any](2L, 44100L, 16L, null, null))
     assert(got(5L) === nulls)
   }
+
+  test("pHashPairs rejects dials that break the band-pair pigeonhole") {
+    // candidates require an agreeing band PAIR, so exact recall needs
+    // bands - maxHamming >= 2; a wider cutoff without more bands would
+    // silently lose pairs — the operator must refuse it instead.
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.pHashPairs(df, maxHamming = 7)
+    }
+    assert(e.getMessage.contains("bands - maxHamming"))
+    // and the generic banded machinery refuses an agreement order it
+    // cannot key (fewer bands than minSharedBands = empty key array)
+    val sig = Seq((1L, 0L)).toDF("doc_id", "__sig0")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.NearDup.bandedHammingPairs(sig, "doc_id",
+        widthBits = 64, bands = 1, hammingMax = 6, minSharedBands = 2)
+    }
+    assert(e2.getMessage.contains("minSharedBands"))
+  }
 }
