@@ -675,11 +675,55 @@ object Multimodal {
       minSharedBands = 2)
       .distinct()
     val m = sigs.select(col(idCol), col("__sigm"))
+    confirmMidpoint(prim, m, m, idCol, maxHamming)
+  }
+
+  /** The midpoint-grid CONFIRM shared by the one- and two-corpus pair
+    * forms: keep primary-signature pairs whose second signatures also
+    * sit within the cutoff. */
+  private def confirmMidpoint(
+      prim: DataFrame,
+      mA: DataFrame,
+      mB: DataFrame,
+      idCol: String,
+      maxHamming: Int): DataFrame =
     prim
-      .join(m.select(col(idCol).as("doc_a"), col("__sigm").as("__ma")), "doc_a")
-      .join(m.select(col(idCol).as("doc_b"), col("__sigm").as("__mb")), "doc_b")
+      .join(mA.select(col(idCol).as("doc_a"), col("__sigm").as("__ma")), "doc_a")
+      .join(mB.select(col(idCol).as("doc_b"), col("__sigm").as("__mb")), "doc_b")
       .where(bit_count(col("__ma").bitwiseXOR(col("__mb"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming_dist"))
+
+  /** [[pHashPairs]] over PRE-COMPUTED signature tables (the
+    * [[pHashSignatures]] shape `(idCol, __sig0, __sigm)`), cross-corpus:
+    * doc_a from `sigsA`, doc_b from `sigsB`. This is the
+    * incremental-ingest seam — each tranche's payloads are hashed ONCE
+    * into the store and pairing consumes only signatures (6 longs per
+    * pair; unlike MinHash's exact-Jaccard confirm, the byte-domain
+    * confirm never re-reads payloads). Id spaces must be disjoint;
+    * passing the same table on both sides emits both orientations
+    * (filter doc_a < doc_b for the ordered one-corpus set). Same
+    * band-pair candidate stage and dual-signature confirm as
+    * [[pHashPairs]], so unions of tranche-wise calls reproduce the
+    * one-shot batch result exactly. */
+  def pHashPairsFromSignatures(
+      sigsA: DataFrame,
+      sigsB: DataFrame,
+      idCol: String = "doc_id",
+      bands: Int = PHashBands,
+      maxHamming: Int = PHashMaxHamming): DataFrame = {
+    require(bands - maxHamming >= 2,
+      s"pHash pairing is exact only when bands - maxHamming >= 2 " +
+        s"(band-pair candidates); got bands=$bands, maxHamming=$maxHamming")
+    val prim = NearDup.bandedHammingPairsBetween(
+      sigsA.select(col(idCol), col("__sig0")),
+      sigsB.select(col(idCol), col("__sig0")),
+      idCol, widthBits = 64, bands = bands, hammingMax = maxHamming,
+      minSharedBands = 2)
+      .distinct()
+    confirmMidpoint(prim,
+      sigsA.select(col(idCol), col("__sigm")),
+      sigsB.select(col(idCol), col("__sigm")),
+      idCol, maxHamming)
   }
 
   /** Full metadata projection over a binary column: one narrow,

@@ -585,6 +585,49 @@ object NearDup {
     require(bands >= minSharedBands,
       s"bands ($bands) must be >= minSharedBands ($minSharedBands) — " +
         "fewer bands than the agreement order leaves no join keys at all")
+    val (banded, sigCols) =
+      bandedKeyed(sig, idCol, widthBits, bands, minSharedBands)
+    bandedPairJoin(banded, banded, idCol, sigCols, hammingMax, ordered = true)
+  }
+
+  /** Cross-corpus [[bandedHammingPairs]]: doc_a from `sigA`, doc_b from
+    * `sigB` — the incremental-ingest form (sign each tranche once, band
+    * the NEW signatures against the accumulated store). Id spaces must
+    * be disjoint (the contract of every `*Between` here). Passing the
+    * SAME table on both sides emits each qualifying pair in BOTH
+    * orientations — filter `doc_a < doc_b` to recover the one-corpus
+    * ordered set. */
+  def bandedHammingPairsBetween(
+      sigA: DataFrame,
+      sigB: DataFrame,
+      idCol: String,
+      widthBits: Int,
+      bands: Int,
+      hammingMax: Int,
+      minSharedBands: Int = 1): DataFrame = {
+    val (ba, sigCols) =
+      bandedKeyed(sigA, idCol, widthBits, bands, minSharedBands)
+    val (bb, _) =
+      bandedKeyed(sigB, idCol, widthBits, bands, minSharedBands)
+    bandedPairJoin(ba, bb, idCol, sigCols, hammingMax, ordered = false)
+  }
+
+  /** Validated band-key explosion shared by the one- and two-corpus
+    * forms: the signature table with one (key index, key value) row per
+    * band (or band PAIR at minSharedBands = 2). */
+  private def bandedKeyed(
+      sig: DataFrame,
+      idCol: String,
+      widthBits: Int,
+      bands: Int,
+      minSharedBands: Int): (DataFrame, Seq[String]) = {
+    require(bands >= 1 && widthBits % bands == 0,
+      s"bands ($bands) must divide widthBits ($widthBits)")
+    require(minSharedBands == 1 || minSharedBands == 2,
+      s"minSharedBands must be 1 or 2, got $minSharedBands")
+    require(bands >= minSharedBands,
+      s"bands ($bands) must be >= minSharedBands ($minSharedBands) — " +
+        "fewer bands than the agreement order leaves no join keys at all")
     val bandBits = widthBits / bands
     require(bandBits * minSharedBands <= 60,
       s"join-key bits (${bandBits * minSharedBands}) must be <= 60")
@@ -597,17 +640,30 @@ object NearDup {
       if (minSharedBands == 1) (0 until bands).map(bv)
       else for (i <- 0 until bands; j <- i + 1 until bands)
         yield shiftleft(bv(i), bandBits).bitwiseOR(bv(j))
-    val banded = sig
-      .select(col(idCol) +: sigCols.map(col) :+
-        posexplode(array(keys: _*)).as(Seq("__bi", "__bv")): _*)
-    val a = banded.select(col(idCol).as("doc_a") +:
+    (sig.select(col(idCol) +: sigCols.map(col) :+
+      posexplode(array(keys: _*)).as(Seq("__bi", "__bv")): _*), sigCols)
+  }
+
+  /** Shared tail of the banded forms: key equijoin + popcount Hamming
+    * cutoff. `ordered = true` keeps doc_a < doc_b (one-corpus);
+    * `ordered = false` keeps doc_a ≠ doc_b (cross-corpus sides). */
+  private def bandedPairJoin(
+      bandedA: DataFrame,
+      bandedB: DataFrame,
+      idCol: String,
+      sigCols: Seq[String],
+      hammingMax: Int,
+      ordered: Boolean): DataFrame = {
+    val a = bandedA.select(col(idCol).as("doc_a") +:
       sigCols.map(c => col(c).as(s"__a$c")) :+ col("__bi") :+ col("__bv"): _*)
-    val b = banded.select(col(idCol).as("doc_b") +:
+    val b = bandedB.select(col(idCol).as("doc_b") +:
       sigCols.map(c => col(c).as(s"__b$c")) :+ col("__bi") :+ col("__bv"): _*)
     val hamming = sigCols.map(c =>
       bit_count(col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
+    val order =
+      if (ordered) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b")
     a.join(b, Seq("__bi", "__bv"))
-      .filter(col("doc_a") < col("doc_b") && hamming <= hammingMax)
+      .filter(order && hamming <= hammingMax)
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming_dist"))
   }
 

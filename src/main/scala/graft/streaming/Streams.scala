@@ -370,6 +370,68 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental PERCEPTUAL-hash near-dup — the byte-domain
+    * sibling of [[ingestNearDup]], completing the incremental trio
+    * (MinHash text, IVF-PQ vectors, pHash payloads): each tranche of
+    * binary payloads landing in `dir` is blockhash-signed ONCE (three
+    * longs per payload into the `sigs` store), cross-tranche pairs come
+    * from the band-pair equijoin of the NEW signatures against the
+    * accumulated store plus the within-tranche join, and the
+    * dual-signature Hamming confirm consumes ONLY signatures — unlike
+    * the MinHash confirm, no payload is ever re-read, so there is no
+    * payload store at all and the recurring cost is increment ×
+    * collisions over 24-byte rows.
+    *
+    * The UNION of all batch partitions equals the one-shot batch
+    * [[graft.operators.Multimodal.pHashPairs]] over the full corpus
+    * (identical band-pair candidates, identical signature-only
+    * confirm): a cross-tranche pair is found by the later payload's
+    * batch, a within-tranche pair by its own — StreamingSpec pins the
+    * equality. Ids must be unique corpus-wide. Exactly-once like the
+    * other ingest jobs: AvailableNow file tracking + per-batch dynamic
+    * partition overwrite, prior-state reads exclude the current
+    * batch_id. */
+  def ingestPHash(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      statePath: String,
+      outPairs: String,
+      checkpoint: String,
+      bands: Int = graft.operators.Multimodal.PHashBands,
+      maxHamming: Int = graft.operators.Multimodal.PHashMaxHamming,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Multimodal
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val sigStore = s"$statePath/sigs"
+        val newSigs = Multimodal.pHashSignatures(
+          batch.select(col(idCol), col(binCol)), idCol, binCol)
+        val baseSigs = priorStore(s, sigStore, batchId, newSigs)
+        val cross = Multimodal.pHashPairsFromSignatures(
+          baseSigs, newSigs, idCol, bands, maxHamming)
+        // same-table call emits both orientations; a < b recovers the
+        // ordered within-tranche set
+        val within = Multimodal.pHashPairsFromSignatures(
+          newSigs, newSigs, idCol, bands, maxHamming)
+          .where(col("doc_a") < col("doc_b"))
+        val pairs = cross.unionByName(within)
+          .select(
+            least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("hamming_dist"))
+        writeBatchPartition(pairs, batchId, outPairs)
+        writeBatchPartition(newSigs, batchId, sigStore)
+        ()
+      }
+      .start()
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

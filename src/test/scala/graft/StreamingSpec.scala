@@ -582,6 +582,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(oneShot.nonEmpty)
   }
 
+  test("ingestPHash: per-batch pair partitions union to the one-shot batch result") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_ph_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (statePath, outPairs, ckpt) = (work.resolve("state").toString,
+      work.resolve("pairs").toString, work.resolve("ckpt").toString)
+
+    // deterministic ~320-byte payloads; a twin = the same bytes with
+    // one byte overwritten, which flips <= 2 sample windows per grid —
+    // far inside the Hamming <= 6 cutoff on both signatures
+    def payload(seed: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      Iterator.iterate(md.digest(Array(seed.toByte)))(md.digest)
+        .take(10).flatten.toArray
+    }
+    def twin(p: Array[Byte]): Array[Byte] = {
+      val t = p.clone(); t(11) = 0x00; t
+    }
+    val p1 = payload(1); val p2 = twin(p1)
+    val p3 = payload(2); val p4 = twin(p3)
+    val p5 = payload(3)
+
+    // tranche 1 carries the WITHIN-tranche twin pair (1,2); tranche 2's
+    // doc 4 pairs CROSS-tranche with doc 3
+    stageTranche(Seq((1L, p1), (2L, p2), (3L, p3)).toDF("doc_id", "payload"),
+      inDir, "t1")
+    Streams.ingestPHash(spark, inDir.toString, statePath, outPairs, ckpt)
+      .awaitTermination()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val afterT1 = pairSet(spark.read.parquet(outPairs))
+    assert(afterT1.map(p => (p._1, p._2)) === Set((1L, 2L)))
+
+    stageTranche(Seq((4L, p4), (5L, p5)).toDF("doc_id", "payload"),
+      inDir, "t2")
+    Streams.ingestPHash(spark, inDir.toString, statePath, outPairs, ckpt)
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(outPairs)
+    // the increment batch emitted ONLY the cross-tranche pair
+    val lastBatch = streamed
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    assert(pairSet(streamed.where(col("batch_id") === lastBatch))
+      .map(p => (p._1, p._2)) === Set((3L, 4L)))
+    // union over batches == the one-shot batch pHash pass over the full
+    // corpus, hamming distances included
+    val oneShot = pairSet(graft.operators.Multimodal.pHashPairs(
+      Seq((1L, p1), (2L, p2), (3L, p3), (4L, p4), (5L, p5))
+        .toDF("doc_id", "payload")))
+    assert(pairSet(streamed) === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("foreachBatch + minHashPairsBetween dedups an ingest stream against the base corpus") {
     // The daily-ingest near-dup shape run as a stream: each micro-batch
     // of arriving docs is paired against the STATIC accumulated corpus
