@@ -661,21 +661,16 @@ object Multimodal {
     // table instead of re-hashing payload bytes. At 100 TB this is the
     // "persist the signatures" step of any real near-dup deployment,
     // expressed as plan structure instead of a cache.
-    val sigs = pHashSignatures(df, idCol, binCol).repartition(col(idCol))
-    // minSharedBands = 2: the 64-bit signature's 8-bit single-band
-    // keys give only 256 buckets, so the single-band equijoin is
-    // quadratic in corpus size (1.9·10⁸ candidate rows at the 10×
-    // soak); requiring an agreeing band PAIR keys the join on 16 bits
-    // at an UNCHANGED exact-recall contract — Hamming ≤ 6 over 8
-    // bands always leaves ≥ 2 bands intact. See the dial's scaladoc
-    // in [[graft.operators.NearDup.bandedHammingPairs]].
-    val prim = NearDup.bandedHammingPairs(
-      sigs.select(col(idCol), col("__sig0")),
-      idCol, widthBits = 64, bands = bands, hammingMax = maxHamming,
-      minSharedBands = 2)
-      .distinct()
-    val m = sigs.select(col(idCol), col("__sigm"))
-    confirmMidpoint(prim, m, m, idCol, maxHamming)
+    // minSharedBands = 2 inside pHashPairsFromSignatures: the 64-bit
+    // signature's 8-bit single-band keys give only 256 buckets, so the
+    // single-band equijoin is quadratic in corpus size (1.9·10⁸
+    // candidate rows at the 10× soak); requiring an agreeing band PAIR
+    // keys the join on 16 bits at an UNCHANGED exact-recall contract —
+    // Hamming ≤ 6 over 8 bands always leaves ≥ 2 bands intact. See the
+    // dial's scaladoc in [[graft.operators.NearDup.bandedHammingPairs]].
+    pHashPairsFromSignatures(
+      pHashSignatures(df, idCol, binCol).repartition(col(idCol)),
+      idCol, bands, maxHamming)
   }
 
   /** The midpoint-grid CONFIRM shared by the one- and two-corpus pair
@@ -724,6 +719,27 @@ object Multimodal {
       sigsA.select(col(idCol), col("__sigm")),
       sigsB.select(col(idCol), col("__sigm")),
       idCol, maxHamming)
+  }
+
+  /** One-corpus [[pHashPairsFromSignatures]]: the ordered (doc_a <
+    * doc_b) pair set over a single pre-computed signature table,
+    * through the one-corpus banded join — half the join/distinct/
+    * confirm work of the two-table form fed the same table twice. */
+  def pHashPairsFromSignatures(
+      sigs: DataFrame,
+      idCol: String,
+      bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(bands - maxHamming >= 2,
+      s"pHash pairing is exact only when bands - maxHamming >= 2 " +
+        s"(band-pair candidates); got bands=$bands, maxHamming=$maxHamming")
+    val prim = NearDup.bandedHammingPairs(
+      sigs.select(col(idCol), col("__sig0")),
+      idCol, widthBits = 64, bands = bands, hammingMax = maxHamming,
+      minSharedBands = 2)
+      .distinct()
+    val m = sigs.select(col(idCol), col("__sigm"))
+    confirmMidpoint(prim, m, m, idCol, maxHamming)
   }
 
   /** Full metadata projection over a binary column: one narrow,

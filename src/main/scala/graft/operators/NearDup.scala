@@ -578,13 +578,6 @@ object NearDup {
       bands: Int,
       hammingMax: Int,
       minSharedBands: Int = 1): DataFrame = {
-    require(bands >= 1 && widthBits % bands == 0,
-      s"bands ($bands) must divide widthBits ($widthBits)")
-    require(minSharedBands == 1 || minSharedBands == 2,
-      s"minSharedBands must be 1 or 2, got $minSharedBands")
-    require(bands >= minSharedBands,
-      s"bands ($bands) must be >= minSharedBands ($minSharedBands) — " +
-        "fewer bands than the agreement order leaves no join keys at all")
     val (banded, sigCols) =
       bandedKeyed(sig, idCol, widthBits, bands, minSharedBands)
     bandedPairJoin(banded, banded, idCol, sigCols, hammingMax, ordered = true)

@@ -412,21 +412,28 @@ object Streams {
         val sigStore = s"$statePath/sigs"
         val newSigs = Multimodal.pHashSignatures(
           batch.select(col(idCol), col(binCol)), idCol, binCol)
+        // sign ONCE, literally: land the tranche's signatures in the
+        // store FIRST, then pair from the store read-back — the narrow
+        // feature-extraction pipeline would otherwise re-run once per
+        // consumer (two pairing calls + the store write are separate
+        // actions, so even a repartition seam cannot share it across
+        // them). Replay stays idempotent: both writes are dynamic
+        // per-batch overwrites and prior-state reads exclude this
+        // batch, so a crash between the two writes just recomputes.
+        writeBatchPartition(newSigs, batchId, sigStore)
+        val stored = s.read.parquet(sigStore)
+          .where(col("batch_id") === batchId).drop("batch_id")
         val baseSigs = priorStore(s, sigStore, batchId, newSigs)
         val cross = Multimodal.pHashPairsFromSignatures(
-          baseSigs, newSigs, idCol, bands, maxHamming)
-        // same-table call emits both orientations; a < b recovers the
-        // ordered within-tranche set
+          baseSigs, stored, idCol, bands, maxHamming)
         val within = Multimodal.pHashPairsFromSignatures(
-          newSigs, newSigs, idCol, bands, maxHamming)
-          .where(col("doc_a") < col("doc_b"))
+          stored, idCol, bands, maxHamming)
         val pairs = cross.unionByName(within)
           .select(
             least(col("doc_a"), col("doc_b")).as("doc_a"),
             greatest(col("doc_a"), col("doc_b")).as("doc_b"),
             col("hamming_dist"))
         writeBatchPartition(pairs, batchId, outPairs)
-        writeBatchPartition(newSigs, batchId, sigStore)
         ()
       }
       .start()
