@@ -40,10 +40,14 @@ object IterCheckpoint {
     * first action: the right mode for up-front INPUT truncation (e.g.
     * the graph operators' edge lists), where an eager call would run a
     * full Spark job at DataFrame-CONSTRUCTION time — surprising a
-    * caller that only wanted `explain()`. Either way the blocks live
-    * until the wrapping RDD is garbage collected (ContextCleaner then
-    * drops them), so repeated constructions are bounded by driver GC,
-    * not leaked for the session's lifetime. */
+    * caller that only wanted `explain()`. For `localCheckpoint` the
+    * blocks live until the wrapping RDD is garbage collected
+    * (ContextCleaner then drops them), so repeated constructions are
+    * bounded by driver GC. Reliable checkpoint FILES (the Some(dir)
+    * branch) are only reclaimed by ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) — otherwise they accumulate under `dir` until external
+    * cleanup, the usual operational contract for checkpoint dirs. */
   def truncate(
       df: DataFrame,
       dir: Option[String],

@@ -120,6 +120,52 @@ object Graph {
       .where(col("lo") =!= col("hi"))
       .distinct()
 
+  /** Degree-ordered orientation of a canonical (lo < hi) edge set:
+    * each undirected edge emitted exactly once as src→dst where src
+    * precedes dst in the total order (degree, id) — lower degree
+    * first, ties broken by lower id. This is the classic triangle-
+    * counting refinement (Schank–Wagner / Latapy "compact-forward"):
+    * a node's OUT-degree under this orientation is at most O(√m),
+    * because a node with out-degree d has d neighbors of degree ≥ its
+    * own, so d² ≤ Σ deg = 2m. The output carries `dst_deg` (the
+    * head's undirected degree) so the wedge stage can order a node's
+    * out-neighbors by the same (degree, id) key without re-joining
+    * degrees. Two broadcast-sized joins against the degree table —
+    * on a real cluster the degree frame is a hash-agg of the edge
+    * list, shuffled on the same key the edge list already uses.
+    */
+  def orientByDegree(canonical: DataFrame): DataFrame = {
+    val deg = canonical.select(col("lo").as("id")).union(canonical.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+    val lk = struct(col("__dlo"), col("lo"))
+    val hk = struct(col("__dhi"), col("hi"))
+    canonical
+      .join(deg.select(col("id").as("lo"), col("__d").as("__dlo")), "lo")
+      .join(deg.select(col("id").as("hi"), col("__d").as("__dhi")), "hi")
+      .select(
+        when(lk < hk, col("lo")).otherwise(col("hi")).as("src"),
+        when(lk < hk, col("hi")).otherwise(col("lo")).as("dst"),
+        when(lk < hk, col("__dhi")).otherwise(col("__dlo")).as("dst_deg"))
+  }
+
+  /** Ordered wedge frame over a degree-oriented edge set: one row
+    * (a, b, c) per pair of out-neighbors b ≺ c of a pivot a, where ≺
+    * is the same (degree, id) order [[orientByDegree]] used. Every
+    * triangle x ≺ y ≺ z appears exactly once, as the wedge pivoted at
+    * its LOWEST-ordered corner x — so closing the wedge is a single
+    * semi-join of (b, c) against the oriented edges (b ≺ c means the
+    * closing edge, if present, is oriented b→c). The row count is
+    * Σ_a C(outdeg(a), 2) ≤ m·√m/2 on ANY graph — a power-law hub has
+    * huge IN-degree but O(√m) out-degree, so it no longer explodes
+    * the join. Exposed (rather than inlined in [[triangleStats]]) so
+    * scale tests can bound the candidate frame directly.
+    */
+  def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.select(col("src").as("a"), col("dst").as("b"), col("dst_deg").as("__bd"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c"), col("dst_deg").as("__cd")), "a")
+      .where(struct(col("__bd"), col("b")) < struct(col("__cd"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+
   /** Whole-graph triangle census — edges, wedges (open 2-paths),
     * triangles, and the global clustering coefficient ×10⁶. On a
     * similarity graph this is the standard cohesion probe: a near-dup
@@ -127,17 +173,18 @@ object Graph {
     * with no closed wedges (cc → 0) is an LSH-bucket artifact worth
     * re-confirming.
     *
-    * Shape: canonical (lo < hi) edges make each triangle countable
-    * exactly once as lo<mid<hi — e₁(a,b) ⋈ e₂(b,c) builds the ordered
-    * wedges, a semi-join against e₃(a,c) closes them. Two shuffle
-    * equijoins, never an all-pairs product: the wedge join's output is
-    * Σ_b deg⁺(b)·deg⁻(b) rows, bounded on a k-NN graph by k²·n. On a
-    * power-law graph the classic refinement — orient edges low-degree
-    * → high-degree instead of by id — caps the per-node fan-out at
-    * O(√m); id order keeps the arithmetic engine-exact here and is the
-    * right default for bounded-degree similarity graphs. Wedge count
-    * is the exact Σ deg·(deg−1)/2 over true undirected degrees;
-    * everything is int64, division is integer `div`.
+    * Shape: [[orientByDegree]] orients each canonical edge low-degree
+    * → high-degree, [[orientedWedges]] pairs out-neighbors at each
+    * pivot, and a left-semi join against the oriented edges closes
+    * them — each triangle counted exactly once at its lowest-ordered
+    * corner. Never an all-pairs product, and — unlike the naive
+    * id-ordered wedge join — the candidate frame is bounded at
+    * Σ C(outdeg, 2) ≤ m·√m/2 on ANY degree distribution: a power-law
+    * hub contributes O(√m)² wedges, not deg(hub)². The triangle SET
+    * is orientation-invariant, so results match any engine's census.
+    * Reported wedge count is the exact Σ deg·(deg−1)/2 over true
+    * undirected degrees; everything is int64, division is integer
+    * `div`.
     */
   def triangleStats(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol)
@@ -146,10 +193,9 @@ object Graph {
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("__d * (__d - 1) div 2")).as("n_wedges"))
-    val wedges = e.select(col("lo").as("a"), col("hi").as("b"))
-      .join(e.select(col("lo").as("b"), col("hi").as("c")), "b")
-    val tri = wedges
-      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"), "left_semi")
+    val o = orientByDegree(e)
+    val tri = orientedWedges(o)
+      .join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val edgeCount = e.agg(count(lit(1)).as("n_edges"))
     degStats.crossJoin(edgeCount).crossJoin(tri)

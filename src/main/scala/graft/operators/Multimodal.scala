@@ -532,10 +532,14 @@ object Multimodal {
   val PHashSampleBytes = 4
 
   /** Default banding for phash pairing: 8 bands × 8 bits over the
-    * 64-bit signature — pigeonhole-EXACT for Hamming ≤ 7 (8 bands >
-    * 7 possible differing bands), with 256-value bands so unrelated
-    * payloads rarely collide. [[PHashMaxHamming]] ≤ 6 keeps the
-    * emitted pairs inside the exactness envelope. */
+    * 64-bit signature. The candidate stage joins on band PAIRS
+    * ([[graft.operators.NearDup.bandedHammingPairs]] with
+    * minSharedBands = 2), so the pigeonhole-exact envelope is
+    * Hamming ≤ 6: ≤ 6 differing bits touch ≤ 6 of the 8 bands,
+    * leaving ≥ 2 equal bands to form a shared pair key.
+    * [[PHashMaxHamming]] = 6 keeps the emitted pairs exactly inside
+    * that envelope; 256-value bands keep unrelated payloads from
+    * colliding. */
   val PHashBands = 8
   val PHashMaxHamming = 6
 

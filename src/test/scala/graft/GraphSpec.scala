@@ -93,6 +93,47 @@ class GraphSpec extends SparkSpecBase {
     assert(triangles(k4) === ((4L, 6L, 12L, 4L, 1000000L)))
   }
 
+  test("triangleStats equals a brute-force census on a random graph") {
+    val rnd = new scala.util.Random(23L)
+    val n = 20
+    val canon = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      if rnd.nextInt(4) == 0
+    } yield (a, b)).toSet
+    val adj = canon ++ canon.map(_.swap)
+    val nodes = adj.map(_._1)
+    val degOf = adj.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val wedges = degOf.values.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      a <- nodes.toSeq; b <- nodes.toSeq if a < b; c <- nodes.toSeq if b < c
+      if canon((a, b)) && canon((b, c)) && canon((a, c))
+    } yield 1L).sum
+    val cc = if (wedges > 0) 3L * tris * 1000000L / wedges else 0L
+    assert(triangles(canon.toSeq) ===
+      ((nodes.size.toLong, canon.size.toLong, wedges, tris, cc)))
+  }
+
+  test("degree orientation bounds the wedge frame on a power-law hub") {
+    import spark.implicits._
+    // hub 0 joined to leaves 1..n, plus a leaf chain i—(i+1) that
+    // closes n−1 triangles through the hub. Under id order the hub
+    // (lowest id, degree n) pivots C(n,2) wedges; under degree order
+    // every hub edge points INTO the hub, so wedges only pivot at
+    // leaves (out-degree ≤ 2) and the frame stays O(n).
+    val n = 200L
+    val edges = ((1L to n).map(i => (0L, i)) ++
+      (1L until n).map(i => (i, i + 1))).toDF("src", "dst")
+    val e = Graph.canonicalEdges(edges)
+    val wedgeRows = Graph.orientedWedges(Graph.orientByDegree(e)).count()
+    val idOrderedRows = n * (n - 1) / 2 // what pivoting at the hub costs
+    assert(wedgeRows <= 2 * n, s"wedge frame $wedgeRows should be O(n)")
+    assert(wedgeRows * 10 < idOrderedRows,
+      s"degree order ($wedgeRows) must beat id order ($idOrderedRows) by >10x")
+    // and the census itself is still exact: n−1 hub triangles
+    val r = Graph.triangleStats(edges).head()
+    assert(r.getLong(3) === n - 1)
+  }
+
   /** Sequential replay of deterministic LPA (min-label ties). */
   private def lpaModel(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val canon = edges.filter(e => e._1 != e._2)
