@@ -80,9 +80,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_SCALE=N (N>1): soak mode. Replicate the fixture
     // N× with per-replica markers (Soak.materializeDir) and run the
     // candidate-generating queries on BOTH corpora, gating each on
-    // output-row growth ≤ 1.5·N (replicas share no token/shingle, so a
-    // linear operator emits ~N× the rows of one replica; a quadratic
-    // candidate path emits cross-replica rows and blows the bound).
+    // growth ≤ 1.5·N of BOTH its output rows AND its largest executed
+    // join frame (Soak.maxJoinOutputRows). Replicas share no
+    // token/shingle, so a linear operator emits ~N× the rows of one
+    // replica; a quadratic candidate path emits cross-replica rows and
+    // blows one of the two bounds — the join-frame gate exists because
+    // a tiny confirmed output can hide a 10⁸-row candidate join.
     val soakScale: Option[Int] =
       sys.env.get("SPARK_GRAFT_BENCH_SCALE").map(_.toInt).filter(_ > 1)
     val benchDir = soakScale match {
@@ -99,11 +102,19 @@ object Bench {
       // throwing query would just re-throw and double the error path).
       var best = Double.MaxValue
       var rows = -1L
+      var cand = -1L
       var err: Option[String] = None
       var rep = 0
       while (rep < Reps && err.isEmpty) {
         val t0 = System.nanoTime()
-        try rows = materialize(fn(spark, benchDir))
+        try {
+          val df = fn(spark, benchDir)
+          rows = materialize(df)
+          // soak only: biggest executed join frame — the candidate gate
+          // (metric read is driver-side and free, but skip in timed
+          // bench mode to keep the measured path identical to r1-r10)
+          if (soakScale.isDefined) cand = Soak.maxJoinOutputRows(df)
+        }
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -111,22 +122,34 @@ object Bench {
         rep += 1
       }
       // soak gate: untimed single run against the UNSCALED fixture for
-      // the row baseline the growth bound compares against
+      // the row/candidate baselines the growth bounds compare against.
+      // BOTH frames are gated: output rows (what the query emits) and
+      // the largest join intermediate (where the r10 pHash quadratic
+      // hid — output stayed tiny while the candidate join went 10⁸).
       val growthBad: Option[String] = soakScale.flatMap { nRep =>
         if (err.isDefined) None
         else {
-          val rows1 = try materialize(fn(spark, sfDir))
-          catch { case _: Throwable => -1L }
+          val (rows1, cand1) = try {
+            val df1 = fn(spark, sfDir)
+            val r = materialize(df1)
+            (r, Soak.maxJoinOutputRows(df1))
+          } catch { case _: Throwable => (-1L, -1L) }
           if (rows1 < 0) Some("baseline run failed")
           else if (rows > 0 && rows1 == 0)
             Some(s"rows grew from 0 to $rows")
           else if (rows1 > 0 && rows.toDouble / rows1 > 1.5 * nRep)
             Some(f"rows $rows1 -> $rows (x${rows.toDouble / rows1}%.1f) " +
               s"exceeds 1.5x linear bound at scale $nRep")
+          else if (cand > 0 && cand1 == 0)
+            Some(s"candidate join rows grew from 0 to $cand")
+          else if (cand1 > 0 && cand.toDouble / cand1 > 1.5 * nRep)
+            Some(f"candidate join rows $cand1 -> $cand " +
+              f"(x${cand.toDouble / cand1}%.1f) exceeds 1.5x linear " +
+              s"bound at scale $nRep")
           else None
         }
       }
-      (name, if (err.isEmpty) best else 0.0, rows, err, growthBad)
+      (name, if (err.isEmpty) best else 0.0, rows, cand, err, growthBad)
     }
 
     // Decorrelated retry pass (non-soak only; soak gates rows, and its
@@ -138,7 +161,7 @@ object Bench {
     val finalResults =
       if (soakScale.isDefined) results
       else results.map {
-        case r @ (name, sec, rows, None, None) if sec > RetrySec =>
+        case r @ (name, sec, rows, cand, None, None) if sec > RetrySec =>
           retried += name
           val fn = SparkEntry.queries(name)
           var best = sec
@@ -152,22 +175,24 @@ object Bench {
             if (!failed && s < best) best = s
             rep += 1
           }
-          (name, best, rows, None, None)
+          (name, best, rows, cand, None, None)
         case r => r
       }
 
-    val qs = finalResults.map { case (name, sec, rows, err, growthBad) =>
+    val qs = finalResults.map { case (name, sec, rows, cand, err, growthBad) =>
+      val candPart = if (soakScale.isDefined) ",\"candidates\":" + cand else ""
       val okPart = (err, growthBad) match {
         case (Some(m), _) => "\"ok\":false,\"error\":\"" + esc(m.take(200)) + "\""
         case (None, Some(g)) =>
-          "\"ok\":false,\"rows\":" + rows + ",\"error\":\"" + esc(g.take(200)) + "\""
+          "\"ok\":false,\"rows\":" + rows + candPart +
+            ",\"error\":\"" + esc(g.take(200)) + "\""
         case (None, None) if soakScale.isDefined =>
-          "\"ok\":true,\"rows\":" + rows
+          "\"ok\":true,\"rows\":" + rows + candPart
         case (None, None) => "\"ok\":true"
       }
       "\"" + esc(name) + "\":{\"sec\":" + f"$sec%.4f" + "," + okPart + "}"
     }.mkString("{", ",", "}")
-    val okResults = finalResults.collect { case (_, sec, _, None, None) => sec }
+    val okResults = finalResults.collect { case (_, sec, _, _, None, None) => sec }
     val total = okResults.sum
     val nOk = okResults.size
     val n = finalResults.size

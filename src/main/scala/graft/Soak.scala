@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *    uniform marker insertion (it merely rescales the stream) — the
   *    pad's block-dependent sample-window slide is what makes
   *    cross-replica pHash pairs noise rather than truth.
-  *  - `embeddings`: deterministic per-replica hash-noise perturbation
-  *    (±0.1 per dimension), keeping the vector distribution realistic
-  *    (clustered, not iid) while replica twins stay near their
-  *    originals.
+  *  - `embeddings`: deterministic per-replica signed permutation (an
+  *    orthogonal transform — see [[replicatedEmbeddings]]): each
+  *    replica is the original clustered point cloud with relabeled
+  *    axes, so intra-replica geometry is exactly the original's while
+  *    replicas occupy decorrelated directions and share no
+  *    neighborhood — the vector-space analogue of the documents'
+  *    token disjointness.
   *
   * Ids offset by `IdOffset`·replica (even offset: doc-parity-based
   * queries keep their split). The other eight fixture tables are
@@ -37,6 +40,38 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   val IdOffset = 10_000_000L
+
+  /** Largest `numOutputRows` over every JOIN node of `df`'s EXECUTED
+    * plan — the soak gate's view of the biggest intermediate frame a
+    * query built. Output-row gating alone has a blind spot the r10
+    * pHash quadratic exploited: a confirm stage can crush a 10⁸-row
+    * candidate join down to a tiny, bound-respecting output while the
+    * join itself is the thing that dies at 100 TB. Reading the join
+    * metrics off the executed plan gates that intermediate directly,
+    * for EVERY soak query, with no per-operator plumbing — whichever
+    * join is largest is by definition the scale risk. Call only after
+    * an action has run the plan (metrics are execution-populated);
+    * traverses adaptive stages, reused exchanges/subqueries included
+    * (a reused stage's rows count once, matching what was executed).
+    */
+  def maxJoinOutputRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Long = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      val name = p.nodeName.toLowerCase
+      val self =
+        if (name.contains("join") || name.contains("cartesian"))
+          p.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        else 0L
+      (self +: (kids ++ p.subqueries).map(walk)).max
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   /** Length (chars) of the per-replica byte-offset pad per replica
     * index — sized so adjacent replicas' pads differ by ≥ 4× the
@@ -137,16 +172,40 @@ object Soak {
     }.reduce(_ unionByName _)
   }
 
+  /** N× embeddings where replica i applies a deterministic SIGNED
+    * PERMUTATION (rotate dims by an i-dependent odd offset, flip signs
+    * by an (i, dim) hash) — an orthogonal transform, so each replica
+    * is the original point cloud with relabeled axes: every norm and
+    * every intra-replica angle is EXACTLY the original's (the per-
+    * replica work of a linear operator is exactly one replica's), while
+    * cross-replica directions decorrelate (cosine ≈ 0 in 64 dims), so
+    * replicas share no neighborhood, bucket, or cell.
+    *
+    * This replaces the r10 ±0.1 "twin" perturbation, which planted
+    * each original's N replicas INSIDE each other's neighborhoods —
+    * under twins the corpus's true near-pair count itself grows ~N²,
+    * so no correct similarity search can keep candidates linear and
+    * the soak gate's premise is void (the 3× candidate gate measured
+    * LSH buckets at 7× for exactly this reason). Neighborhood-disjoint
+    * replicas are the vector-space form of the documents' token-
+    * disjoint markers: scale-up = more content, not N copies of the
+    * same content. */
   def replicatedEmbeddings(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
     (0 until n).map { i =>
       if (i == 0) base
-      else base.select(
-        (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          (x + (pmod(xxhash64(col("vec_id"), lit(i), j), lit(1001)) - 500)
-            .cast("double") / 5000.0).cast("float")).as("embedding"),
-        col("label"))
+      else {
+        val d = size(col("embedding"))
+        val rot = pmod(lit(29L * i), d.cast("long")).cast("int")
+        base.select(
+          (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
+          transform(sequence(lit(0), d - 1), j =>
+            (when(pmod(xxhash64(lit(i.toLong), j), lit(2L)) === 0L, lit(1.0f))
+              .otherwise(lit(-1.0f))) *
+              element_at(col("embedding"), pmod(j + rot, d) + 1))
+            .as("embedding"),
+          col("label"))
+      }
     }.reduce(_ unionByName _)
   }
 

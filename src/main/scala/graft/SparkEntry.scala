@@ -331,11 +331,11 @@ object SparkEntry {
   /** ADC search oracle at the given PQ dials: per-query exact distance
     * table × the corpus code stream, summed per (query, neighbor),
     * top-3 by (adist, neighbor). */
-  private def ivfPqSql(m: Int, step: Long): String =
-    s"""${pqCteFor(m, step)},
+  private def ivfPqSql(m: Int, ivfStep: Long, pqStep: Long): String =
+    s"""${pqCteFor(m, pqStep)},
        |icents AS (
        |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
-       |  FROM n WHERE vec_id % $step = 0),
+       |  FROM n WHERE vec_id % $ivfStep = 0),
        |iac AS (
        |  SELECT n.vec_id, c.cid,
        |         CAST(list_sum(list_transform(range(len(n.qv)),
@@ -406,10 +406,23 @@ object SparkEntry {
     concat(hx2(c), hx2(idvCol(c, lit(256))),
       hx2(idvCol(c, lit(65536))), hx2(idvCol(c, lit(16777216))))
 
-  /** DuckDB expression for the sign-LSH hyperplane weight w(p, j) —
-    * same integer formula as Embeddings.weight. */
-  private def weightSql(p: String, j: String): String =
-    s"((($p * ${Embeddings.WeightA} + $j * ${Embeddings.WeightB}) % ${Embeddings.WeightMod}) - ${(Embeddings.WeightMod - 1) / 2})"
+  /** Verify-corpus embedding width — the oracle's literal weight
+    * tables are emitted at exactly this many dims (the Spark side
+    * indexes the same values from Embeddings.planeWeight at runtime,
+    * any width). */
+  val VerifyEmbDims: Int = 64
+
+  /** DuckDB literal weight table for `globalPlanes` sign-LSH planes ×
+    * the verify corpus's 64 dims: a nested list literal holding the
+    * SAME splitmix-derived values as Embeddings.planeWeight (the
+    * single source for both engines — a PRNG of this quality is
+    * driver-side arithmetic, not portable SQL, so the VALUES
+    * interpolate rather than the formula). Indexed W[p+1][j+1]. */
+  private def weightTableSql(globalPlanes: Int): String =
+    (0 until globalPlanes).map { p =>
+      (0 until VerifyEmbDims).map(j => Embeddings.planeWeight(p, j))
+        .mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
 
   /** Shared LSH prelude (quantized vectors + table-0 sign-LSH buckets)
     * for the emb_ann_lsh / emb_neardup oracles — mirrors
@@ -419,7 +432,7 @@ object SparkEntry {
        |bits AS (
        |  SELECT n.vec_id, p.p,
        |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
-       |                j -> n.qv[j+1] * ${weightSql("p.p", "j")})) AS BIGINT) > 0
+       |                j -> n.qv[j+1] * (${weightTableSql(Embeddings.Planes)})[p.p+1][j+1])) AS BIGINT) > 0
        |              THEN (1 << p.p) ELSE 0 END AS bv
        |  FROM n, range(${Embeddings.Planes}) p(p)),
        |buckets AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1),
@@ -500,10 +513,58 @@ object SparkEntry {
     * subquery. */
   val InvertedIndexMaxDfPctDen: Long = 10L
 
-  /** Scaled sign-LSH ANN: planes from corpus size (≈64-vector buckets),
-    * 2 independent hyperplane families for recall. */
-  val ScaledLshPlanes: Int = Embeddings.planesFor(ScaledEmbCorpus, 64L)
+  // ------- runtime-derived dial targets (and their oracle constants)
+  //
+  // Every ANN/banding dial below is derived by the BATTERY QUERY at
+  // runtime from the actual corpus row count (a parquet metadata-only
+  // count job) — the 100 TB contract: the dial turns as the corpus
+  // grows, so bucket density / codebook size / band entropy stay at
+  // their design point and candidate joins stay linear (the 3× soak
+  // measured 9× candidate growth when these were frozen constants).
+  // The DuckDB oracle cannot re-derive a dial from data (its SQL is
+  // generated before the corpus is read), so each oracle interpolates
+  // the dial VALUE AT THE VERIFY CORPUS (500 docs / 500 vectors at
+  // sf0.01) — and DialParitySpec pins runtime-derivation(500) ==
+  // oracle constant, so the two sides can never drift silently.
+
+  /** The sf0.01/sf0.001 verify-corpus row counts the oracle-side dial
+    * constants are evaluated at. */
+  val VerifyDocCorpus: Long = 500L
+  val VerifyEmbCorpus: Long = 500L
+
+  /** Battery sign-LSH bucket-size target: planesFor(500, 32) = 4 ==
+    * Embeddings.Planes, the value every 4-plane oracle CTE
+    * (lshBucketsCte, knnGraphCte) interpolates. */
+  val LshTargetBucket: Long = 32L
+
+  /** Battery PQ codebook-size target: stepForBoundedK(500, 16) = 32 ==
+    * Embeddings.CentroidStep, the value pqCteFor interpolates. */
+  val PqCodebookK: Long = 16L
+
+  /** m16 PQ codebook-size target: stepForBoundedK(500, 62) = 8 ==
+    * ScaledPqStep (K≈62 — the measured-recall config). */
+  val ScaledPqCodebookK: Long = 62L
+
+  /** Scaled sign-LSH ANN: planes for ≈16-vector buckets (the finer
+    * 100 TB granularity vs the default ≈32), 2 independent hyperplane
+    * families for recall. planesFor(500, 16) = 5, the value
+    * lshScaledSql interpolates. */
+  val ScaledLshTargetBucket: Long = 16L
+  val ScaledLshPlanes: Int = Embeddings.planesFor(VerifyEmbCorpus, ScaledLshTargetBucket)
   val ScaledLshTables: Int = 2
+
+  /** Corpus-derived plane count every knnGraph battery consumer
+    * shares (emb_knn_graph, the graph family, emb_contrastive):
+    * planesFor over the live embedding count at the default
+    * ≈32-vector bucket target — == Embeddings.Planes at the verify
+    * corpus, so the 4-plane knnGraphCte oracles hold. */
+  private def batteryKnnPlanes(s: SparkSession, dir: String): Int =
+    Embeddings.planesFor(T(s, dir, "embeddings").count(), LshTargetBucket)
+
+  /** Corpus-derived PQ codebook step shared by the PQ battery family
+    * — == Embeddings.CentroidStep at the verify corpus. */
+  private def batteryPqStep(s: SparkSession, dir: String): Long =
+    Embeddings.stepForBoundedK(T(s, dir, "embeddings").count(), PqCodebookK)
 
   /** Scaled IVF ANN: centroid step from corpus size for a bounded
     * K ≈ 64 ≈ √n quantizer, probing the top-2 cells. */
@@ -991,7 +1052,7 @@ object SparkEntry {
        |bits AS (
        |  SELECT n.vec_id, t.t, p.p,
        |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
-       |                j -> n.qv[j+1] * ${weightSql(s"(t.t * $planes + p.p)", "j")})) AS BIGINT) > 0
+       |                j -> n.qv[j+1] * (${weightTableSql(tables * planes)})[t.t * $planes + p.p + 1][j+1])) AS BIGINT) > 0
        |              THEN (1 << p.p) ELSE 0 END AS bv
        |  FROM n, range($tables) t(t), range($planes) p(p)),
        |buckets AS (SELECT vec_id, t, CAST(sum(bv) AS BIGINT) AS bucket
@@ -1654,10 +1715,23 @@ object SparkEntry {
     // candidates), probabilistic recall, no Hamming prefilter (exact
     // confirm is the precision gate). Cross-engine sha256 hash family
     // so the oracle replicates the banding — see ScaledSimHash* docs.
-    "neardup_simhash_scaled" -> ((s, dir) =>
-      NearDup.simHashPairs(T(s, dir, "documents"),
-        widthBits = ScaledSimHashWidth, bands = ScaledSimHashBands,
-        hammingMax = ScaledSimHashWidth, family = NearDup.Sha256Family)),
+    "neardup_simhash_scaled" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // band entropy from the LIVE corpus count (== ScaledSimHashWidth
+      // at the verify corpus): collisions between unrelated docs stay
+      // O(n) as the corpus grows instead of n²/2^frozen-bits. Band
+      // bits cap at the sha256 family's width budget (240/16 = 15,
+      // reached near 4k docs) — past that, unrelated-pair collisions
+      // grow as n²/2^15 per band; a wider family (2 digests) is the
+      // next dial when a deployment outgrows it.
+      val bits = math.min(
+        NearDup.simHashBandBitsFor(docs.count()),
+        NearDup.Sha256Family.maxWidthBits / ScaledSimHashBands)
+      val width = ScaledSimHashBands * bits
+      NearDup.simHashPairs(docs,
+        widthBits = width, bands = ScaledSimHashBands,
+        hammingMax = width, family = NearDup.Sha256Family)
+    }),
     // r×b MinHash banding — candidates need r = 2 consecutive hash
     // agreements (band key = the 2 words joined), cutting moderate-J
     // junk candidates an order of magnitude below the r = 1 path while
@@ -1729,25 +1803,36 @@ object SparkEntry {
     // corpus never shuffles) …
     "emb_topk" -> ((s, dir) =>
       Embeddings.cosineTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
-    // … and the scale path: sign-LSH bucketing + bucket equijoin.
-    "emb_ann_lsh" -> ((s, dir) =>
-      Embeddings.annLsh(T(s, dir, "embeddings"))),
-    // the 100 TB LSH config: planesFor-sized buckets + 2 independent
-    // hyperplane families (the recall dial, exercised in the battery).
-    "emb_ann_lsh_scaled" -> ((s, dir) =>
-      Embeddings.annLsh(T(s, dir, "embeddings"),
-        planes = ScaledLshPlanes, tables = ScaledLshTables)),
+    // … and the scale path: sign-LSH bucketing + bucket equijoin, the
+    // plane count derived from the live corpus count (== Planes at the
+    // verify corpus; see the runtime-dial section above).
+    "emb_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Embeddings.annLsh(emb,
+        planes = Embeddings.planesFor(emb.count(), LshTargetBucket))
+    }),
+    // the 100 TB LSH config: corpus-derived planes at the finer
+    // ≈16-vector bucket target + 2 independent hyperplane families
+    // (the recall dial, exercised in the battery).
+    "emb_ann_lsh_scaled" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Embeddings.annLsh(emb,
+        planes = Embeddings.planesFor(emb.count(), ScaledLshTargetBucket),
+        tables = ScaledLshTables)
+    }),
     // Approximate k-NN graph: top-3 bucket-mate neighbors per vector
     // (the semantic-dedup / clustering input) — multi-table duplicate
     // pairs re-agged before a WindowGroupLimit rank.
     "emb_knn_graph" -> ((s, dir) =>
-      Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)),
+      Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK,
+        planes = batteryKnnPlanes(s, dir))),
     // PageRank centrality over that k-NN graph — 5 synchronous
     // fixed-point iterations (one edge-shuffle + one hash-agg each),
     // all-integer so the unrolled oracle hash-matches.
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(
-        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK,
+          planes = batteryKnnPlanes(s, dir))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
         iters = PageRankIters)
         .select(col("id").as("vec_id"), col("pr").as("pr_x1e12"))),
@@ -1756,7 +1841,8 @@ object SparkEntry {
     // touches only newly-reached nodes, not the visited set).
     "graph_bfs" -> ((s, dir) =>
       graft.operators.Graph.bfs(
-        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK,
+          planes = batteryKnnPlanes(s, dir))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
         seeds = T(s, dir, "embeddings").where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("id")),
@@ -1796,32 +1882,41 @@ object SparkEntry {
     // grid; qdist = per-subspace distortion audit.
     "emb_pq_codes" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Embeddings.pqEncode(emb, Embeddings.pqCentroids(emb))
+      Embeddings.pqEncode(emb,
+        Embeddings.pqCentroids(emb, batteryPqStep(s, dir)))
     }),
     // ADC search over the PQ codes: the corpus is touched ONLY through
     // its m codes; the per-query distance table broadcasts, one
     // (sub, code) equijoin + one hash-agg + WindowGroupLimit top-k.
     "emb_pq_search" -> ((s, dir) =>
-      Embeddings.pqAdcTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
+      Embeddings.pqAdcTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
+        centroidStep = batteryPqStep(s, dir))),
     // …and the scaled-dial config: 16 finer subspaces + K≈62
     // codebooks (the measured-recall accuracy dials — see
     // ScaledPqSubspaces).
     "emb_pq_search_m16" -> ((s, dir) =>
       Embeddings.pqAdcTopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
-        centroidStep = ScaledPqStep, m = ScaledPqSubspaces)),
+        centroidStep = Embeddings.stepForBoundedK(
+          T(s, dir, "embeddings").count(), ScaledPqCodebookK),
+        m = ScaledPqSubspaces)),
     // IVF-PQ — the composed billion-scale index: IVF cells prune to
     // the home-cell candidates, PQ codes rank them by ADC; the search
     // join reads only assignments and codes, never corpus vectors.
     "emb_ann_ivfpq" -> ((s, dir) =>
-      Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
-    // the bounded-codebook IVF-PQ config: centroidStepFor-sized step
-    // bounds BOTH the coarse-cell count and the PQ codebook size, so
-    // the ADC distance table's q·m·K rows stay broadcastable as the
-    // corpus grows — the dial the 10× soak proved load-bearing (the
-    // frozen-step default OOM'd at 10× before the hint removal).
+      Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
+        pqStep = Some(batteryPqStep(s, dir)))),
+    // the decoupled-step IVF-PQ config: the coarse step stays FIXED
+    // (cells constant-size → linear candidate equijoin) while the PQ
+    // codebook step is corpus-derived via stepForBoundedK so K — and
+    // the q·m·K ADC distance table — stays bounded as the corpus
+    // grows: the two opposite scaling contracts annIvfPq documents
+    // (a single frozen step grew K 16→48 and the distance-table join
+    // 9× at the 3× soak; the 10× soak had already OOM'd the forced
+    // broadcast before the hint removal).
     "emb_ann_ivfpq_scaled" -> ((s, dir) =>
       Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
-        centroidStep = ScaledIvfStep)),
+        centroidStep = ScaledIvfStep,
+        pqStep = Some(batteryPqStep(s, dir)))),
     // …and the FROZEN-index deployment shape: build the IVF centroid
     // table + PQ codebooks, persist BOTH to parquet, reload, and search
     // the corpus against the reloaded artifacts — the daily-increment
@@ -1835,7 +1930,7 @@ object SparkEntry {
       val base = s"${sys.props("java.io.tmpdir")}/graft_frozen_index"
       Embeddings.ivfCentroids(emb)
         .write.mode("overwrite").parquet(s"$base/ivf_centroids.parquet")
-      Embeddings.pqCentroids(emb)
+      Embeddings.pqCentroids(emb, batteryPqStep(s, dir))
         .write.mode("overwrite").parquet(s"$base/pq_codebooks.parquet")
       Embeddings.annIvfPqWith(emb, col("vec_id") % 20 === 0,
         s.read.parquet(s"$base/ivf_centroids.parquet"),
@@ -1844,13 +1939,15 @@ object SparkEntry {
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, fixed-point cosine threshold.
     "emb_neardup" -> ((s, dir) =>
-      Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro)),
+      Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro,
+        planes = batteryKnnPlanes(s, dir))),
     // vector-space dedup clusters — the same large-star/small-star
     // resolution as dedup_clusters, fed by cosine near-dup pairs
     // (embedding-granularity keep/drop verdicts).
     "emb_dedup_clusters" -> ((s, dir) =>
       DedupClusters.resolve(
-        Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro),
+        Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro,
+          planes = batteryKnnPlanes(s, dir)),
         aCol = "vec_a", bCol = "vec_b")
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
           col("cluster_size"), col("is_canonical"))),
@@ -2683,7 +2780,8 @@ object SparkEntry {
     // clustering coefficient in exact fixed point.
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(
-        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK,
+          planes = batteryKnnPlanes(s, dir))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))),
 
     // Contrastive-pair mining: per labeled anchor, the top same-label
@@ -2722,7 +2820,8 @@ object SparkEntry {
     // complement of connected components.
     "graph_communities" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(
-        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK)
+        Embeddings.knnGraph(T(s, dir, "embeddings"), k = KnnGraphK,
+          planes = batteryKnnPlanes(s, dir))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
         iters = LpaIters)
         .select(col("id").as("vec_id"), col("community"))),
@@ -3380,18 +3479,22 @@ object SparkEntry {
     // IVF-PQ: the ivf argmax-cosine assignment (same ordering contract
     // as ivfOracleSql) composed with the PQ prelude — candidates from
     // the cell self-join, ranked by the summed ADC partials.
+    // pq step = stepForBoundedK at the verify corpus (== CentroidStep
+    // there; the Spark side derives it from the live count)
     "emb_ann_ivfpq" ->
-      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep),
-    // the bounded-codebook config (centroidStepFor-sized step for BOTH
-    // the coarse cells and the PQ codebooks) — the dial the 10x soak
-    // proved load-bearing: K stays ~fixed as the corpus grows, so the
-    // ADC distance table stays broadcastable by size, not by hope.
+      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep,
+        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
+    // the decoupled-step config: fixed coarse step (constant cells →
+    // linear candidate equijoin), corpus-derived PQ step (bounded K →
+    // bounded q·m·K ADC distance table) — see the battery wiring.
     "emb_ann_ivfpq_scaled" ->
-      ivfPqSql(Embeddings.PqSubspaces, ScaledIvfStep),
+      ivfPqSql(Embeddings.PqSubspaces, ScaledIvfStep,
+        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
     // frozen == inline by construction (seed-id centroid identities),
     // so the frozen-index search shares emb_ann_ivfpq's oracle verbatim
     "emb_ann_ivfpq_frozen" ->
-      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep),
+      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep,
+        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).

@@ -163,15 +163,49 @@ object Embeddings {
     math.min(62, math.max(1, ceilLog2))
   }
 
-  /** Deterministic integer hyperplane weight w(p, j) for plane p,
-    * 0-based dimension j — a fixed LCG-ish mix, no RNG state, so every
-    * engine (and the DuckDB oracle) derives identical planes. */
-  val WeightA = 73856093L
-  val WeightB = 19349663L
+  /** Deterministic integer hyperplane weights w(p, j) for plane p,
+    * 0-based dimension j: a splitmix64 avalanche of (p, j) folded to
+    * [−(M−1)/2, (M−1)/2], materialized as per-plane LITERAL arrays.
+    * No RNG state, so every engine derives identical planes — the
+    * DuckDB oracle interpolates the SAME values as list literals
+    * (this function is the single source for both sides).
+    *
+    * Why not a closed-form arithmetic weight the SQL could compute
+    * inline? The previous linear-congruential form
+    * w = (p·A + j·B) % M − c made successive PLANES nearly parallel:
+    * w(p+1, ·) − w(p, ·) is a constant shift in the mod-M lattice, so
+    * adding planes barely re-partitioned the corpus (measured on the
+    * sf0.001 embeddings: plane 5 and 6 together cut bucket-mate pairs
+    * only 32668 → 25582, and at 10 planes just 64 of 1024 sign
+    * patterns were occupied — bucket refinement stalled exactly when
+    * the 3× soak needed it to keep LSH candidates linear). Avalanche
+    * mixing makes planes statistically independent; the weight TABLE
+    * (≤ planes·[[WeightDims]] longs) rides in the plan as literals,
+    * the per-row cost is one array lookup per element — cheaper than
+    * the three modular ops it replaces. */
   val WeightMod = 2001L
 
-  private def weight(p: Int, j: Column): Column =
-    (lit(p.toLong * WeightA) + j.cast("long") * WeightB) % WeightMod - lit((WeightMod - 1) / 2)
+  /** Weight-table width: dimensions ≥ WeightDims reuse weights mod
+    * WeightDims (a documented mild plane correlation for very wide
+    * vectors; the alternative — unbounded literal tables — bloats
+    * every plan). */
+  val WeightDims = 1024
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The single cross-engine weight definition: plane `globalPlane`
+    * (= table·planes + p), dimension `dim`. */
+  def planeWeight(globalPlane: Int, dim: Int): Long =
+    Math.floorMod(mix64(globalPlane.toLong * WeightDims + dim), WeightMod) -
+      (WeightMod - 1) / 2
+
+  private def weightRow(globalPlane: Int): Seq[Long] =
+    (0 until WeightDims).map(j => planeWeight(globalPlane, j))
 
   /** Bucket id from sign bits of the quantized vector against `planes`
     * hyperplanes — pure integer arithmetic, exact. `table` selects an
@@ -180,8 +214,9 @@ object Embeddings {
     * recall; table 0 reproduces the original single-family buckets. */
   def bucketOf(qv: Column, planes: Int = Planes, table: Int = 0): Column =
     (0 until planes).map { p =>
+      val w = typedlit(weightRow(table * planes + p))
       val dot = aggregate(
-        transform(qv, (x, j) => x * weight(table * planes + p, j)),
+        transform(qv, (x, j) => x * element_at(w, (j % WeightDims) + 1)),
         lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -446,6 +481,26 @@ object Embeddings {
     * only through this helper, mirroring [[planesFor]]. */
   def centroidStepFor(corpusSize: Long, targetCentroids: Long = 4096L): Long =
     math.max(1L, corpusSize / math.max(1L, targetCentroids))
+
+  /** Power-of-two sampling step for a BOUNDED codebook: the smallest
+    * 2^j ≥ corpusSize/targetK, so K = n/step stays in
+    * (targetK/2, targetK] no matter how the corpus grows. This is the
+    * PQ-codebook sizing contract ([[pqCentroids]]): unlike the coarse
+    * IVF cells — where a FIXED step keeps cell size constant and the
+    * candidate equijoin linear — the per-query ADC distance table is
+    * q·m·K rows, so K must be corpus-INDEPENDENT or all-corpus query
+    * batches go quadratic (the 3× soak measured exactly that: a fixed
+    * step grew K 16→48 and the distance-table join 9×). Power-of-two
+    * stepping (vs the exact n/targetK) makes the derived step stable
+    * across small corpus-estimate drift — the dial moves only when
+    * the corpus doubles. `corpusSize` is an estimate (row-count
+    * statistics), same contract as [[planesFor]]/[[centroidStepFor]].
+    */
+  def stepForBoundedK(corpusSize: Long, targetK: Long = 16L): Long = {
+    val raw = math.max(1L, corpusSize / math.max(1L, targetK))
+    val floor = java.lang.Long.highestOneBit(raw)
+    if (floor == raw) floor else floor << 1
+  }
 
   /** Centroid-seed predicate. Dense ids (the fixtures): rate-sample by
     * `id % step == 0`. Arbitrary/sparse ids: `seedByHash` rate-samples
@@ -873,6 +928,13 @@ object Embeddings {
     * and encoding passes, never by the search join itself. Ties →
     * smaller neighbor id. Output: (query_id, neighbor_id, rank,
     * adist). */
+  /** `pqStep` decouples the PQ-codebook sampling rate from the coarse
+    * IVF step — the two have OPPOSITE scaling contracts: the IVF step
+    * stays fixed so cells (and the candidate equijoin) stay
+    * constant-size, while the PQ step must GROW with the corpus
+    * ([[stepForBoundedK]]) so the codebook K — and with it the q·m·K
+    * ADC distance table — stays bounded. None (the default) keeps the
+    * historical single-step form. */
   def annIvfPq(
       emb: DataFrame,
       queryPred: Column,
@@ -880,11 +942,12 @@ object Embeddings {
       centroidStep: Long = CentroidStep,
       m: Int = PqSubspaces,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      pqStep: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     annIvfPqWith(emb, queryPred,
       ivfCentroids(emb, centroidStep, idCol, vecCol),
-      pqCentroids(emb, centroidStep, m, idCol, vecCol),
+      pqCentroids(emb, pqStep.getOrElse(centroidStep), m, idCol, vecCol),
       k, m, idCol, vecCol)
   }
 

@@ -101,7 +101,7 @@ class SoakSpec extends SparkSpecBase {
     }, s"user ranges overlap across replicas: ${ranges.mkString(", ")}")
   }
 
-  test("embedding replicas perturb every replica deterministically and boundedly") {
+  test("embedding replicas: exact intra-replica geometry, no shared neighborhood") {
     val n = 3
     val rep = Soak.replicatedEmbeddings(spark, sfDir, n).cache()
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -109,20 +109,72 @@ class SoakSpec extends SparkSpecBase {
     val r0 = rep.filter(col("vec_id") < Soak.IdOffset)
     assert(r0.exceptAll(base).count() === 0)
 
-    // per-dimension perturbation of replicas 1..n-1 is within ±0.1 and
-    // not identically zero (the replica is a twin, not a copy)
+    // orthogonality, part 1 — norms preserved exactly: a signed
+    // permutation reorders/flips components, so the float multiset
+    // {x_j²} is unchanged and so is any order-insensitive reduction
+    def normSq = aggregate(col("embedding"),
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
     val joined = rep.filter(col("vec_id") >= Soak.IdOffset)
       .select(pmod(col("vec_id"), lit(Soak.IdOffset)).as("vec_id"),
-        col("embedding").as("e1"))
+        (col("vec_id") / Soak.IdOffset).cast("int").as("rep"),
+        col("embedding"))
       .join(base.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
-      .select(zip_with(col("e1"), col("e0"), (a, b) => abs(a - b)).as("d"))
-      .select(array_max(col("d")).as("dmax"), array_min(col("d")).as("dmin"))
-    val stats = joined.agg(max(col("dmax")), sum(col("dmax"))).head
-    assert(stats.getFloat(0) <= 0.11f, s"perturbation exceeds bound: ${stats.getFloat(0)}")
-    assert(stats.getDouble(1) > 0.0, "replicas are unperturbed copies")
+      .cache()
+    val normDrift = joined.select(
+        abs(normSq - aggregate(col("e0"),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("drift"))
+      .agg(max(col("drift"))).head.getDouble(0)
+    assert(normDrift < 1e-6, s"norms drifted by $normDrift")
+
+    // orthogonality, part 2 — the transform preserves the component
+    // MULTISET up to sign per vector (relabeled axes, nothing else)
+    val multisetBad = joined.select(
+        sort_array(transform(col("embedding"), x => abs(x))).as("a"),
+        sort_array(transform(col("e0"), x => abs(x))).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(multisetBad === 0L, "a replica changed some |component| multiset")
+
+    // no shared neighborhood: a vector and its transformed sibling are
+    // decorrelated — |cos| stays far below the battery's bucket-mate
+    // similarity range (64-dim random-sign alignment concentrates
+    // near 0; bound at 0.6, well under near-dup territory)
+    def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val maxCos = joined
+      .select((abs(dotD(col("embedding"), col("e0"))) /
+        (sqrt(normSq) * sqrt(dotD(col("e0"), col("e0"))))).as("c"))
+      .agg(max(col("c"))).head.getDouble(0)
+    assert(maxCos < 0.6, s"a replica stayed aligned with its origin: cos=$maxCos")
 
     // determinism: regenerating gives the identical frame
     val again = Soak.replicatedEmbeddings(spark, sfDir, n)
     assert(rep.exceptAll(again).count() === 0)
+  }
+
+  test("maxJoinOutputRows reads the largest executed join frame") {
+    import spark.implicits._
+    // 100 rows fan out 5× through the join, then collapse to 10 output
+    // rows — the exact shape the candidate gate exists for: the output
+    // row count (10) says nothing about the 500-row intermediate.
+    val a = (1 to 100).map(i => (i.toLong, (i % 10).toLong)).toDF("id", "k")
+    val b = (0L until 10L).flatMap(k => Seq.fill(5)(k -> (k * 2)))
+      .toDF("k", "w")
+    val agg = a.join(b, "k").groupBy("k").count()
+    assert(Bench.materialize(agg) === 10L)
+    assert(Soak.maxJoinOutputRows(agg) === 500L)
+
+    // two joins: the MAX is reported, not the last or the sum
+    val big = a.join(b, "k")                       // 500 rows
+    val small = a.limit(3).join(b.limit(20), "k")  // ≤ 3·5 rows
+    val both = big.unionByName(small).groupBy("k").count()
+    Bench.materialize(both)
+    assert(Soak.maxJoinOutputRows(both) === 500L)
+
+    // join-free plan gates as zero
+    val nj = a.groupBy("k").count()
+    Bench.materialize(nj)
+    assert(Soak.maxJoinOutputRows(nj) === 0L)
   }
 }
