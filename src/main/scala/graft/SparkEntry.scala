@@ -1458,11 +1458,10 @@ object SparkEntry {
       T(s, dir, "documents")
         .repartition(40, col("doc_id"))
         .write.mode("overwrite").parquet(stage)
-      val listing = Option(new java.io.File(stage).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => (stage, f.getAbsolutePath, f.length()))
-        .toSeq.toDF("dir", "path", "bytes")
+      // Hadoop-FS listing (scheme-portable: the same call plans
+      // hdfs:///s3a:// tables; paths come back as URIs, the form the
+      // scan's _metadata.file_path also uses)
+      val listing = Layout.listFiles(s, stage)
       val plan = Layout.compactionPlan(listing, targetBytes = 262144L)
       val manifest = Layout.compact(s, plan, out)
       val planned = plan.filter(col("action") === "compact")

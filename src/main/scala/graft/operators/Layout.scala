@@ -123,6 +123,34 @@ object Layout {
   /** Partition-directory name [[compact]] writes rewrite groups under. */
   val CompactGroupCol = "compact_group"
 
+  /** Non-recursive file listing of `dir` as `(dir, path, bytes)` rows —
+    * the input shape [[compactionPlan]] consumes — through the Hadoop
+    * `FileSystem` API, so the same call works on `file:`, `hdfs:` and
+    * `s3a:` paths (a `java.io.File` listing only ever worked locally).
+    * Paths come back as full URIs (`FileStatus.getPath.toString`),
+    * which is also what the parquet source's `_metadata.file_path`
+    * yields — so plan paths and scan provenance share one form and the
+    * [[compact]] join needs no per-scheme cases. Driver-side and
+    * metadata-only by design: one RPC per directory, one row per file,
+    * the same listing lakehouse OPTIMIZE jobs collect to build rewrite
+    * plans. For tables with many partition directories, call once per
+    * directory (the compaction unit) and union the tiny frames. */
+  def listFiles(
+      spark: SparkSession,
+      dir: String,
+      suffix: String = ".parquet"): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(p)) Seq.empty[(String, String, Long)]
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(suffix))
+        .map(st => (dir, st.getPath.toString, st.getLen))
+        .sortBy(_._2)
+    rows.toDF("dir", "path", "bytes")
+  }
+
   /** Execute a [[compactionPlan]] over real parquet files: every
     * `compact`-planned file is rewritten into exactly ONE output file
     * per rewrite group under `outDir/compact_group=<group_id>/`;
@@ -162,16 +190,23 @@ object Layout {
         .repartition(col(CompactGroupCol))
         .write.mode("overwrite").partitionBy(CompactGroupCol).parquet(outDir)
     }
-    val groupDirs = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(CompactGroupCol + "="))
-    val manifest = groupDirs.toSeq.map { g =>
-      val parts = Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // manifest listing through the Hadoop FileSystem API — the same
+    // scheme-portability contract as [[listFiles]] (hdfs:///s3a://
+    // output dirs list identically to file://)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groupDirs =
+      if (!fs.exists(outPath)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(outPath).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(CompactGroupCol + "="))
+    val manifest = groupDirs.map { g =>
+      val parts = fs.listStatus(g.getPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       // partitionBy hive-escapes special chars ('#' → %23) in dir names
       val gid = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(g.getName.stripPrefix(CompactGroupCol + "="))
-      (gid, parts.length.toLong, parts.map(_.length()).sum)
+        .unescapePathName(g.getPath.getName.stripPrefix(CompactGroupCol + "="))
+      (gid, parts.length.toLong, parts.map(_.getLen).sum)
     }
     manifest.toDF("group_id", "out_files", "out_bytes")
   }

@@ -793,18 +793,29 @@ object TextAnalysis {
     val dfs = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf)
     val idf = dfs.crossJoin(broadcast(nDocs))
-      .select(col("__w"),
+      .select(col("__w"), col("__df"),
         (length(bin(col("__n"))) - length(bin(col("__df"))))
           .cast("long").as("__idf"))
     val wts = tf.join(idf, "__w")
-      .select(col(idCol), col("__w"), (col("__tf") * col("__idf")).as("__wt"))
+      .select(col(idCol), col("__w"), col("__df"),
+        (col("__tf") * col("__idf")).as("__wt"))
       .where(col("__wt") > 0)
     val norms = wts.groupBy(col(idCol))
       .agg(sum(col("__wt") * col("__wt")).as("__n2"))
       .select(col(idCol), Curation.isqrt(col("__n2")).as("__nrm"))
       .where(col("__nrm") > 0)
-    val dots = wts.select(col(idCol).as("id_a"), col("__w"), col("__wt").as("__wa"))
-      .join(wts.select(col(idCol).as("id_b"), col("__w"), col("__wt").as("__wb")),
+    // Pair candidates only need terms in ≥ 2 docs: a singleton term
+    // can never form an id_a < id_b pair, but its diagonal join row
+    // still costs shuffle — and df = 1 is the LONG TAIL of any real
+    // vocabulary (typos, ids, hapax legomena), often the majority of
+    // posting entries at corpus scale. Dropping it here is
+    // result-identical (singletons still weight tf·idf and norms);
+    // only the dead join rows disappear.
+    val pairable = wts.where(col("__df") >= 2)
+    val dots = pairable
+      .select(col(idCol).as("id_a"), col("__w"), col("__wt").as("__wa"))
+      .join(pairable
+        .select(col(idCol).as("id_b"), col("__w"), col("__wt").as("__wb")),
         "__w")
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

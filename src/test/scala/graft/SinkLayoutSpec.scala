@@ -318,4 +318,43 @@ class SinkLayoutSpec extends SparkSpecBase {
     assert(manifest.count() === 0L)
     assert(!new java.io.File(s"$work/out").exists())
   }
+
+  test("listFiles → plan → compact is scheme-portable end to end") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_fs").toString
+    val stage = s"$work/stage"
+    (0L until 120L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8, col("id")).write.parquet(stage)
+
+    // Hadoop-FS listing: one row per parquet part, full URIs, sorted —
+    // and it agrees exactly with a java.io ground-truth listing
+    val listing = Layout.listFiles(spark, stage).cache()
+    val got = listing.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val truth = new java.io.File(stage).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => (stage, "file:" + f.getAbsolutePath, f.length()))
+      .sortBy(_._2)
+    assert(got.toSeq === truth.toSeq)
+    assert(got.forall(_._2.startsWith("file:")),
+      "listFiles must return scheme-qualified URIs (the _metadata.file_path form)")
+
+    // the URI-path plan drives compact to the same layout contract a
+    // bare-path plan does: every group exactly one file, content exact
+    val target = got.map(_._3).max * 3
+    val plan = Layout.compactionPlan(listing, target)
+    val manifest = Layout.compact(spark, plan, s"$work/out")
+    val planned = plan.where(col("action") === "compact")
+      .select("group_id").distinct().count()
+    assert(manifest.count() === planned)
+    assert(manifest.where(col("out_files") =!= 1L).count() === 0L)
+    val back = spark.read.parquet(s"$work/out").drop(Layout.CompactGroupCol)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === (0L until 120L).map(i => (i, s"v$i")).toSet)
+
+    // a missing directory lists as empty, not an error (object-store
+    // listings of absent prefixes behave the same way)
+    assert(Layout.listFiles(spark, s"$work/absent").count() === 0L)
+  }
 }
