@@ -636,19 +636,30 @@ object Embeddings {
     *
     * `idCol` must be unique per vector (the fixture contract, and the
     * contract of every index here — centroid identities ARE ids). The
-    * fold emits one row per INPUT row, so duplicate ids would yield
-    * duplicate (id, cell) rows — where the grid-agg form this replaced
-    * collapsed them arbitrarily; dedup upstream if your corpus can
-    * carry duplicate keys. */
+    * fold emits one row per INPUT row, so a duplicate id would yield
+    * duplicate (id, cell) rows and silently corrupt the id-keyed
+    * stores downstream — by default the contract is ENFORCED in-plan
+    * ([[graft.core.Guards.requireUniqueIds]]): execution fails naming
+    * the offending id. The guard costs one hash shuffle of the input
+    * on `idCol`, right for the increment/query frames this seam
+    * serves; a corpus-sized caller that already validated ids at
+    * ingest passes `assertUniqueIds = false` and keeps the narrow
+    * scan→broadcast-join→project plan (then: one output row per input
+    * row, duplicates and all — pinned by NearDupEmbeddingsSpec). */
   def ivfAssign(
       emb: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    prepped(emb, idCol, vecCol).crossJoin(broadcast(packedCentroids(centroids)))
+      vecCol: String = "embedding",
+      assertUniqueIds: Boolean = true): DataFrame = {
+    val in =
+      if (assertUniqueIds) graft.core.Guards.requireUniqueIds(emb, idCol)
+      else emb
+    prepped(in, idCol, vecCol).crossJoin(broadcast(packedCentroids(centroids)))
       .where(size(col("__cb")) > 0) // empty index assigns nothing
       .select(col(idCol),
         argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("cell"))
+  }
 
   def annIvf(
       emb: DataFrame,
@@ -969,7 +980,10 @@ object Embeddings {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cells = ivfAssign(emb, icents, idCol, vecCol)
+    // corpus-sized internal pass: skip the id-uniqueness guard (one
+    // extra corpus shuffle) — the fixture contract is validated at the
+    // public increment seams; this caller documents the requirement
+    val cells = ivfAssign(emb, icents, idCol, vecCol, assertUniqueIds = false)
     val codes = pqEncode(emb, pcents, m, idCol, vecCol)
       .select(col(idCol), col("sub"), col("code"))
     annIvfPqServe(emb.filter(queryPred), icents, pcents, cells, codes,
@@ -999,7 +1013,12 @@ object Embeddings {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val qcells = ivfAssign(queries, icents, idCol, vecCol)
+    // internal pass over the caller's query frame: skip the uniqueness
+    // guard (a duplicate query id here only duplicates that query's
+    // result rows — it cannot corrupt id-keyed state), keeping the
+    // served-search plan narrow
+    val qcells = ivfAssign(queries, icents, idCol, vecCol,
+        assertUniqueIds = false)
       .select(col(idCol).as("query_id"), col("cell"))
     val qdist = subvectors(queries, m, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("sub"), col("__sqv"), col("__snsq"))

@@ -530,6 +530,45 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("ivfAssign: duplicate ids fail loudly by default; opt-out keeps one row per input row") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L,  Array(1f, 0f, 0f, 0f)),
+      (10L, Array(0f, 0f, 1f, 0f)),
+      (1L,  Array(0.9f, 0.1f, 0f, 0f)),
+      (1L,  Array(0f, 0.1f, 0.9f, 0f))) // duplicate id, different cell
+      .toDF("vec_id", "embedding")
+    // seeds are ids 0 and 10 (id 1 is not a seed at step 10), so the
+    // centroid table is independent of the duplicate rows
+    val cents = Embeddings.ivfCentroids(
+      emb.filter(col("vec_id") =!= 1L), centroidStep = 10L)
+
+    // default: the in-plan guard fails the JOB, naming the bad id
+    val ex = intercept[Exception] {
+      Embeddings.ivfAssign(emb, cents).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate id in column 'vec_id': 1")))
+
+    // opt-out (corpus validated upstream): one output row per INPUT
+    // row — both rows of id 1 assign, each to its own argmax cell
+    val rows = Embeddings.ivfAssign(emb, cents, assertUniqueIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 4)
+    assert(rows.count(_._1 == 1L) === 2)
+    assert(rows.filter(_._1 == 1L).map(_._2).toSet === Set(0L, 10L))
+
+    // unique-id input passes the guard untouched, bit-identical to the
+    // unguarded assignment
+    val uniq = emb.filter(col("vec_id") =!= 1L)
+    assert(Embeddings.ivfAssign(uniq, cents).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Embeddings.ivfAssign(uniq, cents, assertUniqueIds = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("dupNgramStats flags exactly the cross-doc shared span") {
     import spark.implicits._
     // A and B share the 5-token span S1..S5 inside otherwise-unique
