@@ -1206,6 +1206,23 @@ object SparkEntry {
           col("file"), col("words_count"))
     }),
 
+    // -------- canonical pipeline from SPLITTABLE LINE rows
+    // (WordStats.fromLines over ChunkedTextSource's (id, offset, line)
+    // shape — the huge-file path where no task holds a whole file).
+    // The fixture is parquet, so line rows are synthesized: each token
+    // becomes its own "line" ordered by its original position — a
+    // maximal chunking (every boundary a line break). Word stats are
+    // chunk-invariant, so the oracle is the UNCHANGED wordstats SQL;
+    // the multi-token-line + real-file-split cases are pinned by
+    // GoldenCorpusSpec on the books corpus.
+    "wordstats_chunked" -> ((s, dir) => {
+      val lines = Tokenize.splitTokens(inputCol = "text")(
+        T(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), col("pos").cast("long").as("byte_offset"),
+          col("word").as("line"))
+      WordStats.fromLines(lines, idCol = "doc_id")
+    }),
+
     // -------- tokenizer (transformers/text.py:43-71)
     "tokenize" -> ((s, dir) =>
       docTokens(s, dir)
@@ -2900,6 +2917,20 @@ object SparkEntry {
          |FROM firsts f
          |JOIN counts c USING (doc_id)
          |JOIN files fl USING (doc_id)""".stripMargin,
+
+    // chunk-invariance IS the assertion: the line-row plan must
+    // reproduce the whole-text wordstats result bit-for-bit
+    "wordstats_chunked" ->
+      s"""$toksCte,
+         |counts AS (SELECT doc_id, count(*) AS words_count FROM toks GROUP BY doc_id),
+         |firsts AS (SELECT doc_id, arg_min(word, pos) AS word
+         |           FROM toks GROUP BY doc_id, lower(trim(word)))
+         |SELECT f.doc_id,
+         |       substring(f.word, 1, 254) AS word,
+         |       CAST(length(translate(f.word, '$diac', '')) AS BIGINT) AS word_len,
+         |       length(f.word) > 255 AS word_truncated,
+         |       c.words_count
+         |FROM firsts f JOIN counts c USING (doc_id)""".stripMargin,
 
     "tokenize" ->
       s"""$toksCte

@@ -57,4 +57,50 @@ object WordStats {
       col("words_count") +:
       carryCols.map(col): _*)
   }
+
+  /** The same per-file word stats computed DIRECTLY from splittable
+    * line rows — the 100 TB form of [[apply]] for huge files: input is
+    * `(idCol, orderCol, lineCol)` (e.g.
+    * [[graft.sources.ChunkedTextSource]]'s `(file_path, byte_offset,
+    * line)`), and no task ever materializes a whole file. Whitespace
+    * tokenization cannot span a line boundary, so tokenizing each line
+    * and ordering tokens by `(orderCol, position-in-line)` reproduces
+    * the whole-text token stream exactly: first-occurrence dedup and
+    * the total token count — hence every output row — equal
+    * [[apply]]'s over the reassembled content (GoldenCorpusSpec pins
+    * the equality on the books corpus; the wordstats_chunked battery
+    * entry pins it against the unchanged DuckDB wordstats oracle).
+    *
+    * Plan shape: one narrow tokenize stage, then TWO aggregations
+    * instead of [[apply]]'s one — the per-file token total can no
+    * longer be a shuffle-free scalar on the un-exploded row (the row
+    * is a line, not the document), so it is its own `groupBy(id)`
+    * count joined back onto the dedup output (one row per file — the
+    * small side of that join). `orderCol` must totally order a file's
+    * lines (byte offsets do); ties across lines would make
+    * first-occurrence nondeterministic. */
+  def fromLines(
+      lines: DataFrame,
+      idCol: String = "file_path",
+      orderCol: String = "byte_offset",
+      lineCol: String = "line"): DataFrame = {
+    val ordC = graft.core.Cols.fresh("__ord", lines.columns.toSeq ++ Seq("pos", "word"))
+    val tokens = Tokenize.splitTokens(inputCol = lineCol)(
+      lines.select(idCol, orderCol, lineCol))
+      .withColumn(ordC, struct(col(orderCol), col("pos")))
+      .drop(orderCol, "pos")
+
+    val counts = tokens.groupBy(col(idCol))
+      .agg(count(lit(1)).as("words_count"))
+
+    val firsts = Dedup.keepFirst(
+      bagKeys = Seq(idCol), valueCol = "word", orderCol = ordC)(tokens)
+
+    firsts.join(counts, Seq(idCol)).select(
+      col(idCol),
+      Scalars.truncate254(col("word")).as("word"),
+      length(Scalars.removeDiac(col("word"))).cast("long").as("word_len"),
+      Scalars.lenGt255(col("word")).as("word_truncated"),
+      col("words_count"))
+  }
 }

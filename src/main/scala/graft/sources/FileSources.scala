@@ -55,9 +55,10 @@ final case class FileLinesSource(dirs: Seq[String], glob: String = "*.txt")
   * Scale note: one row per file means one task holds one file's entire
   * content — right for file-granular semantics (per-file word stats)
   * over many ordinary files, wrong for multi-GB single files. For
-  * those, use [[FileLinesSource]] (splittable line scan) and aggregate
-  * by file_path, which computes the same per-file results without any
-  * single task materializing a whole file.
+  * those, use [[ChunkedTextSource]]: a splittable offset-carrying line
+  * scan whose rows feed [[graft.operators.WordStats.fromLines]]
+  * directly (same per-file results, no whole-file task) or reassemble
+  * into this source's exact shape.
   */
 final case class WholeTextSource(dirs: Seq[String], glob: String = "*.txt")
     extends Source {
@@ -71,6 +72,155 @@ final case class WholeTextSource(dirs: Seq[String], glob: String = "*.txt")
       .select(
         input_file_name().as("file_path"),
         col("value").as("content"))
+}
+
+/** SPLITTABLE whole-corpus text read — closes [[WholeTextSource]]'s
+  * one-row-per-file scale limit (SCALE.md Known limits): `wholetext`
+  * makes every file a single source row, so a multi-GB file pins one
+  * task for its entire read and must fit that task's memory. Here the
+  * scan is Hadoop `TextInputFormat` — the same splittable line reader
+  * behind `spark.read.text` — but surfaced WITH each line's byte
+  * offset, which the DataFrame text source does not expose. A 100 GB
+  * file then reads as ~800 independent 128 MB splits in parallel, and
+  * the `(file_path, byte_offset)` pair is a total order over the
+  * file's lines, which is exactly what downstream file-granular
+  * operators need:
+  *
+  *  - [[graft.operators.WordStats.fromLines]] aggregates per-file word
+  *    stats DIRECTLY from the line rows (first-occurrence order =
+  *    (byte_offset, token position)) — no task ever materializes a
+  *    whole file, the true 100 TB shape;
+  *  - [[ChunkedTextSource.reassemble]] reconstructs per-file content
+  *    (offset-sorted line join) for callers that genuinely need the
+  *    [[WholeTextSource]] shape — the shuffle groups by file, so ONE
+  *    reducer holds each file, but the scan side stays splittable.
+  *
+  * This is the repo's single deliberate drop to the RDD layer: the
+  * split's file identity and the record's byte offset live on
+  * `FileSplit`/`LongWritable`, which no DataFrame-source option
+  * surfaces (`input_file_name` gives the path but not the offset).
+  * The drop is confined to the scan; everything downstream is
+  * DataFrame. Line terminators (`\n`, `\r`, `\r\n`) are consumed by
+  * the reader, as in `spark.read.text`.
+  *
+  * `maxSplitBytes` caps the Hadoop split size (default: the format's
+  * own block-size-driven splitting) — set it small in tests to force
+  * multi-split files, or tune it like
+  * `spark.sql.files.maxPartitionBytes`. Paths containing commas are
+  * not supported (Hadoop's input-path list is comma-delimited).
+  */
+final case class ChunkedTextSource(
+    dirs: Seq[String],
+    glob: String = "*.txt",
+    maxSplitBytes: Option[Long] = None)
+    extends Source {
+
+  def load(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val files = ChunkedTextSource.listFiles(spark, dirs, glob)
+    if (files.isEmpty)
+      Seq.empty[(String, Long, String)].toDF("file_path", "byte_offset", "line")
+    else {
+      require(files.forall(!_.contains(",")),
+        "ChunkedTextSource: file paths must not contain commas " +
+          "(Hadoop input-path lists are comma-delimited)")
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sessionState.newHadoopConf())
+      maxSplitBytes.foreach { b =>
+        require(b >= 1, s"maxSplitBytes must be >= 1, got $b")
+        conf.setLong("mapreduce.input.fileinputformat.split.maxsize", b)
+      }
+      val rdd = spark.sparkContext
+        .newAPIHadoopFile(files.mkString(","), classOf[TextInputFormat],
+          classOf[LongWritable], classOf[Text], conf)
+        .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      rdd
+        .mapPartitionsWithInputSplit { (split, iter) =>
+          val path = split.asInstanceOf[FileSplit].getPath.toString
+          // the record reader REUSES its Writable instances; `.get` /
+          // `.toString` copy the current record out before `next()`
+          iter.map { case (off, line) => (path, off.get, line.toString) }
+        }
+        .toDF("file_path", "byte_offset", "line")
+    }
+  }
+
+  /** The [[WholeTextSource]] shape — `(file_path, content)` — from the
+    * splittable scan: offset-sorted line reassembly. See
+    * [[ChunkedTextSource.reassemble]] for the contract. */
+  def contents(spark: SparkSession): DataFrame =
+    ChunkedTextSource.reassemble(load(spark))
+}
+
+object ChunkedTextSource {
+
+  /** Recursive suffix-globbed file listing through the Hadoop
+    * `FileSystem` API (scheme-portable: `file:`, `hdfs:`, `s3a:`),
+    * mirroring the DataFrame sources' `recursiveFileLookup` +
+    * `pathGlobFilter` walk. Driver-side metadata only — one listing
+    * RPC stream per root, one path string per file. Hidden files/dirs
+    * (`_`/`.` prefixes) are skipped like every Spark file scan. */
+  private[sources] def listFiles(
+      spark: SparkSession,
+      dirs: Seq[String],
+      glob: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val filter = new org.apache.hadoop.fs.GlobFilter(glob)
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    dirs.flatMap { d =>
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(conf)
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        // listFiles recurses through hidden dirs itself; re-check every
+        // path component under the root
+        val underHidden = Iterator.iterate(p)(_.getParent)
+          .takeWhile(q => q != null && q.toString != root.toString)
+          .exists(hidden)
+        if (st.isFile && !underHidden && filter.accept(p)) out += p.toString
+      }
+      out.result()
+    }.sorted
+  }
+
+  /** Reconstruct `(file_path, content)` from `(file_path, byte_offset,
+    * line)` rows: lines offset-sorted per file, joined with `\n`.
+    *
+    * Fidelity contract vs [[WholeTextSource]]: equal after (1)
+    * stripping a leading UTF-8 BOM (Hadoop's line reader consumes it;
+    * wholetext keeps it — and since U+FEFF is not `\s`, a kept BOM
+    * glues onto the file's first token, so the stripped form is the
+    * one tokenization wants), (2) normalizing the original's
+    * `\r\n`/`\r` terminators to `\n`, and (3) dropping one trailing
+    * newline (the reader consumes terminators, so the final line's is
+    * unrecoverable); a zero-byte file yields no lines, hence no row
+    * (wholetext yields one empty-content row). Per-file word stats —
+    * the operators file granularity exists for — are invariant to
+    * every delta but the BOM one (where this source's behavior is the
+    * correct one), and
+    * [[graft.operators.WordStats.fromLines]] skips reassembly
+    * entirely.
+    *
+    * Scale shape: one shuffle keyed by file; each reducer holds one
+    * file's line array (the same per-task ceiling wholetext has at
+    * SCAN time, moved behind a splittable scan). */
+  def reassemble(lines: DataFrame): DataFrame =
+    lines
+      .groupBy(col("file_path"))
+      .agg(array_sort(collect_list(struct(col("byte_offset"), col("line"))))
+        .as("__lines"))
+      .select(
+        col("file_path"),
+        array_join(transform(col("__lines"), x => x.getField("line")), "\n")
+          .as("content"))
 }
 
 /** One row per file WITH the raw bytes — the multimodal ingest path

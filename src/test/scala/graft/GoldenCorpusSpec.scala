@@ -9,7 +9,7 @@ import graft.core.api._
 import graft.functions.Scalars
 import graft.operators.{Tokenize, WordStats}
 import graft.sinks.{ConditionalSink, CsvSink, FilteredSink, ParquetSink, RepartitionedSink}
-import graft.sources.{FileLinesSource, FilesListSource, WholeTextSource}
+import graft.sources.{ChunkedTextSource, FileLinesSource, FilesListSource, WholeTextSource}
 
 /** End-to-end golden test over the reference's own corpus
   * (/root/reference/example/sample_data/books/ — Project Gutenberg
@@ -100,6 +100,58 @@ class GoldenCorpusSpec extends SparkSpecBase {
     assert(bad.count() === 0)
     // This corpus genuinely has both short words and no >255 monsters:
     assert(stats.filter(col("word_truncated")).count() === 0)
+  }
+
+  test("sources: chunked splittable scan splits files and reconstructs wholetext") {
+    // 128 KB max-split on ~0.2–1.1 MB books ⇒ every file multi-split:
+    // the scan parallelism a wholetext read of huge files can't have
+    val lines = ChunkedTextSource(Seq(booksDir), maxSplitBytes = Some(128 * 1024))
+      .load(spark).cache()
+    try {
+      assert(lines.rdd.getNumPartitions > nTxtFiles)
+      // path forms differ (input_file_name URI vs Hadoop Path.toString);
+      // normalize the scheme away before joining
+      val norm = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(c, "^file:/+", "/")
+      // exact reconstruction modulo the line reader's byte contract
+      // (see ChunkedTextSource.reassemble): leading UTF-8 BOM stripped,
+      // CRLF/CR normalized to LF, exactly one trailing newline dropped
+      // (\n\z, not \n$ — $ also matches BEFORE a final terminator, so
+      // it would strip two)
+      val whole = WholeTextSource(Seq(booksDir)).load(spark).select(
+        norm(col("file_path")).as("file_path"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("content"), "^\\uFEFF", ""),
+            "\r\n|\r", "\n"),
+          "\n\\z", "")
+          .as("expected"))
+      val rebuilt = ChunkedTextSource.reassemble(lines)
+        .select(norm(col("file_path")).as("file_path"), col("content"))
+      assert(rebuilt.count() === nTxtFiles)
+      val joined = rebuilt.join(whole, Seq("file_path")).cache()
+      try {
+        assert(joined.count() === nTxtFiles)
+        assert(joined.filter(col("content") =!= col("expected")).count() === 0)
+      } finally joined.unpersist()
+    } finally lines.unpersist()
+  }
+
+  test("wordstats: fromLines over the splittable scan equals the wholetext pipeline") {
+    val lines = ChunkedTextSource(Seq(booksDir), maxSplitBytes = Some(128 * 1024))
+      .load(spark)
+      .withColumn("file_path", regexp_replace(col("file_path"), "^file:/+", "/"))
+    val viaLines = WordStats.fromLines(lines)
+    // strip the leading BOM the line reader consumes (reassemble's
+    // contract): U+FEFF is not \s, so a kept BOM would glue itself
+    // onto the file's first token and skew exactly that word's row
+    val viaWhole = WordStats(
+      WholeTextSource(Seq(booksDir)).load(spark)
+        .withColumn("file_path", regexp_replace(col("file_path"), "^file:/+", "/"))
+        .withColumn("content", regexp_replace(col("content"), "^\\uFEFF", "")),
+      idCol = "file_path", textCol = "content")
+    assert(viaLines.exceptAll(viaWhole).count() === 0)
+    assert(viaWhole.exceptAll(viaLines).count() === 0)
   }
 
   test("pipeline: multi-sink fan-out writes the same rows to csv and parquet") {
