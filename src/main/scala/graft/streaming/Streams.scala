@@ -229,6 +229,169 @@ object Streams {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** Maintenance compaction for the ingest jobs' batch_id-partitioned
+    * stores ([[ingestWordStats]] output, [[ingestNearDup]]'s
+    * `sigs`/`docs`, [[ingestIndexCodes]]' code table, [[ingestPHash]]'s
+    * `sigs`): every tranche lands one `batch_id=N` partition holding a
+    * handful of small files, so after a year of nightly tranches the
+    * store reads at open-one-file-per-task speed. This rewrites all
+    * COMMITTED batches into ~`targetBytes` files via
+    * [[graft.operators.Layout.compactionPlan]] +
+    * [[graft.operators.Layout.compact]] (the whole store is one
+    * compaction unit — the `dir` column is pinned to `storePath`, so
+    * groups span batch partitions) and folds them into the single
+    * partition `batch_id=<max compacted id>`.
+    *
+    * Replay idempotence is preserved by construction: the HIGHEST
+    * batch partition is never touched — it is the only one a crashed
+    * run can replay (AvailableNow commits each batch before the next
+    * starts), and its dynamic-overwrite replay must land in its own
+    * untouched partition. Folding older batches into `batch_id = max
+    * compacted id` keeps every `priorStore` read (`batch_id <
+    * current`) row-identical: all folded rows came from batches below
+    * any current or future id. StreamingSpec pins bit-identical
+    * incremental results across a compaction.
+    *
+    * Crash safety — a two-phase commit under the store root (hidden
+    * from Spark's partition discovery by the `_` prefix):
+    *
+    *  1. STAGE (pure addition): rewrite groups into
+    *     `_compact_staging/` via [[graft.operators.Layout.compact]].
+    *     A crash here leaves the store untouched; the leftover staging
+    *     is deleted on the next call.
+    *  2. MARK: write `_compact_staging/_COMMIT` naming the target
+    *     partition, the source partitions, and the keep files (files
+    *     already ≥ `targetBytes`, moved not rewritten). The marker is
+    *     the commit point.
+    *  3. COMMIT (replayable from the marker): move keep files into
+    *     staging, delete source partitions, move every staged file
+    *     into the target partition, drop staging. A crash anywhere
+    *     here is finished idempotently by the next call (moves skip
+    *     already-moved files; deletes are no-ops on missing dirs).
+    *
+    * Single-writer contract: run BETWEEN tranches, never concurrently
+    * with an ingest or a reader — a plain parquet store has no
+    * snapshot isolation, so readers in the commit window could see
+    * partial state (the same operational window a lakehouse OPTIMIZE
+    * closes with its transaction log). All filesystem access goes
+    * through the Hadoop `FileSystem` API — `file:`, `hdfs:`, `s3a:`
+    * alike (on S3, "rename" is the FS connector's copy+delete; the
+    * marker protocol tolerates its non-atomicity because every step
+    * is individually replayable).
+    *
+    * Returns [[graft.operators.Layout.compact]]'s manifest —
+    * `(group_id, out_files, out_bytes)`, one row per rewrite group,
+    * `out_files == 1` each — or an empty manifest when there is
+    * nothing to do (fewer than two batch partitions, or no
+    * small-file groups). */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, "_compact_staging")
+    val marker = new Path(staging, "_COMMIT")
+    def emptyManifest =
+      Seq.empty[(String, Long, Long)].toDF("group_id", "out_files", "out_bytes")
+
+    // the commit runbook — executed after MARK, and re-executed
+    // verbatim by the next call if a crash interrupted it
+    def runCommit(): Unit = {
+      val in = fs.open(marker)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val lines = txt.split("\n").toSeq
+      def tagged(tag: String) =
+        lines.filter(_.startsWith(tag + " ")).map(_.stripPrefix(tag + " "))
+      val target = new Path(tagged("TARGET").head)
+      val keepDir = new Path(staging, "keep")
+      val keeps = tagged("KEEP")
+      if (keeps.nonEmpty && !fs.exists(keepDir)) fs.mkdirs(keepDir)
+      keeps.zipWithIndex.foreach { case (p, i) =>
+        val src = new Path(p)
+        if (fs.exists(src))
+          fs.rename(src, new Path(keepDir, f"k$i%05d-${src.getName}"))
+      }
+      // non-target source partitions go wholesale; the TARGET dir's
+      // original files are deleted by explicit path — a replay after a
+      // partial staged-move must never delete the target dir itself
+      // (it may already hold moved output; the c%05d-/k%05d- prefixes
+      // keep moved names disjoint from original part- names)
+      tagged("SOURCE").foreach { p =>
+        val d = new Path(p)
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+      tagged("SOURCEFILE").foreach { p =>
+        val f = new Path(p)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      if (!fs.exists(target)) fs.mkdirs(target)
+      val staged = {
+        val out = Seq.newBuilder[Path]
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath
+        }
+        out.result().sortBy(_.toString)
+      }
+      staged.zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f, new Path(target, f"c$i%05d-${f.getName}"))
+      }
+      fs.delete(staging, true)
+    }
+
+    // recovery from a previous interrupted run
+    if (fs.exists(marker)) runCommit()
+    else if (fs.exists(staging)) fs.delete(staging, true)
+
+    val ids =
+      (if (!fs.exists(root)) Seq.empty
+       else fs.listStatus(root).toSeq
+         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id=")))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+        .sorted
+    if (ids.size < 2) return emptyManifest
+    val eligible = ids.init // the current (highest) batch stays replayable
+    val files = eligible
+      .map(id => Layout.listFiles(spark, s"$storePath/batch_id=$id"))
+      .reduce(_ unionByName _)
+      .withColumn("dir", lit(storePath)) // one unit: groups span batch dirs
+    val plan = Layout.compactionPlan(files, targetBytes).cache()
+    try {
+      // gain guard: rewriting is only worth it when some group MERGES
+      // files (≥ 2). A store whose prior batches are already one
+      // ~target-sized file each would rewrite 1 → 1 per group forever;
+      // skipping makes back-to-back calls a stable no-op.
+      val gainful = !plan.where(col("action") === "compact")
+        .groupBy("group_id").count().where(col("count") >= 2).isEmpty
+      if (!gainful) return emptyManifest
+      val manifest = Layout.compact(spark, plan, staging.toString)
+      val keeps = plan.where(col("action") === "keep")
+        .select("path").as[String].collect().sorted
+      val targetDir = s"$storePath/batch_id=${eligible.last}"
+      val targetFiles = Layout.listFiles(spark, targetDir)
+        .select("path").as[String].collect().sorted
+      val markerTxt =
+        (s"TARGET $targetDir" +:
+          (eligible.init.map(id => s"SOURCE $storePath/batch_id=$id") ++
+            targetFiles.map(p => s"SOURCEFILE $p") ++
+            keeps.map(p => s"KEEP $p"))).mkString("\n")
+      val out = fs.create(marker, false)
+      try out.write(markerTxt.getBytes("UTF-8")) finally out.close()
+      runCommit()
+      manifest
+    } finally plan.unpersist()
+  }
+
   /** Streaming IVF-PQ index MAINTENANCE — the incremental half of the
     * frozen-index lifecycle ([[graft.operators.Embeddings.ivfCentroids]]
     * / [[graft.operators.Embeddings.pqCentroids]] are trained once and

@@ -637,6 +637,115 @@ class StreamingSpec extends SparkSpecBase {
     assert(oneShot.nonEmpty)
   }
 
+  test("compactStore: incremental results bit-identical across compaction; files drop to group count") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // same 17-token edit-pair scheme as the ingestNearDup test
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog while the moon rises over the far hill")
+    val d2 = (2L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages in the engine")
+    val d3 = (3L, "wholly unrelated fresh content streaming in now with nothing shared")
+    val d4 = (4L, "completely separate third subject concerning parquet row groups and min max statistics for pruning scans")
+    // t4's doc pairs CROSS-tranche with t1's doc 1 — the increment that
+    // must be served FROM THE COMPACTED prior state
+    val d5 = (5L, "the quick brown fox jumps over the lazy dog while the moon rises over the far ridge")
+    val tranches = Seq(Seq(d1, d2), Seq(d3), Seq(d4), Seq(d5))
+
+    def runPipeline(tag: String, compactAfter: Option[Int]): (String, String) = {
+      val work = Files.createTempDirectory(s"graft_compact_$tag")
+      val inDir = work.resolve("in"); Files.createDirectories(inDir)
+      val (statePath, outPairs, ckpt) = (work.resolve("state").toString,
+        work.resolve("pairs").toString, work.resolve("ckpt").toString)
+      tranches.zipWithIndex.foreach { case (docs, i) =>
+        stageTranche(docs.toDF("doc_id", "text"), inDir, s"t$i")
+        Streams.ingestNearDup(spark, inDir.toString, statePath, outPairs, ckpt)
+          .awaitTermination()
+        if (compactAfter.contains(i)) {
+          val m = Streams.compactStore(spark, s"$statePath/sigs", 512L * 1024)
+            .collect()
+          // everything is tiny ⇒ ONE rewrite group, ONE output file
+          assert(m.map(r => (r.getString(0), r.getLong(1))).toSeq
+            === Seq((s"$statePath/sigs#0", 1L)))
+          assert(Streams.compactStore(spark, s"$statePath/docs", 512L * 1024)
+            .count() === 1)
+          // back-to-back call is a stable no-op (gain guard)
+          assert(Streams.compactStore(spark, s"$statePath/sigs", 512L * 1024)
+            .count() === 0)
+          // batches 0..i-1 folded into one partition; batch i untouched
+          def dirs(p: String) = new java.io.File(p).listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+            .map(_.getName).toSet
+          assert(dirs(s"$statePath/sigs")
+            === Set(s"batch_id=${i - 1}", s"batch_id=$i"))
+          // file count in the folded partition = the plan's group count
+          assert(new java.io.File(s"$statePath/sigs/batch_id=${i - 1}")
+            .listFiles().count(_.getName.endsWith(".parquet")) === 1)
+        }
+      }
+      (statePath, outPairs)
+    }
+
+    val (_, controlPairs) = runPipeline("control", None)
+    val (stateB, compactedPairs) = runPipeline("compacted", Some(2))
+
+    def rows(path: String) = spark.read.parquet(path)
+      .select(col("batch_id").cast("long"), col("doc_a"), col("doc_b"),
+        col("jaccard_x1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // bit-identical incremental results, batch attribution included —
+    // and the final batch DID find the cross-tranche pair (1,5) against
+    // compacted prior signatures
+    assert(rows(compactedPairs) === rows(controlPairs))
+    assert(rows(compactedPairs).exists(r => r._2 == 1L && r._3 == 5L && r._1 == 3L))
+    // the compacted sig store still holds every signature row
+    assert(spark.read.parquet(s"$stateB/sigs").count()
+      === spark.read.parquet(s"$stateB/sigs").dropDuplicates().count())
+  }
+
+  test("compactStore recovery: a marked-but-uncommitted compaction is finished by the next call") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_compact_rec")
+      .resolve("store").toString
+    (0 to 2).foreach { i =>
+      Seq((i.toLong, s"v$i"), (i.toLong + 10, s"w$i")).toDF("k", "v")
+        .coalesce(1)
+        .withColumn("batch_id", lit(i))
+        .write.mode("append").partitionBy("batch_id").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+      .select("k", "v", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // stage EXACTLY as compactStore stages, then "crash" before commit:
+    // staged groups + _COMMIT marker present, store dirs untouched
+    val staging = s"$store/_compact_staging"
+    val files = Seq(0L, 1L)
+      .map(id => Layout.listFiles(spark, s"$store/batch_id=$id"))
+      .reduce(_ unionByName _)
+      .withColumn("dir", lit(store))
+    Layout.compact(spark, Layout.compactionPlan(files, 512L * 1024), staging)
+    val targetFiles = Layout.listFiles(spark, s"$store/batch_id=1")
+      .select("path").as[String].collect().sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_COMMIT"),
+      (Seq(s"TARGET $store/batch_id=1", s"SOURCE $store/batch_id=0") ++
+        targetFiles.map(p => s"SOURCEFILE $p"))
+        .mkString("\n").getBytes("UTF-8"))
+    assert(new java.io.File(s"$store/batch_id=0").exists())
+
+    // next call finishes the pending commit, then no-ops (gain guard)
+    assert(Streams.compactStore(spark, store, 512L * 1024).count() === 0)
+    val after = spark.read.parquet(store)
+      .select("k", "v", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before)
+    assert(!new java.io.File(s"$store/batch_id=0").exists())
+    assert(!new java.io.File(staging).exists())
+    assert(new java.io.File(s"$store/batch_id=1")
+      .listFiles().count(_.getName.endsWith(".parquet")) === 1)
+  }
+
   test("foreachBatch + minHashPairsBetween dedups an ingest stream against the base corpus") {
     // The daily-ingest near-dup shape run as a stream: each micro-batch
     // of arriving docs is paired against the STATIC accumulated corpus
