@@ -33,6 +33,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     throw new AnalysisException(
       "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), at.origin)
 
+  /** Foldable string argument of a table function (table/column names,
+    * column refs make no sense before the relation exists). */
+  private def foldString(fn: String, what: String, e: Expression): String =
+    (if (e.resolved) e.dataType else org.apache.spark.sql.types.NullType) match {
+      case org.apache.spark.sql.types.StringType if e.foldable =>
+        e.eval() match {
+          case null => analysisError(s"$fn: $what must not be NULL", e)
+          case v => v.toString
+        }
+      case _ => analysisError(
+        s"$fn: $what must be a foldable string literal, got ${e.sql}", e)
+    }
+
+  /** Foldable integral argument of a table function. */
+  private def foldLong(fn: String, what: String, e: Expression): Long =
+    (if (e.resolved) e.dataType else org.apache.spark.sql.types.NullType) match {
+      case ByteType | ShortType | IntegerType | LongType if e.foldable =>
+        e.eval() match {
+          case null => analysisError(s"$fn: $what must not be NULL", e)
+          case v: Byte => v.toLong
+          case v: Short => v.toLong
+          case v: Int => v.toLong
+          case v: Long => v
+          case v => analysisError(s"$fn: $what out of range: $v", e)
+        }
+      case _ => analysisError(
+        s"$fn: $what must be a foldable integer expression, got ${e.sql}", e)
+    }
+
+  /** Resolve a table-function's table-name argument against the ACTIVE
+    * session's catalog (temp views included) — the analyzer invoking
+    * the builder runs under that session. */
+  private def tableOf(fn: String, e: Expression): org.apache.spark.sql.DataFrame = {
+    val name = foldString(fn, "table name", e)
+    val spark = org.apache.spark.sql.SparkSession.active
+    try spark.table(name)
+    catch {
+      case _: AnalysisException =>
+        analysisError(s"$fn: table or view not found: $name", e)
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product_long"),
@@ -209,6 +251,94 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CaseWhen(
           Seq((GreaterThan(Multiply(s1, s1), n), Subtract(s1, Literal(1L)))),
           Some(s1))
+      }))
+
+    // ---- TABLE-VALUED operators: the top table-level operators as SQL
+    // `SELECT * FROM op('table', ...)` forms, so the engine is usable
+    // with no Scala at all. Each builder applies the SAME Scala
+    // operator to the named table and hands the analyzer the resulting
+    // logical plan — one definition, two surfaces, zero drift
+    // (SqlSurfaceSpec asserts SQL-vs-API plan-result equality). Table
+    // and column names must be foldable strings (they select the
+    // relation, so they cannot come FROM a relation).
+
+    ext.injectTableFunction((
+      FunctionIdentifier("near_dup_pairs"),
+      new ExpressionInfo(
+        graft.operators.NearDup.getClass.getName,
+        null,
+        "near_dup_pairs",
+        "near_dup_pairs(table[, id_col, text_col]) - confirmed MinHash near-duplicate " +
+          "pairs (doc_a, doc_b, jaccard_x1000) over the named table/view",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 3) analysisError(
+          s"near_dup_pairs takes 1 to 3 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val docs = tableOf("near_dup_pairs", exprs.head)
+        val idCol =
+          if (exprs.length > 1) foldString("near_dup_pairs", "id_col", exprs(1))
+          else "doc_id"
+        val textCol =
+          if (exprs.length > 2) foldString("near_dup_pairs", "text_col", exprs(2))
+          else "text"
+        graft.operators.NearDup.minHashPairs(docs, idCol, textCol)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("session_stats"),
+      new ExpressionInfo(
+        graft.operators.Sessions.getClass.getName,
+        null,
+        "session_stats",
+        "session_stats(table[, gap_micros, user_col, ts_col, tie_col]) - gap-" +
+          "sessionized per-session rollup (user, session_seq, n_events, t_start, t_end)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 5) analysisError(
+          s"session_stats takes 1 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val events = tableOf("session_stats", exprs.head)
+        val gap =
+          if (exprs.length > 1) foldLong("session_stats", "gap_micros", exprs(1))
+          else graft.operators.Sessions.DefaultGapMicros
+        if (gap < 1) analysisError(
+          s"session_stats: gap_micros must be >= 1, got $gap", exprs(1))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("session_stats", what, exprs(i))
+          else default
+        graft.operators.Sessions.sessionStats(events, gap,
+          strArg(2, "user_col", "user_id"), strArg(3, "ts_col", "ts"),
+          strArg(4, "tie_col", "event_id"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("sample_weighted"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "sample_weighted",
+        "sample_weighted(table, k[, id_col, weight_col]) - deterministic weighted " +
+          "top-k sample (integer priority sampling; replayable bit-for-bit)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 4) analysisError(
+          s"sample_weighted takes 2 to 4 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val df = tableOf("sample_weighted", exprs.head)
+        val k = foldLong("sample_weighted", "k", exprs(1))
+        if (k < 1 || k > Int.MaxValue) analysisError(
+          s"sample_weighted: k must be in [1, ${Int.MaxValue}], got $k", exprs(1))
+        val idCol =
+          if (exprs.length > 2) foldString("sample_weighted", "id_col", exprs(2))
+          else "doc_id"
+        val weightCol =
+          if (exprs.length > 3) foldString("sample_weighted", "weight_col", exprs(3))
+          else "n_chars"
+        graft.operators.Curation.sampleWeighted(df, k.toInt, idCol, weightCol)
+          .queryExecution.logical
       }))
   }
 }

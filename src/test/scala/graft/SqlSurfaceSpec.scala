@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, NearDup, Sessions}
+
+/** SQL-vs-API equivalence for the TABLE-VALUED operator surface
+  * (GraftExtensions.injectTableFunction): the engine's top table-level
+  * operators driven from plain SQL must return exactly the Scala API's
+  * rows — one operator definition behind both surfaces.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  private lazy val s2: SparkSession = {
+    val base = spark // force init of the shared session/context first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+    SparkEntry.normalizeEventTs(
+      s.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .createOrReplaceTempView("events")
+    s
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("near_dup_pairs('docs') equals NearDup.minHashPairs") {
+    val viaSql = s2.sql("SELECT * FROM near_dup_pairs('docs')")
+    val viaApi = NearDup.minHashPairs(s2.table("docs"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // composes like any relation: projection + predicate over the TVF
+    val filtered = s2.sql(
+      "SELECT doc_a, doc_b FROM near_dup_pairs('docs') WHERE jaccard_x1000 >= 900")
+    assert(rows(filtered) ===
+      rows(viaApi.where(col("jaccard_x1000") >= 900).select("doc_a", "doc_b")))
+  }
+
+  test("session_stats('events', gap) equals Sessions.sessionStats") {
+    val gap = 3600L * 1000000
+    val viaSql = s2.sql(s"SELECT * FROM session_stats('events', $gap)")
+    val viaApi = Sessions.sessionStats(s2.table("events"), gap)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    // defaulted gap too (DefaultGapMicros behind both surfaces)
+    assert(rows(s2.sql("SELECT * FROM session_stats('events')"))
+      === rows(Sessions.sessionStats(s2.table("events"))))
+  }
+
+  test("sample_weighted('docs', k) equals Curation.sampleWeighted") {
+    val viaSql = s2.sql(
+      "SELECT * FROM sample_weighted('docs', 25, 'doc_id', 'n_chars')")
+    val viaApi = Curation.sampleWeighted(s2.table("docs"), 25)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() === 25)
+  }
+
+  test("table-function argument errors fail analysis with positions") {
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
+    }
+    assert(missing.getMessage.contains("no_such_table"), missing.getMessage)
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM sample_weighted('docs', 'five')").collect()
+    }
+    assert(nonLiteral.getMessage.contains("foldable integer"), nonLiteral.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM sample_weighted('docs', 0)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM session_stats('events', -1)").collect()
+    }
+  }
+}
