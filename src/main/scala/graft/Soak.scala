@@ -97,7 +97,7 @@ object Soak {
       // paths feeding them (knn buckets, wedge equijoin, banding,
       // star-contraction) didn't go quadratic — and that round counts
       // and executor memory survive 10×.
-      q == "multimodal_phash" || q == "dedup_clusters") &&
+      q.startsWith("multimodal_phash") || q == "dedup_clusters") &&
       // the exact 64-bit pigeonhole mode is DOCUMENTED quadratic
       // (16 values per 4-bit band ⇒ ~64 % of all pairs collide) — it
       // exists as the small-corpus correctness oracle, and at 10× the

@@ -1086,6 +1086,73 @@ object SparkEntry {
     * sign of Σ ±1 by bit (j mod 60) of word (j div 60), band value =
     * band's bit range re-packed, candidates = band equijoin, then the
     * standard exact-Jaccard confirm. */
+  /** DuckDB oracle for the perceptual-hash modes, parameterized over
+    * the blockhash geometry so the 64-bit exact mode and the 256-bit
+    * corpus-scale mode share one generator (constants drift-proof
+    * against the Scala dials): full integer signature on both sample
+    * grids, band-pair candidates (HAVING count(*) >= 2 ⇔ the Spark
+    * side's minSharedBands = 2 pair keys), dual-grid Hamming confirm. */
+  private def phashSql(blocks: Int, bands: Int, maxHamming: Int): String = {
+    val bandBits = blocks / bands
+    s"""WITH b0 AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+       |b AS (
+       |  SELECT doc_id, hx, length(hx) // 2 AS len FROM b0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |         substring(hx, 1, 20) || '00' || substring(hx, 23) AS hx,
+       |         length(substring(hx, 1, 20) || '00' || substring(hx, 23)) // 2 AS len
+       |  FROM b0 WHERE doc_id % 101 = 0),
+       |v AS (
+       |  SELECT doc_id, k.k,
+       |         list_transform(range($blocks), i ->
+       |           coalesce(TRY_CAST(('0x' || substring(hx,
+       |             CAST((CASE WHEN k.k = 0
+       |                   THEN (len * i) // $blocks
+       |                   ELSE (len * (2 * i + 1)) // ${2 * blocks}
+       |                   END) * 2 + 1 AS BIGINT),
+       |             ${Multimodal.PHashSampleBytes * 2})) AS BIGINT), 0)) AS vs
+       |  FROM b, range(2) k(k)),
+       |f AS (
+       |  SELECT doc_id, k,
+       |         list_transform(vs, x -> ${(0 until Multimodal.PHashSampleBytes)
+                  .map(b => s"((x >> ${8 * b}) & 255)").mkString(" + ")}) AS feats
+       |  FROM v),
+       |m AS (
+       |  SELECT doc_id, k, feats,
+       |         list_sort(feats)[${blocks / 2}]
+       |           + list_sort(feats)[${blocks / 2 + 1}] AS med2
+       |  FROM f),
+       |bits AS (
+       |  SELECT doc_id, k, j.j,
+       |         CASE WHEN feats[j.j + 1] * 2 > med2 THEN 1 ELSE 0 END AS b
+       |  FROM m, range($blocks) j(j)),
+       |bands AS (
+       |  SELECT doc_id, j // $bandBits AS bi,
+       |         CAST(sum(b << (j % $bandBits)) AS BIGINT) AS bv
+       |  FROM bits WHERE k = 0 GROUP BY 1, 2),
+       |cand AS (
+       |  -- minSharedBands = 2: a candidate agrees on >= 2 bands
+       |  -- (equivalent to the Spark side's band-PAIR join keys)
+       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
+       |    AND a.doc_id < c.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ham AS (
+       |  SELECT cd.doc_a, cd.doc_b,
+       |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS hamming_dist,
+       |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 1 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS ham_m
+       |  FROM cand cd
+       |  JOIN bits ba ON ba.doc_id = cd.doc_a
+       |  JOIN bits bb ON bb.doc_id = cd.doc_b AND bb.j = ba.j AND bb.k = ba.k
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming_dist
+       |FROM ham WHERE hamming_dist <= $maxHamming
+       |  AND ham_m <= $maxHamming""".stripMargin
+  }
+
   private def simhashScaledSql: String = {
     val n = NearDup.ShingleN
     val t = NearDup.ThresholdMilli
@@ -1094,8 +1161,13 @@ object SparkEntry {
     val bandBits = ScaledSimHashBandBits
     val wordBits = 60
     val hashWords = (width + wordBits - 1) / wordBits
+    // digest selection mirrors NearDup.Sha256Family word-for-word:
+    // words 0-3 slice sha256(s); word w >= 4 slices sha256(s || '#d')
+    // (engaged only above 240-bit widths, i.e. corpora past ~4k docs)
     val hwCols = (0 until hashWords).map { w =>
-      s"CAST(CAST(('0x' || substring(sha256(s), ${w * 15 + 1}, 15)) AS UBIGINT) AS BIGINT) AS h$w"
+      val digest =
+        if (w < 4) "sha256(s)" else s"sha256(s || '#${w / 4}')"
+      s"CAST(CAST(('0x' || substring($digest, ${w % 4 * 15 + 1}, 15)) AS UBIGINT) AS BIGINT) AS h$w"
     }.mkString(",\n       |         ")
     val wordCase = (0 until hashWords - 1).map(w => s"WHEN $w THEN h$w").mkString(" ")
     s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
@@ -1735,11 +1807,13 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       // band entropy from the LIVE corpus count (== ScaledSimHashWidth
       // at the verify corpus): collisions between unrelated docs stay
-      // O(n) as the corpus grows instead of n²/2^frozen-bits. Band
-      // bits cap at the sha256 family's width budget (240/16 = 15,
-      // reached near 4k docs) — past that, unrelated-pair collisions
-      // grow as n²/2^15 per band; a wider family (2 digests) is the
-      // next dial when a deployment outgrows it.
+      // O(n) as the corpus grows instead of n²/2^frozen-bits. The
+      // sha256 family sources extra digests past 240 bits (word w >= 4
+      // slices sha256(s || '#d')), so band bits track the corpus to
+      // the 60-bit join-key ceiling (~2^57 docs) — the 100x soak is
+      // what showed the old 15-bit single-digest cap saturating
+      // (1202x candidate growth at 50k docs; 19 live bits brings the
+      // cross-replica noise floor back under the linear envelope).
       val bits = math.min(
         NearDup.simHashBandBitsFor(docs.count()),
         NearDup.Sha256Family.maxWidthBits / ScaledSimHashBands)
@@ -2064,6 +2138,24 @@ object SparkEntry {
         .select((col("doc_id") + 10000000L).as("doc_id"),
           overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
       Multimodal.pHashPairs(base.unionByName(twins))
+    }),
+
+    // Corpus-SCALE perceptual near-dup — same synthesized payloads,
+    // 256-block signature (16 bands × 16 bits, band-PAIR keys span 32
+    // bits): the 64-bit mode above is pigeonhole-exact but its 16-bit
+    // pair keys saturate in the corpus's second decade (the 100× soak
+    // measured 576× candidate growth at 50k payloads — n²·C(8,2)/2¹⁶
+    // arithmetic, not a plan defect); this is the mode a growing
+    // deployment runs, in exactly the relation neardup_simhash_scaled
+    // has to neardup_simhash. Oracle replicates the full 256-bit
+    // signature + band-pair candidates + dual-grid confirm.
+    "multimodal_phash_scaled" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val twins = base.where(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+      Multimodal.pHashPairsScaled(base.unionByName(twins))
     }),
 
     // Audio sibling of multimodal_decode: synthesize valid RIFF/WAVE
@@ -3647,64 +3739,12 @@ object SparkEntry {
     // signatures, squaring the fixed random-collision rate that made
     // single-signature output quadratic in corpus size (the 10× soak
     // finding).
-    "multimodal_phash" ->
-      s"""WITH b0 AS (
-         |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
-         |b AS (
-         |  SELECT doc_id, hx, length(hx) // 2 AS len FROM b0
-         |  UNION ALL
-         |  SELECT doc_id + 10000000,
-         |         substring(hx, 1, 20) || '00' || substring(hx, 23) AS hx,
-         |         length(substring(hx, 1, 20) || '00' || substring(hx, 23)) // 2 AS len
-         |  FROM b0 WHERE doc_id % 101 = 0),
-         |v AS (
-         |  SELECT doc_id, k.k,
-         |         list_transform(range(${Multimodal.PHashBlocks}), i ->
-         |           coalesce(TRY_CAST(('0x' || substring(hx,
-         |             CAST((CASE WHEN k.k = 0
-         |                   THEN (len * i) // ${Multimodal.PHashBlocks}
-         |                   ELSE (len * (2 * i + 1)) // ${2 * Multimodal.PHashBlocks}
-         |                   END) * 2 + 1 AS BIGINT),
-         |             ${Multimodal.PHashSampleBytes * 2})) AS BIGINT), 0)) AS vs
-         |  FROM b, range(2) k(k)),
-         |f AS (
-         |  SELECT doc_id, k,
-         |         list_transform(vs, x -> ${(0 until Multimodal.PHashSampleBytes)
-                    .map(b => s"((x >> ${8 * b}) & 255)").mkString(" + ")}) AS feats
-         |  FROM v),
-         |m AS (
-         |  SELECT doc_id, k, feats,
-         |         list_sort(feats)[${Multimodal.PHashBlocks / 2}]
-         |           + list_sort(feats)[${Multimodal.PHashBlocks / 2 + 1}] AS med2
-         |  FROM f),
-         |bits AS (
-         |  SELECT doc_id, k, j.j,
-         |         CASE WHEN feats[j.j + 1] * 2 > med2 THEN 1 ELSE 0 END AS b
-         |  FROM m, range(${Multimodal.PHashBlocks}) j(j)),
-         |bands AS (
-         |  SELECT doc_id, j // ${64 / Multimodal.PHashBands} AS bi,
-         |         CAST(sum(b << (j % ${64 / Multimodal.PHashBands})) AS BIGINT) AS bv
-         |  FROM bits WHERE k = 0 GROUP BY 1, 2),
-         |cand AS (
-         |  -- minSharedBands = 2: a candidate agrees on >= 2 bands
-         |  -- (equivalent to the Spark side's band-PAIR join keys)
-         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
-         |    AND a.doc_id < c.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |ham AS (
-         |  SELECT cd.doc_a, cd.doc_b,
-         |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 0 THEN 1 ELSE 0 END)
-         |           AS BIGINT) AS hamming_dist,
-         |         CAST(sum(CASE WHEN ba.b <> bb.b AND ba.k = 1 THEN 1 ELSE 0 END)
-         |           AS BIGINT) AS ham_m
-         |  FROM cand cd
-         |  JOIN bits ba ON ba.doc_id = cd.doc_a
-         |  JOIN bits bb ON bb.doc_id = cd.doc_b AND bb.j = ba.j AND bb.k = ba.k
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, hamming_dist
-         |FROM ham WHERE hamming_dist <= ${Multimodal.PHashMaxHamming}
-         |  AND ham_m <= ${Multimodal.PHashMaxHamming}""".stripMargin,
+    "multimodal_phash" -> phashSql(
+      Multimodal.PHashBlocks, Multimodal.PHashBands, Multimodal.PHashMaxHamming),
+
+    "multimodal_phash_scaled" -> phashSql(
+      Multimodal.PHashScaledBlocks, Multimodal.PHashScaledBands,
+      Multimodal.PHashScaledMaxHamming),
 
     // multimodal_wav: parse∘construct = id — the payloads are built
     // FROM these doc_id-derived fields, so the oracle emits them

@@ -543,6 +543,26 @@ object Multimodal {
   val PHashBands = 8
   val PHashMaxHamming = 6
 
+  /** Corpus-scale blockhash dials — the wider sibling of the 64-bit
+    * mode, in exactly the relation `neardup_simhash_scaled` has to
+    * `neardup_simhash`: the 64-bit signature's band-PAIR keys span
+    * 2·8 = 16 bits, so however good the hash, unrelated-pair
+    * collisions grow as n²·C(8,2)/2¹⁶ — invisible at the fixture,
+    * measured at 576× the linear envelope by the 100× soak (52 395
+    * candidate rows for 50k payloads). 256 blocks give a 256-bit
+    * signature in 16 bands × 16 bits; band-pair keys then span 32
+    * bits (C(16,2) = 120 keys over 4.3·10⁹ values), pushing the
+    * random-collision floor to ~n²·120/2³² — ~35 rows at 50k
+    * payloads, ~10⁶ at 10M. Pigeonhole exactness holds for Hamming
+    * ≤ 14 (≤ 14 differing bits touch ≤ 14 of 16 bands, leaving an
+    * intact pair); 14/256 is a TIGHTER relative cutoff than the
+    * 64-bit mode's 6/64 — the scaled mode trades cutoff headroom for
+    * key entropy, which is the right trade when the corpus is the
+    * thing growing. */
+  val PHashScaledBlocks = 256
+  val PHashScaledBands = 16
+  val PHashScaledMaxHamming = 14
+
   /** The 64 block features of [[pHash64]] as an array column —
     * exposed separately so callers materialize it ONCE before both
     * the sort and the per-bit comparisons consume it.
@@ -553,11 +573,14 @@ object Multimodal {
     * round trip, O(row) generated code). [[pHashFeaturesComposed]]
     * keeps the original conv-over-hex formulation as the
     * equivalence-spec reference. */
-  def pHashFeatures(bin: Column, midpoint: Boolean = false): Column =
+  def pHashFeatures(
+      bin: Column,
+      midpoint: Boolean = false,
+      blocks: Int = PHashBlocks): Column =
     org.apache.spark.sql.graft.ColumnAdapter.column(
       graft.expressions.PHashFeatureSums(
         org.apache.spark.sql.graft.ColumnAdapter.expression(bin),
-        midpoint, PHashBlocks, PHashSampleBytes))
+        midpoint, blocks, PHashSampleBytes))
 
   /** The composed (hex + conv + shift-and-mask) form of
     * [[pHashFeatures]] — the cross-engine reference formula the DuckDB
@@ -744,6 +767,86 @@ object Multimodal {
       .distinct()
     val m = sigs.select(col(idCol), col("__sigm"))
     confirmMidpoint(prim, m, m, idCol, maxHamming)
+  }
+
+  /** [[pHash64]] generalized to any block count: the blockhash bit
+    * rule (bit i = block i's sum strictly above 2× the lower median)
+    * packed into ⌈blocks/64⌉ longs — the multi-word signature shape
+    * [[graft.operators.NearDup.bandedHammingPairs]] consumes. Word 0
+    * of `blocks = 64` is bit-identical to [[pHash64]]. */
+  def pHashWords(feats: Column, blocks: Int): Seq[Column] = {
+    require(blocks >= 2, s"blocks must be >= 2, got $blocks")
+    val sorted = array_sort(feats)
+    val med2 = element_at(sorted, blocks / 2) +
+      element_at(sorted, blocks / 2 + 1)
+    (0 until (blocks + 63) / 64).map { w =>
+      (0 until math.min(64, blocks - 64 * w)).map { j =>
+        when(element_at(feats, 64 * w + j + 1) * 2 > med2, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+  }
+
+  /** Wide dual-grid signature table `(idCol, __sig0.., __sigm0..)` —
+    * the `blocks`-block form of [[pHashSignatures]]. Narrow,
+    * zero-shuffle; the two feature arrays are materialized once each
+    * before the word packing consumes them. */
+  def pHashSignaturesWide(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      blocks: Int = PHashScaledBlocks): DataFrame = {
+    val sigW = pHashWords(col("__feats"), blocks)
+    val sigM = pHashWords(col("__featsm"), blocks)
+    df.select(col(idCol),
+        pHashFeatures(col(binCol), midpoint = false, blocks).as("__feats"),
+        pHashFeatures(col(binCol), midpoint = true, blocks).as("__featsm"))
+      .select(col(idCol) +:
+        (sigW.zipWithIndex.map { case (c, w) => c.as(s"__sig$w") } ++
+          sigM.zipWithIndex.map { case (c, w) => c.as(s"__sigm$w") }): _*)
+  }
+
+  /** Corpus-SCALE perceptual near-dup — [[pHashPairs]]' wider sibling
+    * (see [[PHashScaledBlocks]] for why the 64-bit mode's 16-bit
+    * band-pair keys saturate in the corpus's second decade of
+    * growth): the same banded-band-PAIR candidate stage and
+    * dual-grid confirm over a 256-bit blockhash signature, so the
+    * candidate join keys span 32 bits and the random-collision floor
+    * drops ~2¹⁶×. Pigeonhole-exact at Hamming ≤ `maxHamming` on the
+    * primary grid (bands − maxHamming ≥ 2), midpoint-grid cutoff
+    * equal, `hamming_dist` = the primary distance — the same output
+    * contract as the 64-bit mode at its own cutoff. */
+  def pHashPairsScaled(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      blocks: Int = PHashScaledBlocks,
+      bands: Int = PHashScaledBands,
+      maxHamming: Int = PHashScaledMaxHamming): DataFrame = {
+    require(bands - maxHamming >= 2,
+      s"pHash pairing is exact only when bands - maxHamming >= 2 " +
+        s"(band-pair candidates); got bands=$bands, maxHamming=$maxHamming")
+    val words = (blocks + 63) / 64
+    // same materialize-once seam as pHashPairs: one exchange of
+    // 2·words longs per payload feeds the band join's sides and both
+    // midpoint joins
+    val sigs = pHashSignaturesWide(df, idCol, binCol, blocks)
+      .repartition(col(idCol))
+    val prim = NearDup.bandedHammingPairs(
+      sigs.select(col(idCol) +: (0 until words).map(w => col(s"__sig$w")): _*),
+      idCol, widthBits = blocks, bands = bands, hammingMax = maxHamming,
+      minSharedBands = 2)
+      .distinct()
+    val hamM = (0 until words)
+      .map(w => bit_count(col(s"__ma$w").bitwiseXOR(col(s"__mb$w"))))
+      .reduce(_ + _)
+    prim
+      .join(sigs.select(col(idCol).as("doc_a") +:
+        (0 until words).map(w => col(s"__sigm$w").as(s"__ma$w")): _*), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b") +:
+        (0 until words).map(w => col(s"__sigm$w").as(s"__mb$w")): _*), "doc_b")
+      .where(hamM <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming_dist"))
   }
 
   /** Full metadata projection over a binary column: one narrow,

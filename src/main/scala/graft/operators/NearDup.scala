@@ -450,19 +450,34 @@ object NearDup {
     word = (w, s) => if (w == 0) xxhash64(s) else xxhash64(lit(w), s))
 
   /** Cross-engine-REPLICABLE hash family: hash word w is 15 hex chars
-    * (60 bits) of sha256(shingle), via `conv(hex, 16, 10)` — sha256 of
+    * (60 bits) of a sha256 digest, via `conv(hex, 16, 10)` — sha256 of
     * a UTF-8 string is identical in every engine (DuckDB included),
     * unlike xxhash64, so a differential oracle can replicate the FULL
     * banded candidate generation, not just confirmed ground truth.
     * That is what makes a probabilistic scale configuration
-    * hash-testable end-to-end. 64 hex chars ⇒ width ≤ 240 bits.
-    * Slower than xxhash64 (crypto hash + string conv) but the
-    * signature pass runs once per (doc, shingle), not per pair. */
+    * hash-testable end-to-end.
+    *
+    * Words 0–3 slice `sha256(s)` (64 hex chars = 4 full 15-hex words —
+    * byte-identical to the original single-digest family, so every
+    * existing oracle and candidate set is unchanged); word w ≥ 4
+    * slices digest `sha256(s || '#' || (w div 4))` — one extra digest
+    * per 4 words, engaged only when the requested width exceeds 240
+    * bits. That is the band-entropy headroom `simHashBandBitsFor`
+    * needs above ~4k docs (ceil(log2 n)+3 > 15): 16 bands keep their
+    * one-band-per-key exactness while band bits grow with the corpus
+    * up to the 60-bit join-key ceiling (width 960 ⇔ ~2^57 docs).
+    * Sub-expression elimination shares each digest across its four
+    * word slices; the signature pass runs once per (doc, shingle),
+    * not per pair. */
   val Sha256Family: SimHashFamily = SimHashFamily(
     wordBits = 60,
-    word = (w, s) =>
-      conv(substring(sha2(s, 256), w * 15 + 1, 15), 16, 10).cast("long"),
-    maxWidthBits = 240) // 64 hex chars ⇒ 4 full 15-hex (60-bit) words
+    word = (w, s) => {
+      val digest =
+        if (w < 4) sha2(s, 256)
+        else sha2(concat(s, lit("#" + (w / 4))), 256)
+      conv(substring(digest, (w % 4) * 15 + 1, 15), 16, 10).cast("long")
+    },
+    maxWidthBits = 960) // 16 digests × 4 words; bandBits caps at 60 anyway
 
   /** SimHash of the doc's shingle-hash set, `widthBits` wide: logical
     * bit j is the sign of Σ over shingles of ±1 by bit (j mod

@@ -169,6 +169,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.pHashPairs(df).count() === 0L)
   }
 
+  test("pHashWords(64) word 0 is bit-identical to pHash64") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, blockPayload(i => i >= 33)),
+      (2L, blockPayload(i => i % 3 == 0)),
+      (3L, "an ordinary short text payload".getBytes("UTF-8")),
+      (4L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val feats = Multimodal.pHashFeatures(col("payload"))
+    val both = df.select(
+      Multimodal.pHash64(feats).as("v64"),
+      Multimodal.pHashWords(feats, 64).head.as("vw"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("pHashPairsScaled finds byte-edit twins and rejects pigeonhole-breaking dials") {
+    import spark.implicits._
+    // the same planted-pair setup as the 64-bit test — the 256-block
+    // mode must keep the recall (one zeroed 32-byte block flips few
+    // blocks on the finer grid too) and keep c unpaired
+    val a = blockPayload(i => i >= 33)
+    val b = blockPayload(i => i >= 33 && i != 40)
+    val c = blockPayload(i => i < 31)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
+    val pairs = Multimodal.pHashPairsScaled(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.pHashPairsScaled(df, maxHamming = 15)
+    }
+  }
+
   test("pHash64 is deterministic and edge-safe on tiny/empty payloads") {
     import spark.implicits._
     val df = Seq((1L, Array.empty[Byte]), (2L, Array[Byte](7, 7)),
