@@ -1099,7 +1099,7 @@ object SparkEntry {
        |b AS (
        |  SELECT doc_id, hx, length(hx) // 2 AS len FROM b0
        |  UNION ALL
-       |  SELECT doc_id + 10000000,
+       |  SELECT -doc_id - 1,
        |         substring(hx, 1, 20) || '00' || substring(hx, 23) AS hx,
        |         length(substring(hx, 1, 20) || '00' || substring(hx, 23)) // 2 AS len
        |  FROM b0 WHERE doc_id % 101 = 0),
@@ -2134,8 +2134,12 @@ object SparkEntry {
     "multimodal_phash" -> ((s, dir) => {
       val base = T(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // twin ids are NEGATIVE (-id-1): disjoint from every real id at
+      // any soak scale (replica offsets are positive multiples of
+      // Soak.IdOffset — a +10^7 twin offset would collide with replica
+      // r+1's ids and conflate payloads under the candidate gate)
       val twins = base.where(col("doc_id") % 101 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
       Multimodal.pHashPairs(base.unionByName(twins))
     }),
@@ -2153,7 +2157,7 @@ object SparkEntry {
       val base = T(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       val twins = base.where(col("doc_id") % 101 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"), // negative: see above
           overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
       Multimodal.pHashPairsScaled(base.unionByName(twins))
     }),
@@ -2896,7 +2900,8 @@ object SparkEntry {
     // and top cross-label (hard-negative) k-NN neighbor — two tiny
     // label joins over the bucketed graph, one max_by hash-agg.
     "emb_contrastive" -> ((s, dir) =>
-      Embeddings.contrastivePairs(T(s, dir, "embeddings"), k = KnnGraphK)),
+      Embeddings.contrastivePairs(T(s, dir, "embeddings"), k = KnnGraphK,
+        planes = batteryKnnPlanes(s, dir))),
 
     // Unigram-LM cross-entropy scoring (the CCNet-style perplexity
     // filter) in exact integer bits: tf hash-agg → Zipf-bounded model

@@ -173,17 +173,26 @@ object ChunkedTextSource {
       n.startsWith("_") || n.startsWith(".")
     }
     dirs.flatMap { d =>
-      val root = new org.apache.hadoop.fs.Path(d)
-      val fs = root.getFileSystem(conf)
+      val rawRoot = new org.apache.hadoop.fs.Path(d)
+      val fs = rawRoot.getFileSystem(conf)
+      // Qualify the root so the ancestor walk's termination compares
+      // like with like: listed paths come back scheme-qualified
+      // ("file:/data/x"), and an unqualified root string would never
+      // match — the walk would run past the root and a hidden
+      // component ABOVE it (…/_staging/corpus as the root itself)
+      // would silently drop every file.
+      val root = fs.makeQualified(rawRoot)
       val out = Seq.newBuilder[String]
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
         val p = st.getPath
         // listFiles recurses through hidden dirs itself; re-check every
-        // path component under the root
+        // path component STRICTLY BELOW the root (the root dir and its
+        // ancestors were named by the caller — a hidden component there
+        // is intentional, same as spark.read.text on that path)
         val underHidden = Iterator.iterate(p)(_.getParent)
-          .takeWhile(q => q != null && q.toString != root.toString)
+          .takeWhile(q => q != null && q != root)
           .exists(hidden)
         if (st.isFile && !underHidden && filter.accept(p)) out += p.toString
       }

@@ -261,13 +261,19 @@ object Streams {
     *     is deleted on the next call.
     *  2. MARK: write `_compact_staging/_COMMIT` naming the target
     *     partition, the source partitions, and the keep files (files
-    *     already ≥ `targetBytes`, moved not rewritten). The marker is
-    *     the commit point.
+    *     already ≥ `targetBytes`, moved not rewritten) — written to a
+    *     tmp name, closed, then renamed into place, with a trailing
+    *     `END` sentinel. A complete marker is the commit point; an
+    *     END-less one means MARK was interrupted and the next call
+    *     restages from scratch.
     *  3. COMMIT (replayable from the marker): move keep files into
     *     staging, delete source partitions, move every staged file
     *     into the target partition, drop staging. A crash anywhere
     *     here is finished idempotently by the next call (moves skip
-    *     already-moved files; deletes are no-ops on missing dirs).
+    *     already-moved files; deletes are no-ops on missing dirs), and
+    *     every move/delete is CHECKED — a false return aborts with the
+    *     marker intact rather than letting a later delete erase bytes
+    *     a failed rename never moved.
     *
     * Single-writer contract: run BETWEEN tranches, never concurrently
     * with an ingest or a reader — a plain parquet store has no
@@ -298,8 +304,19 @@ object Streams {
     def emptyManifest =
       Seq.empty[(String, Long, Long)].toDF("group_id", "out_files", "out_bytes")
 
+    // Loud-failure FS primitives: a false return from rename/delete
+    // (object-store transient, permission races) must STOP the commit
+    // with the marker still in place — the next call replays it — not
+    // fall through to a later step that deletes the un-moved bytes.
+    def renameOrDie(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"compactStore: rename failed: $src -> $dst")
+    def deleteOrDie(p: Path, recursive: Boolean): Unit =
+      require(fs.delete(p, recursive) || !fs.exists(p),
+        s"compactStore: delete failed: $p")
+
     // the commit runbook — executed after MARK, and re-executed
-    // verbatim by the next call if a crash interrupted it
+    // verbatim by the next call if a crash interrupted it. Every step
+    // is checked: a failed move/delete aborts with the marker intact.
     def runCommit(): Unit = {
       val in = fs.open(marker)
       val txt = try {
@@ -308,6 +325,8 @@ object Streams {
         buf.toString("UTF-8")
       } finally in.close()
       val lines = txt.split("\n").toSeq
+      require(lines.lastOption.contains("END"),
+        s"compactStore: corrupt commit marker (no END sentinel): $marker")
       def tagged(tag: String) =
         lines.filter(_.startsWith(tag + " ")).map(_.stripPrefix(tag + " "))
       val target = new Path(tagged("TARGET").head)
@@ -317,7 +336,7 @@ object Streams {
       keeps.zipWithIndex.foreach { case (p, i) =>
         val src = new Path(p)
         if (fs.exists(src))
-          fs.rename(src, new Path(keepDir, f"k$i%05d-${src.getName}"))
+          renameOrDie(src, new Path(keepDir, f"k$i%05d-${src.getName}"))
       }
       // non-target source partitions go wholesale; the TARGET dir's
       // original files are deleted by explicit path — a replay after a
@@ -326,11 +345,11 @@ object Streams {
       // keep moved names disjoint from original part- names)
       tagged("SOURCE").foreach { p =>
         val d = new Path(p)
-        if (fs.exists(d)) fs.delete(d, true)
+        if (fs.exists(d)) deleteOrDie(d, recursive = true)
       }
       tagged("SOURCEFILE").foreach { p =>
         val f = new Path(p)
-        if (fs.exists(f)) fs.delete(f, false)
+        if (fs.exists(f)) deleteOrDie(f, recursive = false)
       }
       if (!fs.exists(target)) fs.mkdirs(target)
       val staged = {
@@ -344,13 +363,25 @@ object Streams {
         out.result().sortBy(_.toString)
       }
       staged.zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f, new Path(target, f"c$i%05d-${f.getName}"))
+        renameOrDie(f, new Path(target, f"c$i%05d-${f.getName}"))
       }
       fs.delete(staging, true)
     }
 
-    // recovery from a previous interrupted run
-    if (fs.exists(marker)) runCommit()
+    // Recovery from a previous interrupted run. A marker WITHOUT the
+    // END sentinel means MARK itself was interrupted — the commit
+    // never started (runCommit refuses END-less markers), the store is
+    // untouched, and staging is pure addition: drop it and restage.
+    def markerCommitted: Boolean = {
+      val in = fs.open(marker)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      txt.split("\n").lastOption.contains("END")
+    }
+    if (fs.exists(marker) && markerCommitted) runCommit()
     else if (fs.exists(staging)) fs.delete(staging, true)
 
     val ids =
@@ -380,13 +411,20 @@ object Streams {
       val targetDir = s"$storePath/batch_id=${eligible.last}"
       val targetFiles = Layout.listFiles(spark, targetDir)
         .select("path").as[String].collect().sorted
+      // MARK atomically: write the runbook to a tmp file, close, then
+      // rename onto the marker name — a crash mid-write leaves only
+      // the tmp (recovery sees no committed marker and restages); the
+      // trailing END sentinel guards stores whose rename can surface a
+      // partially-copied object.
       val markerTxt =
-        (s"TARGET $targetDir" +:
+        ((s"TARGET $targetDir" +:
           (eligible.init.map(id => s"SOURCE $storePath/batch_id=$id") ++
             targetFiles.map(p => s"SOURCEFILE $p") ++
-            keeps.map(p => s"KEEP $p"))).mkString("\n")
-      val out = fs.create(marker, false)
+            keeps.map(p => s"KEEP $p"))) :+ "END").mkString("\n")
+      val markerTmp = new Path(staging, "_COMMIT.tmp")
+      val out = fs.create(markerTmp, true)
       try out.write(markerTxt.getBytes("UTF-8")) finally out.close()
+      renameOrDie(markerTmp, marker)
       runCommit()
       manifest
     } finally plan.unpersist()

@@ -35,8 +35,14 @@ class DialParitySpec extends AnyFunSuite {
   }
 
   test("SimHash band bits at the verify corpus equal simhashScaledSql's width") {
-    assert(SparkEntry.ScaledSimHashBands * NearDup.simHashBandBitsFor(SparkEntry.VerifyDocCorpus)
-      === SparkEntry.ScaledSimHashWidth)
+    // ScaledSimHashWidth is DEFINED as bands * simHashBandBitsFor(500),
+    // so asserting the product against it would be a tautology — pin
+    // the literal values the oracle SQL actually interpolates instead,
+    // so a drift in either the helper or the bands constant fails here
+    // with a named dial.
+    assert(NearDup.simHashBandBitsFor(SparkEntry.VerifyDocCorpus) === 12)
+    assert(SparkEntry.ScaledSimHashBands === 16)
+    assert(SparkEntry.ScaledSimHashWidth === 192)
   }
 
   test("the dials actually TURN as the corpus grows (the 100 TB premise)") {

@@ -137,6 +137,25 @@ class GoldenCorpusSpec extends SparkSpecBase {
     } finally lines.unpersist()
   }
 
+  test("sources: chunked scan under a hidden-prefixed ANCESTOR still lists; hidden children skipped") {
+    // The hidden-dir skip must apply STRICTLY BELOW the root: a root
+    // whose own path contains a '_'/'.' component (…/_staging/corpus)
+    // was named deliberately by the caller. Before qualifying the root
+    // for the ancestor walk, the unqualified-vs-qualified string
+    // mismatch made the walk run past the root and silently drop
+    // every file of such a root.
+    val base = Files.createTempDirectory("graft_hidden")
+    val root = base.resolve("_staging").resolve("corpus")
+    Files.createDirectories(root)
+    Files.write(root.resolve("a.txt"), "alpha beta\n".getBytes("UTF-8"))
+    val hiddenChild = root.resolve("_tmp")
+    Files.createDirectories(hiddenChild)
+    Files.write(hiddenChild.resolve("b.txt"), "skipped\n".getBytes("UTF-8"))
+    val lines = ChunkedTextSource(Seq(root.toString)).load(spark)
+    assert(lines.count() === 1L)
+    assert(lines.select("line").collect().head.getString(0) === "alpha beta")
+  }
+
   test("wordstats: fromLines over the splittable scan equals the wholetext pipeline") {
     val lines = ChunkedTextSource(Seq(booksDir), maxSplitBytes = Some(128 * 1024))
       .load(spark)

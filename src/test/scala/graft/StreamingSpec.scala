@@ -729,8 +729,8 @@ class StreamingSpec extends SparkSpecBase {
       .select("path").as[String].collect().sorted
     java.nio.file.Files.write(
       java.nio.file.Paths.get(staging, "_COMMIT"),
-      (Seq(s"TARGET $store/batch_id=1", s"SOURCE $store/batch_id=0") ++
-        targetFiles.map(p => s"SOURCEFILE $p"))
+      ((Seq(s"TARGET $store/batch_id=1", s"SOURCE $store/batch_id=0") ++
+        targetFiles.map(p => s"SOURCEFILE $p")) :+ "END")
         .mkString("\n").getBytes("UTF-8"))
     assert(new java.io.File(s"$store/batch_id=0").exists())
 
@@ -744,6 +744,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(!new java.io.File(staging).exists())
     assert(new java.io.File(s"$store/batch_id=1")
       .listFiles().count(_.getName.endsWith(".parquet")) === 1)
+  }
+
+  test("compactStore recovery: an END-less marker (interrupted MARK) restages, store untouched") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_compact_trunc")
+      .resolve("store").toString
+    (0 to 2).foreach { i =>
+      Seq((i.toLong, s"v$i"), (i.toLong + 10, s"w$i")).toDF("k", "v")
+        .coalesce(1)
+        .withColumn("batch_id", lit(i))
+        .write.mode("append").partitionBy("batch_id").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // a truncated marker: MARK crashed mid-write — no END sentinel, and
+    // (worst case) not even a TARGET line survives
+    val staging = java.nio.file.Paths.get(s"$store/_compact_staging")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("_COMMIT"),
+      "SOURCE garbage-that-must-not-run".getBytes("UTF-8"))
+    // the next call must NOT execute the garbage runbook: it drops the
+    // staging leftovers and compacts from scratch (folding 0+1 into 1)
+    assert(Streams.compactStore(spark, store, 512L * 1024).count() >= 1)
+    val after = spark.read.parquet(store)
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before)
+    assert(!java.nio.file.Files.exists(staging))
+    assert(new java.io.File(s"$store/batch_id=2").exists()) // current batch untouched
   }
 
   test("foreachBatch + minHashPairsBetween dedups an ingest stream against the base corpus") {
