@@ -91,6 +91,14 @@ object Soak {
       q.startsWith("events_") || q.startsWith("graph_") ||
       q == "text_winnow_pairs" || q == "text_tfidf_sim" ||
       q == "docs_split_leakage" ||
+      // the embedding bucket-join family: LSH/IVF-cell candidate
+      // stages whose dials (batteryKnnPlanes, centroidStepFor) must
+      // TURN with the corpus — gate them so a frozen dial's quadratic
+      // shows up here, not at a customer's 100× corpus (emb_contrastive
+      // shipped one round on the frozen 4-plane dial exactly because
+      // this family wasn't gated)
+      q == "emb_knn_graph" || q == "emb_neardup" || q == "emb_semdedup" ||
+      q == "emb_dedup_clusters" || q == "emb_contrastive" ||
       // iterative/graph + banded-Hamming families: per-node outputs
       // (pagerank/communities = one row per vector, bfs ≤ reach) are
       // linear by construction, so the row gate checks the CANDIDATE

@@ -279,16 +279,17 @@ object SparkEntry {
     * 750–972, so 800 splits it meaningfully). */
   val CuratedMinScoreMilli = 800
 
-  /** Shared embeddings-oracle prelude: int64 fixed-point quantization +
-    * exact squared norms, mirroring Embeddings.prepped — all constants
-    * come from [[Embeddings]] so engine and oracle can't drift. */
-  private val embCte: String = {
+  /** Shared embeddings-oracle prelude body: int64 fixed-point
+    * quantization + exact squared norms over relation `src`, mirroring
+    * Embeddings.prepped — all constants come from [[Embeddings]] so
+    * engine and oracle can't drift. */
+  private def embQuantBody(src: String): String = {
     val sc = f"${Embeddings.Scale}%.1f"
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           x -> CAST(round(CAST(x AS DOUBLE) * $sc) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  FROM $src),
        |n AS (
        |  SELECT * FROM (
        |    SELECT vec_id, qv,
@@ -296,6 +297,8 @@ object SparkEntry {
        |    FROM q)
        |  WHERE nsq > 0)""".stripMargin
   }
+
+  private val embCte: String = s"WITH ${embQuantBody("embeddings")}"
 
   /** Parameterized PQ prelude: [[embCte]]'s quantization + an m-way
     * subvector split, id % step seed codebooks, and the exact-L2
@@ -424,12 +427,10 @@ object SparkEntry {
         .mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
 
-  /** Shared LSH prelude (quantized vectors + table-0 sign-LSH buckets)
-    * for the emb_ann_lsh / emb_neardup oracles — mirrors
-    * Embeddings.bucketOf at the default planes. */
-  private val lshBucketsCte: String =
-    s"""$embCte,
-       |bits AS (
+  /** Shared LSH bucket body (table-0 sign-LSH over the `n` CTE) —
+    * mirrors Embeddings.bucketOf at the default planes. */
+  private val lshBucketsBody: String =
+    s"""bits AS (
        |  SELECT n.vec_id, p.p,
        |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
        |                j -> n.qv[j+1] * (${weightTableSql(Embeddings.Planes)})[p.p+1][j+1])) AS BIGINT) > 0
@@ -438,16 +439,63 @@ object SparkEntry {
        |buckets AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1),
        |nb AS (SELECT n.vec_id, n.qv, n.nsq, b.bucket FROM n JOIN buckets b USING (vec_id))""".stripMargin
 
-  /** Fixed-point cosine threshold of the emb_neardup query: the fixture
-    * embeddings are random (no planted near-identical pairs — max
-    * pairwise cosine ≈ 0.51/0.60 at sf0.01/sf0.1), so the query
-    * thresholds where the corpus has mass to keep the differential
-    * test non-trivial; a deployment would run ≥ 950000. */
-  val NearDupCosMicro: Long = 350000L
+  /** Shared LSH prelude (quantized vectors + buckets) for the
+    * emb_ann_lsh oracle. */
+  private val lshBucketsCte: String = s"$embCte,\n$lshBucketsBody"
+
+  /** Planted-twin dials for the emb_neardup / emb_dedup_clusters
+    * fixture augmentation (see [[twinEmbSrc]]): every 83rd vector gets
+    * an EXACT copy (id → −2·id−1), every 89th a first-coordinate-zeroed
+    * NEAR copy (id → −2·id−2, cosine = √(1 − x₀²/‖v‖²) ≈ 0.99 for a
+    * typical 64-dim vector). Negative ids of distinct parity are
+    * disjoint from each other and from every REAL id at any soak
+    * replica offset — and a twin transforms WITH its replica under the
+    * soak's signed permutation, so each replica contributes exactly its
+    * own twin pairs (linear growth by construction). */
+  val EmbTwinExactMod: Long = 83L
+  val EmbTwinNearMod: Long = 89L
+
+  /** emb_neardup / emb_dedup_clusters source: the LSH prelude over the
+    * corpus UNION its planted twins. */
+  private val twinLshBucketsCte: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding FROM e0
+       |  UNION ALL
+       |  SELECT -2 * vec_id - 1 AS vec_id, embedding
+       |  FROM e0 WHERE vec_id % $EmbTwinExactMod = 0
+       |  UNION ALL
+       |  SELECT -2 * vec_id - 2 AS vec_id,
+       |         list_transform(range(len(embedding)),
+       |           j -> CASE WHEN j = 0 THEN 0.0
+       |                ELSE CAST(embedding[j+1] AS DOUBLE) END) AS embedding
+       |  FROM e0 WHERE vec_id % $EmbTwinNearMod = 0),
+       |${embQuantBody("e")},
+       |$lshBucketsBody""".stripMargin
+
+  /** Fixed-point cosine threshold of the emb_neardup query — a real
+    * near-duplicate bar (SemDeDup's 0.95): the fixture corpus has no
+    * organic mass here (max pairwise cosine ≈ 0.51/0.60 at
+    * sf0.01/sf0.1), so the battery plants twins ([[twinEmbSrc]]) for
+    * the differential test. An honest threshold is also what keeps the
+    * soak gate's premise: at 0.35 (the old dial) random 64-dim
+    * cross-replica cosines (σ = 1/√64, so 0.35 ≈ 2.8σ) generate chance
+    * pairs and the output grows superlinearly by corpus PROPERTY, not
+    * plan defect — the 10× soak measured 15.8×. At 0.95 = 7.6σ the
+    * chance tail is nil. */
+  val NearDupCosMicro: Long = 950000L
+
+  /** emb_semdedup's within-cell threshold keeps the old 0.35 dial: its
+    * output is one row per vector regardless (kept/dup_of flags), so
+    * the differential test needs in-cell similarity STRUCTURE, which
+    * the twin-less corpus only has down at 0.35 — and its soak
+    * linearity never depended on the threshold (candidates are the
+    * cell equijoin, rows are n). */
+  val SemDedupCosMicro: Long = 350000L
 
   /** emb_neardup oracle — shared with the emb_dedup_clusters closure. */
   private val embNearDupSql: String =
-    s"""$lshBucketsCte,
+    s"""$twinLshBucketsCte,
        |p AS (
        |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
        |         CAST(list_sum(list_transform(range(len(a.qv)),
@@ -557,9 +605,29 @@ object SparkEntry {
     * shares (emb_knn_graph, the graph family, emb_contrastive):
     * planesFor over the live embedding count at the default
     * ≈32-vector bucket target — == Embeddings.Planes at the verify
-    * corpus, so the 4-plane knnGraphCte oracles hold. */
+    * corpus, so the 4-plane knnGraphCte oracles hold. (The twin-fed
+    * near-dup queries also dial from the BASE corpus count — twins add
+    * ~2%, inside planesFor's rounding — keeping the oracle's
+    * interpolated plane table exact.) */
   private def batteryKnnPlanes(s: SparkSession, dir: String): Int =
     Embeddings.planesFor(T(s, dir, "embeddings").count(), LshTargetBucket)
+
+  /** The embeddings corpus plus planted twins — the emb_neardup /
+    * emb_dedup_clusters input (dials: [[EmbTwinExactMod]] /
+    * [[EmbTwinNearMod]]; rationale: [[NearDupCosMicro]] scaladoc).
+    * Twin ids are negative with distinct parity (−2·id−1 exact,
+    * −2·id−2 near): disjoint from each other and from every real id at
+    * any soak replica offset. */
+  private def twinEmbSrc(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val exact = base.where(col("vec_id") % EmbTwinExactMod === 0)
+      .select((col("vec_id") * -2 - 1).as("vec_id"), col("embedding"))
+    val near = base.where(col("vec_id") % EmbTwinNearMod === 0)
+      .select((col("vec_id") * -2 - 2).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => when(j === lit(0), lit(0.0f)).otherwise(x)).as("embedding"))
+    base.unionByName(exact).unionByName(near)
+  }
 
   /** Corpus-derived PQ codebook step shared by the PQ battery family
     * — == Embeddings.CentroidStep at the verify corpus. */
@@ -2027,16 +2095,19 @@ object SparkEntry {
         s.read.parquet(s"$base/pq_codebooks.parquet"))
     }),
     // embedding-cosine near-dup — the vector-space dedup family member:
-    // LSH-bucket candidates, fixed-point cosine threshold.
+    // LSH-bucket candidates, honest ≥0.95 threshold over the corpus
+    // plus its planted twins (exact + first-coordinate-zeroed; see
+    // twinEmbSrc / NearDupCosMicro scaladoc for the soak-linearity
+    // argument).
     "emb_neardup" -> ((s, dir) =>
-      Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro,
+      Embeddings.cosineNearDupPairs(twinEmbSrc(s, dir), NearDupCosMicro,
         planes = batteryKnnPlanes(s, dir))),
     // vector-space dedup clusters — the same large-star/small-star
     // resolution as dedup_clusters, fed by cosine near-dup pairs
     // (embedding-granularity keep/drop verdicts).
     "emb_dedup_clusters" -> ((s, dir) =>
       DedupClusters.resolve(
-        Embeddings.cosineNearDupPairs(T(s, dir, "embeddings"), NearDupCosMicro,
+        Embeddings.cosineNearDupPairs(twinEmbSrc(s, dir), NearDupCosMicro,
           planes = batteryKnnPlanes(s, dir)),
         aCol = "vec_a", bCol = "vec_b")
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
@@ -2045,7 +2116,7 @@ object SparkEntry {
     // exhaustive comparison inside each cell, keep-first survivor rule).
     "emb_semdedup" -> ((s, dir) =>
       Embeddings.semDedup(T(s, dir, "embeddings"),
-        Embeddings.CentroidStep, NearDupCosMicro)),
+        Embeddings.CentroidStep, SemDedupCosMicro)),
 
     // -------- multimodal binary ops (north-star extension): the
     // documents text cast to binary stands in for an opaque payload;
@@ -3635,15 +3706,18 @@ object SparkEntry {
     "graph_bfs" -> bfsSql,
 
     // vector-space dedup clusters: same recursive-CTE closure as
-    // dedup_clusters, over the cosine near-dup pairs.
+    // dedup_clusters, over the cosine near-dup pairs. (Edge CTE is
+    // named `ed`, not `e`: under WITH RECURSIVE every same-level CTE
+    // name is visible inside the nested embNearDupSql prelude, and its
+    // twin-union relation is already called `e`.)
     "emb_dedup_clusters" ->
       s"""WITH RECURSIVE p AS ($embNearDupSql),
-         |e AS (SELECT vec_a AS u, vec_b AS v FROM p
-         |      UNION SELECT vec_b, vec_a FROM p),
+         |ed AS (SELECT vec_a AS u, vec_b AS v FROM p
+         |       UNION SELECT vec_b, vec_a FROM p),
          |reach(u, v) AS (
-         |  SELECT u, v FROM e
+         |  SELECT u, v FROM ed
          |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |  SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u),
          |comp AS (
          |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id
          |  FROM reach GROUP BY u)
@@ -3683,7 +3757,7 @@ object SparkEntry {
          |  FROM nb a JOIN nb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |dup AS (
          |  SELECT ub, min(ua) AS dup_of FROM pr
-         |  WHERE cos_x1e6 >= $NearDupCosMicro GROUP BY ub)
+         |  WHERE cos_x1e6 >= $SemDedupCosMicro GROUP BY ub)
          |SELECT nb.vec_id, nb.cell,
          |       coalesce(d.dup_of, -1) AS dup_of,
          |       (d.ub IS NULL) AS kept

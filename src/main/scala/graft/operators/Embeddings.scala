@@ -434,13 +434,17 @@ object Embeddings {
     val base = prepped(emb, idCol, vecCol)
     val cents = ivfCentroids(emb, centroidStep, idCol, vecCol, seedByHash, kmeansIter)
     // argmax-cos cell per vector (ties → smaller cell id) — identical
-    // ordering contract to ivfAssign; qv/nsq ride along as grouping
-    // keys so the pair stage needs no re-join against the corpus
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("__ccos",
-        cosine(dotQ(col("__qv"), col("__cqv")), col("__nsq"), col("__cnsq")))
-      .groupBy(col(idCol), col("__qv"), col("__nsq"))
-      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    // ordering contract to ivfAssign, and the same PACKED in-row
+    // argmax ([[graft.expressions.IvfArgmaxCell]]) as annIvf: with a
+    // fixed step K grows ∝ n, so the max_by grid this replaced was an
+    // n·K row surface (the 10× soak's candidate gate measured it at
+    // exactly 100× — both factors grew 10×); the packed loop assigns
+    // in one codegen'd pass over the broadcast array. qv/nsq ride
+    // along so the pair stage needs no re-join against the corpus.
+    val assigned = base.crossJoin(broadcast(packedCentroids(cents)))
+      .where(size(col("__cb")) > 0) // empty seed set assigns nothing
+      .select(col(idCol), col("__qv"), col("__nsq"),
+        argmaxCell(col("__cb"), col("__qv"), col("__nsq")).as("__cell"))
     val a = assigned.select(col(idCol).as("__ua"), col("__cell").as("__acell"),
       col("__qv").as("__aqv"), col("__nsq").as("__ansq"))
     val b = assigned.select(col(idCol).as("__ub"), col("__cell").as("__bcell"),
