@@ -340,5 +340,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Curation.sampleWeighted(df, k.toInt, idCol, weightCol)
           .queryExecution.logical
       }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("er_pairs"),
+      new ExpressionInfo(
+        graft.operators.Er.getClass.getName,
+        null,
+        "er_pairs",
+        "er_pairs(table[, id_col, name_col, max_key_freq]) - confirmed fuzzy " +
+          "self-match pairs (id_a, id_b, dist) under edit distance 1: SymSpell " +
+          "deletion-neighborhood blocking + banded-Levenshtein confirm",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 4) analysisError(
+          s"er_pairs takes 1 to 4 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val df = tableOf("er_pairs", exprs.head)
+        val idCol =
+          if (exprs.length > 1) foldString("er_pairs", "id_col", exprs(1))
+          else "c_custkey"
+        val nameCol =
+          if (exprs.length > 2) foldString("er_pairs", "name_col", exprs(2))
+          else "c_name"
+        val cap =
+          if (exprs.length > 3) Some(foldLong("er_pairs", "max_key_freq", exprs(3)))
+          else None
+        cap.foreach { c =>
+          if (c < 1) analysisError(
+            s"er_pairs: max_key_freq must be >= 1, got $c", exprs(3))
+        }
+        graft.operators.Er.fuzzyPairs(df, idCol, nameCol, maxEdit = 1, maxKeyFreq = cap)
+          .queryExecution.logical
+      }))
   }
 }

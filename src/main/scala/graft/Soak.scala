@@ -99,6 +99,10 @@ object Soak {
       // this family wasn't gated)
       q == "emb_knn_graph" || q == "emb_neardup" || q == "emb_semdedup" ||
       q == "emb_dedup_clusters" || q == "emb_contrastive" ||
+      // entity resolution: deletion-key buckets must stay
+      // replica-disjoint (replicatedCustomers' tag premise) — the
+      // candidate gate measures the key-bucket join directly
+      q.startsWith("er_") ||
       // iterative/graph + banded-Hamming families: per-node outputs
       // (pagerank/communities = one row per vector, bfs ≤ reach) are
       // linear by construction, so the row gate checks the CANDIDATE
@@ -217,6 +221,31 @@ object Soak {
     }.reduce(_ unionByName _)
   }
 
+  /** N× customers for the entity-resolution family: replica i appends a
+    * per-REPLICA constant tag `x<ii><6 sha chars>` to every name.
+    * Constant-per-replica keeps every intra-replica edit distance
+    * exactly the original's (a common suffix never changes the DP), so
+    * per-replica ER work mirrors one replica — while any two replicas'
+    * tags differ in the index digits plus ~5.6 of 6 digest chars,
+    * putting cross-replica names ≥ several edits apart: no shared
+    * deletion key (single deletions cannot reconcile multi-char tag
+    * differences), no confirmed pair, the edit-domain form of the
+    * documents' token-disjoint markers. (A plain per-replica DIGIT
+    * suffix would put the same custkey's replicas at edit 1 from each
+    * other — N² true pairs, the twin mistake the embeddings soak
+    * already made once; SoakSpec pins the tag-distance premise.) */
+  def replicatedCustomers(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/customer.parquet")
+    (0 until n).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("c_custkey", col("c_custkey") + lit(i * IdOffset))
+        .withColumn("c_name",
+          concat(col("c_name"), lit(f"x$i%02d"),
+            substring(sha2(lit(s"cust-tag:$i"), 256), 1, 6)))
+    }.reduce(_ unionByName _)
+  }
+
   /** N× events: replica users/event-ids offset into disjoint ranges,
     * timestamps/types/values UNCHANGED — the realistic event-stream
     * scale-up is more concurrent keys over the same time window, so
@@ -244,7 +273,9 @@ object Soak {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     replicatedEvents(spark, sfDir, n)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    val others = Seq("region", "nation", "customer", "supplier", "part",
+    replicatedCustomers(spark, sfDir, n)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val others = Seq("region", "nation", "supplier", "part",
       "orders", "lineitem")
     others.foreach { t =>
       Files.copy(Paths.get(s"$sfDir/$t.parquet"),

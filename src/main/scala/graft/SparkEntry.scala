@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, Sketches, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, Er, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, Sketches, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -628,6 +628,58 @@ object SparkEntry {
           (x, j) => when(j === lit(0), lit(0.0f)).otherwise(x)).as("embedding"))
     base.unionByName(exact).unionByName(near)
   }
+
+  /** The deterministic dirty feed of the er_link_* queries: one typo
+    * per customer — the character at 1 + (custkey mod len) becomes 'q'
+    * ('x' if it already was 'q'; the fixture names contain neither, so
+    * every dirty name sits at exactly edit 1 from its origin). Ids
+    * negative (−custkey−1), disjoint from the clean roster. */
+  private def dirtyCustomers(s: SparkSession, dir: String): DataFrame = {
+    val nm = col("c_name")
+    val pos = (col("c_custkey") % length(nm).cast("long")).cast("int") + 1
+    val orig = nm.substr(pos, lit(1))
+    val rep = when(orig === lit("q"), lit("x")).otherwise(lit("q"))
+    T(s, dir, "customer").select(
+      (-col("c_custkey") - 1).as("dirty_id"),
+      concat(nm.substr(lit(1), pos - 1), rep,
+        nm.substr(pos + 1, length(nm))).as("name"))
+  }
+
+  /** DuckDB replica of Er.deletionKeys over relation `rel`: one row per
+    * (id, name, blocking key) — the name itself plus every single-char
+    * deletion, distinct. */
+  private def erKeysSql(rel: String, idExpr: String, nameExpr: String): String =
+    s"""SELECT $idExpr AS id, $nameExpr AS name,
+       |       unnest(list_distinct(list_append(
+       |         list_transform(range(1, len($nameExpr) + 1),
+       |           i -> substr($nameExpr, 1, i - 1) || substr($nameExpr, i + 1)),
+       |         $nameExpr))) AS key
+       |FROM $rel WHERE $nameExpr IS NOT NULL""".stripMargin
+
+  /** Shared er_link_* oracle body: the dirty feed (mirrors
+    * [[dirtyCustomers]] exactly), both key tables, and the confirmed
+    * linkage `links(dirty_id, c_custkey, dist)`. */
+  private def erLinkBodySql: String =
+    s"""d AS (
+       |  SELECT -c_custkey - 1 AS dirty_id,
+       |         1 + (c_custkey % len(c_name)) AS p, c_name AS nm
+       |  FROM customer),
+       |dn AS (
+       |  SELECT dirty_id,
+       |         substr(nm, 1, p - 1) ||
+       |           (CASE WHEN substr(nm, p, 1) = 'q' THEN 'x' ELSE 'q' END) ||
+       |           substr(nm, p + 1) AS name
+       |  FROM d),
+       |lk AS (${erKeysSql("dn", "dirty_id", "name")}),
+       |rk AS (${erKeysSql("customer", "c_custkey", "c_name")}),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS dirty_id, r.id AS c_custkey,
+       |         l.name AS nl, r.name AS nr
+       |  FROM lk l JOIN rk r ON l.key = r.key),
+       |links AS (
+       |  SELECT dirty_id, c_custkey,
+       |         CAST(levenshtein(nl, nr) AS BIGINT) AS dist
+       |  FROM cand WHERE levenshtein(nl, nr) <= 1)""".stripMargin
 
   /** Corpus-derived PQ codebook step shared by the PQ battery family
     * — == Embeddings.CentroidStep at the verify corpus. */
@@ -1955,6 +2007,35 @@ object SparkEntry {
           max(col("n_chars")).as("survivor_n_chars"),
           count(lit(1)).as("cluster_size"))
     }),
+
+    // -------- blocked entity resolution (north-star extension):
+    // SymSpell deletion-neighborhood blocking + banded-Levenshtein
+    // confirm (operators/Er.scala) — the dirty-roster generalization
+    // of the reference's exact keyed dedup. Self-match over the
+    // customer roster: every pair of names within edit distance 1
+    // (digit-neighbor custkeys give the corpus organic, deterministic
+    // signal — no planting needed).
+    "er_fuzzy_pairs" -> ((s, dir) =>
+      Er.fuzzyPairs(T(s, dir, "customer"), "c_custkey", "c_name", maxEdit = 1)
+        .withColumn("dist", col("dist").cast("long"))),
+    // The record-linkage A–B shape: a deterministic dirty feed (one
+    // typo per customer, position keyed by custkey) linked back to the
+    // clean roster — every clean record within edit 1 of each dirty one.
+    "er_link_dirty" -> ((s, dir) =>
+      Er.fuzzyJoinBetween(
+        dirtyCustomers(s, dir), "dirty_id", "name",
+        T(s, dir, "customer"), "c_custkey", "c_name", maxEdit = 1)
+        .select(col("left_id").as("dirty_id"),
+          col("right_id").as("c_custkey"), col("dist").cast("long").as("dist"))),
+    // Disambiguation on top of the linkage: single best clean match per
+    // dirty record (min dist, ties → min custkey), one map-side-partial
+    // hash-agg.
+    "er_link_best" -> ((s, dir) =>
+      Er.bestMatch(Er.fuzzyJoinBetween(
+        dirtyCustomers(s, dir), "dirty_id", "name",
+        T(s, dir, "customer"), "c_custkey", "c_name", maxEdit = 1))
+        .select(col("left_id").as("dirty_id"), col("best_id"),
+          col("best_dist").cast("long").as("best_dist"))),
 
     // -------- similarity search over embeddings (north-star extension)
     // Exact brute-force top-5 for a 1-in-20 query subset (broadcast NLJ,
@@ -3591,6 +3672,29 @@ object SparkEntry {
          |  FROM j)
          |SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_n_chars,
          |       CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // blocked entity resolution: the oracle replicates the SymSpell
+    // deletion-neighborhood blocking EXACTLY (per the verify-recipe
+    // rule — candidate predicates must match, not just confirmed
+    // output), then the same classic-Levenshtein confirm.
+    "er_fuzzy_pairs" ->
+      s"""WITH k AS (${erKeysSql("customer", "c_custkey", "c_name")}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |         a.name AS na, b.name AS nb
+         |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin,
+    "er_link_dirty" ->
+      s"""WITH $erLinkBodySql
+         |SELECT dirty_id, c_custkey, dist FROM links""".stripMargin,
+    "er_link_best" ->
+      s"""WITH $erLinkBodySql,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+         |                                   ORDER BY dist, c_custkey) AS rn
+         |      FROM links)
+         |SELECT dirty_id, c_custkey AS best_id, dist AS best_dist
          |FROM r WHERE rn = 1""".stripMargin,
 
     "emb_topk" ->

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked entity resolution — fuzzy record matching under an edit-
+  * distance bound, the dirty-roster generalization of the reference's
+  * exact keyed dedup (UniqueFilterTransformer,
+  * tiny_etl/transformers/aggregators.py:71-132, whose normalizer-chain
+  * key IS edit distance 0 matching after lower∘strip).
+  *
+  * Blocking is the SymSpell deletion-neighborhood: each record emits
+  * its name plus every single-character deletion of it, and candidates
+  * are the equijoin on those keys. Pigeonhole guarantee: if
+  * lev(a, b) ≤ 1 the two deletion neighborhoods intersect — a
+  * substitution at position i means deleting i from both sides yields
+  * the same string; an insertion means the inserted char's deletion
+  * recovers the shorter string, which is its own 0-deletion member.
+  * (Damerau transpositions of ADJACENT chars also share a key — both
+  * orders delete to the same string — so they surface as candidates,
+  * but classic Levenshtein scores them 2 and the confirm drops them at
+  * maxEdit = 1; ErSpec pins both halves.) So the candidate stage is
+  * COMPLETE for the maxEdit = 1 contract, and every emitted pair is
+  * confirmed with Spark's banded `levenshtein(l, r, threshold)` — the
+  * O(maxEdit·len) early-exit DP, codegen'd, no UDF.
+  *
+  * 100 TB shape: keys per record = len+1 (bounded by name length), so
+  * the exploded key table is O(n·L) and candidates are per-key-bucket
+  * joins — the same banded-candidate discipline as the MinHash/SimHash
+  * families (operators/NearDup.scala). Natural-key corpora (names, ids,
+  * URLs) have small buckets; a degenerate corpus (many identical or
+  * near-identical names) concentrates mass on few keys, and the
+  * `maxKeyFreq` dial drops keys hotter than the cap BEFORE the join —
+  * identical strings still pair through their un-deleted full-name key
+  * only if that key survives the cap, making the trade-off explicit
+  * (the hot-shingle cap of NearDup.shinglesWithDfCap, same rationale).
+  */
+object Er {
+
+  /** The SymSpell blocking keys of a name: the name itself plus every
+    * single-character deletion, de-duplicated (a run of equal chars
+    * yields equal deletions). Null-safe at the caller (rows with null
+    * names are dropped before keying); empty string yields just itself.
+    */
+  def deletionKeys(name: Column): Column = {
+    val dels = transform(sequence(lit(1), length(name)), i =>
+      concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name))))
+    array_distinct(concat(array(name),
+      when(length(name) >= 1, dels).otherwise(array())))
+  }
+
+  /** (key, id, name) — one row per blocking key per record, with the
+    * optional hot-key cap applied: keys carried by more than
+    * `maxKeyFreq` records are dropped entirely (both sides of any pair
+    * they would have generated, so the output contract stays symmetric).
+    */
+  private def keyed(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxKeyFreq: Option[Long]): DataFrame = {
+    val k = df
+      .where(col(nameCol).isNotNull)
+      .select(col(idCol).as("__id"), col(nameCol).as("__name"),
+        explode(deletionKeys(col(nameCol))).as("__key"))
+    maxKeyFreq match {
+      case None => k
+      case Some(cap) =>
+        require(cap >= 1, s"maxKeyFreq must be >= 1, got $cap")
+        val hot = k.groupBy(col("__key"))
+          .agg(count(lit(1)).as("__kf"))
+          .where(col("__kf") > cap)
+          .select(col("__key"))
+        k.join(hot, Seq("__key"), "left_anti")
+    }
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one
+    * blocking key — the pre-confirm frame, exposed separately so the
+    * soak gate and tests can measure it. */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxKeyFreq: Option[Long] = None): DataFrame = {
+    val k = keyed(df, idCol, nameCol, maxKeyFreq)
+    val a = k.select(col("__key"), col("__id").as("id_a"), col("__name").as("__na"))
+    val b = k.select(col("__key"), col("__id").as("id_b"), col("__name").as("__nb"))
+    a.join(b, Seq("__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .distinct()
+  }
+
+  /** Confirmed fuzzy self-match: all pairs (id_a < id_b) with
+    * lev(name_a, name_b) ≤ maxEdit. Complete for maxEdit = 1 (the
+    * blocking guarantee above); maxEdit = 0 degenerates to exact
+    * match through the full-name key. Output: id_a, id_b, dist. */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxEdit: Int = 1,
+      maxKeyFreq: Option[Long] = None): DataFrame = {
+    require(maxEdit >= 0 && maxEdit <= 1,
+      s"fuzzyPairs blocking is single-deletion (complete for maxEdit <= 1), got $maxEdit")
+    candidatePairs(df, idCol, nameCol, maxKeyFreq)
+      .withColumn("dist", levenshtein(col("__na"), col("__nb"), maxEdit))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Confirmed fuzzy linkage between two rosters (the record-linkage
+    * A–B shape: dirty feed → clean roster). Output: left_id, right_id,
+    * dist — every right record within maxEdit of each left record. */
+  def fuzzyJoinBetween(
+      left: DataFrame, leftId: String, leftName: String,
+      right: DataFrame, rightId: String, rightName: String,
+      maxEdit: Int = 1,
+      maxKeyFreq: Option[Long] = None): DataFrame = {
+    require(maxEdit >= 0 && maxEdit <= 1,
+      s"fuzzyJoinBetween blocking is single-deletion (complete for maxEdit <= 1), got $maxEdit")
+    val l = keyed(left, leftId, leftName, maxKeyFreq)
+      .select(col("__key"), col("__id").as("left_id"), col("__name").as("__nl"))
+    val r = keyed(right, rightId, rightName, maxKeyFreq)
+      .select(col("__key"), col("__id").as("right_id"), col("__name").as("__nr"))
+    l.join(r, Seq("__key"))
+      .select(col("left_id"), col("right_id"), col("__nl"), col("__nr"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__nl"), col("__nr"), maxEdit))
+      .where(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("dist"))
+  }
+
+  /** The blocking-key table in its incremental-store shape: one row
+    * per (key, id, name) — what a streaming roster ingest persists so
+    * each tranche is keyed exactly once
+    * ([[graft.streaming.Streams.ingestErLinks]]). */
+  def keyTable(df: DataFrame, idCol: String, nameCol: String): DataFrame =
+    keyed(df, idCol, nameCol, None)
+      .select(col("__key").as("key"), col("__id").as("id"),
+        col("__name").as("name"))
+
+  /** Confirmed pairs between two [[keyTable]] frames. `ordered = true`
+    * is the self-join form (emits id_a < id_b once); `ordered = false`
+    * the cross-store form (id sets disjoint by contract, every match
+    * emitted as (a.id, b.id)). Same candidates-then-banded-confirm
+    * shape as [[fuzzyPairs]]. */
+  def fuzzyPairsFromKeys(
+      a: DataFrame,
+      b: DataFrame,
+      maxEdit: Int = 1,
+      ordered: Boolean = true): DataFrame = {
+    require(maxEdit >= 0 && maxEdit <= 1,
+      s"single-deletion blocking is complete for maxEdit <= 1, got $maxEdit")
+    val l = a.select(col("key"), col("id").as("id_a"), col("name").as("__na"))
+    val r = b.select(col("key"), col("id").as("id_b"), col("name").as("__nb"))
+    l.join(r, Seq("key"))
+      .where(if (ordered) col("id_a") < col("id_b") else col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__na"), col("__nb"), maxEdit))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Disambiguation: the single best right match per left record —
+    * smallest dist, ties to the smallest right_id (deterministic in any
+    * engine). One hash aggregation, map-side partial. */
+  def bestMatch(links: DataFrame): DataFrame =
+    links.groupBy(col("left_id"))
+      .agg(min_by(struct(col("right_id"), col("dist")),
+        struct(col("dist"), col("right_id"))).as("__b"))
+      .select(col("left_id"),
+        col("__b.right_id").as("best_id"),
+        col("__b.dist").as("best_dist"))
+
+  /** Entity clusters over confirmed pairs: connected components +
+    * canonical-member survivorship, reusing the star-contraction
+    * resolver (scale notes there). Output: doc_id→id, cluster_id,
+    * cluster_size, is_canonical renamed to entity terms. */
+  def resolveEntities(pairs: DataFrame): DataFrame =
+    DedupClusters.resolve(pairs, aCol = "id_a", bCol = "id_b")
+      .select(col("doc_id").as("id"), col("cluster_id").as("entity_id"),
+        col("cluster_size").as("entity_size"), col("is_canonical"))
+}

@@ -640,6 +640,66 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental ENTITY RESOLUTION — the edit-distance member
+    * of the ingest family (MinHash text, IVF-PQ vectors, pHash
+    * payloads, fuzzy names): each roster tranche landing in `dir` is
+    * deletion-keyed ONCE ([[graft.operators.Er.keyTable]] — len+1 short
+    * rows per record into the `keys` store), fuzzy links come from the
+    * key equijoin of the NEW tranche against the accumulated store plus
+    * the within-tranche self-join, and the banded-Levenshtein confirm
+    * consumes ONLY the key rows (names ride with the keys) — no roster
+    * re-read, recurring cost = increment × key-bucket collisions.
+    *
+    * The UNION of all batch partitions equals the one-shot
+    * [[graft.operators.Er.fuzzyPairs]] over the full roster (identical
+    * deletion-neighborhood candidates, identical confirm): a
+    * cross-tranche pair is found by the later record's batch, a
+    * within-tranche pair by its own — StreamingSpec pins the equality.
+    * Ids must be unique roster-wide. Exactly-once like the other ingest
+    * jobs: AvailableNow file tracking + per-batch dynamic partition
+    * overwrite, prior-state reads exclude the current batch_id. */
+  def ingestErLinks(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      statePath: String,
+      outLinks: String,
+      checkpoint: String,
+      maxEdit: Int = 1,
+      idCol: String = "id",
+      nameCol: String = "name"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Er
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val keyStore = s"$statePath/keys"
+        // key ONCE: land the tranche's key table first, read it back
+        // for both pairing joins (the ingestPHash discipline — two
+        // consumers would otherwise re-run the explode per action);
+        // replay stays idempotent, both writes are per-batch dynamic
+        // overwrites and prior reads exclude this batch
+        writeBatchPartition(
+          Er.keyTable(batch.select(col(idCol), col(nameCol)), idCol, nameCol),
+          batchId, keyStore)
+        val stored = s.read.parquet(keyStore)
+          .where(col("batch_id") === batchId).drop("batch_id")
+        val baseKeys = priorStore(s, keyStore, batchId, stored)
+        val cross = Er.fuzzyPairsFromKeys(baseKeys, stored, maxEdit, ordered = false)
+        val within = Er.fuzzyPairsFromKeys(stored, stored, maxEdit, ordered = true)
+        val links = cross.unionByName(within)
+          .select(
+            least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            col("dist"))
+        writeBatchPartition(links, batchId, outLinks)
+        ()
+      }
+      .start()
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

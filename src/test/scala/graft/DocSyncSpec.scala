@@ -69,7 +69,8 @@ class DocSyncSpec extends AnyFunSuite {
       assert(gated.exists(_.startsWith(family)),
         s"no gated soak query left in documented family $family")
     }
-    for (q <- Seq("multimodal_phash", "dedup_clusters", "text_winnow_pairs"))
+    for (q <- Seq("multimodal_phash", "dedup_clusters", "text_winnow_pairs",
+        "er_fuzzy_pairs"))
       assert(gated.contains(q), s"documented gated query $q missing")
   }
 }

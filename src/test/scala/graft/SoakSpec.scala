@@ -101,6 +101,34 @@ class SoakSpec extends SparkSpecBase {
     }, s"user ranges overlap across replicas: ${ranges.mkString(", ")}")
   }
 
+  test("customer replicas: intra-replica edit structure exact, replicas edit-disjoint") {
+    val n = 3
+    val rep = Soak.replicatedCustomers(spark, sfDir, n).cache()
+    val base = spark.read.parquet(s"$sfDir/customer.parquet")
+    assert(rep.count() === n * base.count())
+    assert(rep.filter(col("c_custkey") < Soak.IdOffset)
+      .exceptAll(base).count() === 0)
+    // the ER gate's premise, stated as the operator sees it: confirmed
+    // fuzzy pairs per replica == the base corpus's (a constant common
+    // suffix never changes an edit DP), and ZERO pairs cross replicas
+    // (tags differ in index digits + digest chars — no single deletion
+    // reconciles them)
+    val basePairs = graft.operators.Er
+      .fuzzyPairs(base, "c_custkey", "c_name").count()
+    val repPairs = graft.operators.Er
+      .fuzzyPairs(rep, "c_custkey", "c_name")
+      .withColumn("rep_a", (col("id_a") / Soak.IdOffset).cast("int"))
+      .withColumn("rep_b", (col("id_b") / Soak.IdOffset).cast("int"))
+      .cache()
+    assert(repPairs.filter(col("rep_a") =!= col("rep_b")).count() === 0,
+      "cross-replica fuzzy pairs would void the linear-growth premise")
+    val perRep = repPairs.groupBy(col("rep_a")).count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(perRep.length === n && perRep.forall(_ === basePairs),
+      s"per-replica pair counts $perRep must all equal base $basePairs")
+    repPairs.unpersist(); rep.unpersist()
+  }
+
   test("embedding replicas: exact intra-replica geometry, no shared neighborhood") {
     val n = 3
     val rep = Soak.replicatedEmbeddings(spark, sfDir, n).cache()

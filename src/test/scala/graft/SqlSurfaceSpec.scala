@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, NearDup, Sessions}
+import graft.operators.{Curation, Er, NearDup, Sessions}
 
 /** SQL-vs-API equivalence for the TABLE-VALUED operator surface
   * (GraftExtensions.injectTableFunction): the engine's top table-level
@@ -61,6 +61,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
     assert(rows(viaSql) === rows(viaApi))
     assert(viaSql.count() === 25)
+  }
+
+  test("er_pairs('cust') equals Er.fuzzyPairs") {
+    s2.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("cust")
+    val viaSql = s2.sql("SELECT * FROM er_pairs('cust')")
+    val viaApi = Er.fuzzyPairs(s2.table("cust"), "c_custkey", "c_name")
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // the hot-key dial rides through the SQL surface
+    assert(rows(s2.sql("SELECT * FROM er_pairs('cust', 'c_custkey', 'c_name', 5)"))
+      === rows(Er.fuzzyPairs(s2.table("cust"), "c_custkey", "c_name",
+        maxKeyFreq = Some(5L))))
   }
 
   test("table-function argument errors fail analysis with positions") {

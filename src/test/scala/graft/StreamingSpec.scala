@@ -637,6 +637,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(oneShot.nonEmpty)
   }
 
+  test("ingestErLinks: per-batch link partitions union to the one-shot fuzzyPairs") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_er_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (statePath, outLinks, ckpt) = (work.resolve("state").toString,
+      work.resolve("links").toString, work.resolve("ckpt").toString)
+
+    // tranche 1 carries a WITHIN-tranche fuzzy pair (1,2: one
+    // substitution); tranche 2's record 4 links CROSS-tranche to 3
+    // (insertion), record 5 matches nothing
+    val r1 = (1L, "acme-corp"); val r2 = (2L, "acme-carp")
+    val r3 = (3L, "globex"); val r4 = (4L, "globexx")
+    val r5 = (5L, "initech")
+
+    stageTranche(Seq(r1, r2, r3).toDF("id", "name"), inDir, "t1")
+    Streams.ingestErLinks(spark, inDir.toString, statePath, outLinks, ckpt)
+      .awaitTermination()
+    def linkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(linkSet(spark.read.parquet(outLinks)) === Set((1L, 2L, 1)))
+
+    stageTranche(Seq(r4, r5).toDF("id", "name"), inDir, "t2")
+    Streams.ingestErLinks(spark, inDir.toString, statePath, outLinks, ckpt)
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(outLinks)
+    val lastBatch = streamed
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    // the increment batch emitted ONLY the cross-tranche link
+    assert(linkSet(streamed.where(col("batch_id") === lastBatch))
+      === Set((3L, 4L, 1)))
+    // union over batches == the one-shot blocked fuzzy self-match
+    val oneShot = linkSet(graft.operators.Er.fuzzyPairs(
+      Seq(r1, r2, r3, r4, r5).toDF("id", "name"), "id", "name"))
+    assert(linkSet(streamed) === oneShot)
+    assert(oneShot === Set((1L, 2L, 1), (3L, 4L, 1)))
+  }
+
   test("compactStore: incremental results bit-identical across compaction; files drop to group count") {
     import java.nio.file.Files
     import spark.implicits._
