@@ -342,6 +342,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("coverage_sample"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "coverage_sample",
+        "coverage_sample(scored_table, cells_table[, per_cell]) - top per_cell " +
+          "records per cluster cell by (score_milli DESC, doc_id): selection " +
+          "balanced by embedding-space coverage (cells_table: vec_id, cell)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 3) analysisError(
+          s"coverage_sample takes 2 to 3 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val scored = tableOf("coverage_sample", exprs.head)
+        val cells = tableOf("coverage_sample", exprs(1))
+        val perCell =
+          if (exprs.length > 2) foldLong("coverage_sample", "per_cell", exprs(2))
+          else 1L
+        if (perCell < 1 || perCell > Int.MaxValue) analysisError(
+          s"coverage_sample: per_cell must be in [1, ${Int.MaxValue}], got $perCell",
+          exprs(2))
+        graft.operators.Curation.coverageSample(scored, cells, perCell.toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("er_pairs"),
       new ExpressionInfo(
         graft.operators.Er.getClass.getName,

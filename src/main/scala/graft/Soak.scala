@@ -103,6 +103,10 @@ object Soak {
       // replica-disjoint (replicatedCustomers' tag premise) — the
       // candidate gate measures the key-bucket join directly
       q.startsWith("er_") ||
+      // coverage sampling: output = cells × perCell and cell count
+      // grows ∝ n at fixed step — linear only while the quality join
+      // and the rank window stay per-cell-bounded
+      q == "docs_coverage_sample" ||
       // iterative/graph + banded-Hamming families: per-node outputs
       // (pagerank/communities = one row per vector, bfs ≤ reach) are
       // linear by construction, so the row gate checks the CANDIDATE

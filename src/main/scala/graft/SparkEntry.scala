@@ -455,9 +455,10 @@ object SparkEntry {
   val EmbTwinExactMod: Long = 83L
   val EmbTwinNearMod: Long = 89L
 
-  /** emb_neardup / emb_dedup_clusters source: the LSH prelude over the
-    * corpus UNION its planted twins. */
-  private val twinLshBucketsCte: String =
+  /** Quantization prelude over the corpus UNION its planted twins —
+    * the twin-fed analogue of [[embCte]], shared by every oracle whose
+    * query reads [[twinEmbSrc]]. */
+  private val twinEmbCte: String =
     s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
        |e AS (
        |  SELECT vec_id, embedding FROM e0
@@ -470,8 +471,12 @@ object SparkEntry {
        |           j -> CASE WHEN j = 0 THEN 0.0
        |                ELSE CAST(embedding[j+1] AS DOUBLE) END) AS embedding
        |  FROM e0 WHERE vec_id % $EmbTwinNearMod = 0),
-       |${embQuantBody("e")},
-       |$lshBucketsBody""".stripMargin
+       |${embQuantBody("e")}""".stripMargin
+
+  /** emb_neardup / emb_dedup_clusters source: the LSH prelude over the
+    * corpus UNION its planted twins. */
+  private val twinLshBucketsCte: String =
+    s"$twinEmbCte,\n$lshBucketsBody"
 
   /** Fixed-point cosine threshold of the emb_neardup query — a real
     * near-duplicate bar (SemDeDup's 0.95): the fixture corpus has no
@@ -485,13 +490,11 @@ object SparkEntry {
     * chance tail is nil. */
   val NearDupCosMicro: Long = 950000L
 
-  /** emb_semdedup's within-cell threshold keeps the old 0.35 dial: its
-    * output is one row per vector regardless (kept/dup_of flags), so
-    * the differential test needs in-cell similarity STRUCTURE, which
-    * the twin-less corpus only has down at 0.35 — and its soak
-    * linearity never depended on the threshold (candidates are the
-    * cell equijoin, rows are n). */
-  val SemDedupCosMicro: Long = 350000L
+  // (emb_semdedup briefly kept a 0.35 within-cell dial on the "output
+  // is one row per vector" argument — the 100× spot soak showed the
+  // CONFIRMED-PAIR join frame growing ×156 anyway, chance tail again:
+  // replicas share cells, and 2.8σ cross-replica cosines pass. It now
+  // runs the same twin-fed 0.95 contract as emb_neardup.)
 
   /** emb_neardup oracle — shared with the emb_dedup_clusters closure. */
   private val embNearDupSql: String =
@@ -645,21 +648,60 @@ object SparkEntry {
         nm.substr(pos + 1, length(nm))).as("name"))
   }
 
-  /** DuckDB replica of Er.deletionKeys over relation `rel`: one row per
-    * (id, name, blocking key) — the name itself plus every single-char
-    * deletion, distinct. */
-  private def erKeysSql(rel: String, idExpr: String, nameExpr: String): String =
+  /** Shared IVF-assignment oracle fragment (over [[embCte]]'s `n`):
+    * id-mod-step seed centroids + the argmax-cosine cell per vector,
+    * ties → smaller cell id — the exact contract of
+    * [[graft.operators.Embeddings.ivfAssign]] at default dials. Used
+    * by the emb_semdedup and docs_coverage_sample oracles. */
+  private val ivfAssignCte: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+       |  FROM n WHERE vec_id % ${Embeddings.CentroidStep} = 0),
+       |ac AS (
+       |  SELECT n.vec_id, c.cid,
+       |         CAST(list_sum(list_transform(range(len(n.qv)),
+       |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
+       |         n.nsq AS an, c.cnsq AS cn
+       |  FROM n, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(d AS DOUBLE) /
+       |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replica of Er.deletionKeys / deletionKeys2 over relation
+    * `rel`: one row per (id, name, blocking key) — the name plus every
+    * single-char deletion (depth 1) plus every two-char deletion
+    * (depth 2), distinct. DuckDB `range(a, b)` is empty when a ≥ b, so
+    * short names need no guards. */
+  private def erKeysSql(
+      rel: String, idExpr: String, nameExpr: String, depth: Int = 1): String = {
+    require(depth == 1 || depth == 2, s"depth must be 1 or 2, got $depth")
+    val del1 =
+      s"""list_transform(range(1, len($nameExpr) + 1),
+         |           i -> substr($nameExpr, 1, i - 1) || substr($nameExpr, i + 1))""".stripMargin
+    val keys =
+      if (depth == 1) s"list_append(\n         $del1,\n         $nameExpr)"
+      else
+        s"""list_concat(list_append(
+           |         $del1,
+           |         $nameExpr),
+           |         flatten(list_transform(range(1, len($nameExpr)), i ->
+           |           list_transform(range(i + 1, len($nameExpr) + 1), j ->
+           |             substr($nameExpr, 1, i - 1) ||
+           |             substr($nameExpr, i + 1, j - i - 1) ||
+           |             substr($nameExpr, j + 1)))))""".stripMargin
     s"""SELECT $idExpr AS id, $nameExpr AS name,
-       |       unnest(list_distinct(list_append(
-       |         list_transform(range(1, len($nameExpr) + 1),
-       |           i -> substr($nameExpr, 1, i - 1) || substr($nameExpr, i + 1)),
-       |         $nameExpr))) AS key
+       |       unnest(list_distinct($keys)) AS key
        |FROM $rel WHERE $nameExpr IS NOT NULL""".stripMargin
+  }
 
   /** Shared er_link_* oracle body: the dirty feed (mirrors
-    * [[dirtyCustomers]] exactly), both key tables, and the confirmed
-    * linkage `links(dirty_id, c_custkey, dist)`. */
-  private def erLinkBodySql: String =
+    * [[dirtyCustomers]] exactly), both key tables at the given blocking
+    * depth, and the confirmed linkage `links(dirty_id, c_custkey,
+    * dist)` at `maxEdit`. */
+  private def erLinkBodySql(maxEdit: Int = 1): String =
     s"""d AS (
        |  SELECT -c_custkey - 1 AS dirty_id,
        |         1 + (c_custkey % len(c_name)) AS p, c_name AS nm
@@ -670,8 +712,8 @@ object SparkEntry {
        |           (CASE WHEN substr(nm, p, 1) = 'q' THEN 'x' ELSE 'q' END) ||
        |           substr(nm, p + 1) AS name
        |  FROM d),
-       |lk AS (${erKeysSql("dn", "dirty_id", "name")}),
-       |rk AS (${erKeysSql("customer", "c_custkey", "c_name")}),
+       |lk AS (${erKeysSql("dn", "dirty_id", "name", maxEdit)}),
+       |rk AS (${erKeysSql("customer", "c_custkey", "c_name", maxEdit)}),
        |cand AS (
        |  SELECT DISTINCT l.id AS dirty_id, r.id AS c_custkey,
        |         l.name AS nl, r.name AS nr
@@ -679,7 +721,7 @@ object SparkEntry {
        |links AS (
        |  SELECT dirty_id, c_custkey,
        |         CAST(levenshtein(nl, nr) AS BIGINT) AS dist
-       |  FROM cand WHERE levenshtein(nl, nr) <= 1)""".stripMargin
+       |  FROM cand WHERE levenshtein(nl, nr) <= $maxEdit)""".stripMargin
 
   /** Corpus-derived PQ codebook step shared by the PQ battery family
     * — == Embeddings.CentroidStep at the verify corpus. */
@@ -832,6 +874,11 @@ object SparkEntry {
 
   /** Selection size of docs_sample_weighted. */
   val WeightedSampleK: Int = 120
+
+  /** docs_coverage_sample keeps this many top-quality docs per IVF
+    * cell (3: exercises rank ordering beyond argmax while staying
+    * well under the ≈CentroidStep per-cell population). */
+  val CoveragePerCell: Int = 3
 
   /** text_keywords: top-k size and TextRank rounds. */
   val KeywordsK: Int = 25
@@ -2027,6 +2074,17 @@ object SparkEntry {
         T(s, dir, "customer"), "c_custkey", "c_name", maxEdit = 1)
         .select(col("left_id").as("dirty_id"),
           col("right_id").as("c_custkey"), col("dist").cast("long").as("dist"))),
+    // The same linkage at the maxEdit = 2 contract: depth-2 deletion
+    // blocking (~L²/2 keys per record — the key-volume price of the
+    // wider guarantee) confirmed at lev <= 2; each dirty record now
+    // also reaches its origin's two-digit neighbors.
+    "er_link_dirty2" -> ((s, dir) =>
+      Er.fuzzyJoinBetween(
+        dirtyCustomers(s, dir), "dirty_id", "name",
+        T(s, dir, "customer"), "c_custkey", "c_name", maxEdit = 2)
+        .select(col("left_id").as("dirty_id"),
+          col("right_id").as("c_custkey"), col("dist").cast("long").as("dist"))),
+
     // Disambiguation on top of the linkage: single best clean match per
     // dirty record (min dist, ties → min custkey), one map-side-partial
     // hash-agg.
@@ -2194,10 +2252,13 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
           col("cluster_size"), col("is_canonical"))),
     // SemDeDup — IVF-cell-bounded semantic dedup (data-dependent cells,
-    // exhaustive comparison inside each cell, keep-first survivor rule).
+    // exhaustive comparison inside each cell, keep-first survivor rule)
+    // at the paper's 0.95 bar over the twin-planted corpus (see
+    // NearDupCosMicro scaladoc for why the honest threshold is also
+    // the soak-linear one).
     "emb_semdedup" -> ((s, dir) =>
-      Embeddings.semDedup(T(s, dir, "embeddings"),
-        Embeddings.CentroidStep, SemDedupCosMicro)),
+      Embeddings.semDedup(twinEmbSrc(s, dir),
+        Embeddings.CentroidStep, NearDupCosMicro)),
 
     // -------- multimodal binary ops (north-star extension): the
     // documents text cast to binary stands in for an opaque payload;
@@ -2796,6 +2857,19 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
         k = WeightedSampleK)),
 
+    // Cluster-coverage sampling: top-quality docs per IVF cell —
+    // selection balanced by embedding-space COVERAGE rather than
+    // source labels (quality scores × the same cell assignment
+    // contract as emb_semdedup; rank<=k compiles to WindowGroupLimit).
+    "docs_coverage_sample" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Curation.coverageSample(
+        TextAnalysis.quality(T(s, dir, "documents")),
+        Embeddings.ivfAssign(emb,
+          Embeddings.ivfCentroids(emb, Embeddings.CentroidStep)),
+        perCell = CoveragePerCell)
+    }),
+
     // Token-budget mixture selection — per-source hash-ordered prefix
     // under a token budget, computed as a distributed prefix scan
     // (per-bucket totals → broadcast offsets → per-bucket running sum),
@@ -3334,6 +3408,21 @@ object SparkEntry {
          |FROM documents
          |ORDER BY priority, doc_id LIMIT $WeightedSampleK""".stripMargin,
 
+    // coverage sampling: the shared IVF-assignment fragment + the
+    // text_quality oracle (nested WITH as a derived table) + the same
+    // (score DESC, id) rank rule.
+    "docs_coverage_sample" ->
+      s"""$embCte,
+         |$ivfAssignCte,
+         |qual AS (SELECT doc_id, score_milli FROM ($qualitySql)),
+         |r AS (
+         |  SELECT a.vec_id AS doc_id, a.cell, q.score_milli,
+         |         CAST(row_number() OVER (PARTITION BY a.cell
+         |           ORDER BY q.score_milli DESC, a.vec_id) AS BIGINT) AS cell_rank
+         |  FROM assign a JOIN qual q ON q.doc_id = a.vec_id)
+         |SELECT doc_id, cell, score_milli, cell_rank
+         |FROM r WHERE cell_rank <= $CoveragePerCell""".stripMargin,
+
     "rel_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM lineitem l
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
@@ -3687,10 +3776,13 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin,
     "er_link_dirty" ->
-      s"""WITH $erLinkBodySql
+      s"""WITH ${erLinkBodySql()}
+         |SELECT dirty_id, c_custkey, dist FROM links""".stripMargin,
+    "er_link_dirty2" ->
+      s"""WITH ${erLinkBodySql(2)}
          |SELECT dirty_id, c_custkey, dist FROM links""".stripMargin,
     "er_link_best" ->
-      s"""WITH $erLinkBodySql,
+      s"""WITH ${erLinkBodySql()},
          |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
          |                                   ORDER BY dist, c_custkey) AS rn
          |      FROM links)
@@ -3831,24 +3923,11 @@ object SparkEntry {
          |FROM comp""".stripMargin,
 
     // SemDeDup: the IVF assignment prelude (same seeds/argmax contract
-    // as ivfOracleSql) + exhaustive intra-cell pairs + keep-first.
+    // as ivfOracleSql) over the twin-planted corpus + exhaustive
+    // intra-cell pairs at the 0.95 bar + keep-first.
     "emb_semdedup" ->
-      s"""$embCte,
-         |cents AS (
-         |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
-         |  FROM n WHERE vec_id % ${Embeddings.CentroidStep} = 0),
-         |ac AS (
-         |  SELECT n.vec_id, c.cid,
-         |         CAST(list_sum(list_transform(range(len(n.qv)),
-         |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
-         |         n.nsq AS an, c.cnsq AS cn
-         |  FROM n, cents c),
-         |assign AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY CAST(d AS DOUBLE) /
-         |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
-         |    FROM ac) WHERE rn = 1),
+      s"""$twinEmbCte,
+         |$ivfAssignCte,
          |nb AS (SELECT n.vec_id, n.qv, n.nsq, a.cell
          |       FROM n JOIN assign a USING (vec_id)),
          |pr AS (
@@ -3861,7 +3940,7 @@ object SparkEntry {
          |  FROM nb a JOIN nb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |dup AS (
          |  SELECT ub, min(ua) AS dup_of FROM pr
-         |  WHERE cos_x1e6 >= $SemDedupCosMicro GROUP BY ub)
+         |  WHERE cos_x1e6 >= $NearDupCosMicro GROUP BY ub)
          |SELECT nb.vec_id, nb.cell,
          |       coalesce(d.dup_of, -1) AS dup_of,
          |       (d.ub IS NULL) AS kept

@@ -429,6 +429,45 @@ object Curation {
       .limit(k)
   }
 
+  /** Cluster-coverage sampling — the diversity-aware selection step of
+    * a training-data pipeline (the SemDeDup/DsDm-style "pick the best
+    * of each semantic region" shape): given per-record quality scores
+    * and a cluster assignment (e.g.
+    * [[graft.operators.Embeddings.ivfAssign]] cells), keep the top
+    * `perCell` records of every cluster by (score DESC, id ASC —
+    * deterministic in any engine). Where weighted/stratified sampling
+    * balances by SOURCE labels, this balances by embedding-space
+    * COVERAGE: no region is over-represented however much raw mass it
+    * has.
+    *
+    * 100 TB shape: one equijoin on the id (both sides shuffle once) and
+    * one rank window partitioned by cell. At a fixed seed step the cell
+    * COUNT grows with the corpus while the per-cell population stays
+    * ≈ step, so window partitions are bounded; the `rank <= perCell`
+    * filter compiles to a WindowGroupLimit (each map partition prunes
+    * to its own top-perCell before the cell shuffle — PlanShapeSpec
+    * asserts it), so the exchange carries O(cells · perCell) candidate
+    * rows, not the corpus.
+    */
+  def coverageSample(
+      scored: DataFrame,
+      cells: DataFrame,
+      perCell: Int = 1,
+      idCol: String = "doc_id",
+      cellIdCol: String = "vec_id",
+      cellCol: String = "cell",
+      scoreCol: String = "score_milli"): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val joined = scored.select(col(idCol), col(scoreCol))
+      .join(cells.select(col(cellIdCol).as(idCol), col(cellCol)), idCol)
+    val w = Window.partitionBy(col(cellCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .where(col("cell_rank") <= perCell)
+      .select(col(idCol), col(cellCol), col(scoreCol), col("cell_rank"))
+  }
+
   /** Markup stripping + whitespace normalization — the first transform
     * a web crawl sees: drop tags (`<[^>]*>` → space, so adjacent words
     * never fuse), unescape the four core HTML entities (`&amp;` LAST —

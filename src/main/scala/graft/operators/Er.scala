@@ -49,6 +49,26 @@ object Er {
       when(length(name) >= 1, dels).otherwise(array())))
   }
 
+  /** Depth-2 deletion neighborhood: [[deletionKeys]] plus every
+    * two-character deletion (positions i < j removed), de-duplicated —
+    * the blocking for the maxEdit = 2 contract. Key volume is
+    * 1 + L + C(L,2) ≈ L²/2 per record (the price of the wider
+    * guarantee; state it when turning the dial). All nested HOFs —
+    * sequence/transform/flatten — stay whole-stage-codegen. */
+  def deletionKeys2(name: Column): Column = {
+    val del2 = flatten(transform(sequence(lit(1), length(name) - 1), i =>
+      transform(sequence(i + 1, length(name)), j =>
+        concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, j - i - 1),
+          name.substr(j + 1, length(name))))))
+    array_distinct(concat(deletionKeys(name),
+      when(length(name) >= 2, del2).otherwise(array())))
+  }
+
+  /** [[deletionKeys]] for maxEdit ≤ 1, [[deletionKeys2]] for 2. */
+  private[graft] def keysFor(name: Column, maxEdit: Int): Column =
+    if (maxEdit <= 1) deletionKeys(name) else deletionKeys2(name)
+
   /** (key, id, name) — one row per blocking key per record, with the
     * optional hot-key cap applied: keys carried by more than
     * `maxKeyFreq` records are dropped entirely (both sides of any pair
@@ -58,11 +78,12 @@ object Er {
       df: DataFrame,
       idCol: String,
       nameCol: String,
-      maxKeyFreq: Option[Long]): DataFrame = {
+      maxKeyFreq: Option[Long],
+      maxEdit: Int = 1): DataFrame = {
     val k = df
       .where(col(nameCol).isNotNull)
       .select(col(idCol).as("__id"), col(nameCol).as("__name"),
-        explode(deletionKeys(col(nameCol))).as("__key"))
+        explode(keysFor(col(nameCol), maxEdit)).as("__key"))
     maxKeyFreq match {
       case None => k
       case Some(cap) =>
@@ -82,29 +103,41 @@ object Er {
       df: DataFrame,
       idCol: String,
       nameCol: String,
-      maxKeyFreq: Option[Long] = None): DataFrame = {
-    val k = keyed(df, idCol, nameCol, maxKeyFreq)
+      maxKeyFreq: Option[Long] = None,
+      maxEdit: Int = 1): DataFrame = {
+    val k = keyed(df, idCol, nameCol, maxKeyFreq, maxEdit)
     val a = k.select(col("__key"), col("__id").as("id_a"), col("__name").as("__na"))
     val b = k.select(col("__key"), col("__id").as("id_b"), col("__name").as("__nb"))
-    a.join(b, Seq("__key"))
+    // sort-merge, never auto-broadcast: the key table is an inline
+    // explode, and Spark's size estimate of an explode is its CHILD's
+    // size — ~(L+1)× (depth 1) to ~L²/2× (depth 2) too low here. At
+    // the 10× soak the depth-2 estimate made the planner broadcast a
+    // 26M-row frame it thought was megabytes and die; a shuffle_hash
+    // hint then moved the same death into the per-partition hash
+    // build. Sort-merge is the one fully-spillable shape — the sort is
+    // the price of surviving arbitrary key-table sizes.
+    a.join(b.hint("merge"), Seq("__key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .distinct()
   }
 
   /** Confirmed fuzzy self-match: all pairs (id_a < id_b) with
-    * lev(name_a, name_b) ≤ maxEdit. Complete for maxEdit = 1 (the
-    * blocking guarantee above); maxEdit = 0 degenerates to exact
-    * match through the full-name key. Output: id_a, id_b, dist. */
+    * lev(name_a, name_b) ≤ maxEdit. Complete by the SymSpell theorem:
+    * lev(a, b) ≤ k ⇒ the depth-k deletion neighborhoods intersect —
+    * depth-1 keys serve maxEdit ≤ 1, depth-2 ([[deletionKeys2]],
+    * ~L²/2 keys per record) serves maxEdit = 2; maxEdit = 0
+    * degenerates to exact match through the full-name key. Output:
+    * id_a, id_b, dist. */
   def fuzzyPairs(
       df: DataFrame,
       idCol: String,
       nameCol: String,
       maxEdit: Int = 1,
       maxKeyFreq: Option[Long] = None): DataFrame = {
-    require(maxEdit >= 0 && maxEdit <= 1,
-      s"fuzzyPairs blocking is single-deletion (complete for maxEdit <= 1), got $maxEdit")
-    candidatePairs(df, idCol, nameCol, maxKeyFreq)
+    require(maxEdit >= 0 && maxEdit <= 2,
+      s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
+    candidatePairs(df, idCol, nameCol, maxKeyFreq, maxEdit)
       .withColumn("dist", levenshtein(col("__na"), col("__nb"), maxEdit))
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -118,13 +151,17 @@ object Er {
       right: DataFrame, rightId: String, rightName: String,
       maxEdit: Int = 1,
       maxKeyFreq: Option[Long] = None): DataFrame = {
-    require(maxEdit >= 0 && maxEdit <= 1,
-      s"fuzzyJoinBetween blocking is single-deletion (complete for maxEdit <= 1), got $maxEdit")
-    val l = keyed(left, leftId, leftName, maxKeyFreq)
+    require(maxEdit >= 0 && maxEdit <= 2,
+      s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
+    val l = keyed(left, leftId, leftName, maxKeyFreq, maxEdit)
       .select(col("__key"), col("__id").as("left_id"), col("__name").as("__nl"))
-    val r = keyed(right, rightId, rightName, maxKeyFreq)
+    val r = keyed(right, rightId, rightName, maxKeyFreq, maxEdit)
       .select(col("__key"), col("__id").as("right_id"), col("__name").as("__nr"))
-    l.join(r, Seq("__key"))
+    // sort-merge for the same post-explode underestimation reason as
+    // candidatePairs (both sides are inline key explodes here; the
+    // parquet-backed streaming path — fuzzyPairsFromKeys — keeps
+    // Spark's choice, its store stats are real file sizes)
+    l.join(r.hint("merge"), Seq("__key"))
       .select(col("left_id"), col("right_id"), col("__nl"), col("__nr"))
       .distinct()
       .withColumn("dist", levenshtein(col("__nl"), col("__nr"), maxEdit))
@@ -136,8 +173,12 @@ object Er {
     * per (key, id, name) — what a streaming roster ingest persists so
     * each tranche is keyed exactly once
     * ([[graft.streaming.Streams.ingestErLinks]]). */
-  def keyTable(df: DataFrame, idCol: String, nameCol: String): DataFrame =
-    keyed(df, idCol, nameCol, None)
+  def keyTable(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxEdit: Int = 1): DataFrame =
+    keyed(df, idCol, nameCol, None, maxEdit)
       .select(col("__key").as("key"), col("__id").as("id"),
         col("__name").as("name"))
 
@@ -151,8 +192,8 @@ object Er {
       b: DataFrame,
       maxEdit: Int = 1,
       ordered: Boolean = true): DataFrame = {
-    require(maxEdit >= 0 && maxEdit <= 1,
-      s"single-deletion blocking is complete for maxEdit <= 1, got $maxEdit")
+    require(maxEdit >= 0 && maxEdit <= 2,
+      s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
     val l = a.select(col("key"), col("id").as("id_a"), col("name").as("__na"))
     val r = b.select(col("key"), col("id").as("id_b"), col("name").as("__nb"))
     l.join(r, Seq("key"))

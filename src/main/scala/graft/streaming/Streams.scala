@@ -657,7 +657,11 @@ object Streams {
     * within-tranche pair by its own — StreamingSpec pins the equality.
     * Ids must be unique roster-wide. Exactly-once like the other ingest
     * jobs: AvailableNow file tracking + per-batch dynamic partition
-    * overwrite, prior-state reads exclude the current batch_id. */
+    * overwrite, prior-state reads exclude the current batch_id.
+    * `maxEdit` sets BOTH the blocking depth of the keys this tranche
+    * stores and the confirm bound — it must stay constant across a
+    * store's lifetime (keys written at depth 1 cannot serve a later
+    * depth-2 confirm; start a new statePath to turn the dial). */
   def ingestErLinks(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -682,7 +686,8 @@ object Streams {
         // replay stays idempotent, both writes are per-batch dynamic
         // overwrites and prior reads exclude this batch
         writeBatchPartition(
-          Er.keyTable(batch.select(col(idCol), col(nameCol)), idCol, nameCol),
+          Er.keyTable(batch.select(col(idCol), col(nameCol)), idCol, nameCol,
+            maxEdit),
           batchId, keyStore)
         val stored = s.read.parquet(keyStore)
           .where(col("batch_id") === batchId).drop("batch_id")

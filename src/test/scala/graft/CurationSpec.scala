@@ -814,6 +814,26 @@ class CurationSpec extends SparkSpecBase {
 
   // ----------------------------------------------------- transitions
 
+  test("coverageSample keeps top-perCell per cell by (score desc, id), inner-joined") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 900L), (2L, 950L), (3L, 950L), (4L, 100L), // cell 10
+      (5L, 500L), // cell 20 singleton
+      (9L, 999L) // no cell assignment -> dropped by the inner join
+    ).toDF("doc_id", "score_milli")
+    val cells = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 20L))
+      .toDF("vec_id", "cell")
+    val got = Curation.coverageSample(scored, cells, perCell = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // cell 10: 950-tie broken by id (2 before 3); cell 20: singleton at rank 1
+    assert(got === Set(
+      (2L, 10L, 950L, 1L), (3L, 10L, 950L, 2L), (5L, 20L, 500L, 1L)))
+    intercept[IllegalArgumentException] {
+      Curation.coverageSample(scored, cells, perCell = 0)
+    }
+  }
+
   test("transitions counts adjacent pairs per user with exact permille shares") {
     // user 1: a→b→a→b ; user 2: b→b→c
     val events = Seq(

@@ -119,11 +119,47 @@ class ErSpec extends SparkSpecBase {
     assert(want.size > 500, s"regime check: dense corpus expected, got ${want.size}")
   }
 
+  test("property: depth-2 blocking+confirm == brute force lev<=2 (incl. transpositions)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(90, for {
+      n <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString)
+    val names = gen(Gen.Parameters.default, Seed(777L)).get
+    val recs = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+    val got = Er.fuzzyPairs(recs.toDF("id", "name"), "id", "name", maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, na) <- recs; (ib, nb) <- recs if ia < ib
+      d = bruteLev(na, nb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    // the planted roster's adjacent transposition is now CONFIRMED
+    val roster2 = Er.fuzzyPairs(roster.toDF("id", "name"), "id", "name", maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(roster2.contains((1L, 5L, 2)), "alpha/aplha at lev 2 under maxEdit=2")
+    intercept[IllegalArgumentException] {
+      Er.fuzzyPairs(roster.toDF("id", "name"), "id", "name", maxEdit = 3)
+    }
+  }
+
   test("deletion keys: distinct, include the name itself, empty-safe") {
     val keys = spark.range(1).select(
       Er.deletionKeys(lit("aab")).as("k"),
       Er.deletionKeys(lit("")).as("e")).head()
     assert(keys.getSeq[String](0).toSet === Set("aab", "ab", "aa"))
     assert(keys.getSeq[String](1) === Seq(""))
+  }
+
+  test("depth-2 keys: all <=2-deletion variants, short-string-safe") {
+    val keys = spark.range(1).select(
+      Er.deletionKeys2(lit("abc")).as("k"),
+      Er.deletionKeys2(lit("a")).as("one"),
+      Er.deletionKeys2(lit("")).as("zero")).head()
+    assert(keys.getSeq[String](0).toSet ===
+      Set("abc", "bc", "ac", "ab", "c", "b", "a"))
+    assert(keys.getSeq[String](1).toSet === Set("a", ""))
+    assert(keys.getSeq[String](2) === Seq(""))
   }
 }

@@ -191,6 +191,7 @@ class PlanShapeSpec extends SparkSpecBase {
           // same IVF n·K broadcast assignment pass (frozen = reloaded artifacts)
           "emb_ann_ivfpq", "emb_ann_ivfpq_scaled", "emb_ann_ivfpq_frozen",
           "emb_semdedup", // same IVF n·K broadcast assignment pass
+          "docs_coverage_sample", // same IVF broadcast assignment pass (cells input)
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
           "text_hashed_features", "text_lm_score", "docs_drift", "graph_triangles",
           // 1-row doc-count broadcast feeding the idf-bits projection
@@ -228,6 +229,13 @@ class PlanShapeSpec extends SparkSpecBase {
     val windows = "WindowGroupLimit|Window \\[".r.findAllIn(dup).size
     assert(windows === 1, // the gaps-and-islands pass over duplicated positions
       s"expected exactly 1 window in docs_dup_ngrams, got $windows:\n${dup.take(3000)}")
+  }
+
+  test("docs_coverage_sample rank filter is a WindowGroupLimit") {
+    // the per-cell top-k must prune map-side: the exchange then carries
+    // O(cells · perCell) candidates, not the joined corpus
+    assert(plan("docs_coverage_sample").contains("WindowGroupLimit"),
+      "coverage-sample rank<=k not pushed into a partial group limit")
   }
 
   test("emb_pq_codes encodes via the in-row codebook fold, not a grid sort-agg") {

@@ -77,6 +77,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
         maxKeyFreq = Some(5L))))
   }
 
+  test("coverage_sample('scored','cells') equals Curation.coverageSample") {
+    val emb = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.TextAnalysis.quality(s2.table("docs"))
+      .createOrReplaceTempView("scored")
+    graft.operators.Embeddings.ivfAssign(emb,
+      graft.operators.Embeddings.ivfCentroids(emb))
+      .createOrReplaceTempView("cells")
+    val viaSql = s2.sql("SELECT * FROM coverage_sample('scored', 'cells', 2)")
+    val viaApi = Curation.coverageSample(
+      s2.table("scored"), s2.table("cells"), perCell = 2)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
