@@ -98,6 +98,10 @@ object Soak {
       // shipped one round on the frozen 4-plane dial exactly because
       // this family wasn't gated)
       q == "emb_knn_graph" || q == "emb_neardup" || q == "emb_semdedup" ||
+      // the recall report runs the same bucketed candidate machinery
+      // as emb_neardup (1-row output — the gate's value here is the
+      // candidate-frame measurement)
+      q == "emb_neardup_recall" ||
       q == "emb_dedup_clusters" || q == "emb_contrastive" ||
       // entity resolution: deletion-key buckets must stay
       // replica-disjoint (replicatedCustomers' tag premise) — the
@@ -113,7 +117,12 @@ object Soak {
       // paths feeding them (knn buckets, wedge equijoin, banding,
       // star-contraction) didn't go quadratic — and that round counts
       // and executor memory survive 10×.
-      q.startsWith("multimodal_phash") || q == "dedup_clusters") &&
+      q.startsWith("multimodal_phash") || q == "dedup_clusters" ||
+      // incremental cluster maintenance: same star-contraction core
+      // PLUS the touched/untouched split — the gate checks the
+      // semi/anti-join scoping keeps the contraction input bounded by
+      // the increment, not the corpus
+      q == "dedup_clusters_merge") &&
       // the exact 64-bit pigeonhole mode is DOCUMENTED quadratic
       // (16 values per 4-bit band ⇒ ~64 % of all pairs collide) — it
       // exists as the small-corpus correctness oracle, and at 10× the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.Scalars
-import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, Er, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, Sketches, TextAnalysis, Tokenize, WordStats}
+import graft.operators.{AttrsTransform, Bpe, Cdc, Curation, Dedup, DedupClusters, Embeddings, Er, Eval, FoldGroup, Layout, Multimodal, NearDup, Relevance, Sessions, Sketches, TextAnalysis, Tokenize, WordStats}
 import graft.sinks.Projection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2037,6 +2037,24 @@ object SparkEntry {
     // and closes them with a recursive CTE.
     "dedup_clusters" -> ((s, dir) =>
       DedupClusters.resolve(NearDup.minHashPairs(T(s, dir, "documents")))),
+    // Incremental cluster maintenance: the even-id half plays the
+    // already-clustered base corpus, the odd-id half the new tranche
+    // (same split convention as neardup_incremental); merge folds the
+    // tranche's pairs (within-tranche + cross) into the base assignment
+    // touching ONLY clusters incident to a new pair. The oracle is the
+    // ONE-SHOT recursive-CTE closure over the full corpus — the hash
+    // match is the incremental == batch theorem, proved on the fixture.
+    "dedup_clusters_merge" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val inc = docs.where(col("doc_id") % 2 === 1)
+      val newPairs = NearDup.minHashPairs(inc)
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(NearDup.minHashPairsBetween(base, inc)
+          .select(col("doc_a"), col("doc_b")))
+      DedupClusters.merge(
+        DedupClusters.resolve(NearDup.minHashPairs(base)), newPairs)
+    }),
 
     // Survivorship: per near-dup cluster keep the LONGEST member (ties
     // → smallest id) — the canonical-record policy applied as one
@@ -2241,6 +2259,40 @@ object SparkEntry {
     "emb_neardup" -> ((s, dir) =>
       Embeddings.cosineNearDupPairs(twinEmbSrc(s, dir), NearDupCosMicro,
         planes = batteryKnnPlanes(s, dir))),
+    // Measured recall/precision of the LSH-bucketed near-dup against
+    // the planted ground truth — the evaluation loop every approximate
+    // candidate stage owes its operator: TRUTH = the planted twin
+    // relation (origin→exact, origin→near, exact→near where both
+    // exist) scored by the EXACT quantized cosine with no buckets —
+    // O(n) pairs, never all-pairs — FOUND = the production LSH path.
+    "emb_neardup_recall" -> ((s, dir) => {
+      val src = twinEmbSrc(s, dir)
+      val found = Embeddings.cosineNearDupPairs(src, NearDupCosMicro,
+        planes = batteryKnnPlanes(s, dir)).select(col("vec_a"), col("vec_b"))
+      val ids = T(s, dir, "embeddings").select(col("vec_id"))
+      val rel = ids.where(col("vec_id") % EmbTwinExactMod === 0)
+        .select(col("vec_id").as("vec_a"), (col("vec_id") * -2 - 1).as("vec_b"))
+        .unionByName(ids.where(col("vec_id") % EmbTwinNearMod === 0)
+          .select(col("vec_id").as("vec_a"), (col("vec_id") * -2 - 2).as("vec_b")))
+        .unionByName(ids.where(col("vec_id") % EmbTwinExactMod === 0 &&
+            col("vec_id") % EmbTwinNearMod === 0)
+          .select((col("vec_id") * -2 - 1).as("vec_a"),
+            (col("vec_id") * -2 - 2).as("vec_b")))
+      val qn = src.select(col("vec_id"),
+          Embeddings.quantize(col("embedding")).as("__qv"))
+        .withColumn("__nsq", Embeddings.dotQ(col("__qv"), col("__qv")))
+        .where(col("__nsq") > 0)
+      val truth = rel
+        .join(qn.select(col("vec_id").as("vec_a"), col("__qv").as("__qa"),
+          col("__nsq").as("__na")), "vec_a")
+        .join(qn.select(col("vec_id").as("vec_b"), col("__qv").as("__qb"),
+          col("__nsq").as("__nb")), "vec_b")
+        .where(round(Embeddings.cosine(
+            Embeddings.dotQ(col("__qa"), col("__qb")),
+            col("__na"), col("__nb")) * 1e6).cast("long") >= NearDupCosMicro)
+        .select(col("vec_a"), col("vec_b"))
+      Eval.pairRecall(found, truth)
+    }),
     // vector-space dedup clusters — the same large-star/small-star
     // resolution as dedup_clusters, fed by cosine near-dup pairs
     // (embedding-granularity keep/drop verdicts).
@@ -3738,6 +3790,29 @@ object SparkEntry {
          |       (doc_id = cluster_id) AS is_canonical
          |FROM comp""".stripMargin,
 
+    // merge's oracle is deliberately NOT incremental: the one-shot
+    // closure over the full corpus pair set. Spark computes
+    // merge(resolve(base-pairs), tranche-pairs); hash equality IS the
+    // star-contraction theorem CC(star(CC(P1)) ∪ P2) = CC(P1 ∪ P2)
+    // (minHash pair membership is pairwise-determined — per-doc
+    // signatures, per-pair confirm — so base/tranche/cross pairs
+    // partition the full pair set exactly).
+    "dedup_clusters_merge" ->
+      s"""WITH RECURSIVE p AS ($neardupSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       (doc_id = cluster_id) AS is_canonical
+         |FROM comp""".stripMargin,
+
     // same recursive closure as dedup_clusters, survivor = longest
     // member (ties → min id) via ranked window.
     "docs_survivorship" ->
@@ -3829,6 +3904,55 @@ object SparkEntry {
          |FROM nb LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON nb.vec_id = b.vid""".stripMargin,
 
     "emb_neardup" -> embNearDupSql,
+
+    // recall report: FOUND replicates embNearDupSql's bucketed pair
+    // selection; TRUTH scores the planted relation (origin→exact,
+    // origin→near, exact→near where both exist) with the exact
+    // bucket-free quantized cosine; the report is the four counts +
+    // rounded permilles.
+    "emb_neardup_recall" ->
+      s"""$twinLshBucketsCte,
+         |fp AS (
+         |  SELECT a.vec_id AS va, c.vec_id AS vb,
+         |         CAST(round(CAST(list_sum(list_transform(range(len(a.qv)),
+         |           j -> a.qv[j+1] * c.qv[j+1])) AS DOUBLE) /
+         |           (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+         |           * 1000000.0) AS BIGINT) AS cos_x1e6
+         |  FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |f AS (SELECT DISTINCT least(va, vb) AS pa, greatest(va, vb) AS pb
+         |      FROM fp WHERE cos_x1e6 >= $NearDupCosMicro),
+         |rel AS (
+         |  SELECT vec_id AS va, -2 * vec_id - 1 AS vb FROM e0
+         |  WHERE vec_id % $EmbTwinExactMod = 0
+         |  UNION ALL
+         |  SELECT vec_id, -2 * vec_id - 2 FROM e0
+         |  WHERE vec_id % $EmbTwinNearMod = 0
+         |  UNION ALL
+         |  SELECT -2 * vec_id - 1, -2 * vec_id - 2 FROM e0
+         |  WHERE vec_id % $EmbTwinExactMod = 0
+         |    AND vec_id % $EmbTwinNearMod = 0),
+         |t AS (
+         |  SELECT DISTINCT least(rel.va, rel.vb) AS pa,
+         |         greatest(rel.va, rel.vb) AS pb
+         |  FROM rel JOIN n a ON a.vec_id = rel.va
+         |           JOIN n b ON b.vec_id = rel.vb
+         |  WHERE CAST(round(CAST(list_sum(list_transform(range(len(a.qv)),
+         |          j -> a.qv[j+1] * b.qv[j+1])) AS DOUBLE) /
+         |          (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+         |          * 1000000.0) AS BIGINT) >= $NearDupCosMicro),
+         |h AS (SELECT f.pa, f.pb FROM f JOIN t ON f.pa = t.pa AND f.pb = t.pb)
+         |SELECT (SELECT count(*) FROM t) AS n_truth,
+         |       (SELECT count(*) FROM f) AS n_found,
+         |       (SELECT count(*) FROM h) AS n_hit,
+         |       (SELECT count(*) FROM f) - (SELECT count(*) FROM h) AS n_extra,
+         |       CASE WHEN (SELECT count(*) FROM t) > 0
+         |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+         |                 (SELECT count(*) FROM t)) AS BIGINT)
+         |            ELSE CAST(1000 AS BIGINT) END AS recall_permille,
+         |       CASE WHEN (SELECT count(*) FROM f) > 0
+         |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+         |                 (SELECT count(*) FROM f)) AS BIGINT)
+         |            ELSE CAST(1000 AS BIGINT) END AS precision_permille""".stripMargin,
 
     "emb_centroids" ->
       s"""$embCte,

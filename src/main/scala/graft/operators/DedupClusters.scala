@@ -116,8 +116,17 @@ object DedupClusters {
     require(converged, s"components() did not converge in $MaxRounds rounds")
     // Star forest: every non-root points at its component min; roots
     // (the minima themselves) have no outgoing edge — add them back.
-    edges.select(col("u").as("node"), col("v").as("component"))
-      .union(edges.select(col("v"), col("v")).distinct())
+    // Shaped as one explode rather than a self-union: a union here
+    // leaks the checkpointed edges' attrs into downstream UnionBase
+    // constraint rewrites (Catalyst NoSuchElementException when a
+    // caller unions over this output, as merge() does), and the
+    // explode keeps the output plan a single narrow scan.
+    edges
+      .select(explode(array(
+        struct(col("u").as("node"), col("v").as("component")),
+        struct(col("v").as("node"), col("v").as("component")))).as("__nc"))
+      .select(col("__nc.node").as("node"), col("__nc.component").as("component"))
+      .distinct()
   }
 
   /** Full dedup-cluster resolution: components + per-cluster size +
@@ -138,5 +147,71 @@ object DedupClusters {
         col("component").as("cluster_id"),
         col("cluster_size"),
         (col("node") === col("component")).as("is_canonical"))
+  }
+
+  /** Incremental cluster maintenance: fold a tranche of NEW confirmed
+    * pairs into an EXISTING cluster assignment without re-clustering
+    * the corpus. Output is bit-identical to
+    * `resolve(allPriorPairs ∪ pairs)` — the correctness theorem is
+    * that contracting a component to its star (member → cluster
+    * minimum, which is itself a member) preserves connectivity, so
+    * CC(star(CC(P₁)) ∪ P₂) = CC(P₁ ∪ P₂); the fixture battery proves
+    * it by hashing `merge` against the one-shot recursive-CTE oracle.
+    *
+    * 100 TB shape — the cost is bounded by the INCREMENT, not the
+    * corpus: only clusters with a member incident to a new pair can
+    * change, so the star edges entering the contraction loop are one
+    * semi-join away from the new pairs' node set (two hash shuffles),
+    * and every untouched cluster row passes through as a narrow
+    * anti-join scan with its size and canonical flag intact. A star
+    * forest is already a fixed point of the contraction, so the loop's
+    * work tracks how much the increment actually perturbs — disjoint
+    * tranches converge in the probe round. Assignment rows are two
+    * longs; the pass-through scan is the cheap part at any scale.
+    *
+    * @param clusters prior assignment in [[resolve]]'s shape (one row
+    *                 per doc: doc_id, cluster_id, cluster_size,
+    *                 is_canonical; cluster_id = component minimum)
+    * @param pairs    new confirmed pairs (aCol, bCol); may reference
+    *                 docs absent from `clusters` (brand-new tranche
+    *                 members) or bridge existing clusters
+    */
+  def merge(
+      clusters: DataFrame,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val newEdges = pairs.select(col(aCol), col(bCol))
+    val newNodes = newEdges.select(col(aCol).as("doc_id"))
+      .union(newEdges.select(col(bCol).as("doc_id")))
+      .distinct()
+    // clusters that can change = those owning a node of some new pair
+    val touched = clusters.join(newNodes, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affected = clusters.join(touched, Seq("cluster_id"), "left_semi")
+    val untouched = clusters.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+    // star edges of the affected clusters ∪ the increment; the prior
+    // minimum is itself a member, so connectivity is preserved exactly
+    val starEdges = affected.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
+    val comp = components(starEdges.unionByName(newEdges), aCol, bCol,
+      checkpointDir)
+    // every affected-or-new doc gets a row; docs isolated in the edge
+    // view (singleton prior clusters, self-pair-only tranche docs) are
+    // their own component
+    val scope = affected.select(col("doc_id")).union(newNodes).distinct()
+    val merged = scope
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+    untouched.unionByName(merged)
   }
 }

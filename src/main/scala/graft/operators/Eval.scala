@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quality evaluation of candidate-generating operators — the
+  * measurement discipline a training-data pipeline needs around its
+  * dedup/ANN paths: every banded/bucketed candidate stage trades
+  * recall for scale, and that trade must be MEASURED against labeled
+  * ground truth, not asserted. The reference has no analogue (its
+  * exact keyed dedup has recall 1 by construction); this closes the
+  * loop for the approximate families (LSH cosine, MinHash banding,
+  * SimHash, pHash), whose planted-twin fixtures make the truth
+  * relation deterministic.
+  *
+  * 100 TB shape: TRUTH is never all-pairs — it is a planted or
+  * human-labeled relation, O(n) rows — so both the hit semi-join and
+  * the extra anti-join are linear equijoins on the normalized pair
+  * key, and the report is four scalar aggregates broadcast-crossed
+  * into one row.
+  */
+object Eval {
+
+  /** One-row recall/precision report of `found` pairs against `truth`
+    * pairs. Both inputs are pair relations in any orientation and with
+    * possible duplicates; pairs are normalized to (min, max) and
+    * de-duplicated before counting. Output: n_truth, n_found, n_hit,
+    * n_extra, recall_permille, precision_permille (rounded; an empty
+    * denominator reports 1000 — vacuous success, not failure). */
+  def pairRecall(
+      found: DataFrame,
+      truth: DataFrame,
+      aCol: String = "vec_a",
+      bCol: String = "vec_b"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("pa"),
+      greatest(col(aCol), col(bCol)).as("pb")).distinct()
+    val f = norm(found)
+    val t = norm(truth)
+    val hit = f.join(t, Seq("pa", "pb"), "left_semi")
+    val extra = f.join(t, Seq("pa", "pb"), "left_anti")
+    def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, round(num * lit(1000.0) / den).cast("long")).otherwise(lit(1000L))
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(f.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+      .select(col("n_truth"), col("n_found"), col("n_hit"), col("n_extra"),
+        permille(col("n_hit"), col("n_truth")).as("recall_permille"),
+        permille(col("n_hit"), col("n_found")).as("precision_permille"))
+  }
+}

@@ -705,6 +705,80 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental CLUSTER maintenance — the resolution stage
+    * downstream of the whole ingest family: consumes a confirmed-pair
+    * store as it grows (the pair output of [[ingestNearDup]] /
+    * [[ingestPHash]] / [[ingestErLinks]], or any `(aCol, bCol)`
+    * parquet feed landing in `pairsDir`) and maintains the corpus-wide
+    * cluster assignment with
+    * [[graft.operators.DedupClusters.merge]]: each micro-batch folds
+    * the tranche's pairs into the latest committed snapshot, and the
+    * contraction theorem (CC(star(CC(P₁)) ∪ P₂) = CC(P₁ ∪ P₂)) makes
+    * the maintained snapshot bit-identical to the one-shot
+    * `DedupClusters.resolve` over every pair seen so far —
+    * StreamingSpec pins the equality tranche by tranche.
+    *
+    * State is a SNAPSHOT store, unlike the siblings' append stores:
+    * each batch writes the full assignment under its `batch_id`
+    * partition. Assignment rows are three longs and a flag, so the
+    * snapshot is the cheap artifact at any corpus scale, and the merge
+    * COMPUTE is bounded by the increment (only clusters incident to a
+    * new pair re-enter the contraction; everything else is an
+    * anti-join pass-through). Replay-idempotent like its siblings: a
+    * replayed batch recomputes from the same prior — the max committed
+    * `batch_id` BELOW its own, never its half-written attempt — and
+    * dynamic-overwrites only its own partition. Snapshots below the
+    * prior the current batch read are pruned in-batch (a replay needs
+    * only that prior), so the store holds at most two committed
+    * snapshots plus the in-flight one; same single-writer contract as
+    * [[compactStore]]. */
+  def ingestClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      pairsDir: String,
+      statePath: String,
+      checkpoint: String,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupClusters
+    val schema = spark.read.parquet(pairsDir).schema
+    spark.readStream.schema(schema).parquet(pairsDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val pairs = batch.select(col(aCol), col(bCol))
+        val committed = scala.util.Try(s.read.parquet(statePath)).toOption
+          .map(_.where(col("batch_id").cast("long") < batchId))
+        // driver-side scalar: which committed snapshot is the prior
+        val priorId = committed.flatMap(df =>
+          Option(df.agg(max(col("batch_id").cast("long"))).head().get(0))
+            .map(_.asInstanceOf[Long]))
+        val prior = (committed, priorId) match {
+          case (Some(df), Some(m)) =>
+            df.where(col("batch_id").cast("long") === m).drop("batch_id")
+          case _ =>
+            Seq.empty[(Long, Long, Long, Boolean)]
+              .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
+        }
+        writeBatchPartition(
+          DedupClusters.merge(prior, pairs, aCol, bCol), batchId, statePath)
+        // prune snapshots below the prior this batch read — a replay
+        // of THIS batch re-reads exactly that prior, nothing older
+        priorId.foreach { m =>
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("batch_id="))
+            .filter(_.getName.stripPrefix("batch_id=").toLong < m)
+            .foreach(p => fs.delete(p, true))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

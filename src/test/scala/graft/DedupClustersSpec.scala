@@ -48,6 +48,42 @@ class DedupClustersSpec extends SparkSpecBase {
       (8L, 8L, 2L, true), (9L, 8L, 2L, false)))
   }
 
+  private def resolved(pairs: Seq[(Long, Long)]) =
+    DedupClusters.resolve(pairs.toDF("doc_a", "doc_b"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+
+  test("merge(resolve(P1), P2) == resolve(P1 ∪ P2): bridge, new docs, untouched cluster") {
+    val p1 = Seq((1L, 2L), (2L, 3L), (8L, 9L), (20L, 21L))
+    // bridges clusters {1,2,3} and {8,9}, adds brand-new {30,31};
+    // {20,21} is untouched and must pass through
+    val p2 = Seq((3L, 8L), (30L, 31L))
+    val got = rows(DedupClusters.merge(resolved(p1), p2.toDF("doc_a", "doc_b")))
+    assert(got === rows(resolved(p1 ++ p2)))
+  }
+
+  test("merge with no new pairs returns the prior assignment unchanged") {
+    val prior = resolved(Seq((1L, 2L), (5L, 6L)))
+    val got = rows(DedupClusters.merge(prior,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")))
+    assert(got === rows(prior))
+  }
+
+  test("merge randomized: arbitrary pair splits equal the one-shot resolve (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 50
+      val all = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (p1, p2) = all.partition(_ => rnd.nextBoolean())
+      val got = rows(DedupClusters.merge(resolved(p1), p2.toDF("doc_a", "doc_b")))
+      assert(got === rows(resolved(all)))
+    }
+  }
+
   test("randomized graphs match a union-find ground truth (seeded)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {

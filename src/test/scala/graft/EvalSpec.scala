@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Eval
+
+/** Semantics tests for [[graft.operators.Eval.pairRecall]]: pair
+  * normalization (orientation + duplicates), the four counts, rounded
+  * permilles, and the vacuous-denominator convention. The fixture-scale
+  * battery (emb_neardup_recall) covers oracle parity. */
+class EvalSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def report(found: Seq[(Long, Long)], truth: Seq[(Long, Long)]) =
+    Eval.pairRecall(
+      found.toDF("vec_a", "vec_b"), truth.toDF("vec_a", "vec_b"))
+      .collect().head
+
+  test("orientation and duplicates normalize before counting") {
+    // found (2,1) and (1,2) are ONE pair; truth (1,2) hits it
+    val r = report(Seq((2L, 1L), (1L, 2L), (3L, 4L)), Seq((1L, 2L), (5L, 6L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 1L, 1L)))
+    assert(r.getLong(4) === 500L) // recall 1/2
+    assert(r.getLong(5) === 500L) // precision 1/2
+  }
+
+  test("empty denominators report vacuous 1000, not failure") {
+    val none = Seq.empty[(Long, Long)]
+    val r1 = report(none, Seq((1L, 2L)))
+    assert(r1.getLong(4) === 0L)    // recall 0/1
+    assert(r1.getLong(5) === 1000L) // precision over empty found
+    val r2 = report(Seq((1L, 2L)), none)
+    assert(r2.getLong(4) === 1000L) // recall over empty truth
+    assert(r2.getLong(5) === 0L)    // precision 0/1
+  }
+
+  test("perfect agreement is 1000/1000 with zero extras") {
+    val r = report(Seq((1L, 2L), (3L, 4L)), Seq((4L, 3L), (2L, 1L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 2L, 0L)))
+    assert((r.getLong(4), r.getLong(5)) === ((1000L, 1000L)))
+  }
+}

@@ -201,7 +201,10 @@ class PlanShapeSpec extends SparkSpecBase {
           // scoring grid + 1-row train-count broadcast (NB classifier)
           "docs_dsir", "docs_classifier",
           // 1-row sketch-result broadcast for the rank-contract pass
-          "rel_approx_quantiles")
+          "rel_approx_quantiles",
+          // four 1-row count aggregates broadcast-crossed into the
+          // one-row recall report (Eval.pairRecall)
+          "emb_neardup_recall")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")

@@ -677,6 +677,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(oneShot === Set((1L, 2L, 1), (3L, 4L, 1)))
   }
 
+  test("ingestClusters: maintained snapshot equals one-shot resolve tranche by tranche; old snapshots pruned") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_cc_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (statePath, ckpt) = (work.resolve("state").toString,
+      work.resolve("ckpt").toString)
+
+    def snapshot(): Set[(Long, Long, Long, Boolean)] = {
+      val df = spark.read.parquet(statePath)
+      val last = df.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      df.where(col("batch_id").cast("long") === last)
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    }
+    def oneShot(pairs: Seq[(Long, Long)]) =
+      graft.operators.DedupClusters.resolve(pairs.toDF("doc_a", "doc_b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+
+    // t1: two clusters; t2 bridges them via 3-8 and starts a disjoint
+    // one (20,21); t3 extends the merged cluster — each tranche the
+    // snapshot must equal the one-shot resolve over all pairs so far
+    val t1 = Seq((1L, 2L), (2L, 3L), (8L, 9L))
+    val t2 = Seq((3L, 8L), (20L, 21L))
+    val t3 = Seq((9L, 30L))
+    stageTranche(t1.toDF("doc_a", "doc_b"), inDir, "t1")
+    Streams.ingestClusters(spark, inDir.toString, statePath, ckpt)
+      .awaitTermination()
+    assert(snapshot() === oneShot(t1))
+
+    stageTranche(t2.toDF("doc_a", "doc_b"), inDir, "t2")
+    Streams.ingestClusters(spark, inDir.toString, statePath, ckpt)
+      .awaitTermination()
+    assert(snapshot() === oneShot(t1 ++ t2))
+
+    stageTranche(t3.toDF("doc_a", "doc_b"), inDir, "t3")
+    Streams.ingestClusters(spark, inDir.toString, statePath, ckpt)
+      .awaitTermination()
+    assert(snapshot() === oneShot(t1 ++ t2 ++ t3))
+    assert(snapshot().contains((1L, 1L, 6L, true))) // {1,2,3,8,9,30}
+
+    // pruning: at most the prior the last batch read + the latest
+    val kept = new java.io.File(statePath).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted
+    assert(kept.length <= 2, s"expected <= 2 snapshots kept, got ${kept.mkString(",")}")
+  }
+
   test("compactStore: incremental results bit-identical across compaction; files drop to group count") {
     import java.nio.file.Files
     import spark.implicits._
