@@ -2046,14 +2046,24 @@ object SparkEntry {
     // match is the incremental == batch theorem, proved on the fixture.
     "dedup_clusters_merge" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val base = docs.where(col("doc_id") % 2 === 0)
-      val inc = docs.where(col("doc_id") % 2 === 1)
-      val newPairs = NearDup.minHashPairs(inc)
-        .select(col("doc_a"), col("doc_b"))
-        .unionByName(NearDup.minHashPairsBetween(base, inc)
-          .select(col("doc_a"), col("doc_b")))
-      DedupClusters.merge(
-        DedupClusters.resolve(NearDup.minHashPairs(base)), newPairs)
+      // Sign the corpus ONCE: MinHash pair membership is
+      // pairwise-determined (per-doc signatures, per-pair confirm), so
+      // the full-corpus pair set partitions EXACTLY into base×base
+      // (both even) and tranche-incident (any odd) by id parity — the
+      // same three pair sets as signing base/inc/cross separately, at
+      // one shingle + signature pass instead of four. That reuse is
+      // the persisted-signature seam a real incremental deployment
+      // runs on ([[graft.streaming.Streams.ingestNearDup]] signs each
+      // tranche once for the same reason); the lazy truncation
+      // materializes the pair set once for both consumers below.
+      val pairs = graft.core.IterCheckpoint.truncate(
+        NearDup.minHashPairs(docs).select(col("doc_a"), col("doc_b")),
+        None, eager = false)
+      val basePairs = pairs
+        .where(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      val newPairs = pairs
+        .where(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+      DedupClusters.merge(DedupClusters.resolve(basePairs), newPairs)
     }),
 
     // Survivorship: per near-dup cluster keep the LONGEST member (ties

@@ -182,7 +182,16 @@ object DedupClusters {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       checkpointDir: Option[String] = None): DataFrame = {
-    val newEdges = pairs.select(col(aCol), col(bCol))
+    // Input truncation (lazy): the new-pair plan feeds THREE consumers
+    // — the contraction loop, the touched-cluster semi-join, and the
+    // scope union — and in real use it is the expensive end of a
+    // banded-candidate + confirm pipeline. Without the truncation each
+    // consumer re-runs that pipeline from the scan; with it the pairs
+    // materialize once on first action and every consumer reads the
+    // blocks (the contraction's round-0 truncation then sees an
+    // already-materialized input).
+    val newEdges = graft.core.IterCheckpoint.truncate(
+      pairs.select(col(aCol), col(bCol)), checkpointDir, eager = false)
     val newNodes = newEdges.select(col(aCol).as("doc_id"))
       .union(newEdges.select(col(bCol).as("doc_id")))
       .distinct()
