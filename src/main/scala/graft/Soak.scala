@@ -128,7 +128,18 @@ object Soak {
       // exists as the small-corpus correctness oracle, and at 10× the
       // fixture its ~8·10⁸ candidate rows are the explosion the scaled
       // sibling (neardup_simhash_scaled, corpus-sized bands) avoids.
-      q != "neardup_simhash"
+      q != "neardup_simhash" &&
+      // the ANN recall reports: the TRUTH side is the exact
+      // brute-force baseline (n·|queries| with the battery's
+      // corpus-fraction query batch) — quadratic BY DEFINITION, the
+      // same reason emb_topk itself is not gated. A deployment
+      // evaluates recall on a FIXED sampled query batch (the report
+      // joins are bounded by it); the battery keeps the corpus-
+      // fraction batch for oracle determinism. The production paths
+      // the reports measure gate separately (emb_ann_ivfpq_probed,
+      // emb_ann_ivfpq, emb_neardup — whose planted-truth report IS
+      // gated, its truth being O(n) by construction).
+      q != "emb_ann_recall" && q != "emb_ann_recall_probed"
   }
 
   def replicatedDocs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

@@ -333,8 +333,23 @@ object SparkEntry {
 
   /** ADC search oracle at the given PQ dials: per-query exact distance
     * table × the corpus code stream, summed per (query, neighbor),
-    * top-3 by (adist, neighbor). */
-  private def ivfPqSql(m: Int, ivfStep: Long, pqStep: Long): String =
+    * top-3 by (adist, neighbor). Split body/finisher so the recall
+    * oracle ([[oracleSql]] `emb_ann_recall`) can reuse the whole
+    * pipeline as a CTE prelude. */
+  private def ivfPqSql(m: Int, ivfStep: Long, pqStep: Long, nprobe: Int = 1): String =
+    s"""${ivfPqBodyCte(m, ivfStep, pqStep, nprobe)}
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
+       |FROM sc
+       |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+       |QUALIFY row_number() OVER w <= 3""".stripMargin
+
+  /** [[ivfPqSql]]'s pipeline through the summed ADC scores (`sc`) —
+    * ends inside the WITH list so callers append their own CTEs.
+    * `nprobe` replicates the query-side multi-probe: query cells come
+    * from the top-nprobe rows of the same ranked cosine grid the
+    * corpus assignment takes its top-1 from. */
+  private def ivfPqBodyCte(m: Int, ivfStep: Long, pqStep: Long, nprobe: Int = 1): String =
     s"""${pqCteFor(m, pqStep)},
        |icents AS (
        |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
@@ -358,10 +373,16 @@ object SparkEntry {
        |           AS pd
        |  FROM sv s JOIN cents c USING (sub)
        |  WHERE s.vec_id % 20 = 0),
+       |qassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(d AS DOUBLE) /
+       |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+       |    FROM iac) WHERE rn <= $nprobe AND vec_id % 20 = 0),
        |cand AS (
        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
-       |  FROM assign qa JOIN assign ca ON qa.cell = ca.cell
-       |  WHERE qa.vec_id % 20 = 0 AND ca.vec_id <> qa.vec_id),
+       |  FROM qassign qa JOIN assign ca ON qa.cell = ca.cell
+       |  WHERE ca.vec_id <> qa.vec_id),
        |sc AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |         CAST(sum(qd.pd) AS BIGINT) AS adist
@@ -369,12 +390,7 @@ object SparkEntry {
        |  JOIN enc e ON e.vec_id = cand.neighbor_id
        |  JOIN qd ON qd.query_id = cand.query_id
        |         AND qd.sub = e.sub AND qd.code = e.code
-       |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id,
-       |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
-       |FROM sc
-       |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
-       |QUALIFY row_number() OVER w <= 3""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
 
   private def pqSearchSql(m: Int, step: Long): String =
     s"""${pqCteFor(m, step)},
@@ -595,6 +611,18 @@ object SparkEntry {
   /** m16 PQ codebook-size target: stepForBoundedK(500, 62) = 8 ==
     * ScaledPqStep (K≈62 — the measured-recall config). */
   val ScaledPqCodebookK: Long = 62L
+
+  /** IVF-PQ probe dial for the probed battery configs — sized by the
+    * recall measurement at the verify corpus: home-cell-only candidates
+    * hold 253‰ of the true L2 top-3, nprobe=4 holds 547‰ (the
+    * emb_ann_recall / emb_ann_recall_probed pair records the lift). */
+  val IvfPqNprobe: Int = 4
+
+  /** Exact-rerank shortlist size (FAISS-style refinement): PQ's top-24
+    * per query re-scored by exact int64 L2 before the final top-3 —
+    * recovers what the m=8 code approximation misranks within the
+    * probed candidates (measured 173‰ → 320‰ at the verify corpus). */
+  val IvfPqRefine: Int = 24
 
   /** Scaled sign-LSH ANN: planes for ≈16-vector buckets (the finer
     * 100 TB granularity vs the default ≈32), 2 independent hyperplane
@@ -2261,6 +2289,45 @@ object SparkEntry {
         s.read.parquet(s"$base/ivf_centroids.parquet"),
         s.read.parquet(s"$base/pq_codebooks.parquet"))
     }),
+    // Exact brute-force squared-L2 top-5 for the same 1-in-20 query
+    // batch — the companion of emb_topk in the metric the PQ/IVF index
+    // family ranks by. Exact int64 distances, bit-reproducible ranking.
+    "emb_topk_l2" -> ((s, dir) =>
+      Embeddings.l2TopK(T(s, dir, "embeddings"), col("vec_id") % 20 === 0)),
+    // Measured recall@3 of the composed IVF-PQ index against the exact
+    // squared-L2 top-3 (the index's own metric) — the FAISS-style
+    // index-quality number: what the coarse-cell pruning plus the PQ
+    // code approximation together cost in true neighbors, per query
+    // batch, as one row. Truth is k·|queries| rows (never all-pairs);
+    // the report joins are bounded by it.
+    "emb_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Eval.topKRecall(
+        Embeddings.annIvfPq(emb, col("vec_id") % 20 === 0,
+          pqStep = Some(batteryPqStep(s, dir))),
+        Embeddings.l2TopK(emb, col("vec_id") % 20 === 0, k = 3))
+    }),
+    // The probed search itself — IVF-PQ at nprobe=4 (query-side
+    // multi-probe through the same in-row top-cells fold as annIvf;
+    // corpus assignment stays top-1, so probed candidates are disjoint
+    // and cost exactly ∝ nprobe). Raw code-ranked output, oracle = the
+    // same composed SQL with the query-cell rank widened to nprobe.
+    "emb_ann_ivfpq_probed" -> ((s, dir) =>
+      Embeddings.annIvfPq(T(s, dir, "embeddings"), col("vec_id") % 20 === 0,
+        pqStep = Some(batteryPqStep(s, dir)), nprobe = IvfPqNprobe)),
+    // …and its measured recall with the exact-rerank refinement
+    // engaged (PQ top-24 per query re-scored by exact int64 L2): the
+    // dial-response record the recall loop exists for — home-cell code
+    // order 93‰ → probed 173‰ → probed+refined 320‰ at the verify
+    // corpus, against a 547‰ nprobe=4 candidate ceiling.
+    "emb_ann_recall_probed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Eval.topKRecall(
+        Embeddings.annIvfPq(emb, col("vec_id") % 20 === 0,
+          pqStep = Some(batteryPqStep(s, dir)),
+          nprobe = IvfPqNprobe, refine = Some(IvfPqRefine)),
+        Embeddings.l2TopK(emb, col("vec_id") % 20 === 0, k = 3))
+    }),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, honest ≥0.95 threshold over the corpus
     // plus its planted twins (exact + first-coordinate-zeroed; see
@@ -3893,6 +3960,101 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
          |       CAST(round(c2 * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // exact int64 squared-L2 ranking over the quantized vectors — no
+    // floats anywhere, so the order (ties → neighbor id) is identical
+    // in every engine.
+    "emb_topk_l2" ->
+      s"""$embCte,
+         |pairs AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         qq.nsq + c.nsq - 2 * CAST(list_sum(list_transform(range(len(qq.qv)),
+         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS sqd
+         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id)
+         |SELECT query_id, neighbor_id,
+         |       CAST(row_number() OVER w AS BIGINT) AS rank, sqd AS sqdist
+         |FROM pairs
+         |WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
+    // recall@3 report: FOUND replicates the full emb_ann_ivfpq
+    // pipeline (ivfPqBodyCte — same dials), TRUTH is the exact
+    // squared-L2 top-3 per query, the report the counts + permille.
+    "emb_ann_recall" ->
+      s"""${ivfPqBodyCte(Embeddings.PqSubspaces, Embeddings.CentroidStep,
+             Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK))},
+         |fnd AS (
+         |  SELECT query_id, neighbor_id FROM sc
+         |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+         |  QUALIFY row_number() OVER w <= 3),
+         |tp AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         qq.nsq + c.nsq - 2 * CAST(list_sum(list_transform(range(len(qq.qv)),
+         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS sqd
+         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id),
+         |tr AS (
+         |  SELECT query_id, neighbor_id FROM tp
+         |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+         |  QUALIFY row_number() OVER w <= 3),
+         |h AS (SELECT f.query_id, f.neighbor_id
+         |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
+         |                        AND f.neighbor_id = tr.neighbor_id)
+         |SELECT (SELECT count(DISTINCT query_id) FROM tr) AS n_queries,
+         |       (SELECT count(*) FROM tr) AS n_truth,
+         |       (SELECT count(*) FROM fnd) AS n_found,
+         |       (SELECT count(*) FROM h) AS n_hit,
+         |       CASE WHEN (SELECT count(*) FROM tr) > 0
+         |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+         |                 (SELECT count(*) FROM tr)) AS BIGINT)
+         |            ELSE CAST(1000 AS BIGINT) END AS recall_permille""".stripMargin,
+
+    // same composed pipeline with the query-cell rank widened to the
+    // probe dial.
+    "emb_ann_ivfpq_probed" ->
+      ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep,
+        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK),
+        nprobe = IvfPqNprobe),
+
+    // probed + refined recall: the PQ top-IvfPqRefine shortlist per
+    // query is re-scored by exact int64 L2 (`fnd`), truth is the same
+    // exact top-3 as emb_ann_recall's.
+    "emb_ann_recall_probed" ->
+      s"""${ivfPqBodyCte(Embeddings.PqSubspaces, Embeddings.CentroidStep,
+             Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK),
+             nprobe = IvfPqNprobe)},
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM sc
+         |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+         |  QUALIFY row_number() OVER w <= $IvfPqRefine),
+         |fnd AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |           a.nsq + b.nsq - 2 * CAST(list_sum(list_transform(range(len(a.qv)),
+         |             j -> a.qv[j+1] * b.qv[j+1])) AS BIGINT) AS sqd
+         |    FROM shortlist s JOIN n a ON a.vec_id = s.query_id
+         |                     JOIN n b ON b.vec_id = s.neighbor_id)
+         |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+         |  QUALIFY row_number() OVER w <= 3),
+         |tp AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         qq.nsq + c.nsq - 2 * CAST(list_sum(list_transform(range(len(qq.qv)),
+         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS sqd
+         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id),
+         |tr AS (
+         |  SELECT query_id, neighbor_id FROM tp
+         |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+         |  QUALIFY row_number() OVER w <= 3),
+         |h AS (SELECT f.query_id, f.neighbor_id
+         |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
+         |                        AND f.neighbor_id = tr.neighbor_id)
+         |SELECT (SELECT count(DISTINCT query_id) FROM tr) AS n_queries,
+         |       (SELECT count(*) FROM tr) AS n_truth,
+         |       (SELECT count(*) FROM fnd) AS n_found,
+         |       (SELECT count(*) FROM h) AS n_hit,
+         |       CASE WHEN (SELECT count(*) FROM tr) > 0
+         |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+         |                 (SELECT count(*) FROM tr)) AS BIGINT)
+         |            ELSE CAST(1000 AS BIGINT) END AS recall_permille""".stripMargin,
 
     "emb_ann_lsh" ->
       s"""$lshBucketsCte,

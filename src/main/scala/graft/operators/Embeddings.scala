@@ -144,6 +144,43 @@ object Embeddings {
         round(col("__cos") * 1e6).cast("long").as("cos_x1e6"))
   }
 
+  /** Exact brute-force squared-L2 top-k — the companion of
+    * [[cosineTopK]] in the metric the PQ/IVF index family actually
+    * ranks by (ADC approximates exact squared L2, so THIS is the
+    * ground truth an index recall measurement must compare against —
+    * see [[graft.operators.Eval.topKRecall]]). Distances are exact
+    * int64 over the quantized vectors: sqdist = |q|² + |c|² − 2·q·c,
+    * no floats, so ranking (ties → smaller neighbor id) is
+    * bit-reproducible in any engine. Same physical shape as
+    * [[cosineTopK]]: broadcast query batch, one narrow corpus scan,
+    * per-query WindowGroupLimit top-k. Output: (query_id, neighbor_id,
+    * rank, sqdist). */
+  def l2TopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = prepped(emb, idCol, vecCol)
+    val queries = prepped(emb.filter(queryPred), idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qqv"),
+        col("__nsq").as("__qnsq"))
+    val pairs = corpus
+      .join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .withColumn("__sqd",
+        col("__qnsq") + col("__nsq") - lit(2L) * dotQ(col("__qqv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sqd"), col(idCol))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        col("__sqd").as("sqdist"))
+  }
+
   /** Default number of sign-hyperplanes (buckets = 2^planes). 4 ⇒ 16
     * buckets — sized for the fixture corpus; a real deployment derives
     * it from corpus size via [[planesFor]] (buckets ≈ corpus / desired
@@ -950,6 +987,21 @@ object Embeddings {
     * ([[stepForBoundedK]]) so the codebook K — and with it the q·m·K
     * ADC distance table — stays bounded. None (the default) keeps the
     * historical single-step form. */
+  /** `nprobe` probes the query's top-n cells instead of just the home
+    * cell (the IVF recall dial — same contract as [[annIvf]]'s: a true
+    * neighbor just across a cell boundary is recovered, at candidate
+    * cost ∝ nprobe). `refine` engages the standard exact-rerank
+    * refinement: PQ's top-`refine` shortlist per query is re-scored by
+    * EXACT int64 squared L2 against the corpus vectors and the final
+    * top-k comes from that exact order (output column `sqdist` instead
+    * of `adist`) — the memory/recall trade every production IVF-PQ
+    * deployment offers, recovering whatever the code approximation
+    * misranked within the shortlist. The rerank is a bounded id-equijoin
+    * (refine·|queries| rows against the corpus by id), never a scan;
+    * [[annIvfPqServe]] deliberately has no raw-vector access, so refine
+    * lives here where the corpus frame is in hand. The recall battery
+    * measures all three configs: `emb_ann_recall` (home cell, code
+    * order), `emb_ann_recall_probed` (nprobe + refine). */
   def annIvfPq(
       emb: DataFrame,
       queryPred: Column,
@@ -958,12 +1010,14 @@ object Embeddings {
       m: Int = PqSubspaces,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      pqStep: Option[Long] = None): DataFrame = {
+      pqStep: Option[Long] = None,
+      nprobe: Int = 1,
+      refine: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     annIvfPqWith(emb, queryPred,
       ivfCentroids(emb, centroidStep, idCol, vecCol),
       pqCentroids(emb, pqStep.getOrElse(centroidStep), m, idCol, vecCol),
-      k, m, idCol, vecCol)
+      k, m, idCol, vecCol, nprobe, refine)
   }
 
   /** IVF-PQ search against EXISTING index artifacts — the deployment
@@ -982,16 +1036,44 @@ object Embeddings {
       k: Int = 3,
       m: Int = PqSubspaces,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nprobe: Int = 1,
+      refine: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(refine.forall(_ >= k), s"refine (${refine.get}) must be >= k ($k)")
     // corpus-sized internal pass: skip the id-uniqueness guard (one
     // extra corpus shuffle) — the fixture contract is validated at the
     // public increment seams; this caller documents the requirement
     val cells = ivfAssign(emb, icents, idCol, vecCol, assertUniqueIds = false)
     val codes = pqEncode(emb, pcents, m, idCol, vecCol)
       .select(col(idCol), col("sub"), col("code"))
-    annIvfPqServe(emb.filter(queryPred), icents, pcents, cells, codes,
-      k, m, idCol, vecCol)
+    val byCode = annIvfPqServe(emb.filter(queryPred), icents, pcents,
+      cells, codes, refine.getOrElse(k), m, idCol, vecCol, nprobe)
+    refine match {
+      case None => byCode
+      case Some(_) =>
+        // exact rerank: the shortlist (already ≤ refine rows per query,
+        // ranked by code distance) re-scored by exact int64 squared L2
+        // — two id-equijoins against the prepped corpus projection,
+        // sized by the shortlist, then the final top-k window.
+        val p = prepped(emb, idCol, vecCol)
+        val q = p.select(col(idCol).as("query_id"),
+          col("__qv").as("__qqv"), col("__nsq").as("__qnsq"))
+        val c = p.select(col(idCol).as("neighbor_id"),
+          col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("__sqd"), col("neighbor_id"))
+        byCode.select(col("query_id"), col("neighbor_id"))
+          .join(q, "query_id")
+          .join(c, "neighbor_id")
+          .withColumn("__sqd",
+            col("__qnsq") + col("__nnsq") -
+              lit(2L) * dotQ(col("__qqv"), col("__nqv")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            col("__sqd").as("sqdist"))
+    }
   }
 
   /** The SERVE half of IVF-PQ, split from index maintenance: search
@@ -1015,15 +1097,29 @@ object Embeddings {
       k: Int = 3,
       m: Int = PqSubspaces,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // internal pass over the caller's query frame: skip the uniqueness
     // guard (a duplicate query id here only duplicates that query's
     // result rows — it cannot corrupt id-keyed state), keeping the
-    // served-search plan narrow
-    val qcells = ivfAssign(queries, icents, idCol, vecCol,
-        assertUniqueIds = false)
-      .select(col(idCol).as("query_id"), col("cell"))
+    // served-search plan narrow. nprobe > 1 multi-probes the QUERY
+    // side only (the corpus assignment stays one cell per vector, so
+    // probed candidates are disjoint across probes — no dedup needed):
+    // the same in-row top-cells fold as [[annIvf]], one explode,
+    // candidate cost ∝ nprobe.
+    val qcells =
+      if (nprobe == 1)
+        ivfAssign(queries, icents, idCol, vecCol, assertUniqueIds = false)
+          .select(col(idCol).as("query_id"), col("cell"))
+      else
+        prepped(queries, idCol, vecCol)
+          .crossJoin(broadcast(packedCentroids(icents)))
+          .where(size(col("__cb")) > 0)
+          .select(col(idCol).as("query_id"),
+            explode(topCells(col("__cb"), col("__qv"), col("__nsq"), nprobe))
+              .as("cell"))
     val qdist = subvectors(queries, m, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("sub"), col("__sqv"), col("__snsq"))
       .join(broadcast(pcents), Seq("sub"))

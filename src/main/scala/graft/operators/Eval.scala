@@ -49,4 +49,38 @@ object Eval {
         permille(col("n_hit"), col("n_truth")).as("recall_permille"),
         permille(col("n_hit"), col("n_found")).as("precision_permille"))
   }
+
+  /** One-row recall@k report of an approximate top-k result against
+    * the exact top-k ground truth — the standard ANN index quality
+    * metric (FAISS-style recall@k): of the true k nearest neighbors
+    * per query, what fraction did the index return? Both inputs are
+    * (queryCol, idCol) relations — one row per returned neighbor, any
+    * extra columns ignored, duplicates tolerated; a hit is an exact
+    * (query, neighbor) match. Output: n_queries (distinct truth
+    * queries), n_truth, n_found, n_hit, recall_permille
+    * (hit/truth, rounded; empty truth reports 1000 — vacuous).
+    *
+    * 100 TB shape: truth is the per-query exact top-k (k·|queries|
+    * rows — queries are a batch, never the corpus), so the hit
+    * semi-join and the four aggregates are all bounded by the REPORT
+    * inputs, not the corpus; the expensive side (computing truth once
+    * per index build, e.g. [[Embeddings.l2TopK]]) amortizes across
+    * every recall evaluation of that index. */
+  def topKRecall(
+      found: DataFrame,
+      truth: DataFrame,
+      queryCol: String = "query_id",
+      idCol: String = "neighbor_id"): DataFrame = {
+    val f = found.select(col(queryCol), col(idCol)).distinct()
+    val t = truth.select(col(queryCol), col(idCol)).distinct()
+    val hit = f.join(t, Seq(queryCol, idCol), "left_semi")
+    def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, round(num * lit(1000.0) / den).cast("long")).otherwise(lit(1000L))
+    t.agg(countDistinct(col(queryCol)).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(f.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_queries"), col("n_truth"), col("n_found"), col("n_hit"),
+        permille(col("n_hit"), col("n_truth")).as("recall_permille"))
+  }
 }

@@ -40,4 +40,37 @@ class EvalSpec extends SparkSpecBase {
       ((2L, 2L, 2L, 0L)))
     assert((r.getLong(4), r.getLong(5)) === ((1000L, 1000L)))
   }
+
+  // ---- topKRecall: (query, neighbor) hits, per-list duplicates
+  // tolerated, micro recall over the truth rows
+
+  private def topk(found: Seq[(Long, Long)], truth: Seq[(Long, Long)]) =
+    Eval.topKRecall(
+      found.toDF("query_id", "neighbor_id"),
+      truth.toDF("query_id", "neighbor_id"))
+      .collect().head
+
+  test("topKRecall counts exact (query, neighbor) matches micro-averaged") {
+    // q1 truth {2,3}, found {2,9} → 1 hit; q2 truth {5}, found {5} → 1
+    val r = topk(
+      found = Seq((1L, 2L), (1L, 9L), (2L, 5L)),
+      truth = Seq((1L, 2L), (1L, 3L), (2L, 5L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 3L, 3L, 2L)))
+    assert(r.getLong(4) === 667L) // round(2000/3)
+  }
+
+  test("topKRecall: a neighbor hit under the WRONG query is not a hit") {
+    val r = topk(found = Seq((1L, 5L)), truth = Seq((2L, 5L)))
+    assert((r.getLong(1), r.getLong(3), r.getLong(4)) === ((1L, 0L, 0L)))
+  }
+
+  test("topKRecall duplicates collapse; empty truth is vacuous 1000") {
+    val r = topk(
+      found = Seq((1L, 2L), (1L, 2L)), truth = Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 1L)))
+    assert(r.getLong(4) === 500L)
+    val r2 = topk(Seq((1L, 2L)), Seq.empty)
+    assert(r2.getLong(4) === 1000L)
+  }
 }

@@ -442,6 +442,47 @@ class NearDupEmbeddingsSpec extends SparkSpecBase {
     assert(frozen.nonEmpty)
   }
 
+  test("IVF-PQ at the dial extreme (probe all cells, refine >= corpus) IS exact L2") {
+    // the refinement contract's endpoint: with every cell probed the
+    // candidate set is the whole corpus (minus self), and with the
+    // shortlist covering it the exact rerank makes the search
+    // bit-identical to brute-force l2TopK — ids, ranks, AND distances.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val cells = (n / 10) + 1 // centroidStep = 10 ⇒ ≤ this many cells
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val refined = key(Embeddings.annIvfPq(emb, col("vec_id") % 5 === 0,
+      k = 3, centroidStep = 10L, nprobe = cells, refine = Some(n)))
+    val exact = key(Embeddings.l2TopK(emb, col("vec_id") % 5 === 0, k = 3))
+    assert(refined === exact)
+    assert(refined.nonEmpty)
+  }
+
+  test("IVF-PQ refined recall is monotone in nprobe (code-ranked is NOT guaranteed)") {
+    // The guaranteed contract is on the REFINED search: nprobe widens
+    // the candidate pool (a superset), and under the exact-L2 rerank a
+    // vector can only displace a true-top-3 member from the reported 3
+    // by being globally closer — i.e. by being a truth member itself —
+    // so hits are monotone in the probe dial. The same claim is FALSE
+    // for raw code-ranked top-k (a wider pool can push a true hit out
+    // through a PQ misranking — observed on this very fixture: 73 hits
+    // at nprobe=1 vs 67 at nprobe=4), which is exactly why the
+    // refinement stage exists.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val truth = Embeddings.l2TopK(emb, col("vec_id") % 5 === 0, k = 3)
+    def hits(nprobe: Int) = graft.operators.Eval.topKRecall(
+      Embeddings.annIvfPq(emb, col("vec_id") % 5 === 0,
+        centroidStep = 10L, nprobe = nprobe, refine = Some(n)), truth)
+      .collect().head.getLong(3)
+    val h1 = hits(1)
+    val h4 = hits(4)
+    assert(h4 >= h1)
+    assert(h1 > 0L)
+  }
+
   test("pqEncode: seeds are zero-distortion; codes point at the nearest subvector") {
     import spark.implicits._
     // 4-dim vectors, m = 2 subspaces of 2 dims. centroidStep = 10 →

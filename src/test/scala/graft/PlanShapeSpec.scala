@@ -190,6 +190,7 @@ class PlanShapeSpec extends SparkSpecBase {
         Set("emb_topk", "emb_ann_ivf", "emb_ann_ivf_scaled", "emb_ann_ivf_kmeans",
           // same IVF n·K broadcast assignment pass (frozen = reloaded artifacts)
           "emb_ann_ivfpq", "emb_ann_ivfpq_scaled", "emb_ann_ivfpq_frozen",
+          "emb_ann_ivfpq_probed", "emb_ann_recall_probed",
           "emb_semdedup", // same IVF n·K broadcast assignment pass
           "docs_coverage_sample", // same IVF broadcast assignment pass (cells input)
           "text_bm25", "text_collocations", "text_search", "text_hybrid_search",
@@ -204,7 +205,11 @@ class PlanShapeSpec extends SparkSpecBase {
           "rel_approx_quantiles",
           // four 1-row count aggregates broadcast-crossed into the
           // one-row recall report (Eval.pairRecall)
-          "emb_neardup_recall")
+          "emb_neardup_recall",
+          // broadcast query-batch scoring pass (l2TopK), same as
+          // emb_topk; the recall report adds Eval.topKRecall's 1-row
+          // count crossJoins on top
+          "emb_topk_l2", "emb_ann_recall")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
