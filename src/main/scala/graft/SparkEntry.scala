@@ -360,12 +360,12 @@ object SparkEntry {
        |           j -> n.qv[j+1] * c.cqv[j+1])) AS BIGINT) AS d,
        |         n.nsq AS an, c.cnsq AS cn
        |  FROM n, icents c),
-       |assign AS (
-       |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY CAST(d AS DOUBLE) /
-       |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
-       |    FROM iac) WHERE rn = 1),
+       |rankedcells AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY CAST(d AS DOUBLE) /
+       |      (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+       |  FROM iac),
+       |assign AS (SELECT vec_id, cid AS cell FROM rankedcells WHERE rn = 1),
        |qd AS (
        |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
        |         s.snsq + c.cnsq - 2 * CAST(list_sum(list_transform(
@@ -374,11 +374,8 @@ object SparkEntry {
        |  FROM sv s JOIN cents c USING (sub)
        |  WHERE s.vec_id % 20 = 0),
        |qassign AS (
-       |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY CAST(d AS DOUBLE) /
-       |        (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
-       |    FROM iac) WHERE rn <= $nprobe AND vec_id % 20 = 0),
+       |  SELECT vec_id, cid AS cell FROM rankedcells
+       |  WHERE rn <= $nprobe AND vec_id % 20 = 0),
        |cand AS (
        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
        |  FROM qassign qa JOIN assign ca ON qa.cell = ca.cell
@@ -391,6 +388,29 @@ object SparkEntry {
        |  JOIN qd ON qd.query_id = cand.query_id
        |         AND qd.sub = e.sub AND qd.code = e.code
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact squared-L2 top-k truth fragment over [[embQuantBody]]'s `q`
+    * for the 1-in-20 query batch — the ONE definition every L2-truth
+    * consumer (emb_topk_l2, both recall oracles) shares, so a k or
+    * tie-break change cannot drift between "the same" ground truths.
+    * UNFILTERED (`na`, not `n`): zero vectors are legitimate L2 points,
+    * matching Embeddings.l2TopK — exact truth must be complete; index
+    * paths that cannot hold them score misses against it. Ends inside
+    * the WITH list (`na` → `tp` all exact sqdists → `tr` top-k). */
+  private def l2TruthCte(k: Int): String =
+    s"""na AS (
+       |  SELECT vec_id, qv,
+       |         CAST(coalesce(list_sum(list_transform(qv, x -> x * x)), 0) AS BIGINT) AS nsq
+       |  FROM q),
+       |tp AS (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         qq.nsq + c.nsq - 2 * CAST(coalesce(list_sum(list_transform(range(len(qq.qv)),
+       |           j -> qq.qv[j+1] * c.qv[j+1])), 0) AS BIGINT) AS sqd
+       |  FROM na qq JOIN na c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id),
+       |tr AS (
+       |  SELECT query_id, neighbor_id FROM tp
+       |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+       |  QUALIFY row_number() OVER w <= $k)""".stripMargin
 
   private def pqSearchSql(m: Int, step: Long): String =
     s"""${pqCteFor(m, step)},
@@ -2355,10 +2375,10 @@ object SparkEntry {
             col("vec_id") % EmbTwinNearMod === 0)
           .select((col("vec_id") * -2 - 1).as("vec_a"),
             (col("vec_id") * -2 - 2).as("vec_b")))
-      val qn = src.select(col("vec_id"),
-          Embeddings.quantize(col("embedding")).as("__qv"))
-        .withColumn("__nsq", Embeddings.dotQ(col("__qv"), col("__qv")))
-        .where(col("__nsq") > 0)
+      // the exact scoring projection the production paths use — one
+      // definition (Embeddings.prepped), so the truth side can never
+      // quantize differently from the found side it measures
+      val qn = Embeddings.prepped(src, "vec_id", "embedding")
       val truth = rel
         .join(qn.select(col("vec_id").as("vec_a"), col("__qv").as("__qa"),
           col("__nsq").as("__na")), "vec_a")
@@ -3963,17 +3983,13 @@ object SparkEntry {
 
     // exact int64 squared-L2 ranking over the quantized vectors — no
     // floats anywhere, so the order (ties → neighbor id) is identical
-    // in every engine.
+    // in every engine; the shared l2TruthCte IS this query's body.
     "emb_topk_l2" ->
       s"""$embCte,
-         |pairs AS (
-         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         qq.nsq + c.nsq - 2 * CAST(list_sum(list_transform(range(len(qq.qv)),
-         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS sqd
-         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id)
+         |${l2TruthCte(5)}
          |SELECT query_id, neighbor_id,
          |       CAST(row_number() OVER w AS BIGINT) AS rank, sqd AS sqdist
-         |FROM pairs
+         |FROM tp
          |WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
          |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
@@ -3987,15 +4003,7 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id FROM sc
          |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
          |  QUALIFY row_number() OVER w <= 3),
-         |tp AS (
-         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         qq.nsq + c.nsq - 2 * CAST(list_sum(list_transform(range(len(qq.qv)),
-         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS sqd
-         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id),
-         |tr AS (
-         |  SELECT query_id, neighbor_id FROM tp
-         |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
-         |  QUALIFY row_number() OVER w <= 3),
+         |${l2TruthCte(3)},
          |h AS (SELECT f.query_id, f.neighbor_id
          |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
          |                        AND f.neighbor_id = tr.neighbor_id)
@@ -4035,15 +4043,7 @@ object SparkEntry {
          |                     JOIN n b ON b.vec_id = s.neighbor_id)
          |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
          |  QUALIFY row_number() OVER w <= 3),
-         |tp AS (
-         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         qq.nsq + c.nsq - 2 * CAST(list_sum(list_transform(range(len(qq.qv)),
-         |           j -> qq.qv[j+1] * c.qv[j+1])) AS BIGINT) AS sqd
-         |  FROM n qq JOIN n c ON qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id),
-         |tr AS (
-         |  SELECT query_id, neighbor_id FROM tp
-         |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
-         |  QUALIFY row_number() OVER w <= 3),
+         |${l2TruthCte(3)},
          |h AS (SELECT f.query_id, f.neighbor_id
          |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
          |                        AND f.neighbor_id = tr.neighbor_id)

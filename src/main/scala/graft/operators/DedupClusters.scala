@@ -189,9 +189,15 @@ object DedupClusters {
     // consumer re-runs that pipeline from the scan; with it the pairs
     // materialize once on first action and every consumer reads the
     // blocks (the contraction's round-0 truncation then sees an
-    // already-materialized input).
+    // already-materialized input). Self-pairs are dropped HERE, not
+    // just inside the contraction: a doc whose only new pair is a
+    // self-pair must not enter the scope union, or merge would emit a
+    // singleton row for a doc that resolve() (which filters self-loops)
+    // never emits — breaking the bit-identical merge == resolve
+    // contract the whole operator stands on.
     val newEdges = graft.core.IterCheckpoint.truncate(
-      pairs.select(col(aCol), col(bCol)), checkpointDir, eager = false)
+      pairs.select(col(aCol), col(bCol)).where(col(aCol) =!= col(bCol)),
+      checkpointDir, eager = false)
     val newNodes = newEdges.select(col(aCol).as("doc_id"))
       .union(newEdges.select(col(bCol).as("doc_id")))
       .distinct()

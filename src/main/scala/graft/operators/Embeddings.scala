@@ -99,12 +99,21 @@ object Embeddings {
           .as("err_max"))
 
   /** vec_id, quantized vector, exact squared norm — the shared prep
-    * projection (narrow, codegen'd, computed once before any join). */
-  private def prepped(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    * projection (narrow, codegen'd, computed once before any join).
+    * Drops zero-norm vectors: every consumer here scores by COSINE,
+    * which a zero vector does not have. `private[graft]` so the
+    * battery's oracle-truth frames reuse the exact same quantization
+    * instead of re-implementing it. */
+  private[graft] def prepped(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    preppedAll(emb, idCol, vecCol).filter(col("__nsq") > 0)
+
+  /** [[prepped]] WITHOUT the zero-norm filter — for L2-domain
+    * consumers ([[l2TopK]]), where a zero vector is a legitimate point
+    * (sqdist to it is just |q|²). */
+  private[graft] def preppedAll(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val qv = quantize(col(vecCol))
     emb.select(col(idCol), qv.as("__qv"))
       .withColumn("__nsq", dotQ(col("__qv"), col("__qv")))
-      .filter(col("__nsq") > 0)
   }
 
   /** Exact brute-force cosine top-k: for each query vector (rows
@@ -151,18 +160,21 @@ object Embeddings {
     * see [[graft.operators.Eval.topKRecall]]). Distances are exact
     * int64 over the quantized vectors: sqdist = |q|² + |c|² − 2·q·c,
     * no floats, so ranking (ties → smaller neighbor id) is
-    * bit-reproducible in any engine. Same physical shape as
-    * [[cosineTopK]]: broadcast query batch, one narrow corpus scan,
-    * per-query WindowGroupLimit top-k. Output: (query_id, neighbor_id,
-    * rank, sqdist). */
+    * bit-reproducible in any engine. Unlike the cosine family, ZERO
+    * vectors are legitimate L2 points (sqdist to one is |q|²) and are
+    * NOT dropped — exact truth must be complete; index paths that
+    * cannot hold them (cosine cells) simply score misses against it.
+    * Same physical shape as [[cosineTopK]]: broadcast query batch, one
+    * narrow corpus scan, per-query WindowGroupLimit top-k. Output:
+    * (query_id, neighbor_id, rank, sqdist). */
   def l2TopK(
       emb: DataFrame,
       queryPred: Column,
       k: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val corpus = prepped(emb, idCol, vecCol)
-    val queries = prepped(emb.filter(queryPred), idCol, vecCol)
+    val corpus = preppedAll(emb, idCol, vecCol)
+    val queries = preppedAll(emb.filter(queryPred), idCol, vecCol)
       .select(col(idCol).as("query_id"), col("__qv").as("__qqv"),
         col("__nsq").as("__qnsq"))
     val pairs = corpus
@@ -979,15 +991,17 @@ object Embeddings {
     * corpus vectors are read only by the (offline-able) assignment
     * and encoding passes, never by the search join itself. Ties →
     * smaller neighbor id. Output: (query_id, neighbor_id, rank,
-    * adist). */
-  /** `pqStep` decouples the PQ-codebook sampling rate from the coarse
+    * adist).
+    *
+    * `pqStep` decouples the PQ-codebook sampling rate from the coarse
     * IVF step — the two have OPPOSITE scaling contracts: the IVF step
     * stays fixed so cells (and the candidate equijoin) stay
     * constant-size, while the PQ step must GROW with the corpus
     * ([[stepForBoundedK]]) so the codebook K — and with it the q·m·K
     * ADC distance table — stays bounded. None (the default) keeps the
-    * historical single-step form. */
-  /** `nprobe` probes the query's top-n cells instead of just the home
+    * historical single-step form.
+    *
+    * `nprobe` probes the query's top-n cells instead of just the home
     * cell (the IVF recall dial — same contract as [[annIvf]]'s: a true
     * neighbor just across a cell boundary is recovered, at candidate
     * cost ∝ nprobe). `refine` engages the standard exact-rerank
@@ -999,9 +1013,10 @@ object Embeddings {
     * misranked within the shortlist. The rerank is a bounded id-equijoin
     * (refine·|queries| rows against the corpus by id), never a scan;
     * [[annIvfPqServe]] deliberately has no raw-vector access, so refine
-    * lives here where the corpus frame is in hand. The recall battery
-    * measures all three configs: `emb_ann_recall` (home cell, code
-    * order), `emb_ann_recall_probed` (nprobe + refine). */
+    * lives here where the corpus frame is in hand. The battery covers
+    * the dials end to end: `emb_ann_ivfpq_probed` (the nprobe=4 search,
+    * oracle-replicated) and the recall pair `emb_ann_recall` (home
+    * cell, code order) / `emb_ann_recall_probed` (nprobe + refine). */
   def annIvfPq(
       emb: DataFrame,
       queryPred: Column,

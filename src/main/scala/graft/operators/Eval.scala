@@ -38,13 +38,15 @@ object Eval {
     val f = norm(found)
     val t = norm(truth)
     val hit = f.join(t, Seq("pa", "pb"), "left_semi")
-    val extra = f.join(t, Seq("pa", "pb"), "left_anti")
     def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den > 0, round(num * lit(1000.0) / den).cast("long")).otherwise(lit(1000L))
+    // n_extra is derived, not re-joined: f is distinct and hit ⊆ f, so
+    // extra = found − hit by construction (the SQL oracle computes it
+    // the same way) — no anti-join pass over the pair sets.
     t.agg(count(lit(1)).as("n_truth"))
       .crossJoin(f.agg(count(lit(1)).as("n_found")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+      .withColumn("n_extra", col("n_found") - col("n_hit"))
       .select(col("n_truth"), col("n_found"), col("n_hit"), col("n_extra"),
         permille(col("n_hit"), col("n_truth")).as("recall_permille"),
         permille(col("n_hit"), col("n_found")).as("precision_permille"))

@@ -65,6 +65,18 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(got === rows(resolved(p1 ++ p2)))
   }
 
+  test("merge drops self-pairs exactly as resolve does (the bit-identical contract)") {
+    // doc 5's ONLY new pair is a self-pair: resolve(P1 ∪ {(5,5)})
+    // filters the self-loop and emits no row for 5; merge must not
+    // smuggle 5 in through its scope union. A self-pair on an EXISTING
+    // member (2,2) must likewise change nothing.
+    val p1 = Seq((1L, 2L))
+    val p2 = Seq((5L, 5L), (2L, 2L))
+    val got = rows(DedupClusters.merge(resolved(p1), p2.toDF("doc_a", "doc_b")))
+    assert(got === rows(resolved(p1 ++ p2)))
+    assert(!got.exists(_._1 == 5L))
+  }
+
   test("merge with no new pairs returns the prior assignment unchanged") {
     val prior = resolved(Seq((1L, 2L), (5L, 6L)))
     val got = rows(DedupClusters.merge(prior,
