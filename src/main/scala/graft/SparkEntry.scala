@@ -2695,6 +2695,22 @@ object SparkEntry {
     // -------- text analysis extensions (training-data pipeline ops)
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents"))),
+    // Measured langid quality: the confusion matrix of the marker
+    // heuristic's predictions against the fixture's lang column — one
+    // (label, pred) cell per row; accuracy and per-class errors derive
+    // from it. The classifier-quality member of the measurement family
+    // (Eval.pairRecall / topKRecall / confusion). The fixture's matrix
+    // is en-heavy ACROSS every label because the synthetic text is
+    // English-marker token soup for all lang values (the lang column
+    // is independent metadata) — the honest reading is "the corpus's
+    // text does not support its labels", which is exactly the audit a
+    // confusion matrix exists to surface on real data too.
+    "docs_langid_confusion" -> ((s, dir) =>
+      Eval.confusion(
+        TextAnalysis.langId(T(s, dir, "documents"))
+          .select(col("doc_id"), col("pred_lang")),
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        predCol = "pred_lang", labelCol = "lang")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents"))),
     "text_token_counts" -> ((s, dir) =>
@@ -4400,6 +4416,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "text_langid" -> langidSql,
+
+    // confusion matrix = the langid oracle nested as a CTE, joined
+    // back to the ground-truth lang, one count per (label, pred) cell.
+    "docs_langid_confusion" ->
+      s"""WITH li AS ($langidSql)
+         |SELECT d.lang, li.pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM documents d JOIN li USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "text_quality" -> qualitySql,
 

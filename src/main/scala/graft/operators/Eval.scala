@@ -85,4 +85,27 @@ object Eval {
       .select(col("n_queries"), col("n_truth"), col("n_found"), col("n_hit"),
         permille(col("n_hit"), col("n_truth")).as("recall_permille"))
   }
+
+  /** Class-confusion counts of a prediction relation against labeled
+    * ground truth — the classifier-quality loop (language-ID, quality
+    * gates, NB topic labels): one row per (label, pred) cell with its
+    * record count. Accuracy, per-class precision/recall, and every
+    * other summary derive from the matrix; the matrix is the artifact
+    * worth hashing. Records present on only one side are dropped (an
+    * inner id-equijoin): unlabeled predictions have no truth to score
+    * against, unpredicted labels no prediction to judge.
+    *
+    * 100 TB shape: one id-equijoin (linear) into a hash-agg whose
+    * cardinality is |classes|² — map-side partials collapse the corpus
+    * before the shuffle. */
+  def confusion(
+      pred: DataFrame,
+      truth: DataFrame,
+      idCol: String = "doc_id",
+      predCol: String = "pred",
+      labelCol: String = "label"): DataFrame =
+    truth.select(col(idCol), col(labelCol))
+      .join(pred.select(col(idCol), col(predCol)), idCol)
+      .groupBy(col(labelCol), col(predCol))
+      .agg(count(lit(1)).as("n"))
 }

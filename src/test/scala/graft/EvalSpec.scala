@@ -65,6 +65,18 @@ class EvalSpec extends SparkSpecBase {
     assert((r.getLong(1), r.getLong(3), r.getLong(4)) === ((1L, 0L, 0L)))
   }
 
+  test("confusion: one cell per (label, pred) with inner-join scoping") {
+    val truth = Seq((1L, "en"), (2L, "en"), (3L, "fr"), (9L, "de"))
+      .toDF("doc_id", "label")
+    // doc 9 unpredicted, doc 7 unlabeled — both drop; 2 is misclassified
+    val pred = Seq((1L, "en"), (2L, "fr"), (3L, "fr"), (7L, "en"))
+      .toDF("doc_id", "pred")
+    val cells = Eval.confusion(pred, truth)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells === Map(
+      ("en", "en") -> 1L, ("en", "fr") -> 1L, ("fr", "fr") -> 1L))
+  }
+
   test("topKRecall duplicates collapse; empty truth is vacuous 1000") {
     val r = topk(
       found = Seq((1L, 2L), (1L, 2L)), truth = Seq((1L, 2L), (2L, 1L), (2L, 1L)))
