@@ -801,6 +801,12 @@ object SparkEntry {
     * [[graft.operators.Curation.contaminationHits]] sound). */
   val BenchmarkEvery: Long = 50L
 
+  /** Fuzzy-decontamination benchmark split: 1-in-7 (denser than the
+    * exact variant's 1-in-50) so the fixture's planted near-dup pairs
+    * have crossings into the proxy eval set — the confirmed-hit path
+    * must actually fire for the oracle to mean anything. */
+  val FuzzyBenchmarkEvery: Long = 7L
+
   /** CMS heavy-hitter cut for `text_heavy_hitters`: catches the ~30
     * common fixture words (850+ occurrences at sf0.01) and excludes
     * the rare tail. */
@@ -2832,6 +2838,17 @@ object SparkEntry {
       Curation.contaminationHits(
         T(s, dir, "documents"), col("doc_id") % BenchmarkEvery === 0)),
 
+    // Near-dup decontamination — the paraphrase-tolerant scrub: drop
+    // every training doc that is a CONFIRMED MinHash near-duplicate of
+    // a benchmark doc (1-in-7 plays the eval set here so the fixture's
+    // planted near-dup pairs actually cross the split), keeping docs
+    // verbatim decontamination would miss only when reworded. Output =
+    // the surviving training corpus.
+    "docs_decontam_fuzzy" -> ((s, dir) =>
+      Curation.decontaminateFuzzy(
+        T(s, dir, "documents"), col("doc_id") % FuzzyBenchmarkEvery === 0)
+        .select(col("doc_id"), col("n_chars"))),
+
     // Bloom-filter decontamination — the membership shape for a
     // reference set too big to broadcast as strings: benchmark grams →
     // fixed-size bit-word table (one bit_or hash-agg, always
@@ -4709,6 +4726,28 @@ object SparkEntry {
          |FROM grams JOIN bench USING (g)
          |WHERE doc_id % $BenchmarkEvery <> 0
          |GROUP BY doc_id""".stripMargin
+    },
+
+    // fuzzy scrub: the exact-Jaccard cross-split hit set (same prelude
+    // as every near-dup oracle, train×benchmark pairing) anti-joined
+    // back to the training rows.
+    "docs_decontam_fuzzy" -> {
+      val t = NearDup.ThresholdMilli
+      s"""$neardupPreludeSql,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |    AND a.doc_id % $FuzzyBenchmarkEvery <> 0
+         |    AND b.doc_id % $FuzzyBenchmarkEvery = 0
+         |  GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT DISTINCT doc_a FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic))
+         |SELECT d.doc_id, d.n_chars
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_a
+         |WHERE d.doc_id % $FuzzyBenchmarkEvery <> 0 AND hits.doc_a IS NULL""".stripMargin
     },
 
     "docs_decontam_bloom" -> {

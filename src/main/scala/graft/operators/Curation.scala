@@ -115,6 +115,35 @@ object Curation {
     docs.filter(!isBenchmark).join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup decontamination — the paraphrase-tolerant form of
+    * [[decontaminate]]: a training doc is contaminated when it is a
+    * CONFIRMED near-duplicate of some benchmark doc (shingle Jaccard ≥
+    * the [[NearDup]] threshold), not only when it shares one verbatim
+    * n-gram run. This is the gap verbatim decontamination leaves open
+    * at training scale: an eval item that was lightly reworded before
+    * landing in a crawl shares few exact 8-grams but keeps high
+    * shingle Jaccard, and a model graded on it is still contaminated.
+    *
+    * 100 TB shape: cross-corpus pairs come from
+    * [[NearDup.minHashPairsBetween]] — each side signed once, banded
+    * (hash index, hash value) equijoin, never train×benchmark — and
+    * the scrub is one anti-join on the hit ids. The benchmark side is
+    * small by nature, so the recurring cost is the training corpus's
+    * signatures, the same pass its own dedup already pays. */
+  def decontaminateFuzzy(
+      docs: DataFrame,
+      isBenchmark: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdMilli: Int = NearDup.ThresholdMilli): DataFrame = {
+    val train = docs.filter(!isBenchmark)
+    val hits = NearDup.minHashPairsBetween(
+        train, docs.filter(isBenchmark), idCol, textCol,
+        thresholdMilli = thresholdMilli)
+      .select(col("doc_a").as(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------- bloom-filter membership scrub
 
   /** Default Bloom filter size (bits) and probe count for

@@ -38,6 +38,32 @@ class CurationSpec extends SparkSpecBase {
     assert(clean === Set(2L))
   }
 
+  test("decontaminateFuzzy at a loosened threshold scrubs the reworded doc exact misses") {
+    // benchmark = 64 tokens w0..w63; doc 1 rewords every 8th token, so
+    // its longest verbatim run is 7 tokens — NO shared 8-gram, exact
+    // decontamination keeps it — while its 3-shingle Jaccard vs the
+    // benchmark is ≈ 0.45: the paraphrase shape. doc 2 is disjoint.
+    val bench = (0 until 64).map(i => s"w$i").mkString(" ")
+    val reworded = (0 until 64)
+      .map(i => if (i % 8 == 7) s"CHANGED$i" else s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, bench), (1L, reworded), (2L, "p q r s t u v w k m " * 4)
+    ).toDF("doc_id", "text")
+    val exactClean = Curation.decontaminate(corpus, col("doc_id") === 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactClean === Set(1L, 2L)) // verbatim scrub misses the paraphrase
+    val fuzzyClean = Curation
+      .decontaminateFuzzy(corpus, col("doc_id") === 0L, thresholdMilli = 400)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzyClean === Set(2L)) // the loosened-Jaccard dial catches it
+    // at the strict default the paraphrase is below the bar — the dial
+    // is the operator's contract, not a hidden constant
+    val strictClean = Curation
+      .decontaminateFuzzy(corpus, col("doc_id") === 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strictClean === Set(1L, 2L))
+  }
+
   test("contamination gram count is DISTINCT shared grams, not occurrences") {
     // doc 1 contains the benchmark 3-gram "a b c" TWICE → still 1 shared gram
     val docs = Seq(
