@@ -111,6 +111,10 @@ object Soak {
       // grows ∝ n at fixed step — linear only while the quality join
       // and the rank window stay per-cell-bounded
       q == "docs_coverage_sample" ||
+      // fuzzy decontamination: cross-corpus banded-candidate member
+      // (minHashPairsBetween under an anti-join) — same gate rationale
+      // as neardup_incremental
+      q == "docs_decontam_fuzzy" ||
       // iterative/graph + banded-Hamming families: per-node outputs
       // (pagerank/communities = one row per vector, bfs ≤ reach) are
       // linear by construction, so the row gate checks the CANDIDATE
