@@ -143,7 +143,7 @@ object Soak {
       // the reports measure gate separately (emb_ann_ivfpq_probed,
       // emb_ann_ivfpq, emb_neardup — whose planted-truth report IS
       // gated, its truth being O(n) by construction).
-      q != "emb_ann_recall" && q != "emb_ann_recall_probed"
+      !q.startsWith("emb_ann_recall")
   }
 
   def replicatedDocs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

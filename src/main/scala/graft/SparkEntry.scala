@@ -412,6 +412,41 @@ object SparkEntry {
        |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
        |  QUALIFY row_number() OVER w <= $k)""".stripMargin
 
+  /** The probed + exact-reranked recall report at the given PQ dials —
+    * the ONE definition behind emb_ann_recall_probed (m8, K16) and
+    * emb_ann_recall_m16 (m16, K62): the full IVF-PQ pipeline at
+    * nprobe = [[IvfPqNprobe]], its code-ranked top-[[IvfPqRefine]]
+    * shortlist re-scored by exact int64 L2, scored against the shared
+    * [[l2TruthCte]] exact top-3. */
+  private def refinedRecallSql(m: Int, pqStep: Long): String =
+    s"""${ivfPqBodyCte(m, Embeddings.CentroidStep, pqStep,
+           nprobe = IvfPqNprobe)},
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM sc
+       |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+       |  QUALIFY row_number() OVER w <= $IvfPqRefine),
+       |fnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |           a.nsq + b.nsq - 2 * CAST(list_sum(list_transform(range(len(a.qv)),
+       |             j -> a.qv[j+1] * b.qv[j+1])) AS BIGINT) AS sqd
+       |    FROM shortlist s JOIN n a ON a.vec_id = s.query_id
+       |                     JOIN n b ON b.vec_id = s.neighbor_id)
+       |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+       |  QUALIFY row_number() OVER w <= 3),
+       |${l2TruthCte(3)},
+       |h AS (SELECT f.query_id, f.neighbor_id
+       |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
+       |                        AND f.neighbor_id = tr.neighbor_id)
+       |SELECT (SELECT count(DISTINCT query_id) FROM tr) AS n_queries,
+       |       (SELECT count(*) FROM tr) AS n_truth,
+       |       (SELECT count(*) FROM fnd) AS n_found,
+       |       (SELECT count(*) FROM h) AS n_hit,
+       |       CASE WHEN (SELECT count(*) FROM tr) > 0
+       |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+       |                 (SELECT count(*) FROM tr)) AS BIGINT)
+       |            ELSE CAST(1000 AS BIGINT) END AS recall_permille""".stripMargin
+
   private def pqSearchSql(m: Int, step: Long): String =
     s"""${pqCteFor(m, step)},
        |qd AS (
@@ -2354,6 +2389,21 @@ object SparkEntry {
           nprobe = IvfPqNprobe, refine = Some(IvfPqRefine)),
         Embeddings.l2TopK(emb, col("vec_id") % 20 === 0, k = 3))
     }),
+    // …and at the accuracy PQ dials (m16 subspaces, K≈62 codebooks —
+    // the emb_pq_search_m16 config): the exact rerank recovers the
+    // code loss COMPLETELY here, recall == the nprobe=4 candidate
+    // ceiling (547‰ at the verify corpus). The full ablation the
+    // recall loop buys: 93 (home cell, code order) → 320 (probe +
+    // rerank at m8/K16) → 547 of a 547 ceiling (m16/K62).
+    "emb_ann_recall_m16" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Eval.topKRecall(
+        Embeddings.annIvfPq(emb, col("vec_id") % 20 === 0,
+          m = ScaledPqSubspaces,
+          pqStep = Some(Embeddings.stepForBoundedK(emb.count(), ScaledPqCodebookK)),
+          nprobe = IvfPqNprobe, refine = Some(IvfPqRefine)),
+        Embeddings.l2TopK(emb, col("vec_id") % 20 === 0, k = 3))
+    }),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, honest ≥0.95 threshold over the corpus
     // plus its planted twins (exact + first-coordinate-zeroed; see
@@ -4060,34 +4110,15 @@ object SparkEntry {
     // query is re-scored by exact int64 L2 (`fnd`), truth is the same
     // exact top-3 as emb_ann_recall's.
     "emb_ann_recall_probed" ->
-      s"""${ivfPqBodyCte(Embeddings.PqSubspaces, Embeddings.CentroidStep,
-             Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK),
-             nprobe = IvfPqNprobe)},
-         |shortlist AS (
-         |  SELECT query_id, neighbor_id FROM sc
-         |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
-         |  QUALIFY row_number() OVER w <= $IvfPqRefine),
-         |fnd AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT s.query_id, s.neighbor_id,
-         |           a.nsq + b.nsq - 2 * CAST(list_sum(list_transform(range(len(a.qv)),
-         |             j -> a.qv[j+1] * b.qv[j+1])) AS BIGINT) AS sqd
-         |    FROM shortlist s JOIN n a ON a.vec_id = s.query_id
-         |                     JOIN n b ON b.vec_id = s.neighbor_id)
-         |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
-         |  QUALIFY row_number() OVER w <= 3),
-         |${l2TruthCte(3)},
-         |h AS (SELECT f.query_id, f.neighbor_id
-         |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
-         |                        AND f.neighbor_id = tr.neighbor_id)
-         |SELECT (SELECT count(DISTINCT query_id) FROM tr) AS n_queries,
-         |       (SELECT count(*) FROM tr) AS n_truth,
-         |       (SELECT count(*) FROM fnd) AS n_found,
-         |       (SELECT count(*) FROM h) AS n_hit,
-         |       CASE WHEN (SELECT count(*) FROM tr) > 0
-         |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
-         |                 (SELECT count(*) FROM tr)) AS BIGINT)
-         |            ELSE CAST(1000 AS BIGINT) END AS recall_permille""".stripMargin,
+      refinedRecallSql(Embeddings.PqSubspaces,
+        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
+
+    // …and at the accuracy PQ dials (m16, K≈62 codebooks): here the
+    // refinement recovers the code loss COMPLETELY — recall equals the
+    // nprobe=4 candidate ceiling (547‰ at the verify corpus).
+    "emb_ann_recall_m16" ->
+      refinedRecallSql(ScaledPqSubspaces,
+        Embeddings.stepForBoundedK(VerifyEmbCorpus, ScaledPqCodebookK)),
 
     "emb_ann_lsh" ->
       s"""$lshBucketsCte,

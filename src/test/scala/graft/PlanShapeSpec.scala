@@ -209,7 +209,7 @@ class PlanShapeSpec extends SparkSpecBase {
           // broadcast query-batch scoring pass (l2TopK), same as
           // emb_topk; the recall report adds Eval.topKRecall's 1-row
           // count crossJoins on top
-          "emb_topk_l2", "emb_ann_recall")
+          "emb_topk_l2", "emb_ann_recall", "emb_ann_recall_m16")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
