@@ -705,6 +705,53 @@ object Streams {
       .start()
   }
 
+  /** Streaming fuzzy DECONTAMINATION — the "scrub before landing"
+    * ingest gate: each tranche of documents arriving in `dir` is
+    * checked against the static `benchmark` set with the
+    * paraphrase-tolerant near-dup contract of
+    * [[graft.operators.Curation.decontaminateFuzzy]] (confirmed
+    * MinHash Jaccard ≥ threshold), and only the CLEAN documents are
+    * written, under the tranche's `batch_id` partition. Unlike the
+    * ingest siblings this job is STATELESS across tranches —
+    * contamination is tranche-vs-benchmark pairwise, so no signature
+    * store accumulates; the benchmark (small by nature: an eval set)
+    * is re-signed per tranche, the tranche once, and the scrub is the
+    * banded cross-corpus equijoin + one anti-join. Replay-idempotent
+    * the stateless way: a replayed batch recomputes the identical
+    * clean set and dynamic-overwrites only its own partition.
+    *
+    * The union of all batch partitions equals the one-shot
+    * `decontaminateFuzzy` over the full corpus (pairwise-determined
+    * hits ⇒ the scrub decomposes over any tranche partition) —
+    * StreamingSpec pins the equality. */
+  def ingestDecontam(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      benchmark: DataFrame,
+      outClean: String,
+      checkpoint: String,
+      thresholdMilli: Int = graft.operators.NearDup.ThresholdMilli,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.NearDup
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val newDocs = batch.select(col(idCol), col(textCol))
+        val hits = NearDup.minHashPairsBetween(
+            newDocs, benchmark.select(col(idCol), col(textCol)),
+            idCol, textCol, thresholdMilli = thresholdMilli)
+          .select(col("doc_a").as(idCol)).distinct()
+        writeBatchPartition(
+          newDocs.join(hits, Seq(idCol), "left_anti"), batchId, outClean)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming incremental CLUSTER maintenance — the resolution stage
     * downstream of the whole ingest family: consumes a confirmed-pair
     * store as it grows (the pair output of [[ingestNearDup]] /

@@ -582,6 +582,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(oneShot.nonEmpty)
   }
 
+  test("ingestDecontam: per-tranche clean partitions union to the one-shot fuzzy scrub") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_dc_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (outClean, ckpt) =
+      (work.resolve("clean").toString, work.resolve("ckpt").toString)
+
+    // benchmark doc 100; doc 1 is its near-dup (one final-token edit →
+    // Jaccard 875‰ ≥ 800), docs 2/3 are unrelated; doc 3 arrives in a
+    // LATER tranche and must also pass the same gate
+    val bench = Seq((100L,
+      "the quick brown fox jumps over the lazy dog while the moon rises over the far hill"))
+      .toDF("doc_id", "text")
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog while the moon rises over the far ridge")
+    val d2 = (2L, "entirely different base material about spark catalyst optimizer rules and tungsten codegen stages")
+    val d3 = (3L, "wholly unrelated fresh content streaming in now with nothing shared")
+
+    stageTranche(Seq(d1, d2).toDF("doc_id", "text"), inDir, "t1")
+    Streams.ingestDecontam(spark, inDir.toString, bench, outClean, ckpt)
+      .awaitTermination()
+    stageTranche(Seq(d3).toDF("doc_id", "text"), inDir, "t2")
+    Streams.ingestDecontam(spark, inDir.toString, bench, outClean, ckpt)
+      .awaitTermination()
+
+    val streamedClean = spark.read.parquet(outClean)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedClean === Set(2L, 3L)) // doc 1 scrubbed at the gate
+    // union over tranches == the one-shot fuzzy scrub of the full corpus
+    val oneShot = graft.operators.Curation.decontaminateFuzzy(
+        Seq(d1, d2, d3).map(identity).toDF("doc_id", "text")
+          .unionByName(bench),
+        col("doc_id") === 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedClean === oneShot)
+  }
+
   test("ingestPHash: per-batch pair partitions union to the one-shot batch result") {
     import java.nio.file.Files
     import spark.implicits._
