@@ -398,5 +398,78 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Er.fuzzyPairs(df, idCol, nameCol, maxEdit = 1, maxKeyFreq = cap)
           .queryExecution.logical
       }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("topk_recall"),
+      new ExpressionInfo(
+        graft.operators.Eval.getClass.getName,
+        null,
+        "topk_recall",
+        "topk_recall(found_table, truth_table[, query_col, id_col]) - one-row " +
+          "ANN recall@k report: (query, neighbor) hits of the approximate " +
+          "top-k against the exact top-k truth, micro recall in permille",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 4) analysisError(
+          s"topk_recall takes 2 to 4 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val found = tableOf("topk_recall", exprs.head)
+        val truth = tableOf("topk_recall", exprs(1))
+        val queryCol =
+          if (exprs.length > 2) foldString("topk_recall", "query_col", exprs(2))
+          else "query_id"
+        val idCol =
+          if (exprs.length > 3) foldString("topk_recall", "id_col", exprs(3))
+          else "neighbor_id"
+        graft.operators.Eval.topKRecall(found, truth, queryCol, idCol)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("decontaminate_fuzzy"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "decontaminate_fuzzy",
+        "decontaminate_fuzzy(train_table, benchmark_table[, threshold_milli, " +
+          "id_col, text_col]) - the training rows that are NOT confirmed " +
+          "MinHash near-duplicates of any benchmark row (paraphrase-tolerant " +
+          "decontamination; id spaces must be disjoint)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 5) analysisError(
+          s"decontaminate_fuzzy takes 2 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val train = tableOf("decontaminate_fuzzy", exprs.head)
+        val bench = tableOf("decontaminate_fuzzy", exprs(1))
+        val threshold =
+          if (exprs.length > 2)
+            foldLong("decontaminate_fuzzy", "threshold_milli", exprs(2))
+          else graft.operators.NearDup.ThresholdMilli.toLong
+        if (threshold < 1 || threshold > 1000) analysisError(
+          s"decontaminate_fuzzy: threshold_milli must be in [1, 1000], got $threshold",
+          exprs(2))
+        val idCol =
+          if (exprs.length > 3) foldString("decontaminate_fuzzy", "id_col", exprs(3))
+          else "doc_id"
+        val textCol =
+          if (exprs.length > 4) foldString("decontaminate_fuzzy", "text_col", exprs(4))
+          else "text"
+        // two-table SQL form of the one-frame-plus-predicate Scala API:
+        // tag + union, then the predicate is the tag
+        val tagged = train
+          .select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(textCol),
+            org.apache.spark.sql.functions.lit(false).as("__bench"))
+          .unionByName(bench.select(
+            org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(textCol),
+            org.apache.spark.sql.functions.lit(true).as("__bench")))
+        graft.operators.Curation.decontaminateFuzzy(
+            tagged, org.apache.spark.sql.functions.col("__bench"),
+            idCol, textCol, threshold.toInt)
+          .drop("__bench")
+          .queryExecution.logical
+      }))
   }
 }

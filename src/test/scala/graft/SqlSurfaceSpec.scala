@@ -92,6 +92,42 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql.count() > 0)
   }
 
+  test("topk_recall('found','truth') equals Eval.topKRecall") {
+    import s2.implicits._
+    Seq((1L, 2L), (1L, 9L), (2L, 5L)).toDF("query_id", "neighbor_id")
+      .createOrReplaceTempView("found")
+    Seq((1L, 2L), (1L, 3L), (2L, 5L)).toDF("query_id", "neighbor_id")
+      .createOrReplaceTempView("truth")
+    val viaSql = s2.sql("SELECT * FROM topk_recall('found', 'truth')")
+    val viaApi = graft.operators.Eval.topKRecall(
+      s2.table("found"), s2.table("truth"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.head().getLong(4) === 667L)
+  }
+
+  test("decontaminate_fuzzy('train','bench') equals Curation.decontaminateFuzzy") {
+    import s2.implicits._
+    val bench = Seq((100L,
+      "the quick brown fox jumps over the lazy dog while the moon rises over the far hill"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while the moon rises over the far ridge"),
+      (2L, "entirely different base material about catalyst optimizer rules and codegen stages"))
+      .toDF("doc_id", "text")
+    train.createOrReplaceTempView("dc_train")
+    bench.createOrReplaceTempView("dc_bench")
+    val viaSql = s2.sql("SELECT * FROM decontaminate_fuzzy('dc_train', 'dc_bench')")
+    val viaApi = Curation.decontaminateFuzzy(
+      train.withColumn("__b", lit(false))
+        .unionByName(bench.withColumn("__b", lit(true))),
+      col("__b")).drop("__b")
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.select("doc_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet === Set(2L))
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
