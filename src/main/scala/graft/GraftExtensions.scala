@@ -455,20 +455,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val textCol =
           if (exprs.length > 4) foldString("decontaminate_fuzzy", "text_col", exprs(4))
           else "text"
-        // two-table SQL form of the one-frame-plus-predicate Scala API:
-        // tag + union, then the predicate is the tag
-        val tagged = train
-          .select(org.apache.spark.sql.functions.col(idCol),
-            org.apache.spark.sql.functions.col(textCol),
-            org.apache.spark.sql.functions.lit(false).as("__bench"))
-          .unionByName(bench.select(
-            org.apache.spark.sql.functions.col(idCol),
-            org.apache.spark.sql.functions.col(textCol),
-            org.apache.spark.sql.functions.lit(true).as("__bench")))
-        graft.operators.Curation.decontaminateFuzzy(
-            tagged, org.apache.spark.sql.functions.col("__bench"),
-            idCol, textCol, threshold.toInt)
-          .drop("__bench")
+        // the two-frame core directly — surviving train rows keep ALL
+        // their columns, exactly like the Scala predicate form
+        graft.operators.Curation.decontaminateFuzzyBetween(
+            train, bench, idCol, textCol, threshold.toInt)
           .queryExecution.logical
       }))
   }

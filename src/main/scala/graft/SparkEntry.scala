@@ -193,8 +193,14 @@ object SparkEntry {
        |WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic)""".stripMargin
   }
 
-  private val neardupSql: String =
-    s"$neardupPreludeSql,\n${neardupTailSql("a.doc_id < b.doc_id")}"
+  /** Complete exact-Jaccard pair oracle at an arbitrary pairing
+    * predicate — prelude + tail as one self-contained WITH…SELECT, so
+    * consumers needing only the pair set (docs_decontam_fuzzy's hits)
+    * nest it as a subquery instead of copying the confirm formula. */
+  private def neardupSqlFor(interCond: String): String =
+    s"$neardupPreludeSql,\n${neardupTailSql(interCond)}"
+
+  private val neardupSql: String = neardupSqlFor("a.doc_id < b.doc_id")
 
   /** Shared winnowing prelude replicating TextAnalysis.winnowSelected
     * step for step — k-gram 60-bit hashes (`hs`), rightmost-min
@@ -4759,27 +4765,18 @@ object SparkEntry {
          |GROUP BY doc_id""".stripMargin
     },
 
-    // fuzzy scrub: the exact-Jaccard cross-split hit set (same prelude
-    // as every near-dup oracle, train×benchmark pairing) anti-joined
-    // back to the training rows.
-    "docs_decontam_fuzzy" -> {
-      val t = NearDup.ThresholdMilli
-      s"""$neardupPreludeSql,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-         |  FROM sh a JOIN sh b ON a.s = b.s
-         |    AND a.doc_id % $FuzzyBenchmarkEvery <> 0
-         |    AND b.doc_id % $FuzzyBenchmarkEvery = 0
-         |  GROUP BY 1, 2),
-         |hits AS (
-         |  SELECT DISTINCT doc_a FROM inter
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE 1000 * ic >= $t * (sa.nn + sb.nn - ic))
+    // fuzzy scrub: the SAME exact-Jaccard pair oracle as every near-dup
+    // query (neardupSqlFor, train×benchmark pairing) nested as the hit
+    // subquery, anti-joined back to the training rows — one confirm
+    // formula, zero copies.
+    "docs_decontam_fuzzy" ->
+      s"""WITH hits AS (
+         |  SELECT DISTINCT doc_a FROM (
+         |${neardupSqlFor(s"a.doc_id % $FuzzyBenchmarkEvery <> 0 " +
+             s"AND b.doc_id % $FuzzyBenchmarkEvery = 0")}))
          |SELECT d.doc_id, d.n_chars
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_a
-         |WHERE d.doc_id % $FuzzyBenchmarkEvery <> 0 AND hits.doc_a IS NULL""".stripMargin
-    },
+         |WHERE d.doc_id % $FuzzyBenchmarkEvery <> 0 AND hits.doc_a IS NULL""".stripMargin,
 
     "docs_decontam_bloom" -> {
       val n = Curation.ContaminationN

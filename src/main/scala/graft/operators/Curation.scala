@@ -116,30 +116,53 @@ object Curation {
   }
 
   /** Near-dup decontamination — the paraphrase-tolerant form of
-    * [[decontaminate]]: a training doc is contaminated when it is a
-    * CONFIRMED near-duplicate of some benchmark doc (shingle Jaccard ≥
-    * the [[NearDup]] threshold), not only when it shares one verbatim
-    * n-gram run. This is the gap verbatim decontamination leaves open
-    * at training scale: an eval item that was lightly reworded before
-    * landing in a crawl shares few exact 8-grams but keeps high
-    * shingle Jaccard, and a model graded on it is still contaminated.
+    * [[decontaminate]]: a training doc is scrubbed when it is a
+    * CONFIRMED MinHash near-duplicate of some benchmark doc — banded
+    * candidates (the pair must agree on ≥ 1 of the k signature words,
+    * [[NearDup.minHashPairsBetween]]'s r = 1 recall contract — a
+    * high-Jaccard pair is caught with P = 1 − (1 − J)^k, not with
+    * certainty) confirmed at exact shingle Jaccard ≥ the threshold.
+    * This closes the gap verbatim decontamination leaves open at
+    * training scale: an eval item lightly reworded before landing in a
+    * crawl shares few exact 8-grams but keeps high shingle Jaccard,
+    * and a model graded on it is still contaminated.
     *
-    * 100 TB shape: cross-corpus pairs come from
-    * [[NearDup.minHashPairsBetween]] — each side signed once, banded
-    * (hash index, hash value) equijoin, never train×benchmark — and
-    * the scrub is one anti-join on the hit ids. The benchmark side is
-    * small by nature, so the recurring cost is the training corpus's
-    * signatures, the same pass its own dedup already pays. */
+    * 100 TB shape: cross-corpus pairs come from the banded
+    * (hash index, hash value) equijoin — each side signed once, never
+    * train×benchmark — and the scrub is one anti-join on the hit ids.
+    * The benchmark side is small by nature, so the recurring cost is
+    * the training corpus's signatures, the same pass its own dedup
+    * already pays. */
   def decontaminateFuzzy(
       docs: DataFrame,
       isBenchmark: Column,
       idCol: String = "doc_id",
       textCol: String = "text",
+      thresholdMilli: Int = NearDup.ThresholdMilli): DataFrame =
+    decontaminateFuzzyBetween(docs.filter(!isBenchmark),
+      docs.filter(isBenchmark), idCol, textCol, thresholdMilli)
+
+  /** Two-frame core of [[decontaminateFuzzy]] — train and benchmark as
+    * separate relations (id spaces must be disjoint). The ONE
+    * definition behind the predicate form, the SQL table function, and
+    * the streaming ingest gate
+    * ([[graft.streaming.Streams.ingestDecontam]]), so the three
+    * surfaces cannot drift. Returns the surviving train rows with ALL
+    * their columns. */
+  def decontaminateFuzzyBetween(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
       thresholdMilli: Int = NearDup.ThresholdMilli): DataFrame = {
-    val train = docs.filter(!isBenchmark)
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [1, 1000] (Jaccard per-mille), got " +
+        s"$thresholdMilli — 0 would scrub every banded candidate, > 1000 " +
+        "is unsatisfiable and would pass every contaminated doc as clean")
     val hits = NearDup.minHashPairsBetween(
-        train, docs.filter(isBenchmark), idCol, textCol,
-        thresholdMilli = thresholdMilli)
+        train.select(col(idCol), col(textCol)),
+        benchmark.select(col(idCol), col(textCol)),
+        idCol, textCol, thresholdMilli = thresholdMilli)
       .select(col("doc_a").as(idCol)).distinct()
     train.join(hits, Seq(idCol), "left_anti")
   }

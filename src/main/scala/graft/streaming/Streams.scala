@@ -733,20 +733,17 @@ object Streams {
       thresholdMilli: Int = graft.operators.NearDup.ThresholdMilli,
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.NearDup
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val newDocs = batch.select(col(idCol), col(textCol))
-        val hits = NearDup.minHashPairsBetween(
-            newDocs, benchmark.select(col(idCol), col(textCol)),
-            idCol, textCol, thresholdMilli = thresholdMilli)
-          .select(col("doc_a").as(idCol)).distinct()
         writeBatchPartition(
-          newDocs.join(hits, Seq(idCol), "left_anti"), batchId, outClean)
+          graft.operators.Curation.decontaminateFuzzyBetween(
+            batch.select(col(idCol), col(textCol)), benchmark,
+            idCol, textCol, thresholdMilli),
+          batchId, outClean)
         ()
       }
       .start()
