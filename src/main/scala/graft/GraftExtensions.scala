@@ -70,7 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val spark = org.apache.spark.sql.SparkSession.active
     try spark.table(name)
     catch {
-      case _: AnalysisException =>
+      // translate ONLY the genuinely-missing case into the table
+      // function's own error (with the argument's position attached);
+      // any other analysis failure — e.g. a temp view whose underlying
+      // plan no longer resolves — keeps its original, specific message.
+      case ex: AnalysisException
+          if Option(ex.getCondition).exists(_.startsWith("TABLE_OR_VIEW_NOT_FOUND")) =>
         analysisError(s"$fn: table or view not found: $name", e)
     }
   }

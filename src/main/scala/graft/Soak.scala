@@ -133,6 +133,16 @@ object Soak {
       // fixture its ~8·10⁸ candidate rows are the explosion the scaled
       // sibling (neardup_simhash_scaled, corpus-sized bands) avoids.
       q != "neardup_simhash" &&
+      // same rationale for the 64-bit pHash battery mode: its band-PAIR
+      // keys span only 16 bits, so unrelated-pair collisions grow
+      // n²·C(8,2)/2¹⁶ regardless of hash quality — the r11 100× spot
+      // measured 576× the linear envelope (SOAK_x100_spot.json). It is
+      // the small-corpus correctness oracle (MultimodalSpec + the
+      // multimodal_phash CORRECTNESS entry remain its home); a growing
+      // corpus runs the 256-bit scaled mode, whose 32-bit pair keys the
+      // same 100× spot measured linear (multimodal_phash_scaled, which
+      // stays gated here via the prefix match above).
+      q != "multimodal_phash" &&
       // the ANN recall reports: the TRUTH side is the exact
       // brute-force baseline (n·|queries| with the battery's
       // corpus-fraction query batch) — quadratic BY DEFINITION, the

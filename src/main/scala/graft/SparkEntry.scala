@@ -451,7 +451,8 @@ object SparkEntry {
        |       CASE WHEN (SELECT count(*) FROM tr) > 0
        |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
        |                 (SELECT count(*) FROM tr)) AS BIGINT)
-       |            ELSE CAST(1000 AS BIGINT) END AS recall_permille""".stripMargin
+       |            ELSE CAST(1000 AS BIGINT) END AS recall_permille,
+       |       (SELECT count(*) FROM tr) = 0 AS vacuous""".stripMargin
 
   private def pqSearchSql(m: Int, step: Long): String =
     s"""${pqCteFor(m, step)},
@@ -4103,7 +4104,8 @@ object SparkEntry {
          |       CASE WHEN (SELECT count(*) FROM tr) > 0
          |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
          |                 (SELECT count(*) FROM tr)) AS BIGINT)
-         |            ELSE CAST(1000 AS BIGINT) END AS recall_permille""".stripMargin,
+         |            ELSE CAST(1000 AS BIGINT) END AS recall_permille,
+         |       (SELECT count(*) FROM tr) = 0 AS vacuous""".stripMargin,
 
     // same composed pipeline with the query-cell rank widened to the
     // probe dial.
@@ -4194,7 +4196,9 @@ object SparkEntry {
          |       CASE WHEN (SELECT count(*) FROM f) > 0
          |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
          |                 (SELECT count(*) FROM f)) AS BIGINT)
-         |            ELSE CAST(1000 AS BIGINT) END AS precision_permille""".stripMargin,
+         |            ELSE CAST(1000 AS BIGINT) END AS precision_permille,
+         |       ((SELECT count(*) FROM t) = 0 OR
+         |        (SELECT count(*) FROM f) = 0) AS vacuous""".stripMargin,
 
     "emb_centroids" ->
       s"""$embCte,

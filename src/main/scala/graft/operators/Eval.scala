@@ -26,7 +26,12 @@ object Eval {
     * possible duplicates; pairs are normalized to (min, max) and
     * de-duplicated before counting. Output: n_truth, n_found, n_hit,
     * n_extra, recall_permille, precision_permille (rounded; an empty
-    * denominator reports 1000 — vacuous success, not failure). */
+    * denominator reports 1000 — vacuous success, not failure), and
+    * `vacuous` — true iff EITHER denominator was empty. A gate keyed on
+    * the permille alone would read a silently-broken (empty) truth feed
+    * as perfect recall; the boolean forces automated consumers to
+    * handle the empty-denominator case explicitly (gate on
+    * `recall_permille >= X AND NOT vacuous`). */
   def pairRecall(
       found: DataFrame,
       truth: DataFrame,
@@ -49,7 +54,8 @@ object Eval {
       .withColumn("n_extra", col("n_found") - col("n_hit"))
       .select(col("n_truth"), col("n_found"), col("n_hit"), col("n_extra"),
         permille(col("n_hit"), col("n_truth")).as("recall_permille"),
-        permille(col("n_hit"), col("n_found")).as("precision_permille"))
+        permille(col("n_hit"), col("n_found")).as("precision_permille"),
+        (col("n_truth") === 0 || col("n_found") === 0).as("vacuous"))
   }
 
   /** One-row recall@k report of an approximate top-k result against
@@ -60,7 +66,10 @@ object Eval {
     * extra columns ignored, duplicates tolerated; a hit is an exact
     * (query, neighbor) match. Output: n_queries (distinct truth
     * queries), n_truth, n_found, n_hit, recall_permille
-    * (hit/truth, rounded; empty truth reports 1000 — vacuous).
+    * (hit/truth, rounded; empty truth reports 1000 — vacuous), and
+    * `vacuous` — true iff the truth side was empty, so a gate keyed on
+    * the permille must acknowledge the broken-truth-feed case
+    * explicitly rather than read it as perfect recall.
     *
     * 100 TB shape: truth is the per-query exact top-k (k·|queries|
     * rows — queries are a batch, never the corpus), so the hit
@@ -83,7 +92,8 @@ object Eval {
       .crossJoin(f.agg(count(lit(1)).as("n_found")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .select(col("n_queries"), col("n_truth"), col("n_found"), col("n_hit"),
-        permille(col("n_hit"), col("n_truth")).as("recall_permille"))
+        permille(col("n_hit"), col("n_truth")).as("recall_permille"),
+        (col("n_truth") === 0).as("vacuous"))
   }
 
   /** Class-confusion counts of a prediction relation against labeled

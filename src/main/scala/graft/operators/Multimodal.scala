@@ -661,7 +661,19 @@ object Multimodal {
     * ~5·10⁻¹³ while a genuine byte-edit near-dup — K edited bytes
     * touch ≤ K sample windows on EACH grid — stays far inside both
     * cutoffs. `hamming_dist` in the output remains the primary
-    * signature's distance (the documented contract). */
+    * signature's distance (the documented contract).
+    *
+    * SMALL-CORPUS MODE. Even with the dual-grid confirm, the 64-bit
+    * signature's band-PAIR keys span only 16 bits, so the CANDIDATE
+    * join (before the confirm can crush it) grows n²·C(8,2)/2¹⁶ — the
+    * 100× soak measured it at 576× the linear envelope, which is why
+    * this mode is excluded from the soak gate alongside the exact
+    * SimHash mode ([[graft.Soak.soakQueries]]). A growing corpus runs
+    * [[pHashPairsScaled]]: 256-bit signatures, 32-bit band-pair keys,
+    * collision floor ~n²·120/2³², measured LINEAR at the same 100×
+    * spot. This mode remains the small-corpus correctness oracle (its
+    * 8-band geometry is the one the DuckDB oracle replicates
+    * bit-for-bit). */
   def pHashPairs(
       df: DataFrame,
       idCol: String = "doc_id",

@@ -388,7 +388,10 @@ object Streams {
       (if (!fs.exists(root)) Seq.empty
        else fs.listStatus(root).toSeq
          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id=")))
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+        // toLongOption: a foreign prefix-matching dir whose suffix is
+        // not a long (batch_id=__HIVE_DEFAULT_PARTITION__) is skipped,
+        // not a NumberFormatException aborting store maintenance
+        .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
         .sorted
     if (ids.size < 2) return emptyManifest
     val eligible = ids.init // the current (highest) batch stays replayable
@@ -815,7 +818,9 @@ object Streams {
           val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
           fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
             .filter(_.getName.startsWith("batch_id="))
-            .filter(_.getName.stripPrefix("batch_id=").toLong < m)
+            // toLongOption: skip (never delete, never throw on) any
+            // foreign dir whose suffix is not a numeric batch id
+            .filter(_.getName.stripPrefix("batch_id=").toLongOption.exists(_ < m))
             .foreach(p => fs.delete(p, true))
         }
         ()

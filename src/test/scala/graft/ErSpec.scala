@@ -144,6 +144,35 @@ class ErSpec extends SparkSpecBase {
     }
   }
 
+  test("confirm-before-distinct == distinct-before-confirm (the slim candidate stage)") {
+    // fuzzyPairs now confirms on the RAW (pre-distinct) candidate rows
+    // and distincts the narrow (id_a, id_b, dist) triple; the reference
+    // ordering de-duplicates the wide candidate frame first. The confirm
+    // is a deterministic function of the name pair, so both orders must
+    // produce the identical set — pinned on the dense 2-letter corpus
+    // where pairs share MANY blocking keys (heavy pre-distinct
+    // duplication, the regime where the orderings could diverge).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(120, for {
+      n <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString)
+    val names = gen(Gen.Parameters.default, Seed(4242L)).get
+    val df = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+      .toDF("id", "name")
+    for (maxEdit <- Seq(1, 2)) {
+      val slim = Er.fuzzyPairs(df, "id", "name", maxEdit = maxEdit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val wide = Er.candidatePairs(df, "id", "name", maxEdit = maxEdit)
+        .withColumn("dist", levenshtein(col("__na"), col("__nb"), maxEdit))
+        .where(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(slim === wide, s"orderings diverged at maxEdit=$maxEdit")
+    }
+  }
+
   test("deletion keys: distinct, include the name itself, empty-safe") {
     val keys = spark.range(1).select(
       Er.deletionKeys(lit("aab")).as("k"),

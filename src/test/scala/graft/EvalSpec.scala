@@ -29,9 +29,11 @@ class EvalSpec extends SparkSpecBase {
     val r1 = report(none, Seq((1L, 2L)))
     assert(r1.getLong(4) === 0L)    // recall 0/1
     assert(r1.getLong(5) === 1000L) // precision over empty found
+    assert(r1.getBoolean(6), "empty found side must flag vacuous")
     val r2 = report(Seq((1L, 2L)), none)
     assert(r2.getLong(4) === 1000L) // recall over empty truth
     assert(r2.getLong(5) === 0L)    // precision 0/1
+    assert(r2.getBoolean(6), "empty truth side must flag vacuous")
   }
 
   test("perfect agreement is 1000/1000 with zero extras") {
@@ -39,6 +41,7 @@ class EvalSpec extends SparkSpecBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((2L, 2L, 2L, 0L)))
     assert((r.getLong(4), r.getLong(5)) === ((1000L, 1000L)))
+    assert(!r.getBoolean(6), "non-empty sides: a TRUE 1000/1000 is not vacuous")
   }
 
   // ---- topKRecall: (query, neighbor) hits, per-list duplicates
@@ -82,7 +85,9 @@ class EvalSpec extends SparkSpecBase {
       found = Seq((1L, 2L), (1L, 2L)), truth = Seq((1L, 2L), (2L, 1L), (2L, 1L)))
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 1L)))
     assert(r.getLong(4) === 500L)
+    assert(!r.getBoolean(5))
     val r2 = topk(Seq((1L, 2L)), Seq.empty)
     assert(r2.getLong(4) === 1000L)
+    assert(r2.getBoolean(5), "empty truth must flag vacuous")
   }
 }
