@@ -48,6 +48,34 @@ object Bench {
   val RetrySec: Double =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "2.0").toDouble
 
+  /** Drift trigger for the retry pass: a query whose time exceeds its
+    * PREVIOUS RUN's recorded time by this factor is re-measured even if
+    * it sits under [[RetrySec]]. The absolute threshold has a blind
+    * spot the r11 record shows plainly: sub-second queries whose code
+    * did not change showed phantom 3-4× swings round-over-round
+    * (events_funnel 0.36 → 1.59 s) because a contention window during
+    * their battery slot was never re-sampled. Comparing against the
+    * last committed BENCH_LAST.json catches exactly the
+    * "suspiciously slower than last time" set at any magnitude. */
+  val DriftFactor: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_FACTOR", "2.0").toDouble
+
+  /** Per-query seconds of the previous bench run, read from
+    * BENCH_LAST.json if present (the file this main writes at the end
+    * of every non-soak run, committed per round). Absent file, subset
+    * runs, renamed queries → missing entries → no drift retry for
+    * them; parse failures degrade to empty, never abort a bench. */
+  def priorSecs(path: String = "BENCH_LAST.json"): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+
   /** Noise floor for the soak's candidate-join gate: the growth bound
     * applies only when the SCALED run's largest join frame exceeds
     * this many rows. The gate compares max-join to max-join, and the
@@ -171,14 +199,20 @@ object Bench {
 
     // Decorrelated retry pass (non-soak only; soak gates rows, and its
     // per-query walls would double the run): any clean query slower
-    // than RetrySec is re-timed now — after every other query has run,
-    // so a contention window during its battery slot can't be the only
-    // sample — and the min of both passes is reported.
+    // than RetrySec — OR slower than DriftFactor× its previous
+    // committed bench entry, which catches sub-second contention
+    // victims the absolute threshold misses — is re-timed now, after
+    // every other query has run, so a contention window during its
+    // battery slot can't be the only sample; the min of both passes is
+    // reported.
+    val prior = if (soakScale.isDefined) Map.empty[String, Double] else priorSecs()
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalResults =
       if (soakScale.isDefined) results
       else results.map {
-        case r @ (name, sec, rows, cand, None, None) if sec > RetrySec =>
+        case r @ (name, sec, rows, cand, None, None)
+            if sec > RetrySec ||
+              prior.get(name).exists(p => p > 0 && sec > DriftFactor * p) =>
           retried += name
           val fn = SparkEntry.queries(name)
           var best = sec

@@ -202,6 +202,34 @@ object SparkEntry {
 
   private val neardupSql: String = neardupSqlFor("a.doc_id < b.doc_id")
 
+  /** [[graft.operators.Eval.pairRecall]] replicated over two nested
+    * pair oracles (each a self-contained WITH…SELECT emitting doc_a,
+    * doc_b): normalize both relations to distinct (least, greatest)
+    * pairs, count truth/found/hit/extra, round the permilles, flag the
+    * empty-denominator case — the identical column list and math. */
+  private def pairRecallSql(foundSql: String, truthSql: String): String =
+    s"""WITH f AS (SELECT DISTINCT least(doc_a, doc_b) AS pa,
+       |                  greatest(doc_a, doc_b) AS pb
+       |           FROM ($foundSql)),
+       |t AS (SELECT DISTINCT least(doc_a, doc_b) AS pa,
+       |             greatest(doc_a, doc_b) AS pb
+       |      FROM ($truthSql)),
+       |h AS (SELECT f.pa, f.pb FROM f JOIN t ON f.pa = t.pa AND f.pb = t.pb)
+       |SELECT (SELECT count(*) FROM t) AS n_truth,
+       |       (SELECT count(*) FROM f) AS n_found,
+       |       (SELECT count(*) FROM h) AS n_hit,
+       |       (SELECT count(*) FROM f) - (SELECT count(*) FROM h) AS n_extra,
+       |       CASE WHEN (SELECT count(*) FROM t) > 0
+       |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+       |                 (SELECT count(*) FROM t)) AS BIGINT)
+       |            ELSE CAST(1000 AS BIGINT) END AS recall_permille,
+       |       CASE WHEN (SELECT count(*) FROM f) > 0
+       |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+       |                 (SELECT count(*) FROM f)) AS BIGINT)
+       |            ELSE CAST(1000 AS BIGINT) END AS precision_permille,
+       |       ((SELECT count(*) FROM t) = 0 OR
+       |        (SELECT count(*) FROM f) = 0) AS vacuous""".stripMargin
+
   /** Shared winnowing prelude replicating TextAnalysis.winnowSelected
     * step for step — k-gram 60-bit hashes (`hs`), rightmost-min
     * selected positions (`sel`, the identical reverse/list_position
@@ -2094,6 +2122,45 @@ object SparkEntry {
       NearDup.minHashPairsBanded(T(s, dir, "documents"),
         rowsPerBand = BandedMinHashRows,
         word = NearDup.SlicedSha256MinHashFamily)),
+    // Measured recall/precision of the TEXT near-dup paths against the
+    // exact n-gram-Jaccard ground truth (the neardup_ngram relation) —
+    // the same measurement loop the vector path already has
+    // (emb_neardup_recall): the analytic false-negative bounds each
+    // banding dial quotes become NUMBERS on the live corpus. Truth is
+    // the exact shared-shingle relation (soak-gated linear on token-
+    // disjoint replicas), so the report joins stay corpus-linear.
+    // r = 1 MinHash banding (every single-hash agreement a candidate):
+    "neardup_minhash_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Eval.pairRecall(
+        NearDup.minHashPairs(docs),
+        NearDup.ngramJaccardPairs(docs), aCol = "doc_a", bCol = "doc_b")
+    }),
+    // …vs the r×b (r = 2) banded dial — the two-settings measurement of
+    // the banding trade: candidates need two consecutive hash
+    // agreements, an order less junk at a quantified recall price.
+    "neardup_minhash_banded_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Eval.pairRecall(
+        NearDup.minHashPairsBanded(docs, rowsPerBand = BandedMinHashRows,
+          word = NearDup.SlicedSha256MinHashFamily),
+        NearDup.ngramJaccardPairs(docs), aCol = "doc_a", bCol = "doc_b")
+    }),
+    // …and the corpus-sized-band SimHash (the 100 TB text config, whose
+    // recall is probabilistic by design — no Hamming prefilter, exact
+    // confirm as the precision gate).
+    "neardup_simhash_recall" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bits = math.min(
+        NearDup.simHashBandBitsFor(docs.count()),
+        NearDup.Sha256Family.maxWidthBits / ScaledSimHashBands)
+      val width = ScaledSimHashBands * bits
+      Eval.pairRecall(
+        NearDup.simHashPairs(docs,
+          widthBits = width, bands = ScaledSimHashBands,
+          hammingMax = width, family = NearDup.Sha256Family),
+        NearDup.ngramJaccardPairs(docs), aCol = "doc_a", bCol = "doc_b")
+    }),
     // Incremental (cross-corpus) dedup — the daily-ingest shape: the
     // even-id half plays the accumulated base corpus, the odd-id half
     // the new increment; only base×increment pairs are candidates, so
@@ -3841,6 +3908,14 @@ object SparkEntry {
     // r×b candidate generation (sha256 min-hash words, band key =
     // comma-joined words in hash-index order), then exact-confirms.
     "neardup_minhash_banded" -> minhashBandedSql,
+    // text near-dup recall reports: FOUND nests the path's own oracle
+    // (identical candidate predicates), TRUTH the exact-Jaccard oracle,
+    // and the report replicates Eval.pairRecall's normalize/count/
+    // permille math column for column.
+    "neardup_minhash_recall" -> pairRecallSql(neardupSql, neardupSql),
+    "neardup_minhash_banded_recall" ->
+      pairRecallSql(minhashBandedSql, neardupSql),
+    "neardup_simhash_recall" -> pairRecallSql(simhashScaledSql, neardupSql),
     // cross-corpus form: doc_a from the even-id base, doc_b from the
     // odd-id increment — same exact-Jaccard prelude, different pairing.
     "neardup_incremental" ->

@@ -57,6 +57,30 @@ class ScaleDialsSpec extends SparkSpecBase {
     assert(got.contains((1000L, 1001L)), s"planted pair missing from $got")
   }
 
+  test("r=1 vs r=2 banding recall measured by Eval.pairRecall (the battery's report shape)") {
+    // the dial trade as NUMBERS, not an analytic bound: found = each
+    // banding's CONFIRMED pairs, truth = exact n-gram Jaccard — the
+    // exact composition behind neardup_minhash_recall /
+    // neardup_minhash_banded_recall. On this corpus both settings keep
+    // the planted pair (recall 1000‰) and the exact confirm keeps
+    // precision 1000‰ — what r=2 buys is the candidate cut the test
+    // above measures; what this pins is that the cut costs ZERO
+    // confirmed pairs here, and that the report machinery agrees with
+    // a hand count.
+    val truth = NearDup.ngramJaccardPairs(moderateCorpus)
+    def rep(rows: Int) = graft.operators.Eval.pairRecall(
+      NearDup.minHashPairsBanded(moderateCorpus, rowsPerBand = rows,
+        word = NearDup.SlicedSha256MinHashFamily),
+      truth, aCol = "doc_a", bCol = "doc_b").collect().head
+    for (rows <- Seq(1, 2)) {
+      val r = rep(rows)
+      assert(r.getLong(4) === 1000L, s"r=$rows recall")
+      assert(r.getLong(5) === 1000L, s"r=$rows precision")
+      assert(!r.getBoolean(6))
+      assert(r.getLong(0) > 0L, "truth must be non-empty for the claim to bite")
+    }
+  }
+
   test("SlicedSha256MinHashFamily words are the documented digest slices") {
     import spark.implicits._
     // word i must equal the 60-bit window of sha256("(i div 4):"+s) at
