@@ -62,6 +62,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn: $what must be a foldable integer expression, got ${e.sql}", e)
     }
 
+  /** Foldable boolean argument of a table function. */
+  private def foldBool(fn: String, what: String, e: Expression): Boolean =
+    (if (e.resolved) e.dataType else org.apache.spark.sql.types.NullType) match {
+      case org.apache.spark.sql.types.BooleanType if e.foldable =>
+        e.eval() match {
+          case null => analysisError(s"$fn: $what must not be NULL", e)
+          case v: Boolean => v
+          case v => analysisError(s"$fn: $what out of range: $v", e)
+        }
+      case _ => analysisError(
+        s"$fn: $what must be a foldable boolean expression, got ${e.sql}", e)
+    }
+
   /** Resolve a table-function's table-name argument against the ACTIVE
     * session's catalog (temp views included) — the analyzer invoking
     * the builder runs under that session. */
@@ -464,6 +477,83 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // their columns, exactly like the Scala predicate form
         graft.operators.Curation.decontaminateFuzzyBetween(
             train, bench, idCol, textCol, threshold.toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo(
+        graft.operators.Sessions.getClass.getName,
+        null,
+        "asof_join",
+        "asof_join(left_table, right_table, key_col, ts_col, payload_col" +
+          "[, tolerance_micros, forward]) - per key, each left row joined " +
+          "to the latest right row at-or-before its timestamp (earliest " +
+          "at-or-after when forward; NULL payload when none / outside the " +
+          "tolerance horizon)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 5 || exprs.length > 7) analysisError(
+          s"asof_join takes 5 to 7 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val left = tableOf("asof_join", exprs.head)
+        val right = tableOf("asof_join", exprs(1))
+        val keyCol = foldString("asof_join", "key_col", exprs(2))
+        val tsCol = foldString("asof_join", "ts_col", exprs(3))
+        val payloadCol = foldString("asof_join", "payload_col", exprs(4))
+        val tol =
+          if (exprs.length > 5) Some(foldLong("asof_join", "tolerance_micros", exprs(5)))
+          else None
+        tol.foreach { t =>
+          if (t < 1) analysisError(
+            s"asof_join: tolerance_micros must be >= 1, got $t", exprs(5))
+        }
+        val forward =
+          if (exprs.length > 6) foldBool("asof_join", "forward", exprs(6))
+          else false
+        if (left.columns.contains(payloadCol)) analysisError(
+          s"asof_join: payload_col '$payloadCol' collides with a left-table column",
+          exprs(4))
+        graft.operators.Sessions.asofJoin(left, right,
+            keys = Seq(keyCol), tsCol = tsCol, payload = Seq(payloadCol),
+            toleranceMicros = tol, forward = forward)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("funnel"),
+      new ExpressionInfo(
+        graft.operators.Sessions.getClass.getName,
+        null,
+        "funnel",
+        "funnel(table, stages_csv, tolerance_micros[, user_col, ts_col, " +
+          "type_col, tie_col]) - per-user N-stage funnel attribution: each " +
+          "last-stage event walks backwards through the comma-separated " +
+          "stage list, attributing each hop to the user's latest stage " +
+          "event at-or-before the previous hop within the tolerance; " +
+          "output (user, n_<stageK>, ..., n_<stage1>)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 3 || exprs.length > 7) analysisError(
+          s"funnel takes 3 to 7 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val events = tableOf("funnel", exprs.head)
+        val stages = foldString("funnel", "stages_csv", exprs(1))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (stages.size < 2) analysisError(
+          s"funnel: stages_csv must name >= 2 comma-separated stages, " +
+            s"got '${foldString("funnel", "stages_csv", exprs(1))}'", exprs(1))
+        if (stages.distinct.size != stages.size) analysisError(
+          s"funnel: stages must be distinct, got $stages", exprs(1))
+        val tol = foldLong("funnel", "tolerance_micros", exprs(2))
+        if (tol < 1) analysisError(
+          s"funnel: tolerance_micros must be >= 1, got $tol", exprs(2))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("funnel", what, exprs(i))
+          else default
+        graft.operators.Sessions.funnel(events, stages, tol,
+            strArg(3, "user_col", "user_id"), strArg(4, "ts_col", "ts"),
+            strArg(5, "type_col", "event_type"), strArg(6, "tie_col", "event_id"))
           .queryExecution.logical
       }))
   }

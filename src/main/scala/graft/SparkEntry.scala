@@ -3309,30 +3309,16 @@ object SparkEntry {
     // 24 h, and that click to the user's latest view within 24 h — the
     // merge-sorted-streams plan twice, never a range join. Rollup =
     // per-user stage-completion counts.
-    "events_funnel" -> ((s, dir) => {
-      val ev = eventsTable(s, dir)
-      def stage(t: String, idAs: String, tsAs: String, usAs: String) =
-        ev.where(col("event_type") === t)
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("event_id")).as(idAs))
-          .select(col("user_id"), col("ts").as(tsAs),
-            col(idAs), unix_micros(col("ts")).as(usAs))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-      val clicks = stage("click", "click_id", "ts", "click_us")
-      val views = stage("view", "view_id", "click_ts", "view_us")
-      val s1 = Sessions.asofJoin(purchases, clicks, Seq("user_id"), "ts",
-          payload = Seq("click_id", "click_us"),
-          toleranceMicros = Some(FunnelTolMicros))
-        .withColumn("click_ts", timestamp_micros(col("click_us")))
-      val s2 = Sessions.asofJoin(s1, views, Seq("user_id"), "click_ts",
-        payload = Seq("view_id", "view_us"),
-        toleranceMicros = Some(FunnelTolMicros))
-      s2.groupBy(col("user_id")).agg(
-        count(lit(1)).as("n_purchases"),
-        count(col("click_id")).as("n_click_attrib"),
-        count(col("view_id")).as("n_full_funnel"))
-    }),
+    "events_funnel" -> ((s, dir) =>
+      // the generic N-stage operator (Sessions.funnel) at the 3-stage
+      // config the oracle replicates; output renamed to the oracle's
+      // historical column names
+      Sessions.funnel(eventsTable(s, dir), Seq("view", "click", "purchase"),
+          toleranceMicros = FunnelTolMicros)
+        .select(col("user_id"),
+          col("n_purchase").as("n_purchases"),
+          col("n_click").as("n_click_attrib"),
+          col("n_view").as("n_full_funnel"))),
 
     "events_asof" -> ((s, dir) => {
       val ev = eventsTable(s, dir)

@@ -58,4 +58,26 @@ object IterCheckpoint {
       df.checkpoint(eager)
     case None => df.localCheckpoint(eager)
   }
+
+  /** Release the executor blocks behind a DataFrame previously returned
+    * by [[truncate]], once the caller KNOWS the data is dead (a newer
+    * round has been eagerly materialized from it and nothing else
+    * references it). Without this, an iterative loop leaks one
+    * localCheckpoint's blocks per round until driver GC notices — at
+    * the 100× soak that accumulation (tens of rounds × corpus-sized
+    * edge lists, MEMORY_AND_DISK) is what drove TaskMemoryManager page
+    * thrash and a 460 s `dedup_clusters_merge` wall. Walks the plan for
+    * the checkpoint-backed RDD and unpersists it (non-blocking);
+    * reliable-checkpoint DataFrames are untouched by unpersist (their
+    * blocks are files, reclaimed per the cleanCheckpoints contract).
+    *
+    * DANGER: a localCheckpointed RDD cannot recompute after unpersist
+    * (its lineage is gone) — only call on a frame no plan will read
+    * again. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

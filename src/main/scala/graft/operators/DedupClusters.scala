@@ -109,7 +109,19 @@ object DedupClusters {
     var converged = isStarForest(edges)
     var round = 0
     while (!converged && round < MaxRounds) {
+      val prev = edges
       edges = trunc(smallStar(largeStar(edges)))
+      // prev's blocks are dead the moment the new round has EAGERLY
+      // materialized from them (trunc above) — release now instead of
+      // waiting for driver GC, or a multi-round contraction holds every
+      // round's corpus-sized edge list in executor memory at once (the
+      // measured cause of the 100×-soak memory thrash; see
+      // IterCheckpoint.release). Every released frame was created
+      // inside THIS call (the round-0 input truncation included — its
+      // release cannot touch the caller's own plans or checkpoints);
+      // the final round is never prev, so the returned DataFrame keeps
+      // its blocks.
+      graft.core.IterCheckpoint.release(prev)
       converged = isStarForest(edges)
       round += 1
     }

@@ -495,4 +495,69 @@ object Sessions {
       .withColumn("share_x1000",
         call_function("div", col("n") * lit(1000L), sum(col("n")).over(byFrom)))
   }
+
+  /** N-stage funnel attribution — the generalization of the battery's
+    * view → click → purchase composition (the reference has no events
+    * analogue; this is the conversion-analysis primitive): every event
+    * of the LAST stage type is an anchor, and each anchor walks
+    * backwards through the earlier stages, attributing at each hop to
+    * the user's latest stage event at-or-before the previously
+    * attributed timestamp and within `toleranceMicros` of it. An
+    * unattributed hop leaves every earlier hop unattributed too (the
+    * chain property — counts are monotone non-increasing stage to
+    * stage).
+    *
+    * Output: (userCol, n_<last>, n_<last-1>, …, n_<first>) — per user,
+    * how many anchors completed each suffix of the funnel; `n_<first>`
+    * is the full-funnel count.
+    *
+    * Implementation is one [[asofJoin]] per hop (each a single
+    * union + window pass over the user partitioning — the
+    * merge-sorted-streams plan, never a range join), then one hash-agg.
+    * Stage events are de-duplicated per (user, ts) by the max tie id
+    * first, discharging asofJoin's right-uniqueness precondition
+    * deterministically. All K−1 window passes share the SAME user
+    * partitioning, so a pre-bucketed events table serves every hop
+    * without a new exchange.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      toleranceMicros: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    require(toleranceMicros > 0,
+      s"toleranceMicros must be positive, got $toleranceMicros")
+    // anchors: every last-stage event (no dedup — each is one funnel
+    // instance); __ats = the hop's attribution timestamp, rewritten
+    // after each hop to the newly attributed stage's ts
+    val anchor = events.where(col(typeCol) === stages.last)
+      .select(col(userCol), col(tsCol).as("__ats"))
+    val attributed = stages.init.reverse.zipWithIndex.foldLeft(anchor) {
+      case (cur, (stage, i)) =>
+        val idCol = s"__id_$i"
+        val usCol = s"__us_$i"
+        val st = events.where(col(typeCol) === stage)
+          .groupBy(col(userCol), col(tsCol))
+          .agg(max(col(tieCol)).as(idCol))
+          .select(col(userCol), col(tsCol).as("__ats"), col(idCol),
+            unix_micros(col(tsCol)).as(usCol))
+        asofJoin(cur, st, Seq(userCol), "__ats",
+            payload = Seq(idCol, usCol),
+            toleranceMicros = Some(toleranceMicros))
+          // next hop attributes at-or-before THIS stage's event time;
+          // null (unattributed) propagates — the chain property
+          .withColumn("__ats", timestamp_micros(col(usCol)))
+    }
+    attributed.groupBy(col(userCol)).agg(
+      count(lit(1)).as(s"n_${stages.last}"),
+      stages.init.reverse.zipWithIndex.map { case (stage, i) =>
+        count(col(s"__id_$i")).as(s"n_$stage")
+      }: _*)
+  }
 }

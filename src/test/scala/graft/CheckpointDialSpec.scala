@@ -39,6 +39,26 @@ class CheckpointDialSpec extends SparkSpecBase {
       s"no checkpoint data written under $dir")
   }
 
+  test("components releases dead rounds: persisted RDDs do not grow with contraction rounds") {
+    import spark.implicits._
+    // a 64-node PATH graph forces several large-star/small-star rounds
+    // (diameter 63); each round localCheckpoints a fresh edge list.
+    // Without the in-loop release, every round's blocks stay persisted
+    // until driver GC — the count below would grow with the round
+    // count. With it, at most the input truncation's live tail and the
+    // final round survive the call.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val got = DedupClusters.components(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L until 64L).map(i => (i, 0L)).toSet)
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"dead contraction rounds left persisted: $before -> $after " +
+        "(release() in the loop should unpersist each superseded round)")
+  }
+
   test("pageRank: truncation cadence and reliability mode never change the ranks") {
     val noTrunc = Graph.pageRank(edges, iters = 12, checkpointEvery = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -395,6 +395,47 @@ class CurationSpec extends SparkSpecBase {
     assert(out.sorted.toSeq === Seq(1L, 1L))
   }
 
+  test("funnel: per-anchor backward attribution with the chain property") {
+    // tolerance 10 min; user 1 exercises every outcome class:
+    //   purchase@10 ← click@5 ← view@2        full funnel
+    //   purchase@100 ← click@99, view@2 is 97 min before the click —
+    //     outside tolerance                    click-attributed only
+    //   purchase@200: latest click@99 is 101 min before — unattributed
+    //     (and by the CHAIN property the view hop must not fire even
+    //     though view@199 is within 10 min of the purchase itself)
+    // user 2: a purchase with no clicks at all  anchor only
+    val events = Seq(
+      (1L, ts(2), "view", 1L), (1L, ts(5), "click", 2L),
+      (1L, ts(10), "purchase", 3L),
+      (1L, ts(99), "click", 4L), (1L, ts(100), "purchase", 5L),
+      (1L, ts(199), "view", 6L), (1L, ts(200), "purchase", 7L),
+      (2L, ts(50), "purchase", 8L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Sessions.funnel(events, Seq("view", "click", "purchase"),
+        toleranceMicros = 10L * 60 * 1000000)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 2L, 1L)), "n_purchase, n_click, n_view for user 1")
+    assert(out(2L) === ((1L, 0L, 0L)))
+    // stage counts are monotone non-increasing along the chain
+    out.values.foreach { case (p, c, v) => assert(p >= c && c >= v) }
+    // 2-stage form and same-ts anchor duplicates both count
+    val dup = Seq(
+      (9L, ts(0), "click", 10L),
+      (9L, ts(1), "purchase", 11L), (9L, ts(1), "purchase", 12L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val two = Sessions.funnel(dup, Seq("click", "purchase"),
+        toleranceMicros = 10L * 60 * 1000000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(two(9L) === ((2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Sessions.funnel(dup, Seq("purchase"), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sessions.funnel(dup, Seq("click", "click"), 1L)
+    }
+  }
+
   test("rollingAggs frames [ts - horizon, ts] inclusive; ts peers share a frame") {
     val events = Seq(
       (1L, ts(0), 1L, 10L), (1L, ts(10), 2L, 20L),  // 10 min apart — in range

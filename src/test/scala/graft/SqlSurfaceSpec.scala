@@ -128,6 +128,70 @@ class SqlSurfaceSpec extends SparkSpecBase {
       org.apache.spark.sql.Encoders.scalaLong).collect().toSet === Set(2L))
   }
 
+  test("asof_join('purchases','clicks',...) equals Sessions.asofJoin") {
+    import s2.implicits._
+    val ev = s2.table("events")
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("aj_purch")
+    ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .createOrReplaceTempView("aj_click")
+    val viaSql = s2.sql(
+      "SELECT * FROM asof_join('aj_purch', 'aj_click', 'user_id', 'ts', 'click_id')")
+    val viaApi = Sessions.asofJoin(
+      s2.table("aj_purch"), s2.table("aj_click"),
+      keys = Seq("user_id"), tsCol = "ts", payload = Seq("click_id"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.where(col("click_id").isNotNull).count() > 0)
+    // tolerance + forward dials ride through the SQL surface
+    val tol = 3600L * 1000000
+    assert(rows(s2.sql(
+      s"SELECT * FROM asof_join('aj_purch', 'aj_click', 'user_id', 'ts', 'click_id', $tol, true)"))
+      === rows(Sessions.asofJoin(s2.table("aj_purch"), s2.table("aj_click"),
+        Seq("user_id"), "ts", Seq("click_id"),
+        toleranceMicros = Some(tol), forward = true)))
+  }
+
+  test("funnel('events', 'view,click,purchase', tol) equals Sessions.funnel") {
+    val tol = 24L * 3600 * 1000000
+    val viaSql = s2.sql(
+      s"SELECT * FROM funnel('events', 'view,click,purchase', $tol)")
+    val viaApi = Sessions.funnel(
+      s2.table("events"), Seq("view", "click", "purchase"), tol)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(viaSql.columns.toSeq ===
+      Seq("user_id", "n_purchase", "n_click", "n_view"))
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+  }
+
+  test("asof_join / funnel argument errors fail analysis") {
+    val badForward = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM asof_join('events', 'events', 'user_id', 'ts', 'x', 1, 'yes')")
+        .collect()
+    }
+    assert(badForward.getMessage.contains("foldable boolean"), badForward.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // payload column collides with a left column
+      s2.sql("SELECT * FROM asof_join('events', 'events', 'user_id', 'ts', 'value')")
+        .collect()
+    }
+    val oneStage = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM funnel('events', 'purchase', 1)").collect()
+    }
+    assert(oneStage.getMessage.contains(">= 2"), oneStage.getMessage)
+    val dupStage = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM funnel('events', 'click,click', 1)").collect()
+    }
+    assert(dupStage.getMessage.contains("distinct"), dupStage.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM funnel('events', 'view,click', 0)").collect()
+    }
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
