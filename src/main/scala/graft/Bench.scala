@@ -249,7 +249,7 @@ object Bench {
     val n = finalResults.size
     val metric = if (soakScale.isDefined) "soak_total_ok" else "total_ok"
     val scalePart = soakScale
-      .map(nRep => s""","scale":$nRep,"excluded":["neardup_simhash (documented-quadratic exact mode)","multimodal_phash (documented-quadratic 64-bit small-corpus mode; multimodal_phash_scaled is the gated growing-corpus path)","emb_ann_recall* (exact brute-force truth side; deployment samples the query batch)"]""")
+      .map(nRep => s""","scale":$nRep,"excluded":["neardup_simhash (documented-quadratic exact mode)","multimodal_phash (documented-quadratic 64-bit small-corpus mode; multimodal_phash_scaled is the gated growing-corpus path)","emb_ann_recall*/emb_ann_frontier (exact brute-force truth side; deployment samples the query batch)"]""")
       .getOrElse("")
     val retriedPart =
       if (retried.isEmpty) ""

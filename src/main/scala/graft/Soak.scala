@@ -153,7 +153,14 @@ object Soak {
       // the reports measure gate separately (emb_ann_ivfpq_probed,
       // emb_ann_ivfpq, emb_neardup — whose planted-truth report IS
       // gated, its truth being O(n) by construction).
-      !q.startsWith("emb_ann_recall")
+      !q.startsWith("emb_ann_recall") &&
+      // the frontier grid shares the recall reports' exact-truth side,
+      // so it shares their exclusion; its candidate machinery is the
+      // probed family, gated via emb_ann_ivfpq_probed. The TEXT recall
+      // reports (neardup_*_recall) stay gated: their truth is the
+      // shared-shingle exact-Jaccard relation, linear on token-disjoint
+      // replicas (the gated neardup_ngram's own frame).
+      q != "emb_ann_frontier"
   }
 
   def replicatedDocs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

@@ -482,6 +482,55 @@ object SparkEntry {
        |            ELSE CAST(1000 AS BIGINT) END AS recall_permille,
        |       (SELECT count(*) FROM tr) = 0 AS vacuous""".stripMargin
 
+  /** One frontier cell: the full IVF-PQ pipeline at (m, pqStep, nprobe)
+    * with optional exact-rerank refinement, scored against the shared
+    * [[l2TruthCte]] exact top-3, emitted WITH its dial literals — the
+    * building block `emb_ann_frontier` UNION ALLs over the 2×2×2 grid.
+    * The refine arm is [[refinedRecallSql]]'s shortlist/rerank body;
+    * the no-refine arm ranks by raw code distance (emb_ann_recall's
+    * fnd). */
+  private def frontierCellSql(
+      m: Int, pqStep: Long, nprobe: Int, refine: Option[Int]): String = {
+    val fnd = refine match {
+      case None =>
+        s"""fnd AS (
+           |  SELECT query_id, neighbor_id FROM sc
+           |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+           |  QUALIFY row_number() OVER w <= 3)""".stripMargin
+      case Some(r) =>
+        s"""shortlist AS (
+           |  SELECT query_id, neighbor_id FROM sc
+           |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
+           |  QUALIFY row_number() OVER w <= $r),
+           |fnd AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT s.query_id, s.neighbor_id,
+           |           a.nsq + b.nsq - 2 * CAST(list_sum(list_transform(range(len(a.qv)),
+           |             j -> a.qv[j+1] * b.qv[j+1])) AS BIGINT) AS sqd
+           |    FROM shortlist s JOIN n a ON a.vec_id = s.query_id
+           |                     JOIN n b ON b.vec_id = s.neighbor_id)
+           |  WINDOW w AS (PARTITION BY query_id ORDER BY sqd, neighbor_id)
+           |  QUALIFY row_number() OVER w <= 3)""".stripMargin
+    }
+    s"""${ivfPqBodyCte(m, Embeddings.CentroidStep, pqStep, nprobe)},
+       |$fnd,
+       |${l2TruthCte(3)},
+       |h AS (SELECT f.query_id, f.neighbor_id
+       |      FROM fnd f JOIN tr ON f.query_id = tr.query_id
+       |                        AND f.neighbor_id = tr.neighbor_id)
+       |SELECT CAST($m AS BIGINT) AS m, CAST($nprobe AS BIGINT) AS nprobe,
+       |       CAST(${refine.getOrElse(0)} AS BIGINT) AS refine,
+       |       (SELECT count(DISTINCT query_id) FROM tr) AS n_queries,
+       |       (SELECT count(*) FROM tr) AS n_truth,
+       |       (SELECT count(*) FROM fnd) AS n_found,
+       |       (SELECT count(*) FROM h) AS n_hit,
+       |       CASE WHEN (SELECT count(*) FROM tr) > 0
+       |            THEN CAST(round((SELECT count(*) FROM h) * 1000.0 /
+       |                 (SELECT count(*) FROM tr)) AS BIGINT)
+       |            ELSE CAST(1000 AS BIGINT) END AS recall_permille,
+       |       (SELECT count(*) FROM tr) = 0 AS vacuous""".stripMargin
+  }
+
   private def pqSearchSql(m: Int, step: Long): String =
     s"""${pqCteFor(m, step)},
        |qd AS (
@@ -2478,6 +2527,36 @@ object SparkEntry {
           nprobe = IvfPqNprobe, refine = Some(IvfPqRefine)),
         Embeddings.l2TopK(emb, col("vec_id") % 20 === 0, k = 3))
     }),
+    // The recall-vs-cost FRONTIER (the FAISS-bench shape): one row per
+    // (m, nprobe, refine) dial cell of the IVF-PQ index, each scored by
+    // Eval.topKRecall against the ONE exact L2 top-3 truth — so an
+    // index-dial choice at 100 TB cites a measured table, not three
+    // point reports. Truth is lazily truncated once and shared by all
+    // eight report consumers; each cell's candidate cost is the probed
+    // family's (gated at 10×/100× via emb_ann_ivfpq_probed).
+    "emb_ann_frontier" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = col("vec_id") % 20 === 0
+      val truth = graft.core.IterCheckpoint.truncate(
+        Embeddings.l2TopK(emb, q, k = 3), None, eager = false)
+      val mStep = Seq(
+        Embeddings.PqSubspaces -> batteryPqStep(s, dir),
+        ScaledPqSubspaces ->
+          Embeddings.stepForBoundedK(emb.count(), ScaledPqCodebookK))
+      val cells = for {
+        (m, step) <- mStep
+        nprobe <- Seq(1, IvfPqNprobe)
+        refine <- Seq(Option.empty[Int], Some(IvfPqRefine))
+      } yield Eval.topKRecall(
+          Embeddings.annIvfPq(emb, q, m = m, pqStep = Some(step),
+            nprobe = nprobe, refine = refine),
+          truth)
+        .select(lit(m.toLong).as("m"), lit(nprobe.toLong).as("nprobe"),
+          lit(refine.getOrElse(0).toLong).as("refine"),
+          col("n_queries"), col("n_truth"), col("n_found"), col("n_hit"),
+          col("recall_permille"), col("vacuous"))
+      cells.reduce(_ unionByName _)
+    }),
     // embedding-cosine near-dup — the vector-space dedup family member:
     // LSH-bucket candidates, honest ≥0.95 threshold over the corpus
     // plus its planted twins (exact + first-coordinate-zeroed; see
@@ -4188,6 +4267,22 @@ object SparkEntry {
     "emb_ann_recall_m16" ->
       refinedRecallSql(ScaledPqSubspaces,
         Embeddings.stepForBoundedK(VerifyEmbCorpus, ScaledPqCodebookK)),
+
+    // the 2×2×2 dial grid, one frontierCellSql per cell, UNION ALLed —
+    // dial constants interpolated at the verify corpus like every
+    // other oracle dial (DialParitySpec pins the derivations).
+    "emb_ann_frontier" -> {
+      val cells = for {
+        (m, step) <- Seq(
+          Embeddings.PqSubspaces ->
+            Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK),
+          ScaledPqSubspaces ->
+            Embeddings.stepForBoundedK(VerifyEmbCorpus, ScaledPqCodebookK))
+        nprobe <- Seq(1, IvfPqNprobe)
+        refine <- Seq(Option.empty[Int], Some(IvfPqRefine))
+      } yield s"SELECT * FROM (${frontierCellSql(m, step, nprobe, refine)})"
+      cells.mkString("\nUNION ALL\n")
+    },
 
     "emb_ann_lsh" ->
       s"""$lshBucketsCte,

@@ -105,12 +105,17 @@ object Bpe {
         val ranked = best.withColumn("merge_rank", lit(round.toLong))
         merges = if (merges == null) ranked else merges.unionByName(ranked)
         if (round < k) {
+          val prev = seq
           seq = seq
             .crossJoin(broadcast(
               best.select(col("l").as("__ml"), col("r").as("__mr"))))
             .withColumn("s", applyMerge(col("s"), col("__ml"), col("__mr")))
             .drop("__ml", "__mr")
             .localCheckpoint()
+          // prev's word-dict-sized blocks are dead once the new round
+          // has materialized from them (the 1-row `best` checkpoints,
+          // which `merges` keeps referencing, are untouched)
+          graft.core.IterCheckpoint.release(prev)
         }
       }
       round += 1

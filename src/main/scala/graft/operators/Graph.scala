@@ -94,6 +94,10 @@ object Graph {
 
     val baseShare = (100L - DampingPctKeep) * scale / 100L
     var pr = nodes.select(col("id"), lit(scale).as("pr"))
+    // the previous checkpoint is dead once the NEXT one has eagerly
+    // materialized from it — release it then (IterCheckpoint.release)
+    // instead of holding every epoch's rank vector until driver GC
+    var prevCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val inflow = eDeg
         .join(pr, col("src") === col("id"))
@@ -104,8 +108,11 @@ object Graph {
         .select(col("id"),
           (lit(baseShare) +
             expr(s"($DampingPctKeep * coalesce(__in, 0L)) div 100")).as("pr"))
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % checkpointEvery == 0 && i < iters) {
         pr = graft.core.IterCheckpoint.truncate(pr, checkpointDir)
+        prevCp.foreach(graft.core.IterCheckpoint.release)
+        prevCp = Some(pr)
+      }
     }
     pr
   }
@@ -244,6 +251,7 @@ object Graph {
       .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
     var lab = nodes.select(col("id"), col("id").as("community"))
+    var prevCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val votes = sym.join(lab, col("src") === col("id"))
         .groupBy(col("dst"), col("community"))
@@ -254,8 +262,11 @@ object Graph {
         .agg(max_by(col("community"), struct(col("__n"), -col("community")))
           .as("community"))
         .select(col("dst").as("id"), col("community"))
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % checkpointEvery == 0 && i < iters) {
         lab = graft.core.IterCheckpoint.truncate(lab, checkpointDir)
+        prevCp.foreach(graft.core.IterCheckpoint.release) // dead epoch
+        prevCp = Some(lab)
+      }
     }
     lab
   }
@@ -295,6 +306,7 @@ object Graph {
     var dist = seeds.select(col(seedIdCol).as("id")).distinct()
       .withColumn("dist", lit(0L))
     var frontier = dist.select(col("id"))
+    var prevCps: Seq[DataFrame] = Nil
     for (i <- 1 to maxHops) {
       val reached = e.join(frontier, col("src") === col("id"))
         .select(col("dst").as("id")).distinct()
@@ -304,6 +316,10 @@ object Graph {
       if (i % checkpointEvery == 0 && i < maxHops) {
         dist = graft.core.IterCheckpoint.truncate(dist, checkpointDir)
         frontier = graft.core.IterCheckpoint.truncate(frontier.toDF(), checkpointDir)
+        // the previous (dist, frontier) checkpoints are dead now that
+        // both new ones have eagerly materialized from them
+        prevCps.foreach(graft.core.IterCheckpoint.release)
+        prevCps = Seq(dist, frontier)
       }
     }
     dist
