@@ -69,8 +69,14 @@ class DocSyncSpec extends AnyFunSuite {
       assert(gated.exists(_.startsWith(family)),
         s"no gated soak query left in documented family $family")
     }
-    for (q <- Seq("multimodal_phash", "dedup_clusters", "text_winnow_pairs",
+    for (q <- Seq("multimodal_phash_scaled", "dedup_clusters", "text_winnow_pairs",
         "er_fuzzy_pairs"))
       assert(gated.contains(q), s"documented gated query $q missing")
+    // the two documented-quadratic small-corpus modes and the
+    // exact-truth recall reports must stay EXCLUDED (reclassifying one
+    // back in silently reintroduces a known-failing soak row)
+    for (q <- Seq("multimodal_phash", "neardup_simhash", "emb_ann_recall",
+        "emb_ann_frontier"))
+      assert(!gated.contains(q), s"documented-excluded query $q is gated again")
   }
 }

@@ -204,12 +204,16 @@ class PlanShapeSpec extends SparkSpecBase {
           // 1-row sketch-result broadcast for the rank-contract pass
           "rel_approx_quantiles",
           // four 1-row count aggregates broadcast-crossed into the
-          // one-row recall report (Eval.pairRecall)
-          "emb_neardup_recall",
+          // one-row recall report (Eval.pairRecall) — the text banding
+          // recall reports share the exact same report tail
+          "emb_neardup_recall", "neardup_minhash_recall",
+          "neardup_minhash_banded_recall", "neardup_simhash_recall",
           // broadcast query-batch scoring pass (l2TopK), same as
           // emb_topk; the recall report adds Eval.topKRecall's 1-row
-          // count crossJoins on top
-          "emb_topk_l2", "emb_ann_recall", "emb_ann_recall_m16")
+          // count crossJoins on top — the frontier is 8 such reports
+          // unioned
+          "emb_topk_l2", "emb_ann_recall", "emb_ann_recall_m16",
+          "emb_ann_frontier")
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join:\n${p.take(2000)}")
