@@ -436,6 +436,49 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("property: funnel == driver-side brute force on a random event stream") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random 3-type event soup over a handful of users and a small
+    // time range — dense enough that every hop outcome (full chain,
+    // tolerance cut, missing stage, same-ts collisions) occurs; seed
+    // fixed so a failure replays
+    val gen = Gen.listOfN(300, for {
+      u <- Gen.chooseNum(1L, 6L)
+      t <- Gen.chooseNum(0L, 120L)
+      ty <- Gen.oneOf("view", "click", "purchase")
+    } yield (u, t, ty))
+    val raw = gen(Gen.Parameters.default, Seed(1212L)).get
+      .zipWithIndex.map { case ((u, t, ty), i) => (u, t, ty, i.toLong) }
+    val tolMin = 7L
+    // brute force: per purchase, latest click at-or-before within tol
+    // (ties collapse per (user, ts) to max event id — the operator's
+    // documented dedup); then latest view at-or-before THAT click
+    def latest(u: Long, ty: String, atOrBefore: Long): Option[Long] =
+      raw.filter(e => e._1 == u && e._3 == ty && e._2 <= atOrBefore &&
+          atOrBefore - e._2 <= tolMin)
+        .map(_._2).maxOption
+    val want = raw.filter(_._3 == "purchase").map { case (u, t, _, _) =>
+      val click = latest(u, "click", t)
+      val view = click.flatMap(ct => latest(u, "view", ct))
+      (u, click.isDefined, view.isDefined)
+    }.groupBy(_._1).map { case (u, hits) =>
+      u -> ((hits.size.toLong, hits.count(_._2).toLong, hits.count(_._3).toLong))
+    }
+    val events = raw.map { case (u, t, ty, i) => (u, ts(t), ty, i) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Sessions.funnel(events, Seq("view", "click", "purchase"),
+        toleranceMicros = tolMin * 60 * 1000000)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // regime check: the fixture actually exercised partial chains
+    val (p, c, v) = want.values.foldLeft((0L, 0L, 0L)) {
+      case ((a, b, d), (x, y, z)) => (a + x, b + y, d + z) }
+    assert(p > c && c > v && v > 0,
+      s"degenerate fixture: p=$p c=$c v=$v — expected strict attrition")
+  }
+
   test("rollingAggs frames [ts - horizon, ts] inclusive; ts peers share a frame") {
     val events = Seq(
       (1L, ts(0), 1L, 10L), (1L, ts(10), 2L, 20L),  // 10 min apart — in range
