@@ -520,6 +520,7 @@ object SparkEntry {
        |                        AND f.neighbor_id = tr.neighbor_id)
        |SELECT CAST($m AS BIGINT) AS m, CAST($nprobe AS BIGINT) AS nprobe,
        |       CAST(${refine.getOrElse(0)} AS BIGINT) AS refine,
+       |       (SELECT count(*) FROM cand) AS n_candidates,
        |       (SELECT count(DISTINCT query_id) FROM tr) AS n_queries,
        |       (SELECT count(*) FROM tr) AS n_truth,
        |       (SELECT count(*) FROM fnd) AS n_found,
@@ -2539,6 +2540,22 @@ object SparkEntry {
       val q = col("vec_id") % 20 === 0
       val truth = graft.core.IterCheckpoint.truncate(
         Embeddings.l2TopK(emb, q, k = 3), None, eager = false)
+      // the COST axis, measured: candidate rows the PQ scoring join
+      // scores at each probe dial (Embeddings.probedCells is the
+      // search's own candidate-defining frame — one definition, both
+      // consumers). Independent of (m, refine) by construction, so two
+      // 1-row frames serve all eight cells.
+      val icents = Embeddings.ivfCentroids(emb)
+      val corpusCells = Embeddings.ivfAssign(emb, icents,
+        assertUniqueIds = false)
+      def candCount(nprobe: Int) =
+        Embeddings.probedCells(emb.filter(q), icents, nprobe)
+          .join(corpusCells.select(col("vec_id").as("__nb"), col("cell")),
+            Seq("cell"))
+          .where(col("query_id") =!= col("__nb"))
+          .agg(count(lit(1)).as("n_candidates"))
+      val candFor = Map(1 -> candCount(1),
+        IvfPqNprobe -> candCount(IvfPqNprobe))
       val mStep = Seq(
         Embeddings.PqSubspaces -> batteryPqStep(s, dir),
         ScaledPqSubspaces ->
@@ -2551,8 +2568,10 @@ object SparkEntry {
           Embeddings.annIvfPq(emb, q, m = m, pqStep = Some(step),
             nprobe = nprobe, refine = refine),
           truth)
+        .crossJoin(candFor(nprobe))
         .select(lit(m.toLong).as("m"), lit(nprobe.toLong).as("nprobe"),
           lit(refine.getOrElse(0).toLong).as("refine"),
+          col("n_candidates"),
           col("n_queries"), col("n_truth"), col("n_found"), col("n_hit"),
           col("recall_permille"), col("vacuous"))
       cells.reduce(_ unionByName _)

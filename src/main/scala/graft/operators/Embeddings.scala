@@ -1103,6 +1103,34 @@ object Embeddings {
     * into ingest. [[annIvfPqWith]] is exactly this with cells/codes
     * built inline, so served results are bit-identical to the inline
     * (and oracle-checked) search given equal tables. */
+  /** Query-side probe cells — (query_id, cell), one row per probed
+    * cell per query: top-1 via [[ivfAssign]] (exactly the corpus
+    * assignment rule), nprobe > 1 via the same in-row top-cells fold as
+    * [[annIvf]] (one explode; the corpus side stays top-1, so probed
+    * candidates are disjoint across probes). This is THE
+    * candidate-defining frame of [[annIvfPqServe]], exposed so cost
+    * measurements (the `emb_ann_frontier` n_candidates column) count
+    * the same candidates the search scores — one definition, both
+    * consumers. */
+  def probedCells(
+      queries: DataFrame,
+      icents: DataFrame,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    if (nprobe == 1)
+      ivfAssign(queries, icents, idCol, vecCol, assertUniqueIds = false)
+        .select(col(idCol).as("query_id"), col("cell"))
+    else
+      prepped(queries, idCol, vecCol)
+        .crossJoin(broadcast(packedCentroids(icents)))
+        .where(size(col("__cb")) > 0)
+        .select(col(idCol).as("query_id"),
+          explode(topCells(col("__cb"), col("__qv"), col("__nsq"), nprobe))
+            .as("cell"))
+  }
+
   def annIvfPqServe(
       queries: DataFrame,
       icents: DataFrame,
@@ -1124,17 +1152,7 @@ object Embeddings {
     // probed candidates are disjoint across probes — no dedup needed):
     // the same in-row top-cells fold as [[annIvf]], one explode,
     // candidate cost ∝ nprobe.
-    val qcells =
-      if (nprobe == 1)
-        ivfAssign(queries, icents, idCol, vecCol, assertUniqueIds = false)
-          .select(col(idCol).as("query_id"), col("cell"))
-      else
-        prepped(queries, idCol, vecCol)
-          .crossJoin(broadcast(packedCentroids(icents)))
-          .where(size(col("__cb")) > 0)
-          .select(col(idCol).as("query_id"),
-            explode(topCells(col("__cb"), col("__qv"), col("__nsq"), nprobe))
-              .as("cell"))
+    val qcells = probedCells(queries, icents, nprobe, idCol, vecCol)
     val qdist = subvectors(queries, m, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("sub"), col("__sqv"), col("__snsq"))
       .join(broadcast(pcents), Seq("sub"))
