@@ -173,6 +173,29 @@ class ErSpec extends SparkSpecBase {
     }
   }
 
+  test("plan shape: the pair distinct shuffles only (ids, dist) — names never ride it") {
+    // the r12 slim's core property, pinned against regression: the
+    // distinct's hash aggregation keys are the three NARROW columns;
+    // the wide name columns (__na/__nb, __nl/__nr) are confirmed away
+    // BEFORE the shuffle. A revert to distinct-before-confirm shows up
+    // as name columns in some HashAggregate's keys.
+    val df = roster.toDF("id", "name")
+    for (plan <- Seq(
+        Er.fuzzyPairs(df, "id", "name", maxEdit = 2)
+          .queryExecution.executedPlan.toString,
+        Er.fuzzyJoinBetween(df, "id", "name", df, "id", "name", maxEdit = 2)
+          .queryExecution.executedPlan.toString)) {
+      val aggKeyLines = plan.linesIterator
+        .filter(l => l.contains("HashAggregate(keys=[") ||
+          l.contains("SortAggregate(key=["))
+        .toSeq
+      assert(aggKeyLines.nonEmpty, "expected a distinct aggregation in the plan")
+      val wide = aggKeyLines.filter(l => l.contains("__n"))
+      assert(wide.isEmpty,
+        s"name columns ride the distinct shuffle again:\n${wide.mkString("\n")}")
+    }
+  }
+
   test("deletion keys: distinct, include the name itself, empty-safe") {
     val keys = spark.range(1).select(
       Er.deletionKeys(lit("aab")).as("k"),

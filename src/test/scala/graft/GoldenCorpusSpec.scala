@@ -156,6 +156,25 @@ class GoldenCorpusSpec extends SparkSpecBase {
     assert(lines.select("line").collect().head.getString(0) === "alpha beta")
   }
 
+  test("chunked scan rejects comma and glob-metacharacter paths loudly") {
+    // Hadoop's input-path list is comma-delimited AND FileInputFormat
+    // glob-expands each path — a literal name with , { } [ ] * ? would
+    // be dropped or mis-read silently; the source must refuse instead.
+    val base = Files.createTempDirectory("graft_meta")
+    for (bad <- Seq("a,b.txt", "a{b}.txt", "a[1].txt", "a*.txt", "a?.txt")) {
+      val d = Files.createTempDirectory(base, "case")
+      Files.write(d.resolve(bad), "x y\n".getBytes("UTF-8"))
+      val ex = intercept[IllegalArgumentException] {
+        ChunkedTextSource(Seq(d.toString)).load(spark).count()
+      }
+      assert(ex.getMessage.contains("ChunkedTextSource"), s"$bad: ${ex.getMessage}")
+    }
+    // …and a clean sibling file still reads
+    val ok = Files.createTempDirectory(base, "ok")
+    Files.write(ok.resolve("plain.txt"), "x y\n".getBytes("UTF-8"))
+    assert(ChunkedTextSource(Seq(ok.toString)).load(spark).count() === 1L)
+  }
+
   test("wordstats: fromLines over the splittable scan equals the wholetext pipeline") {
     val lines = ChunkedTextSource(Seq(booksDir), maxSplitBytes = Some(128 * 1024))
       .load(spark)
