@@ -62,18 +62,28 @@ object Bench {
 
   /** Per-query seconds of the previous bench run, read from
     * BENCH_LAST.json if present (the file this main writes at the end
-    * of every non-soak run, committed per round). Absent file, subset
-    * runs, renamed queries → missing entries → no drift retry for
-    * them; parse failures degrade to empty, never abort a bench. */
-  def priorSecs(path: String = "BENCH_LAST.json"): Map[String, Double] =
+    * of every non-soak run, committed per round) — but ONLY when that
+    * record's `"sf"` matches the run's own sf dir: times from a
+    * different scale factor are not a drift baseline (a committed
+    * sf0.1 record would mass-trigger the retry at sf1, double the
+    * bench, then poison the next sf0.1 run's baseline). Absent file,
+    * sf mismatch, subset runs, renamed queries → missing entries → no
+    * drift retry for them; parse failures degrade to empty, never
+    * abort a bench. */
+  def priorSecs(
+      sfDir: String,
+      path: String = "BENCH_LAST.json"): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+)""".r
-        .findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap
+      val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!priorSf.contains(sfDir)) Map.empty
+      else
+        """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
     } catch { case _: Throwable => Map.empty }
 
   /** Noise floor for the soak's candidate-join gate: the growth bound
@@ -205,7 +215,7 @@ object Bench {
     // every other query has run, so a contention window during its
     // battery slot can't be the only sample; the min of both passes is
     // reported.
-    val prior = if (soakScale.isDefined) Map.empty[String, Double] else priorSecs()
+    val prior = if (soakScale.isDefined) Map.empty[String, Double] else priorSecs(sfDir)
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalResults =
       if (soakScale.isDefined) results
@@ -248,8 +258,15 @@ object Bench {
     val nOk = okResults.size
     val n = finalResults.size
     val metric = if (soakScale.isDefined) "soak_total_ok" else "total_ok"
+    // the excluded note derives from the SAME definition the gate
+    // predicate uses (Soak.ExcludedNote / Soak.isExcluded) — the
+    // committed artifact cannot misreport what was actually skipped
     val scalePart = soakScale
-      .map(nRep => s""","scale":$nRep,"excluded":["neardup_simhash (documented-quadratic exact mode)","multimodal_phash (documented-quadratic 64-bit small-corpus mode; multimodal_phash_scaled is the gated growing-corpus path)","emb_ann_recall*/emb_ann_frontier (exact brute-force truth side; deployment samples the query batch)"]""")
+      .map { nRep =>
+        val noted = Soak.ExcludedNote
+          .map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+        s""","scale":$nRep,"excluded":$noted"""
+      }
       .getOrElse("")
     val retriedPart =
       if (retried.isEmpty) ""

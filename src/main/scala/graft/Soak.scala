@@ -81,6 +81,51 @@ object Soak {
     * Hamming ≈ 26 ≫ the 6 cutoff). */
   val PadUnit = 24
 
+  /** The soak-EXCLUDED battery queries: ONE definition serving both
+    * the gate predicate ([[soakQueries]]) and the committed artifact's
+    * "excluded" note ([[graft.Bench]] embeds [[ExcludedNote]]), so the
+    * record can never misreport what the gate actually skipped
+    * (DocSyncSpec pins the membership both ways).
+    *
+    *  - `neardup_simhash`: the exact 64-bit pigeonhole mode is
+    *    DOCUMENTED quadratic (16 values per 4-bit band ⇒ ~64 % of all
+    *    pairs collide) — it exists as the small-corpus correctness
+    *    oracle; at 10× its ~8·10⁸ candidate rows are the explosion the
+    *    scaled sibling (corpus-sized bands) avoids.
+    *  - `multimodal_phash`: same rationale for the 64-bit pHash mode —
+    *    band-PAIR keys span only 16 bits, so unrelated-pair collisions
+    *    grow n²·C(8,2)/2¹⁶ regardless of hash quality (the r11 100×
+    *    spot measured 576× the linear envelope). MultimodalSpec + its
+    *    CORRECTNESS entry remain its home; a growing corpus runs the
+    *    256-bit scaled mode (32-bit pair keys, measured linear at the
+    *    same spot), which stays gated via the prefix match.
+    *  - `emb_ann_recall*` / `emb_ann_frontier`: the TRUTH side is the
+    *    exact brute-force baseline (n·|queries| at the battery's
+    *    corpus-fraction query batch) — quadratic BY DEFINITION, the
+    *    same reason emb_topk itself is not gated. A deployment
+    *    evaluates recall on a FIXED sampled query batch; the battery
+    *    keeps the corpus-fraction batch for oracle determinism. The
+    *    production paths the reports measure gate separately
+    *    (emb_ann_ivfpq_probed, emb_ann_ivfpq, emb_neardup — whose
+    *    planted-truth report IS gated, its truth O(n) by
+    *    construction). The TEXT recall reports (neardup_*_recall) stay
+    *    gated: their truth is the shared-shingle exact-Jaccard
+    *    relation, linear on token-disjoint replicas. */
+  val ExcludedExact: Set[String] =
+    Set("neardup_simhash", "multimodal_phash", "emb_ann_frontier")
+  val ExcludedPrefixes: Seq[String] = Seq("emb_ann_recall")
+  def isExcluded(q: String): Boolean =
+    ExcludedExact(q) || ExcludedPrefixes.exists(q.startsWith)
+
+  /** The artifact-note form of the exclusion set (rationale attached) —
+    * embedded verbatim in every soak JSON line by [[graft.Bench]]. */
+  val ExcludedNote: Seq[String] = Seq(
+    "neardup_simhash (documented-quadratic exact mode)",
+    "multimodal_phash (documented-quadratic 64-bit small-corpus mode; " +
+      "multimodal_phash_scaled is the gated growing-corpus path)",
+    "emb_ann_recall*/emb_ann_frontier (exact brute-force truth side; " +
+      "deployment samples the query batch)")
+
   /** Battery queries the soak runs: the candidate-generating family
     * whose 100 TB story is "candidates grow ≤ c·n", plus the
     * events/time-series family (replicated user key-space over the
@@ -127,40 +172,9 @@ object Soak {
       // semi/anti-join scoping keeps the contraction input bounded by
       // the increment, not the corpus
       q == "dedup_clusters_merge") &&
-      // the exact 64-bit pigeonhole mode is DOCUMENTED quadratic
-      // (16 values per 4-bit band ⇒ ~64 % of all pairs collide) — it
-      // exists as the small-corpus correctness oracle, and at 10× the
-      // fixture its ~8·10⁸ candidate rows are the explosion the scaled
-      // sibling (neardup_simhash_scaled, corpus-sized bands) avoids.
-      q != "neardup_simhash" &&
-      // same rationale for the 64-bit pHash battery mode: its band-PAIR
-      // keys span only 16 bits, so unrelated-pair collisions grow
-      // n²·C(8,2)/2¹⁶ regardless of hash quality — the r11 100× spot
-      // measured 576× the linear envelope (SOAK_x100_spot.json). It is
-      // the small-corpus correctness oracle (MultimodalSpec + the
-      // multimodal_phash CORRECTNESS entry remain its home); a growing
-      // corpus runs the 256-bit scaled mode, whose 32-bit pair keys the
-      // same 100× spot measured linear (multimodal_phash_scaled, which
-      // stays gated here via the prefix match above).
-      q != "multimodal_phash" &&
-      // the ANN recall reports: the TRUTH side is the exact
-      // brute-force baseline (n·|queries| with the battery's
-      // corpus-fraction query batch) — quadratic BY DEFINITION, the
-      // same reason emb_topk itself is not gated. A deployment
-      // evaluates recall on a FIXED sampled query batch (the report
-      // joins are bounded by it); the battery keeps the corpus-
-      // fraction batch for oracle determinism. The production paths
-      // the reports measure gate separately (emb_ann_ivfpq_probed,
-      // emb_ann_ivfpq, emb_neardup — whose planted-truth report IS
-      // gated, its truth being O(n) by construction).
-      !q.startsWith("emb_ann_recall") &&
-      // the frontier grid shares the recall reports' exact-truth side,
-      // so it shares their exclusion; its candidate machinery is the
-      // probed family, gated via emb_ann_ivfpq_probed. The TEXT recall
-      // reports (neardup_*_recall) stay gated: their truth is the
-      // shared-shingle exact-Jaccard relation, linear on token-disjoint
-      // replicas (the gated neardup_ngram's own frame).
-      q != "emb_ann_frontier"
+      // documented-quadratic small-corpus modes and exact-truth recall
+      // reports — rationale and membership at ONE definition above
+      !isExcluded(q)
   }
 
   def replicatedDocs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

@@ -896,6 +896,30 @@ object SparkEntry {
   private def batteryPqStep(s: SparkSession, dir: String): Long =
     Embeddings.stepForBoundedK(T(s, dir, "embeddings").count(), PqCodebookK)
 
+  /** The 100 TB SimHash config at ONE definition — shared by the
+    * production entry (neardup_simhash_scaled) and its recall report
+    * (neardup_simhash_recall), so a dial change can never leave the
+    * report measuring a config the named query no longer runs.
+    *
+    * Band entropy from the LIVE corpus count (== ScaledSimHashWidth at
+    * the verify corpus): collisions between unrelated docs stay O(n)
+    * as the corpus grows instead of n²/2^frozen-bits. The sha256
+    * family sources extra digests past 240 bits (word w >= 4 slices
+    * sha256(s || '#d')), so band bits track the corpus to the 60-bit
+    * join-key ceiling (~2^57 docs) — the 100x soak is what showed the
+    * old 15-bit single-digest cap saturating (1202x candidate growth
+    * at 50k docs; 19 live bits brings the cross-replica noise floor
+    * back under the linear envelope). */
+  private def scaledSimHashPairs(docs: DataFrame): DataFrame = {
+    val bits = math.min(
+      NearDup.simHashBandBitsFor(docs.count()),
+      NearDup.Sha256Family.maxWidthBits / ScaledSimHashBands)
+    val width = ScaledSimHashBands * bits
+    NearDup.simHashPairs(docs,
+      widthBits = width, bands = ScaledSimHashBands,
+      hammingMax = width, family = NearDup.Sha256Family)
+  }
+
   /** Scaled IVF ANN: centroid step from corpus size for a bounded
     * K ≈ 64 ≈ √n quantizer, probing the top-2 cells. */
   val ScaledIvfStep: Long = Embeddings.centroidStepFor(ScaledEmbCorpus, 64L)
@@ -2144,25 +2168,8 @@ object SparkEntry {
     // candidates), probabilistic recall, no Hamming prefilter (exact
     // confirm is the precision gate). Cross-engine sha256 hash family
     // so the oracle replicates the banding — see ScaledSimHash* docs.
-    "neardup_simhash_scaled" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      // band entropy from the LIVE corpus count (== ScaledSimHashWidth
-      // at the verify corpus): collisions between unrelated docs stay
-      // O(n) as the corpus grows instead of n²/2^frozen-bits. The
-      // sha256 family sources extra digests past 240 bits (word w >= 4
-      // slices sha256(s || '#d')), so band bits track the corpus to
-      // the 60-bit join-key ceiling (~2^57 docs) — the 100x soak is
-      // what showed the old 15-bit single-digest cap saturating
-      // (1202x candidate growth at 50k docs; 19 live bits brings the
-      // cross-replica noise floor back under the linear envelope).
-      val bits = math.min(
-        NearDup.simHashBandBitsFor(docs.count()),
-        NearDup.Sha256Family.maxWidthBits / ScaledSimHashBands)
-      val width = ScaledSimHashBands * bits
-      NearDup.simHashPairs(docs,
-        widthBits = width, bands = ScaledSimHashBands,
-        hammingMax = width, family = NearDup.Sha256Family)
-    }),
+    "neardup_simhash_scaled" -> ((s, dir) =>
+      scaledSimHashPairs(T(s, dir, "documents"))),
     // r×b MinHash banding — candidates need r = 2 consecutive hash
     // agreements (band key = the 2 words joined), cutting moderate-J
     // junk candidates an order of magnitude below the r = 1 path while
@@ -2201,14 +2208,7 @@ object SparkEntry {
     // confirm as the precision gate).
     "neardup_simhash_recall" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val bits = math.min(
-        NearDup.simHashBandBitsFor(docs.count()),
-        NearDup.Sha256Family.maxWidthBits / ScaledSimHashBands)
-      val width = ScaledSimHashBands * bits
-      Eval.pairRecall(
-        NearDup.simHashPairs(docs,
-          widthBits = width, bands = ScaledSimHashBands,
-          hammingMax = width, family = NearDup.Sha256Family),
+      Eval.pairRecall(scaledSimHashPairs(docs),
         NearDup.ngramJaccardPairs(docs), aCol = "doc_a", bCol = "doc_b")
     }),
     // Incremental (cross-corpus) dedup — the daily-ingest shape: the

@@ -73,11 +73,19 @@ object IterCheckpoint {
     *
     * DANGER: a localCheckpointed RDD cannot recompute after unpersist
     * (its lineage is gone) — only call on a frame no plan will read
-    * again. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    * again. To make misuse loud instead of corrupting OTHER live
+    * checkpoints, this accepts ONLY a bare truncate() result (a plan
+    * that IS a single LogicalRDD leaf): a derived frame
+    * (`checkpointed.where(...)`) or one whose plan joins a shared
+    * truncated input would otherwise unpersist every checkpoint in its
+    * tree, and the failure ('Checkpoint block not found') would
+    * surface rounds later, far from the bad release call. */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case other => throw new IllegalArgumentException(
+      "IterCheckpoint.release expects a bare truncate() result (a single " +
+        s"LogicalRDD leaf); got a ${other.nodeName}-rooted plan — releasing " +
+        "a derived frame would unpersist every checkpoint in its tree")
+  }
 }

@@ -96,6 +96,33 @@ object Er {
     }
   }
 
+  /** The RAW (pre-distinct) candidate join — one row per shared
+    * blocking key per ordered pair, names riding along for the
+    * confirm: THE one construction behind both [[candidatePairs]] (the
+    * soak-measured frame) and [[fuzzyPairs]] (the production path), so
+    * a join-shape fix can never reach one and not the other.
+    *
+    * Sort-merge, never auto-broadcast: the key table is an inline
+    * explode, and Spark's size estimate of an explode is its CHILD's
+    * size — ~(L+1)× (depth 1) to ~L²/2× (depth 2) too low here. At
+    * the 10× soak the depth-2 estimate made the planner broadcast a
+    * 26M-row frame it thought was megabytes and die; a shuffle_hash
+    * hint then moved the same death into the per-partition hash
+    * build. Sort-merge is the one fully-spillable shape — the sort is
+    * the price of surviving arbitrary key-table sizes. */
+  private def rawCandidates(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxKeyFreq: Option[Long],
+      maxEdit: Int): DataFrame = {
+    val k = keyed(df, idCol, nameCol, maxKeyFreq, maxEdit)
+    val a = k.select(col("__key"), col("__id").as("id_a"), col("__name").as("__na"))
+    val b = k.select(col("__key"), col("__id").as("id_b"), col("__name").as("__nb"))
+    a.join(b.hint("merge"), Seq("__key"))
+      .where(col("id_a") < col("id_b"))
+  }
+
   /** Distinct candidate pairs (id_a < id_b) sharing at least one
     * blocking key — the pre-confirm frame, exposed separately so the
     * soak gate and tests can measure it. */
@@ -104,23 +131,10 @@ object Er {
       idCol: String,
       nameCol: String,
       maxKeyFreq: Option[Long] = None,
-      maxEdit: Int = 1): DataFrame = {
-    val k = keyed(df, idCol, nameCol, maxKeyFreq, maxEdit)
-    val a = k.select(col("__key"), col("__id").as("id_a"), col("__name").as("__na"))
-    val b = k.select(col("__key"), col("__id").as("id_b"), col("__name").as("__nb"))
-    // sort-merge, never auto-broadcast: the key table is an inline
-    // explode, and Spark's size estimate of an explode is its CHILD's
-    // size — ~(L+1)× (depth 1) to ~L²/2× (depth 2) too low here. At
-    // the 10× soak the depth-2 estimate made the planner broadcast a
-    // 26M-row frame it thought was megabytes and die; a shuffle_hash
-    // hint then moved the same death into the per-partition hash
-    // build. Sort-merge is the one fully-spillable shape — the sort is
-    // the price of surviving arbitrary key-table sizes.
-    a.join(b.hint("merge"), Seq("__key"))
-      .where(col("id_a") < col("id_b"))
+      maxEdit: Int = 1): DataFrame =
+    rawCandidates(df, idCol, nameCol, maxKeyFreq, maxEdit)
       .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .distinct()
-  }
 
   /** Confirmed fuzzy self-match: all pairs (id_a < id_b) with
     * lev(name_a, name_b) ≤ maxEdit. Complete by the SymSpell theorem:
@@ -137,11 +151,8 @@ object Er {
       maxKeyFreq: Option[Long] = None): DataFrame = {
     require(maxEdit >= 0 && maxEdit <= 2,
       s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
-    val k = keyed(df, idCol, nameCol, maxKeyFreq, maxEdit)
-    val a = k.select(col("__key"), col("__id").as("id_a"), col("__name").as("__na"))
-    val b = k.select(col("__key"), col("__id").as("id_b"), col("__name").as("__nb"))
     confirmThenDistinct(
-      a.join(b.hint("merge"), Seq("__key")).where(col("id_a") < col("id_b")),
+      rawCandidates(df, idCol, nameCol, maxKeyFreq, maxEdit),
       "id_a", "id_b", "__na", "__nb", maxEdit)
   }
 

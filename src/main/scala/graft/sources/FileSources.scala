@@ -128,13 +128,16 @@ final case class ChunkedTextSource(
           "(Hadoop input-path lists are comma-delimited)")
       // FileInputFormat also GLOB-EXPANDS every input path: a literal
       // file name containing { } [ ] * ? would be silently dropped
-      // (no match) or mis-expanded instead of read — reject it loudly,
-      // like the comma case (Hadoop offers no per-path escape that
-      // survives the comma-joined setInputPaths round trip).
-      val globMeta = "{}[]*?".toSet
+      // (no match) or mis-expanded instead of read, and a literal
+      // backslash is GlobPattern's ESCAPE character (a\b.txt resolves
+      // to ab.txt — the wrong file read with no error) — reject all of
+      // them loudly, like the comma case (Hadoop offers no per-path
+      // escape that survives the comma-joined setInputPaths round
+      // trip).
+      val globMeta = "{}[]*?\\".toSet
       require(files.forall(p => !p.exists(globMeta)),
         "ChunkedTextSource: file paths must not contain Hadoop glob " +
-          "metacharacters { } [ ] * ? (FileInputFormat glob-expands " +
+          "metacharacters { } [ ] * ? \\ (FileInputFormat glob-expands " +
           "each input path): " +
           files.filter(p => p.exists(globMeta)).take(3).mkString(", "))
       val conf = new org.apache.hadoop.conf.Configuration(

@@ -78,5 +78,10 @@ class DocSyncSpec extends AnyFunSuite {
     for (q <- Seq("multimodal_phash", "neardup_simhash", "emb_ann_recall",
         "emb_ann_frontier"))
       assert(!gated.contains(q), s"documented-excluded query $q is gated again")
+    // …and the artifact note must name every member of the exclusion
+    // definition it is derived from (one definition, two renderings)
+    for (n <- Soak.ExcludedExact ++ Soak.ExcludedPrefixes)
+      assert(Soak.ExcludedNote.exists(_.contains(n)),
+        s"Soak.ExcludedNote does not mention excluded member $n")
   }
 }

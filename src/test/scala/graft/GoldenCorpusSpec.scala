@@ -161,7 +161,8 @@ class GoldenCorpusSpec extends SparkSpecBase {
     // glob-expands each path — a literal name with , { } [ ] * ? would
     // be dropped or mis-read silently; the source must refuse instead.
     val base = Files.createTempDirectory("graft_meta")
-    for (bad <- Seq("a,b.txt", "a{b}.txt", "a[1].txt", "a*.txt", "a?.txt")) {
+    for (bad <- Seq("a,b.txt", "a{b}.txt", "a[1].txt", "a*.txt", "a?.txt",
+        "a\\b.txt")) {
       val d = Files.createTempDirectory(base, "case")
       Files.write(d.resolve(bad), "x y\n".getBytes("UTF-8"))
       val ex = intercept[IllegalArgumentException] {
