@@ -481,6 +481,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("pair_recall"),
+      new ExpressionInfo(
+        graft.operators.Eval.getClass.getName,
+        null,
+        "pair_recall",
+        "pair_recall(found_table, truth_table[, a_col, b_col]) - one-row " +
+          "recall/precision report of found pairs vs a truth pair relation " +
+          "(pairs normalized (least, greatest) + distinct; permilles rounded; " +
+          "vacuous flags an empty denominator)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 4) analysisError(
+          s"pair_recall takes 2 to 4 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val found = tableOf("pair_recall", exprs.head)
+        val truth = tableOf("pair_recall", exprs(1))
+        val aCol =
+          if (exprs.length > 2) foldString("pair_recall", "a_col", exprs(2))
+          else "vec_a"
+        val bCol =
+          if (exprs.length > 3) foldString("pair_recall", "b_col", exprs(3))
+          else "vec_b"
+        graft.operators.Eval.pairRecall(found, truth, aCol, bCol)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("transitions"),
+      new ExpressionInfo(
+        graft.operators.Sessions.getClass.getName,
+        null,
+        "transitions",
+        "transitions(table[, user_col, ts_col, type_col, tie_col]) - " +
+          "first-order Markov transition matrix over each user's event " +
+          "sequence: (from_type, to_type, n, share_x1000)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 5) analysisError(
+          s"transitions takes 1 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val events = tableOf("transitions", exprs.head)
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("transitions", what, exprs(i))
+          else default
+        graft.operators.Sessions.transitions(events,
+            strArg(1, "user_col", "user_id"), strArg(2, "ts_col", "ts"),
+            strArg(3, "type_col", "event_type"), strArg(4, "tie_col", "event_id"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("asof_join"),
       new ExpressionInfo(
         graft.operators.Sessions.getClass.getName,

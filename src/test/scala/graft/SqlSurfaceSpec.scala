@@ -168,6 +168,35 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql.count() > 0)
   }
 
+  test("pair_recall('found','truth') equals Eval.pairRecall") {
+    import s2.implicits._
+    Seq((2L, 1L), (1L, 2L), (3L, 4L)).toDF("vec_a", "vec_b")
+      .createOrReplaceTempView("pr_found")
+    Seq((1L, 2L), (5L, 6L)).toDF("vec_a", "vec_b")
+      .createOrReplaceTempView("pr_truth")
+    val viaSql = s2.sql("SELECT * FROM pair_recall('pr_found', 'pr_truth')")
+    val viaApi = graft.operators.Eval.pairRecall(
+      s2.table("pr_found"), s2.table("pr_truth"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    val r = viaSql.head()
+    assert((r.getLong(4), r.getLong(5)) === ((500L, 500L)))
+    assert(!r.getBoolean(6))
+    // custom pair column names ride through
+    Seq((1L, 2L)).toDF("doc_a", "doc_b").createOrReplaceTempView("pr_docs")
+    assert(s2.sql(
+      "SELECT * FROM pair_recall('pr_docs', 'pr_docs', 'doc_a', 'doc_b')")
+      .head().getLong(4) === 1000L)
+  }
+
+  test("transitions('events') equals Sessions.transitions") {
+    val viaSql = s2.sql("SELECT * FROM transitions('events')")
+    val viaApi = Sessions.transitions(s2.table("events"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+  }
+
   test("asof_join / funnel argument errors fail analysis") {
     val badForward = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM asof_join('events', 'events', 'user_id', 'ts', 'x', 1, 'yes')")
