@@ -621,7 +621,27 @@ object Multimodal {
     * that; until then it is a deterministic, oracle-replicable
     * near-dup signature for any binary payload (small byte edits
     * flip few blocks → small Hamming distance). Returns ONE long. */
-  def pHash64(feats: Column): Column = {
+  def pHash64(feats: Column): Column =
+    element_at(packWords(feats, PHashBlocks), 1)
+
+  /** [[graft.expressions.PHashPackWords]] as a Column — the native
+    * codegen'd form of the blockhash bit rule (sort → 2× lower median
+    * → strict-> bit per block, packed ⌈blocks/64⌉ longs). The composed
+    * when-chain forms below ([[pHash64Composed]], [[pHashWordsComposed]])
+    * are the cross-engine reference formulas the equivalence spec pins
+    * the native loop against — per bit they are what the DuckDB oracle
+    * replicates. */
+  private def packWords(feats: Column, blocks: Int): Column =
+    org.apache.spark.sql.graft.ColumnAdapter.column(
+      graft.expressions.PHashPackWords(
+        org.apache.spark.sql.graft.ColumnAdapter.expression(feats), blocks))
+
+  /** The composed (array_sort + per-bit when-chain) form of
+    * [[pHash64]] — kept as the equivalence-spec reference for the
+    * native packer (512 when-branches per dual-grid signature blew
+    * past JIT method limits: the scaled signature stage measured
+    * 6.9 s of the query's 7.8 s at sf0.1 running this shape). */
+  private[graft] def pHash64Composed(feats: Column): Column = {
     val sorted = array_sort(feats)
     // 2× the lower median of 64 values; strict > means ties → 0.
     val med2 = element_at(sorted, PHashBlocks / 2) +
@@ -787,6 +807,15 @@ object Multimodal {
     * [[graft.operators.NearDup.bandedHammingPairs]] consumes. Word 0
     * of `blocks = 64` is bit-identical to [[pHash64]]. */
   def pHashWords(feats: Column, blocks: Int): Seq[Column] = {
+    require(blocks >= 2, s"blocks must be >= 2, got $blocks")
+    val packed = packWords(feats, blocks)
+    (0 until (blocks + 63) / 64).map(w => element_at(packed, w + 1))
+  }
+
+  /** The composed when-chain form of [[pHashWords]] — the
+    * equivalence-spec reference for the native packer (see
+    * [[pHash64Composed]]). */
+  private[graft] def pHashWordsComposed(feats: Column, blocks: Int): Seq[Column] = {
     require(blocks >= 2, s"blocks must be >= 2, got $blocks")
     val sorted = array_sort(feats)
     val med2 = element_at(sorted, blocks / 2) +

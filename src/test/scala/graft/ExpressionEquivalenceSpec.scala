@@ -266,6 +266,36 @@ class ExpressionEquivalenceSpec extends SparkSpecBase {
     }
   }
 
+  test("PHashPackWords equals the composed when-chain bit rule (64 and 256 blocks)") {
+    import spark.implicits._
+    // feature arrays in the PHashFeatureSums output range (4-byte
+    // windows sum to [0, 1020]), plus adversarial shapes: all-equal
+    // (every bit ties → 0), exact-median ties, and single-spike.
+    val rnd = new scala.util.Random(20260815L)
+    for (blocks <- Seq(64, 256)) {
+      val rows = (0 until 200).map { i =>
+        if (i == 0) Array.fill(blocks)(7L) // all ties -> every bit 0
+        else if (i == 1) Array.tabulate(blocks)(j => if (j == 3) 1020L else 0L)
+        else Array.fill(blocks)(rnd.nextInt(1021).toLong)
+      }
+      val df = rows.toDF("f").select(
+        graft.operators.Multimodal.pHashWords(col("f"), blocks)
+          .zipWithIndex.map { case (c, w) => c.as(s"n$w") } ++
+        graft.operators.Multimodal.pHashWordsComposed(col("f"), blocks)
+          .zipWithIndex.map { case (c, w) => c.as(s"h$w") }: _*)
+      for (w <- 0 until (blocks + 63) / 64)
+        assert(df.filter(not(col(s"n$w") <=> col(s"h$w"))).count() === 0,
+          s"native word $w != composed (blocks=$blocks)")
+      // pHash64 (the oracle-matched 64-bit mode) is word 0 of the pack
+      if (blocks == 64) {
+        val d2 = rows.toDF("f").select(
+          graft.operators.Multimodal.pHash64(col("f")).as("n"),
+          graft.operators.Multimodal.pHash64Composed(col("f")).as("h"))
+        assert(d2.filter(not(col("n") <=> col("h"))).count() === 0)
+      }
+    }
+  }
+
   test("PHashFeatureSums handles high bytes; 8-byte geometry zeroes overflow windows") {
     import spark.implicits._
     def feats(c: Column, sampleBytes: Int): Column =
