@@ -48,43 +48,86 @@ object Bench {
   val RetrySec: Double =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "2.0").toDouble
 
-  /** Drift trigger for the retry pass: a query whose time exceeds its
-    * PREVIOUS RUN's recorded time by this factor is re-measured even if
-    * it sits under [[RetrySec]]. The absolute threshold has a blind
-    * spot the r11 record shows plainly: sub-second queries whose code
-    * did not change showed phantom 3-4× swings round-over-round
-    * (events_funnel 0.36 → 1.59 s) because a contention window during
-    * their battery slot was never re-sampled. Comparing against the
-    * last committed BENCH_LAST.json catches exactly the
-    * "suspiciously slower than last time" set at any magnitude. */
+  /** Drift trigger for the retry pass: a query whose time exceeds the
+    * per-query MIN of its recent full-battery runs by this factor is
+    * re-measured even if it sits under [[RetrySec]]. The absolute
+    * threshold has a blind spot the r11 record shows plainly:
+    * sub-second queries whose code did not change showed phantom 3-4×
+    * swings round-over-round (events_funnel 0.36 → 1.59 s) because a
+    * contention window during their battery slot was never re-sampled.
+    * And a SINGLE prior run is itself a noisy baseline — r12 showed
+    * untouched-code 1.6-2.0× swings that a one-run 2.0× trigger let
+    * through: the prior run's own inflated sample raised the bar for
+    * the next. The min over the last [[HistoryDepth]] runs is the best
+    * steady-state estimate available, so the factor can be tight
+    * (1.5×) without mass-triggering. */
   val DriftFactor: Double =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_FACTOR", "2.0").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_FACTOR", "1.5").toDouble
 
-  /** Per-query seconds of the previous bench run, read from
-    * BENCH_LAST.json if present (the file this main writes at the end
-    * of every non-soak run, committed per round) — but ONLY when that
-    * record's `"sf"` matches the run's own sf dir: times from a
-    * different scale factor are not a drift baseline (a committed
-    * sf0.1 record would mass-trigger the retry at sf1, double the
-    * bench, then poison the next sf0.1 run's baseline). Absent file,
-    * sf mismatch, subset runs, renamed queries → missing entries → no
-    * drift retry for them; parse failures degrade to empty, never
-    * abort a bench. */
+  /** How many recent full-battery records the drift baseline reads
+    * from BENCH_HISTORY.jsonl (and how many it keeps when appending —
+    * a couple spare lines beyond the read depth survive sf changes). */
+  val HistoryDepth: Int = 3
+
+  /** Per-query drift baseline: min seconds across the last
+    * [[HistoryDepth]] full-battery records in BENCH_HISTORY.jsonl plus
+    * the last run's BENCH_LAST.json — but ONLY records whose `"sf"`
+    * matches the run's own sf dir (times from a different scale factor
+    * are not a drift baseline: a committed sf0.1 record would
+    * mass-trigger the retry at sf1, double the bench, then poison the
+    * next sf0.1 run's baseline) and ONLY entries recorded `"ok":true`
+    * (a failed query's time-to-error is typically short; using it as a
+    * baseline would spuriously retry its first clean, slower run).
+    * Absent files, sf mismatch, subset runs, renamed queries → missing
+    * entries → no drift retry for them; parse failures degrade to
+    * empty, never abort a bench. */
   def priorSecs(
       sfDir: String,
-      path: String = "BENCH_LAST.json"): Map[String, Double] =
-    try {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!priorSf.contains(sfDir)) Map.empty
+      lastPath: String = "BENCH_LAST.json",
+      historyPath: String = "BENCH_HISTORY.jsonl"): Map[String, Double] = {
+    def okSecs(record: String): Map[String, Double] =
+      if (!s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
+            .findFirstIn(record).isDefined) Map.empty
       else
-        """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+)""".r
-          .findAllMatchIn(txt)
+        """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ok":true""".r
+          .findAllMatchIn(record)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .toMap
+    def readLines(path: String): Seq[String] =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(path),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .asScala.toSeq.filter(_.nonEmpty)
+      } catch { case _: Throwable => Seq.empty }
+    try {
+      val records =
+        readLines(historyPath).takeRight(HistoryDepth) ++ readLines(lastPath)
+      records.flatMap(r => okSecs(r).toSeq)
+        .groupMapReduce(_._1)(_._2)(math.min)
     } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Append this run's full record to BENCH_HISTORY.jsonl, pruning to
+    * the newest 2×[[HistoryDepth]] lines. Full-battery non-soak runs
+    * only (the caller gates): a warm-cache subset run's faster times
+    * would drag the min down and spuriously retry every full run. */
+  def appendHistory(
+      line: String,
+      historyPath: String = "BENCH_HISTORY.jsonl"): Unit =
+    try {
+      val p = java.nio.file.Paths.get(historyPath)
+      val prior: Seq[String] =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files
+            .readAllLines(p, java.nio.charset.StandardCharsets.UTF_8)
+            .asScala.toSeq.filter(_.nonEmpty)
+        } else Seq.empty
+      val kept = (prior :+ line).takeRight(2 * HistoryDepth)
+      java.nio.file.Files.writeString(p, kept.mkString("", "\n", "\n"))
+    } catch { case _: Throwable => () } // never fail the bench over a file write
 
   /** Noise floor for the soak's candidate-join gate: the growth bound
     * applies only when the SCALED run's largest join frame exceeds
@@ -282,6 +325,7 @@ object Bench {
       java.nio.file.Paths.get(
         if (soakScale.isDefined) "SOAK_LAST.json" else "BENCH_LAST.json"), line)
     catch { case _: Throwable => () } // never fail the bench over a file write
+    if (soakScale.isEmpty && only.isEmpty) appendHistory(line)
     spark.stop()
     if (nOk < n) sys.exit(1)
   }

@@ -607,5 +607,67 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strArg(5, "type_col", "event_type"), strArg(6, "tie_col", "event_id"))
           .queryExecution.logical
       }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("dedup_clusters"),
+      new ExpressionInfo(
+        graft.operators.DedupClusters.getClass.getName,
+        null,
+        "dedup_clusters",
+        "dedup_clusters(pairs_table[, a_col, b_col]) - connected components " +
+          "over a pair table (star-contraction, logarithmic rounds): " +
+          "(doc_id, cluster_id, cluster_size, is_canonical), cluster_id = " +
+          "the cluster's minimum member id",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 3) analysisError(
+          s"dedup_clusters takes 1 to 3 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val pairs = tableOf("dedup_clusters", exprs.head)
+        val aCol =
+          if (exprs.length > 1) foldString("dedup_clusters", "a_col", exprs(1))
+          else "doc_a"
+        val bCol =
+          if (exprs.length > 2) foldString("dedup_clusters", "b_col", exprs(2))
+          else "doc_b"
+        graft.operators.DedupClusters.resolve(pairs, aCol, bCol)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("search"),
+      new ExpressionInfo(
+        graft.operators.Relevance.getClass.getName,
+        null,
+        "search",
+        "search(docs_table, query[, k, id_col, text_col]) - BM25 retrieval of " +
+          "the top-k documents for a whitespace-separated bag-of-terms query " +
+          "(terms match whitespace tokens of text_col exactly): " +
+          "(id, n_hit_terms, score_x1000, rnk)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 5) analysisError(
+          s"search takes 2 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val docs = tableOf("search", exprs.head)
+        val terms = foldString("search", "query", exprs(1))
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        if (terms.isEmpty) analysisError(
+          "search: query must contain at least one term", exprs(1))
+        val k =
+          if (exprs.length > 2) foldLong("search", "k", exprs(2))
+          else 10L
+        if (k < 1 || k > Int.MaxValue) analysisError(
+          s"search: k must be >= 1, got $k", exprs(2))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("search", what, exprs(i))
+          else default
+        val idCol = strArg(3, "id_col", "doc_id")
+        val textCol = strArg(4, "text_col", "text")
+        val toks = graft.operators.Tokenize.splitTokens(inputCol = textCol)(
+          docs.select(idCol, textCol))
+        graft.operators.Relevance.search(toks, terms, k.toInt, idCol)
+          .queryExecution.logical
+      }))
   }
 }

@@ -1004,6 +1004,11 @@ object SparkEntry {
   /** Fixed-count sample size per source stratum. */
   val FixedSamplePerSource: Int = 5
 
+  /** Per-domain document cap for docs_domain_cap (fixture sources play
+    * the registrable domain; 25+ docs per source at every sf, so the
+    * cap bites at each scale). */
+  val DomainCapK: Int = 10
+
   /** Eval-split permille cuts: hash buckets [0, 50) → val,
     * [50, 100) → test, rest train. */
   val SplitValPermille: Int = 50
@@ -2752,6 +2757,27 @@ object SparkEntry {
       Multimodal.pHashPairsScaled(base.unionByName(twins))
     }),
 
+    // Measured recall/precision of the scaled pHash path against the
+    // PLANTED truth — each (base, re-encode twin) pair IS a known
+    // byte-level near-dup by construction, so the byte-domain family
+    // gets the same live-corpus quality number the text and vector
+    // paths already report (neardup_*_recall, emb_neardup_recall).
+    // Extra found pairs (organic base×base signature agreements) show
+    // up in precision, exactly as designed.
+    "multimodal_phash_recall" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val planted = base.where(col("doc_id") % 101 === 0)
+      val twins = planted
+        .select((-col("doc_id") - 1L).as("doc_id"),
+          overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+      Eval.pairRecall(
+        Multimodal.pHashPairsScaled(base.unionByName(twins)),
+        planted.select(col("doc_id").as("doc_a"),
+          (-col("doc_id") - 1L).as("doc_b")),
+        aCol = "doc_a", bCol = "doc_b")
+    }),
+
     // Audio sibling of multimodal_decode: synthesize valid RIFF/WAVE
     // payloads from doc_id (parse∘construct = id — the same oracle
     // trick), exercising the chunk walk's three real shapes: canonical
@@ -3023,6 +3049,15 @@ object SparkEntry {
     // collects between stages).
     "docs_curated" -> ((s, dir) => curatedDocs(s, dir)),
 
+    // Per-domain cap — the C4/RefinedWeb "at most k docs per
+    // registrable domain, best quality first" anti-domination step:
+    // one quality projection + one ranked window that Spark 4 plans as
+    // WindowGroupLimit (per-partition top-k pushed below the
+    // exchange — a million-page domain ships k·partitions rows, not
+    // the domain). Fixture `source` plays the domain.
+    "docs_domain_cap" -> ((s, dir) =>
+      Curation.domainCap(T(s, dir, "documents"), DomainCapK)),
+
     // … continued to the finished training set: the curated pool
     // packed into fixed token-budget sequences per source — curate →
     // mix → pack, the whole corpus-to-batches story in one DAG.
@@ -3035,9 +3070,11 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))),
 
     // BPE vocabulary induction — tokenizer training on the corpus's
-    // word-frequency dict: k greedy most-frequent-pair merges, each
-    // round a dict-sized hash-agg + 1-row broadcast argmax (no driver
-    // collect in the loop). Output = the ordered merge list.
+    // word-frequency dict: k greedy most-frequent-pair merges, applied
+    // in provably-sequential-equivalent BATCHES (one dict-sized
+    // hash-agg + one projection per batch; the driver sees only the
+    // model-sized top-of-ranking rows). Output = the ordered merge
+    // list, identical to one-merge-per-round greedy (BpeSpec pins it).
     "text_bpe_vocab" -> ((s, dir) =>
       Bpe.train(T(s, dir, "documents"), BpeMergeRounds)),
     // … and the encode step under that vocabulary: the collected merge
@@ -4553,6 +4590,17 @@ object SparkEntry {
       Multimodal.PHashScaledBlocks, Multimodal.PHashScaledBands,
       Multimodal.PHashScaledMaxHamming),
 
+    // pairRecall over the scaled pHash relation vs the planted
+    // re-encode-twin truth — the full signature/banding oracle nested
+    // verbatim as the found side, the twin construction itself as the
+    // truth side.
+    "multimodal_phash_recall" -> pairRecallSql(
+      phashSql(
+        Multimodal.PHashScaledBlocks, Multimodal.PHashScaledBands,
+        Multimodal.PHashScaledMaxHamming),
+      "SELECT doc_id AS doc_a, -doc_id - 1 AS doc_b FROM documents " +
+        "WHERE doc_id % 101 = 0"),
+
     // multimodal_wav: parse∘construct = id — the payloads are built
     // FROM these doc_id-derived fields, so the oracle emits them
     // directly (multimodal_decode's pattern). duration is exact
@@ -4810,6 +4858,21 @@ object SparkEntry {
          |          + coalesce(1000000 // (60 + t.rnk), 0) AS BIGINT) AS rrf_x1e6
          |FROM branked b FULL OUTER JOIN tranked t ON b.doc_id = t.doc_id
          |ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Per-domain cap: the text_quality oracle nested verbatim, joined
+    // back to the corpus for the domain, ranked per domain by
+    // (score DESC, doc_id) and kept to k — DuckDB's row_number replays
+    // Spark's deterministic window exactly.
+    "docs_domain_cap" ->
+      s"""WITH qual AS ($qualitySql)
+         |SELECT doc_id, source, score_milli, domain_rank FROM (
+         |  SELECT q.doc_id, d.source, q.score_milli,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY d.source
+         |           ORDER BY q.score_milli DESC, q.doc_id) AS BIGINT)
+         |           AS domain_rank
+         |  FROM qual q JOIN documents d ON q.doc_id = d.doc_id)
+         |WHERE domain_rank <= $DomainCapK""".stripMargin,
 
     // The pipeline oracle composes the per-operator oracles verbatim
     // (nested-WITH CTEs), so a drift in any stage breaks BOTH its own

@@ -45,8 +45,19 @@ case class PHashPackWords(child: Expression, blocks: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // containsNull = true is rejected at TYPE CHECK, not tolerated at
+  // runtime: the interpreted path (GenericArrayData.toLongArray) would
+  // NPE on a null element while codegen (UnsafeArrayData.toLongArray)
+  // would silently read the null slot as 0 and hash garbage — the two
+  // eval paths must never diverge, and the only non-null-element
+  // producer this expression is specified against ([[PHashFeatureSums]])
+  // already declares containsNull = false.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "PHashPackWords expects array<bigint> with non-nullable elements " +
+        "(a null feature sum is a geometry bug upstream; the codegen " +
+        "path would silently hash it as 0)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"PHashPackWords expects array<bigint>, got ${other.simpleString}")
   }

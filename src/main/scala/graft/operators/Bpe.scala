@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * the corpus — [[wordDict]] is one corpus-wide hash-agg (map-side
   * partials) and everything after runs on the dict, which is smaller
   * than the corpus by the type/token ratio (millions of rows at 100 TB,
-  * not billions). Each round is two dict-sized jobs: a pair-count
-  * hash-agg + 1-row argmax, and a narrow merge projection. The winning
-  * pair re-enters the next round's plan via a broadcast crossJoin of
-  * the 1-row argmax — fully declarative, NO driver collect in the
-  * loop; the driver only drives round COUNT, exactly like
-  * [[DedupClusters]]' round structure. A `localCheckpoint` per round
-  * keeps the plan O(1) deep instead of k aggregations tall.
+  * not billions). Each ROUND is two dict-sized jobs — a pair-count
+  * hash-agg whose top (maxBatch + 1) rows come to the driver
+  * (model-sized, the same discipline as encode's merge-literal load),
+  * and one narrow merge projection — but a round now applies a BATCH
+  * of merges, not one: the longest top-of-ranking prefix that is
+  * provably equivalent to exact sequential greedy ([[safeBatch]]'s
+  * three conditions). That cuts the scheduled-round count from k to
+  * ~k/batch — the difference between 32k driver-loop rounds and ~2k
+  * for a real vocabulary, where the driver loop (not the data) is the
+  * wall. A `localCheckpoint` per round keeps the plan O(1) deep
+  * instead of k aggregations tall.
   *
   * Determinism (cross-run AND cross-engine): counts are exact int64
   * sums; argmax ties break by (count DESC, left, right) with plain
@@ -74,16 +78,73 @@ object Bpe {
       concat(lit(" "), l, lit("  "), r, lit(" ")),
       concat(lit(" "), l, r, lit(" ")))
 
-  def trainMerges(dict: DataFrame, k: Int): DataFrame = {
+  /** The provably-safe batch: the longest prefix of the rank-ordered
+    * pair list (count DESC, l, r — already sorted by the caller) that
+    * exact sequential greedy is GUARANTEED to select in that exact
+    * order, so one application pass per batch replaces one per merge
+    * without changing a single output row. A prefix m1..mp qualifies
+    * when three conditions hold, each closing a distinct divergence:
+    *
+    *  1. PAIRWISE SYMBOL-DISJOINT — no symbol appears in two batch
+    *     pairs. Merging (a,b) only perturbs counts of pairs touching
+    *     a or b, so disjoint later members' counts are untouched.
+    *  2. NO CONCAT COLLISION — a later member's symbols must not equal
+    *     any earlier member's merged string lhs+rhs. If m1 = (a,b) and
+    *     m2 = ("ab", c), m1 MINTS new "ab" tokens whose c-adjacencies
+    *     sequential greedy would recount into m2 (and merge), while a
+    *     fixed-count batch would not — both the recorded pair_count
+    *     and the resulting segmentation would diverge.
+    *  3. STRICTLY ABOVE THE CUT — last kept count > first excluded
+    *     count (when anything is excluded). Every non-batch pair's
+    *     post-merge count is bounded by the cut count (old pairs only
+    *     decrease; a pair minted by merging (a,b) is bounded by the
+    *     OLD count of an a- or b-touching pair, which prefix-
+    *     disjointness forces below the cut) — strictness means no
+    *     minted or surviving pair can TIE a batch member and steal
+    *     its turn through the (l, r) tie-break.
+    *
+    * A batch of size 1 is the plain argmax — always safe, no
+    * strictness needed — so progress is guaranteed. BpeSpec pins
+    * batched == sequential == the in-memory model on corpora crafted
+    * to trip each condition. */
+  private[operators] def safeBatch(
+      top: Seq[(String, String, Long)], maxBatch: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String] // symbols + concats
+    var n = 0
+    var stop = false
+    while (!stop && n < math.min(maxBatch, top.size)) {
+      val (l, r, _) = top(n)
+      if (used(l) || used(r)) stop = true
+      else { used += l; used += r; used += (l + r); n += 1 }
+    }
+    // strictness at the cut (condition 3); n == top.size means the
+    // collected list was exhausted — the caller collects maxBatch + 1,
+    // so that only happens when these are ALL remaining pairs and no
+    // outside pair exists to tie
+    while (n > 1 && n < top.size && top(n - 1)._3 == top(n)._3) n -= 1
+    top.take(math.max(n, 1))
+  }
+
+  def trainMerges(dict: DataFrame, k: Int, maxBatch: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    val session = dict.sparkSession
     var seq = dict.select(col("word"), col("n"), charSeq(col("word")).as("s"))
       .localCheckpoint()
 
-    var merges: DataFrame = null
-    var round = 1
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 1
     var dry = false
-    while (round <= k && !dry) {
-      val pairs = seq
+    while (rank <= k && !dry) {
+      // one recount per BATCH, not per merge: the top (maxBatch + 1)
+      // pairs come to the driver — model-sized (≤ 17 narrow rows at
+      // the default), the same discipline as encode's merge-literal
+      // load — and the longest provably-sequential-equivalent prefix
+      // is applied in ONE projection pass. A 32k-merge vocabulary is
+      // then ~32k/batch scheduled rounds instead of 32k (the driver
+      // loop, not the data, is the wall at real vocabulary sizes).
+      val top = seq
         .select(col("n"), split(trim(col("s")), " +").as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("n"), explode(expr(
@@ -91,44 +152,39 @@ object Bpe {
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("c"))
-      val best = pairs
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
-        .localCheckpoint()
+        .limit(math.min(maxBatch, k - rank + 1) + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
 
       // vocabulary exhausted before k merges (every word one symbol):
-      // stop cleanly with the merges found — a 0-row argmax would
-      // otherwise annihilate the sequence via the crossJoin and
-      // silently empty every later round
-      dry = best.isEmpty
+      // stop cleanly with the merges found
+      dry = top.isEmpty
       if (!dry) {
-        val ranked = best.withColumn("merge_rank", lit(round.toLong))
-        merges = if (merges == null) ranked else merges.unionByName(ranked)
-        if (round < k) {
+        val batch = safeBatch(top, math.min(maxBatch, k - rank + 1))
+        batch.foreach { case (l, r, c) =>
+          merges += ((rank.toLong, l, r, c)); rank += 1
+        }
+        if (rank <= k) {
           val prev = seq
           seq = seq
-            .crossJoin(broadcast(
-              best.select(col("l").as("__ml"), col("r").as("__mr"))))
-            .withColumn("s", applyMerge(col("s"), col("__ml"), col("__mr")))
-            .drop("__ml", "__mr")
+            .withColumn("s", batch.foldLeft(col("s")) { case (s, (l, r, _)) =>
+              applyMerge(s, lit(l), lit(r))
+            })
             .localCheckpoint()
           // prev's word-dict-sized blocks are dead once the new round
-          // has materialized from them (the 1-row `best` checkpoints,
-          // which `merges` keeps referencing, are untouched)
+          // has materialized from them
           graft.core.IterCheckpoint.release(prev)
         }
       }
-      round += 1
     }
-    val out = if (merges == null) {
-      // no mergeable pair at all — empty result, correct schema
-      dict.sparkSession.emptyDataFrame
-        .withColumn("merge_rank", lit(0L)).withColumn("l", lit(""))
-        .withColumn("r", lit("")).withColumn("c", lit(0L))
-    } else merges
-    out.select(
-      col("merge_rank"), col("l").as("lhs"), col("r").as("rhs"),
-      col("c").as("pair_count"))
+    import session.implicits._
+    val out =
+      if (merges.isEmpty)
+        Seq.empty[(Long, String, String, Long)]
+      else merges.toSeq
+    out.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
   /** [[wordDict]] ∘ [[trainMerges]]. */

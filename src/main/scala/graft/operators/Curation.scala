@@ -635,6 +635,40 @@ object Curation {
       .drop("__off")
   }
 
+  /** Per-domain document cap — the C4/RefinedWeb-style "at most k
+    * documents per registrable domain, best quality first" curation
+    * step that stops any single site from dominating a web-scale
+    * training mix. Scores every document with
+    * [[TextAnalysis.quality]]'s integer-exact composite, then keeps
+    * the top-k rows per domain by (score DESC, id ASC — deterministic
+    * in any engine). The fixture's `source` column plays the
+    * registrable domain; a real crawl passes the eTLD+1 column.
+    *
+    * 100 TB shape: one quality projection (narrow, codegen) + one
+    * [[Sessions.topKPerKey]] ranked window — which Spark 4 plans as
+    * WindowGroupLimit, pushing a per-partition top-k below the
+    * exchange so a million-page domain ships only k·partitions rows
+    * to the final sort, never the domain's whole row set
+    * (PlanShapeSpec asserts the shape). Output: id, domain,
+    * score_milli, domain_rank (1-based within domain). */
+  def domainCap(
+      docs: DataFrame,
+      k: Int,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = TextAnalysis
+      .quality(docs, idCol, textCol, carryCols = Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("score_milli"))
+    Sessions.topKPerKey(scored, k,
+      partitionCols = Seq(domainCol),
+      orderCols = Seq(col("score_milli").desc, col(idCol).asc),
+      rankCol = "domain_rank")
+      .select(col(idCol), col(domainCol), col("score_milli"),
+        col("domain_rank"))
+  }
+
   def mixtureByBudget(
       df: DataFrame,
       budgets: Seq[(String, Long)],

@@ -97,10 +97,21 @@ object Er {
   }
 
   /** The RAW (pre-distinct) candidate join — one row per shared
-    * blocking key per ordered pair, names riding along for the
-    * confirm: THE one construction behind both [[candidatePairs]] (the
-    * soak-measured frame) and [[fuzzyPairs]] (the production path), so
-    * a join-shape fix can never reach one and not the other.
+    * blocking key per ordered pair, NARROW: ids only, names joined
+    * back later from the n-row roster. THE one construction behind
+    * both [[candidatePairs]] (the soak-measured frame) and
+    * [[fuzzyPairs]] (the production path), so a join-shape fix can
+    * never reach one and not the other.
+    *
+    * Why narrow: this join's sort is the engine's single largest
+    * shuffle at depth 2 — ~L²/2 key rows per record on BOTH sides.
+    * r12 carried the two ~L-char name strings through it (for an
+    * immediate confirm); at the 100× soak that sort was the wall-clock
+    * tail (52.6 s). Dropping names here cuts the sorted bytes per row
+    * from ~(key + id + name) to ~(key + id) — the names rejoin on the
+    * DISTINCT pair frame, which is orders of magnitude smaller than
+    * the raw key join (multi-key duplicates collapsed by a 2-long
+    * map-side-partial aggregate).
     *
     * Sort-merge, never auto-broadcast: the key table is an inline
     * explode, and Spark's size estimate of an explode is its CHILD's
@@ -117,15 +128,28 @@ object Er {
       maxKeyFreq: Option[Long],
       maxEdit: Int): DataFrame = {
     val k = keyed(df, idCol, nameCol, maxKeyFreq, maxEdit)
-    val a = k.select(col("__key"), col("__id").as("id_a"), col("__name").as("__na"))
-    val b = k.select(col("__key"), col("__id").as("id_b"), col("__name").as("__nb"))
+      .select(col("__key"), col("__id"))
+    val a = k.select(col("__key"), col("__id").as("id_a"))
+    val b = k.select(col("__key"), col("__id").as("id_b"))
     a.join(b.hint("merge"), Seq("__key"))
       .where(col("id_a") < col("id_b"))
   }
 
+  /** The roster's (id, name) side for the name join-back — same
+    * null-name filter as [[keyed]], so join-back rows are exactly the
+    * records that were keyed. n rows (one per input record): cheap to
+    * join — and often broadcast — next to the key-join frames. */
+  private def nameSide(
+      df: DataFrame, idCol: String, nameCol: String,
+      idAs: String, nameAs: String): DataFrame =
+    df.where(col(nameCol).isNotNull)
+      .select(col(idCol).as(idAs), col(nameCol).as(nameAs))
+
   /** Distinct candidate pairs (id_a < id_b) sharing at least one
-    * blocking key — the pre-confirm frame, exposed separately so the
-    * soak gate and tests can measure it. */
+    * blocking key, names joined back for inspection — the pre-confirm
+    * frame, exposed separately so the soak gate and tests can measure
+    * it. The distinct runs on the NARROW (id_a, id_b) pair before
+    * names attach (see [[rawCandidates]]). */
   def candidatePairs(
       df: DataFrame,
       idCol: String,
@@ -133,7 +157,31 @@ object Er {
       maxKeyFreq: Option[Long] = None,
       maxEdit: Int = 1): DataFrame =
     rawCandidates(df, idCol, nameCol, maxKeyFreq, maxEdit)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(nameSide(df, idCol, nameCol, "id_a", "__na"), Seq("id_a"))
+      .join(nameSide(df, idCol, nameCol, "id_b", "__nb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+
+  /** Join names onto the distinct narrow pair frame, confirm with the
+    * banded early-exit `levenshtein(l, r, threshold)` (O(maxEdit·len),
+    * codegen'd, no UDF), and emit the (idA, idB, dist) triple. The
+    * trailing distinct only matters when the roster carries duplicate
+    * ids (several name variants per id can confirm at the same dist);
+    * for unique-id rosters it de-duplicates an already-unique confirmed
+    * frame — a shuffle of output-sized narrow rows. */
+  private def confirmJoinedBack(
+      pairs: DataFrame,
+      sideA: DataFrame, sideB: DataFrame,
+      idA: String, idB: String,
+      nameA: String, nameB: String,
+      maxEdit: Int): DataFrame =
+    pairs
+      .join(sideA, Seq(idA))
+      .join(sideB, Seq(idB))
+      .withColumn("dist", levenshtein(col(nameA), col(nameB), maxEdit))
+      .where(col("dist") >= 0)
+      .select(col(idA), col(idB), col("dist"))
       .distinct()
 
   /** Confirmed fuzzy self-match: all pairs (id_a < id_b) with
@@ -142,7 +190,15 @@ object Er {
     * depth-1 keys serve maxEdit ≤ 1, depth-2 ([[deletionKeys2]],
     * ~L²/2 keys per record) serves maxEdit = 2; maxEdit = 0
     * degenerates to exact match through the full-name key. Output:
-    * id_a, id_b, dist. */
+    * id_a, id_b, dist.
+    *
+    * Name-combo completeness under duplicate ids: the confirm sees
+    * EVERY (name_a, name_b) combination of a candidate pair (the
+    * join-back is by id), a superset of the combos that shared a
+    * blocking key — but any combo with lev ≤ maxEdit shares a key by
+    * the SymSpell theorem, so the extra combos are all confirm-
+    * rejected and the output set is identical to confirming on the
+    * raw keyed rows (ErSpec pins the equivalence). */
   def fuzzyPairs(
       df: DataFrame,
       idCol: String,
@@ -151,8 +207,11 @@ object Er {
       maxKeyFreq: Option[Long] = None): DataFrame = {
     require(maxEdit >= 0 && maxEdit <= 2,
       s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
-    confirmThenDistinct(
-      rawCandidates(df, idCol, nameCol, maxKeyFreq, maxEdit),
+    confirmJoinedBack(
+      rawCandidates(df, idCol, nameCol, maxKeyFreq, maxEdit)
+        .select(col("id_a"), col("id_b")).distinct(),
+      nameSide(df, idCol, nameCol, "id_a", "__na"),
+      nameSide(df, idCol, nameCol, "id_b", "__nb"),
       "id_a", "id_b", "__na", "__nb", maxEdit)
   }
 
@@ -191,14 +250,20 @@ object Er {
     require(maxEdit >= 0 && maxEdit <= 2,
       s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
     val l = keyed(left, leftId, leftName, maxKeyFreq, maxEdit)
-      .select(col("__key"), col("__id").as("left_id"), col("__name").as("__nl"))
+      .select(col("__key"), col("__id").as("left_id"))
     val r = keyed(right, rightId, rightName, maxKeyFreq, maxEdit)
-      .select(col("__key"), col("__id").as("right_id"), col("__name").as("__nr"))
+      .select(col("__key"), col("__id").as("right_id"))
     // sort-merge for the same post-explode underestimation reason as
     // candidatePairs (both sides are inline key explodes here; the
     // parquet-backed streaming path — fuzzyPairsFromKeys — keeps
-    // Spark's choice, its store stats are real file sizes)
-    confirmThenDistinct(l.join(r.hint("merge"), Seq("__key")),
+    // Spark's choice, its store stats are real file sizes); narrow
+    // (key, id) rows through the big sort, names joined back onto the
+    // distinct pair frame — see rawCandidates for the rationale.
+    confirmJoinedBack(
+      l.join(r.hint("merge"), Seq("__key"))
+        .select(col("left_id"), col("right_id")).distinct(),
+      nameSide(left, leftId, leftName, "left_id", "__nl"),
+      nameSide(right, rightId, rightName, "right_id", "__nr"),
       "left_id", "right_id", "__nl", "__nr", maxEdit)
   }
 

@@ -84,8 +84,16 @@ object TextAnalysis {
     * (length, mean token length, stopword density, digit/punct density),
     * all integer fixed-point. `score_milli` is a bounded composite in
     * [0, 1000]. Single narrow projection — no shuffle at all.
+    * `carryCols` ride along in the output (appended after the score
+    * columns) so a downstream grouping key — e.g. [[Curation.domainCap]]'s
+    * domain — never needs a self-join back to the corpus for columns
+    * this projection already scanned.
     */
-  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def quality(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val toks = filter(split(text, "\\s+"), t => !(t === "" || t.rlike("^\\s+$")))
     val nTokens = size(toks).cast("long")
@@ -109,14 +117,15 @@ object TextAnalysis {
       least(punctRatioX1000, lit(250L)) -
       least(when(nChars > 0, idiv(nDigits * 1000, nChars)).otherwise(lit(0L)), lit(250L))
 
-    docs.select(
+    docs.select(Seq(
       col(idCol),
       nTokens.as("n_tokens"),
       nChars.as("n_chars_text"),
       avgTokLenX100.as("avg_token_len_x100"),
       stopRatioX1000.as("stop_ratio_x1000"),
       punctRatioX1000.as("punct_ratio_x1000"),
-      greatest(lit(0L), least(lit(1000L), raw)).as("score_milli"))
+      greatest(lit(0L), least(lit(1000L), raw)).as("score_milli")) ++
+      carryCols.map(col): _*)
   }
 
   /** Chunk window (tokens) for [[fingerprint]]'s rolling fingerprints. */

@@ -108,6 +108,17 @@ final case class WholeTextSource(dirs: Seq[String], glob: String = "*.txt")
   * multi-split files, or tune it like
   * `spark.sql.files.maxPartitionBytes`. Paths containing commas are
   * not supported (Hadoop's input-path list is comma-delimited).
+  *
+  * LITERAL PATHS ONLY: every listed file path must be free of the
+  * Hadoop glob metacharacters `{ } [ ] * ? \` — `load` rejects them
+  * loudly. `FileInputFormat` glob-expands each input path, so a
+  * literal name containing them would be silently dropped or
+  * mis-expanded (and `\` is GlobPattern's escape — `a\b.txt` would
+  * read `ab.txt` with no error). Globbing still happens, but only
+  * through this source's own `glob` suffix parameter applied during
+  * directory listing — intentional Hadoop glob PATTERNS as input
+  * paths (a `*.txt` wildcard inside a `dirs` entry, say) are
+  * deliberately not supported; list the directory and filter instead.
   */
 final case class ChunkedTextSource(
     dirs: Seq[String],

@@ -115,6 +115,43 @@ class BpeSpec extends SparkSpecBase {
     assert(got(2L) === ((1L, 2L, 2L))) // ba: no adjacent (a,b) → 2 pieces
   }
 
+  test("batched rounds == sequential rounds == model (the safe-batch contract)") {
+    import spark.implicits._
+    def runB(dict: Seq[(String, Long)], k: Int, b: Int) =
+      Bpe.trainMerges(dict.toDF("word", "n"), k, maxBatch = b)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    // a wider alphabet gives the ranking DISJOINT high-count pairs, so
+    // batches actually form (the 2-letter corpora above mostly cut at
+    // size 1-2); crafted rows then trip each safeBatch condition:
+    // "xyxy" makes (x,y) overlap-heavy (condition 1 cuts), "pq"+"pqr"
+    // plants the concat collision (p,q)→"pq" vs existing symbol "pq"
+    // feeding (pq,r) (condition 2), and the 4-count ties straddle a
+    // cut (condition 3).
+    val crafted = Seq(
+      ("xyxy", 9L), ("pq", 7L), ("pqr", 6L), ("de", 4L), ("fg", 4L),
+      ("hi", 4L), ("jk", 3L), ("xp", 2L))
+    for (k <- Seq(3, 8, 12)) {
+      val seqr = runB(crafted, k, 1)
+      // the crafted dict may exhaust short of k — compare the rounds
+      // that actually fired (modelTrain throws on an empty round)
+      assert(seqr.nonEmpty && seqr === modelTrain(crafted, seqr.size),
+        s"sequential != model at k=$k")
+      for (b <- Seq(4, 16))
+        assert(runB(crafted, k, b) === seqr, s"batched(b=$b) != sequential at k=$k")
+    }
+    for (seed <- Seq(11, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val dict = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (Seq.fill(len)("abcdef" (rnd.nextInt(6))).mkString, 1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      val seqr = runB(dict, 10, 1)
+      assert(runB(dict, 10, 16) === seqr, s"seed $seed batched diverged")
+    }
+  }
+
   test("wordDict lowercases, splits on whitespace and drops empties") {
     import spark.implicits._
     val docs = Seq((1L, "The  the\tcat"), (2L, " the ")).toDF("doc_id", "text")

@@ -208,6 +208,7 @@ class PlanShapeSpec extends SparkSpecBase {
           // recall reports share the exact same report tail
           "emb_neardup_recall", "neardup_minhash_recall",
           "neardup_minhash_banded_recall", "neardup_simhash_recall",
+          "multimodal_phash_recall", // same Eval.pairRecall report tail
           // broadcast query-batch scoring pass (l2TopK), same as
           // emb_topk; the recall report adds Eval.topKRecall's 1-row
           // count crossJoins on top — the frontier is 8 such reports
@@ -241,6 +242,14 @@ class PlanShapeSpec extends SparkSpecBase {
     val windows = "WindowGroupLimit|Window \\[".r.findAllIn(dup).size
     assert(windows === 1, // the gaps-and-islands pass over duplicated positions
       s"expected exactly 1 window in docs_dup_ngrams, got $windows:\n${dup.take(3000)}")
+  }
+
+  test("docs_domain_cap rank filter is a WindowGroupLimit") {
+    // the anti-domination cap must prune map-side: a million-page
+    // domain ships k·partitions rows to the final per-domain sort,
+    // never the domain's whole row set
+    assert(plan("docs_domain_cap").contains("WindowGroupLimit"),
+      "domain-cap rank<=k not pushed into a partial group limit")
   }
 
   test("docs_coverage_sample rank filter is a WindowGroupLimit") {

@@ -221,6 +221,67 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_clusters('pairs') equals DedupClusters.resolve") {
+    import s2.implicits._
+    // two chains + a singleton pair: {1,2,3}, {7,8}, {10,11}
+    Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L)).toDF("doc_a", "doc_b")
+      .createOrReplaceTempView("pairs")
+    val viaSql = s2.sql("SELECT * FROM dedup_clusters('pairs')")
+    val viaApi = graft.operators.DedupClusters.resolve(s2.table("pairs"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() === 7)
+    // explicit column names ride through
+    Seq((1L, 5L)).toDF("id_a", "id_b").createOrReplaceTempView("pairs2")
+    assert(rows(
+      s2.sql("SELECT * FROM dedup_clusters('pairs2', 'id_a', 'id_b')"))
+      === rows(graft.operators.DedupClusters.resolve(
+        s2.table("pairs2"), "id_a", "id_b")))
+  }
+
+  test("search('docs', query) equals Tokenize ∘ Relevance.search") {
+    def api(terms: Seq[String], k: Int) = graft.operators.Relevance.search(
+      graft.operators.Tokenize.splitTokens(inputCol = "text")(
+        s2.table("docs").select("doc_id", "text")),
+      terms, k)
+    val viaSql = s2.sql("SELECT * FROM search('docs', 'spark hash window')")
+    val viaApi = api(Seq("spark", "hash", "window"), 10)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // k dial rides through
+    assert(rows(s2.sql("SELECT * FROM search('docs', 'spark hash', 3)"))
+      === rows(api(Seq("spark", "hash"), 3)))
+  }
+
+  test("dedup_clusters / search argument errors fail analysis") {
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM dedup_clusters('no_such_pairs')").collect()
+    }
+    assert(missing.getMessage.contains("no_such_pairs"), missing.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM dedup_clusters('docs', 'doc_a', 'doc_b', 'extra')")
+        .collect()
+    }
+    val emptyQuery = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM search('docs', '   ')").collect()
+    }
+    assert(emptyQuery.getMessage.contains("at least one term"),
+      emptyQuery.getMessage)
+    val badK = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM search('docs', 'spark', 0)").collect()
+    }
+    assert(badK.getMessage.contains(">= 1"), badK.getMessage)
+    // a column reference dies in the analyzer itself (TVF args have no
+    // input row to resolve against); a resolvable-but-non-foldable
+    // expression exercises OUR validation message
+    val nonLiteralQ = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM search('docs', CAST(rand() AS STRING))").collect()
+    }
+    assert(nonLiteralQ.getMessage.contains("foldable string"),
+      nonLiteralQ.getMessage)
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
