@@ -171,7 +171,18 @@ object Soak {
       // PLUS the touched/untouched split — the gate checks the
       // semi/anti-join scoping keeps the contraction input bounded by
       // the increment, not the corpus
-      q == "dedup_clusters_merge") &&
+      q == "dedup_clusters_merge" ||
+      // the composed-DAG capstones: the engine's most complex plans
+      // (curate = quality × langid × exact dedup × near-dup canonical;
+      // training_set adds mix → pack's distributed prefix scan;
+      // survivorship adds the content-aware max_by over resolved
+      // clusters). Each STAGE is gated elsewhere, but composition is
+      // its own risk — a multi-consumer seam that stops reusing, a
+      // stage whose intermediate blows up only when fed by another —
+      // so the capstones gate as wholes: replicas are token-disjoint,
+      // every stage is per-doc or banded, output must stay ~N×.
+      q == "docs_curated" || q == "docs_training_set" ||
+      q == "docs_survivorship") &&
       // documented-quadratic small-corpus modes and exact-truth recall
       // reports — rationale and membership at ONE definition above
       !isExcluded(q)

@@ -63,6 +63,34 @@ object ScaleProbe {
           a == b
         }
         println(f"""{"probe":"bpe_k64","sequential_sec":$seqSec%.2f,"batched_sec":$batSec%.2f,"merges":$seqN,"merges_batched":$batN,"equal":$same}""")
+      case "frontier_wall" =>
+        // per-cell SEARCH wall for emb_ann_frontier's 2×2×2 dial grid
+        // (m × nprobe × refine) — the axis the hash-matched battery
+        // row cannot carry (wall time is host-dependent). Together
+        // with the frontier's recall_permille and n_candidates this
+        // completes the recall-vs-cost table in SCALE.md. Each cell
+        // times ONLY Embeddings.annIvfPq (the serving search), with
+        // the corpus and dials identical to the battery cell.
+        import graft.operators.Embeddings
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val q = org.apache.spark.sql.functions.col("vec_id") % 20 === 0
+        val mStep = Seq(
+          Embeddings.PqSubspaces ->
+            Embeddings.stepForBoundedK(emb.count(), graft.SparkEntry.PqCodebookK),
+          graft.SparkEntry.ScaledPqSubspaces ->
+            Embeddings.stepForBoundedK(emb.count(), graft.SparkEntry.ScaledPqCodebookK))
+        val cells = for {
+          (m, step) <- mStep
+          nprobe <- Seq(1, graft.SparkEntry.IvfPqNprobe)
+          refine <- Seq(Option.empty[Int], Some(graft.SparkEntry.IvfPqRefine))
+        } yield {
+          val (sec, n) = minOf2(
+            Embeddings.annIvfPq(emb, q, m = m, pqStep = Some(step),
+              nprobe = nprobe, refine = refine).count())
+          s"""{"m":$m,"nprobe":$nprobe,"refine":${refine.getOrElse(0)},""" +
+            f""""sec":$sec%.2f,"rows":$n}"""
+        }
+        println(s"""{"probe":"frontier_wall","cells":[${cells.mkString(",")}]}""")
       case other =>
         System.err.println(s"unknown probe: $other")
         sys.exit(2)
