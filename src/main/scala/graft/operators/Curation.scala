@@ -669,6 +669,54 @@ object Curation {
         col("domain_rank"))
   }
 
+  /** Incremental [[domainCap]] — merge a maintained per-domain top-k
+    * snapshot with a newly SCORED tranche. Correct by associativity of
+    * per-key top-k under a total order:
+    * topK(A ∪ B) = topK(topK(A) ∪ B) — a row outside A's domain top-k
+    * can never enter (A ∪ B)'s (k better rows already beat it), so the
+    * snapshot loses nothing the union's answer needs. The (score DESC,
+    * id ASC) order is total and deterministic, making the equality
+    * exact, not just set-typical (CurationSpec pins tranche-by-tranche
+    * == one-shot).
+    *
+    * Increment-bounded, the [[graft.streaming.Streams]] ingest
+    * discipline: only domains TOUCHED by the tranche re-rank (prior
+    * rows of untouched domains pass through verbatim, ranks intact —
+    * a left_anti on the tranche's distinct domains); the re-rank input
+    * is ≤ k·touched + tranche rows, never the corpus. Premise shared
+    * with the ingest family: doc ids are unique across tranches (a
+    * re-ingested doc would occupy two slots; updates are CDC's job).
+    *
+    * `prior`: (idCol, domainCol, score_milli, domain_rank) — a previous
+    * output of this merge or of [[domainCap]]; pass an empty frame for
+    * the first tranche. `scored`: (idCol, domainCol, score_milli) —
+    * [[TextAnalysis.quality]]'s score with the domain carried. */
+  def domainCapMerge(
+      prior: DataFrame,
+      scored: DataFrame,
+      k: Int,
+      domainCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cols = Seq(col(idCol), col(domainCol), col("score_milli"))
+    val touched = scored.select(col(domainCol)).distinct()
+    val untouched = prior
+      .join(touched, Seq(domainCol), "left_anti")
+      .select(col(idCol), col(domainCol), col("score_milli"),
+        col("domain_rank"))
+    val contested = prior
+      .join(touched, Seq(domainCol), "left_semi")
+      .select(cols: _*)
+      .unionByName(scored.select(cols: _*))
+    untouched.unionByName(
+      Sessions.topKPerKey(contested, k,
+        partitionCols = Seq(domainCol),
+        orderCols = Seq(col("score_milli").desc, col(idCol).asc),
+        rankCol = "domain_rank")
+        .select(col(idCol), col(domainCol), col("score_milli"),
+          col("domain_rank")))
+  }
+
   def mixtureByBudget(
       df: DataFrame,
       budgets: Seq[(String, Long)],

@@ -828,6 +828,79 @@ object Streams {
       .start()
   }
 
+  /** Streaming per-domain document cap — the anti-domination curation
+    * gate maintained incrementally: each tranche of documents landing
+    * in `docsDir` is quality-scored
+    * ([[graft.operators.TextAnalysis.quality]], the same projection
+    * the batch [[graft.operators.Curation.domainCap]] uses) and folded
+    * into the maintained per-domain top-k snapshot with
+    * [[graft.operators.Curation.domainCapMerge]]. Associativity of
+    * per-key top-k (topK(A ∪ B) = topK(topK(A) ∪ B) under the total
+    * (score DESC, id ASC) order) makes the snapshot bit-identical to
+    * the one-shot `domainCap` over every document seen so far —
+    * StreamingSpec pins the equality tranche by tranche.
+    *
+    * Same SNAPSHOT-store shape, replay contract, and pruning as
+    * [[ingestClusters]]: a snapshot is ≤ k rows per domain of four
+    * narrow columns (the cheap artifact at any corpus scale), merge
+    * compute is bounded by the increment (untouched domains are an
+    * anti-join pass-through), a replayed batch recomputes from the max
+    * committed snapshot below its own id and dynamic-overwrites only
+    * its own partition, and snapshots below the prior it read are
+    * pruned in-batch. Premise shared with the ingest family: doc ids
+    * are unique across tranches. */
+  def ingestDomainCap(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      statePath: String,
+      checkpoint: String,
+      k: Int,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Curation, TextAnalysis}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val scored = TextAnalysis
+          .quality(batch, idCol, textCol, carryCols = Seq(domainCol))
+          .select(col(idCol), col(domainCol), col("score_milli"))
+        val committed = scala.util.Try(s.read.parquet(statePath)).toOption
+          .map(_.where(col("batch_id").cast("long") < batchId))
+        val priorId = committed.flatMap(df =>
+          Option(df.agg(max(col("batch_id").cast("long"))).head().get(0))
+            .map(_.asInstanceOf[Long]))
+        val prior = (committed, priorId) match {
+          case (Some(df), Some(m)) =>
+            df.where(col("batch_id").cast("long") === m).drop("batch_id")
+          case _ =>
+            Seq.empty[(Long, String, Long, Long)]
+              .toDF(idCol, domainCol, "score_milli", "domain_rank")
+        }
+        writeBatchPartition(
+          Curation.domainCapMerge(prior, scored, k, domainCol, idCol),
+          batchId, statePath)
+        // prune snapshots below the prior this batch read (replay
+        // re-reads exactly that prior, nothing older)
+        priorId.foreach { m =>
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("batch_id="))
+            .filter(_.getName.stripPrefix("batch_id=").toLongOption.exists(_ < m))
+            .foreach(p => fs.delete(p, true))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Output row of [[runningCounts]]. */
   final case class KeyTotal(key: String, total: Long)
 

@@ -944,6 +944,39 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("domainCap keeps top-k per domain by (score desc, id); merge == one-shot") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    // crafted scores: "good" text (stopword-rich) beats digit/punct
+    // noise; ids tie-break. Three domains, uneven sizes.
+    def doc(id: Long, dom: String, good: Boolean) =
+      (id, dom, if (good) "the cat and the dog are on the mat with the hat"
+        else "x9$ 77## @@q 123 456 789 000 %%% !!! ???")
+    val t1 = Seq(doc(1, "a", true), doc(2, "a", false), doc(3, "a", true),
+      doc(4, "b", false), doc(5, "b", false))
+    val t2 = Seq(doc(6, "a", true), doc(7, "b", true), doc(8, "c", false))
+    val t3 = Seq(doc(9, "c", true), doc(10, "a", false))
+    def df(xs: Seq[(Long, String, String)]) = xs.toDF("doc_id", "source", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val k = 2
+    def oneShot(xs: Seq[(Long, String, String)]) =
+      rows(Curation.domainCap(df(xs), k))
+    def scored(xs: Seq[(Long, String, String)]) = TextAnalysis
+      .quality(df(xs), carryCols = Seq("source"))
+      .select(col("doc_id"), col("source"), col("score_milli"))
+    val empty = Seq.empty[(Long, String, Long, Long)]
+      .toDF("doc_id", "source", "score_milli", "domain_rank")
+    val s1 = Curation.domainCapMerge(empty, scored(t1), k)
+    assert(rows(s1) === oneShot(t1))
+    val s2 = Curation.domainCapMerge(s1, scored(t2), k)
+    assert(rows(s2) === oneShot(t1 ++ t2))
+    val s3 = Curation.domainCapMerge(s2, scored(t3), k)
+    assert(rows(s3) === oneShot(t1 ++ t2 ++ t3))
+    // the cap actually bites: domain a has 5 docs, snapshot carries 2
+    assert(rows(s3).count(_._2 == "a") === k)
+  }
+
   test("transitions counts adjacent pairs per user with exact permille shares") {
     // user 1: a→b→a→b ; user 2: b→b→c
     val events = Seq(

@@ -766,6 +766,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(kept.length <= 2, s"expected <= 2 snapshots kept, got ${kept.mkString(",")}")
   }
 
+  test("ingestDomainCap: snapshot equals one-shot domainCap tranche by tranche; snapshots pruned") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_domcap_ingest")
+    val inDir = work.resolve("in"); Files.createDirectories(inDir)
+    val (statePath, ckpt) = (work.resolve("state").toString,
+      work.resolve("ckpt").toString)
+    val k = 2
+
+    def doc(id: Long, dom: String, good: Boolean) =
+      (id, dom, if (good) "the cat and the dog are on the mat with the hat"
+        else "x9$ 77## @@q 123 456 789 000 %%% !!! ???")
+    val t1 = Seq(doc(1, "a", true), doc(2, "a", false), doc(3, "a", true),
+      doc(4, "b", false))
+    val t2 = Seq(doc(5, "a", true), doc(6, "b", true), doc(7, "c", false))
+    val t3 = Seq(doc(8, "c", true), doc(9, "a", false))
+
+    def snapshot(): Set[(Long, String, Long, Long)] = {
+      val df = spark.read.parquet(statePath)
+      val last = df.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      df.where(col("batch_id").cast("long") === last)
+        .select("doc_id", "source", "score_milli", "domain_rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    def oneShot(xs: Seq[(Long, String, String)]) =
+      graft.operators.Curation.domainCap(xs.toDF("doc_id", "source", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    stageTranche(t1.toDF("doc_id", "source", "text"), inDir, "t1")
+    Streams.ingestDomainCap(spark, inDir.toString, statePath, ckpt, k)
+      .awaitTermination()
+    assert(snapshot() === oneShot(t1))
+
+    stageTranche(t2.toDF("doc_id", "source", "text"), inDir, "t2")
+    Streams.ingestDomainCap(spark, inDir.toString, statePath, ckpt, k)
+      .awaitTermination()
+    assert(snapshot() === oneShot(t1 ++ t2))
+
+    stageTranche(t3.toDF("doc_id", "source", "text"), inDir, "t3")
+    Streams.ingestDomainCap(spark, inDir.toString, statePath, ckpt, k)
+      .awaitTermination()
+    assert(snapshot() === oneShot(t1 ++ t2 ++ t3))
+    // the cap bites across tranches: domain a saw 5 docs, snapshot has 2
+    assert(snapshot().count(_._2 == "a") === k)
+
+    val kept = new java.io.File(statePath).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted
+    assert(kept.length <= 2, s"expected <= 2 snapshots kept, got ${kept.mkString(",")}")
+  }
+
   test("compactStore: incremental results bit-identical across compaction; files drop to group count") {
     import java.nio.file.Files
     import spark.implicits._
