@@ -2551,11 +2551,14 @@ object SparkEntry {
       // consumers). Independent of (m, refine) by construction, so two
       // 1-row frames serve all eight cells.
       val icents = Embeddings.ivfCentroids(emb)
-      val corpusCells = Embeddings.ivfAssign(emb, icents,
-        assertUniqueIds = false)
+      // truncated: the dial-independent corpus assignment is read by
+      // all 8 search cells AND both cost counters (10 consumers)
+      val sharedCells = graft.core.IterCheckpoint.truncate(
+        Embeddings.ivfAssign(emb, icents, assertUniqueIds = false),
+        None, eager = false)
       def candCount(nprobe: Int) =
         Embeddings.probedCells(emb.filter(q), icents, nprobe)
-          .join(corpusCells.select(col("vec_id").as("__nb"), col("cell")),
+          .join(sharedCells.select(col("vec_id").as("__nb"), col("cell")),
             Seq("cell"))
           .where(col("query_id") =!= col("__nb"))
           .agg(count(lit(1)).as("n_candidates"))
@@ -2565,13 +2568,27 @@ object SparkEntry {
         Embeddings.PqSubspaces -> batteryPqStep(s, dir),
         ScaledPqSubspaces ->
           Embeddings.stepForBoundedK(emb.count(), ScaledPqCodebookK))
+      // ONE index build shared by the grid: the corpus cell assignment
+      // above is dial-independent, and the PQ code table depends only
+      // on m (truncated, 4 consumers each) — without the seams every
+      // cell would re-run the n·K assignment and n·m encode (8× and
+      // 4× the index work for identical bytes; plan-subtree reuse
+      // across a union of windows is AQE-dependent, never guaranteed).
+      val codesFor = mStep.map { case (m, step) =>
+        (m, step) -> graft.core.IterCheckpoint.truncate(
+          Embeddings.pqEncode(emb, Embeddings.pqCentroids(emb, step, m),
+            m).select(col("vec_id"), col("sub"), col("code")),
+          None, eager = false)
+      }.toMap
       val cells = for {
         (m, step) <- mStep
         nprobe <- Seq(1, IvfPqNprobe)
         refine <- Seq(Option.empty[Int], Some(IvfPqRefine))
       } yield Eval.topKRecall(
-          Embeddings.annIvfPq(emb, q, m = m, pqStep = Some(step),
-            nprobe = nprobe, refine = refine),
+          Embeddings.annIvfPqFromIndex(emb, q, icents,
+            Embeddings.pqCentroids(emb, step, m),
+            sharedCells, codesFor((m, step)),
+            m = m, nprobe = nprobe, refine = refine),
           truth)
         .crossJoin(candFor(nprobe))
         .select(lit(m.toLong).as("m"), lit(nprobe.toLong).as("nprobe"),

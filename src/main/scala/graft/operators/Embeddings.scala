@@ -1054,14 +1054,39 @@ object Embeddings {
       vecCol: String = "embedding",
       nprobe: Int = 1,
       refine: Option[Int] = None): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(refine.forall(_ >= k), s"refine (${refine.get}) must be >= k ($k)")
     // corpus-sized internal pass: skip the id-uniqueness guard (one
     // extra corpus shuffle) — the fixture contract is validated at the
     // public increment seams; this caller documents the requirement
     val cells = ivfAssign(emb, icents, idCol, vecCol, assertUniqueIds = false)
     val codes = pqEncode(emb, pcents, m, idCol, vecCol)
       .select(col(idCol), col("sub"), col("code"))
+    annIvfPqFromIndex(emb, queryPred, icents, pcents, cells, codes,
+      k, m, idCol, vecCol, nprobe, refine)
+  }
+
+  /** [[annIvfPqWith]] against PRE-BUILT assignment/code tables — the
+    * shape for evaluating several dial settings over ONE index build:
+    * `cells` does not depend on (m, nprobe, refine) at all and `codes`
+    * only on m, so a dial sweep (the `emb_ann_frontier` 2×2×2 grid)
+    * shares one corpus assignment and one encode per m across all its
+    * search cells instead of rebuilding both per cell. Bit-identical
+    * to [[annIvfPqWith]] given tables built by the same
+    * `ivfAssign`/`pqEncode` calls it would make (it delegates here). */
+  def annIvfPqFromIndex(
+      emb: DataFrame,
+      queryPred: Column,
+      icents: DataFrame,
+      pcents: DataFrame,
+      cells: DataFrame,
+      codes: DataFrame,
+      k: Int = 3,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 1,
+      refine: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine.forall(_ >= k), s"refine (${refine.get}) must be >= k ($k)")
     val byCode = annIvfPqServe(emb.filter(queryPred), icents, pcents,
       cells, codes, refine.getOrElse(k), m, idCol, vecCol, nprobe)
     refine match {
