@@ -91,6 +91,16 @@ object ScaleProbe {
             f""""sec":$sec%.2f,"rows":$n}"""
         }
         println(s"""{"probe":"frontier_wall","cells":[${cells.mkString(",")}]}""")
+      case "explain" =>
+        // print the EXECUTED adaptive plan of a named battery query
+        // (args: explain <query> [sfDir]) — AQE finalizes reuse
+        // decisions only at execution, so an unexecuted .explain can
+        // lie about ReusedExchange.
+        val name = args.lift(1).getOrElse(sys.error("explain <query> [sfDir]"))
+        val dir2 = args.lift(2).getOrElse("/root/testdata/sf0.01")
+        val df = graft.SparkEntry.queries(name)(spark, dir2)
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
       case other =>
         System.err.println(s"unknown probe: $other")
         sys.exit(2)

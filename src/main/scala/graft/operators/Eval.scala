@@ -40,17 +40,26 @@ object Eval {
     def norm(df: DataFrame) = df.select(
       least(col(aCol), col(bCol)).as("pa"),
       greatest(col(aCol), col(bCol)).as("pb")).distinct()
-    val f = norm(found)
-    val t = norm(truth)
-    val hit = f.join(t, Seq("pa", "pb"), "left_semi")
+    // ONE pass per input pipeline: both sides are distinct on the pair
+    // key, so a full-outer equijoin is exactly f ∪ t with match
+    // markers, and every count falls out of a single aggregation —
+    // count(marker) skips the other side's nulls. The previous shape
+    // (three count aggregates crossJoined) consumed f twice and t
+    // twice, re-running the ENTIRE found/truth candidate pipelines per
+    // consumer (measured: the text recall reports carried ~20 doc-key
+    // exchanges each; exchange reuse across the duplicated subtrees is
+    // AQE-dependent and did not engage). n_extra stays derived:
+    // hit ⊆ f by construction, extra = found − hit.
+    val f = norm(found).withColumn("__f", lit(1))
+    val t = norm(truth).withColumn("__t", lit(1))
     def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den > 0, round(num * lit(1000.0) / den).cast("long")).otherwise(lit(1000L))
-    // n_extra is derived, not re-joined: f is distinct and hit ⊆ f, so
-    // extra = found − hit by construction (the SQL oracle computes it
-    // the same way) — no anti-join pass over the pair sets.
-    t.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(f.agg(count(lit(1)).as("n_found")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    f.join(t, Seq("pa", "pb"), "full_outer")
+      .agg(
+        count(col("__t")).as("n_truth"),
+        count(col("__f")).as("n_found"),
+        count(when(col("__f").isNotNull && col("__t").isNotNull, lit(1)))
+          .as("n_hit"))
       .withColumn("n_extra", col("n_found") - col("n_hit"))
       .select(col("n_truth"), col("n_found"), col("n_hit"), col("n_extra"),
         permille(col("n_hit"), col("n_truth")).as("recall_permille"),
@@ -72,25 +81,37 @@ object Eval {
     * explicitly rather than read it as perfect recall.
     *
     * 100 TB shape: truth is the per-query exact top-k (k·|queries|
-    * rows — queries are a batch, never the corpus), so the hit
-    * semi-join and the four aggregates are all bounded by the REPORT
-    * inputs, not the corpus; the expensive side (computing truth once
-    * per index build, e.g. [[Embeddings.l2TopK]]) amortizes across
-    * every recall evaluation of that index. */
+    * rows — queries are a batch, never the corpus), so the full-outer
+    * match join and the single aggregation are bounded by the REPORT
+    * inputs, not the corpus, and each input pipeline is consumed
+    * exactly once; the expensive side (computing truth once per index
+    * build, e.g. [[Embeddings.l2TopK]]) amortizes across every recall
+    * evaluation of that index. */
   def topKRecall(
       found: DataFrame,
       truth: DataFrame,
       queryCol: String = "query_id",
       idCol: String = "neighbor_id"): DataFrame = {
+    // single-pass full-outer shape — same rationale as [[pairRecall]]:
+    // each input pipeline (an 8-cell frontier runs this per cell, each
+    // cell a full ANN search) is consumed exactly once; n_queries
+    // counts distinct queryCol over truth-side rows only (the marker
+    // `when` nulls out found-only rows, and count-distinct skips
+    // nulls).
     val f = found.select(col(queryCol), col(idCol)).distinct()
+      .withColumn("__f", lit(1))
     val t = truth.select(col(queryCol), col(idCol)).distinct()
-    val hit = f.join(t, Seq(queryCol, idCol), "left_semi")
+      .withColumn("__t", lit(1))
     def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den > 0, round(num * lit(1000.0) / den).cast("long")).otherwise(lit(1000L))
-    t.agg(countDistinct(col(queryCol)).as("n_queries"),
-        count(lit(1)).as("n_truth"))
-      .crossJoin(f.agg(count(lit(1)).as("n_found")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    f.join(t, Seq(queryCol, idCol), "full_outer")
+      .agg(
+        countDistinct(when(col("__t").isNotNull, col(queryCol)))
+          .as("n_queries"),
+        count(col("__t")).as("n_truth"),
+        count(col("__f")).as("n_found"),
+        count(when(col("__f").isNotNull && col("__t").isNotNull, lit(1)))
+          .as("n_hit"))
       .select(col("n_queries"), col("n_truth"), col("n_found"), col("n_hit"),
         permille(col("n_hit"), col("n_truth")).as("recall_permille"),
         (col("n_truth") === 0).as("vacuous"))

@@ -204,7 +204,19 @@ object NearDup {
       textCol: String = "text",
       thresholdMilli: Int = ThresholdMilli,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // Materialized-once seam (minHashPairs' structure): the shingle
+    // generate is narrow and feeds THREE consumers in the exact branch
+    // (the intersection join's a-side, b-side, and the size agg; four
+    // in the capped branch with the df table) — without an exchange of
+    // its own each consumer re-runs the tokenize + n-gram build. One
+    // repartition on the doc key turns every subtree into the same
+    // canonical shuffle (computed once, AQE stage reuse); the size agg
+    // then runs one-phase on already-id-partitioned shingles. Bonus:
+    // the seam is byte-identical to the one in minHashPairs /
+    // winnowPairs, so a recall report whose found and truth sides both
+    // shingle the same corpus reuses ONE shingle exchange across the
+    // two operators.
+    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
     maxDocFreq match {
       case None =>
         val a = sh.select(col(idCol).as("doc_a"), col("s"))
@@ -261,7 +273,12 @@ object NearDup {
       textCol: String = "text",
       maxDist: Int = MaxEditDist,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // same materialized-once shingle seam as ngramJaccardPairs: the
+    // (hashed) shingle table feeds both candidate join sides (+ the df
+    // table when capped), each of which would otherwise re-run the
+    // tokenize + n-gram build; the post-exchange sha slice is narrow
+    // and cheap next to that.
+    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
     val candSh = maxDocFreq.map(shinglesWithDfCap(sh, idCol, _)).getOrElse(sh)
     // Candidates equijoin on the 60-bit sha slice of the shingle, not
     // the shingle string: the self-join shuffles 8-byte longs instead
