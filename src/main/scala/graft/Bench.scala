@@ -70,41 +70,41 @@ object Bench {
   val HistoryDepth: Int = 3
 
   /** Per-query drift baseline: min seconds across the last
-    * [[HistoryDepth]] full-battery records in BENCH_HISTORY.jsonl plus
-    * the last run's BENCH_LAST.json — but ONLY records whose `"sf"`
-    * matches the run's own sf dir (times from a different scale factor
-    * are not a drift baseline: a committed sf0.1 record would
-    * mass-trigger the retry at sf1, double the bench, then poison the
-    * next sf0.1 run's baseline) and ONLY entries recorded `"ok":true`
-    * (a failed query's time-to-error is typically short; using it as a
-    * baseline would spuriously retry its first clean, slower run).
-    * Absent files, sf mismatch, subset runs, renamed queries → missing
-    * entries → no drift retry for them; parse failures degrade to
-    * empty, never abort a bench. */
+    * [[HistoryDepth]] MATCHING-SF full-battery records in
+    * BENCH_HISTORY.jsonl. Only history records — BENCH_LAST.json is
+    * deliberately NOT read: subset (`SPARK_GRAFT_BENCH_ONLY`) runs
+    * overwrite it with warm low-contention times that would
+    * mass-trigger the retry on the next full run (the exact poisoning
+    * the appendHistory full-run gate exists to prevent). The sf filter
+    * runs BEFORE takeRight, so a few runs at another scale factor
+    * cannot blind the baseline while matching lines sit unreachable in
+    * the file; times from a different sf are never a baseline (a
+    * committed sf0.1 record would mass-trigger the retry at sf1).
+    * Only entries recorded `"ok":true` count — a failed query's
+    * time-to-error is typically short; using it as a baseline would
+    * spuriously retry its first clean, slower run. Absent file, sf
+    * mismatch, renamed queries → missing entries → no drift retry for
+    * them; parse failures degrade to empty, never abort a bench. */
   def priorSecs(
       sfDir: String,
-      lastPath: String = "BENCH_LAST.json",
       historyPath: String = "BENCH_HISTORY.jsonl"): Map[String, Double] = {
+    def matchesSf(record: String): Boolean =
+      s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
+        .findFirstIn(record).isDefined
     def okSecs(record: String): Map[String, Double] =
-      if (!s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
-            .findFirstIn(record).isDefined) Map.empty
-      else
-        """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ok":true""".r
-          .findAllMatchIn(record)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
-    def readLines(path: String): Seq[String] =
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files
-          .readAllLines(java.nio.file.Paths.get(path),
-            java.nio.charset.StandardCharsets.UTF_8)
-          .asScala.toSeq.filter(_.nonEmpty)
-      } catch { case _: Throwable => Seq.empty }
+      """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ok":true""".r
+        .findAllMatchIn(record)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
     try {
-      val records =
-        readLines(historyPath).takeRight(HistoryDepth) ++ readLines(lastPath)
-      records.flatMap(r => okSecs(r).toSeq)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(historyPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.nonEmpty)
+        .filter(matchesSf)
+        .takeRight(HistoryDepth)
+        .flatMap(r => okSecs(r).toSeq)
         .groupMapReduce(_._1)(_._2)(math.min)
     } catch { case _: Throwable => Map.empty }
   }

@@ -805,6 +805,27 @@ object SparkEntry {
     * ('x' if it already was 'q'; the fixture names contain neither, so
     * every dirty name sits at exactly edit 1 from its origin). Ids
     * negative (−custkey−1), disjoint from the clean roster. */
+  /** Payload corpus + planted re-encode twins for the pHash family —
+    * ONE definition behind multimodal_phash, multimodal_phash_scaled,
+    * and multimodal_phash_recall (the SQL oracle's hex-splice twin in
+    * `phashSql` must mirror exactly this construction, so the Spark
+    * side must not fork). Twin ids are NEGATIVE (-id-1): disjoint from
+    * every real id at any soak scale (replica offsets are positive
+    * multiples of Soak.IdOffset — a +10^7 twin offset would collide
+    * with replica r+1's ids and conflate payloads under the candidate
+    * gate). The twin overwrites ONE byte in place at offset 11 — the
+    * byte-level corruption a pixel tweak / bit-rot produces, the
+    * perturbation class phash exists for. */
+  private def phashCorpus(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val twins = base.where(col("doc_id") % 101 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"),
+        overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+    (base, twins)
+  }
+
   private def dirtyCustomers(s: SparkSession, dir: String): DataFrame = {
     val nm = col("c_name")
     val pos = (col("c_custkey") % length(nm).cast("long")).cast("int") + 1
@@ -2744,15 +2765,7 @@ object SparkEntry {
     // job). The oracle replicates the full integer signature +
     // banding, as neardup_simhash_scaled's does.
     "multimodal_phash" -> ((s, dir) => {
-      val base = T(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      // twin ids are NEGATIVE (-id-1): disjoint from every real id at
-      // any soak scale (replica offsets are positive multiples of
-      // Soak.IdOffset — a +10^7 twin offset would collide with replica
-      // r+1's ids and conflate payloads under the candidate gate)
-      val twins = base.where(col("doc_id") % 101 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+      val (base, twins) = phashCorpus(s, dir)
       Multimodal.pHashPairs(base.unionByName(twins))
     }),
 
@@ -2766,11 +2779,7 @@ object SparkEntry {
     // has to neardup_simhash. Oracle replicates the full 256-bit
     // signature + band-pair candidates + dual-grid confirm.
     "multimodal_phash_scaled" -> ((s, dir) => {
-      val base = T(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val twins = base.where(col("doc_id") % 101 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"), // negative: see above
-          overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+      val (base, twins) = phashCorpus(s, dir)
       Multimodal.pHashPairsScaled(base.unionByName(twins))
     }),
 
@@ -2782,16 +2791,13 @@ object SparkEntry {
     // Extra found pairs (organic base×base signature agreements) show
     // up in precision, exactly as designed.
     "multimodal_phash_recall" -> ((s, dir) => {
-      val base = T(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val planted = base.where(col("doc_id") % 101 === 0)
-      val twins = planted
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+      val (base, twins) = phashCorpus(s, dir)
       Eval.pairRecall(
         Multimodal.pHashPairsScaled(base.unionByName(twins)),
-        planted.select(col("doc_id").as("doc_a"),
-          (-col("doc_id") - 1L).as("doc_b")),
+        // the planted truth IS the twin relation: (origin, -origin-1)
+        base.where(col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (-col("doc_id") - 1L).as("doc_b")),
         aCol = "doc_a", bCol = "doc_b")
     }),
 

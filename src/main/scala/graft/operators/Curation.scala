@@ -699,13 +699,20 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val cols = Seq(col(idCol), col(domainCol), col("score_milli"))
-    val touched = scored.select(col(domainCol)).distinct()
+    val touched = scored.select(col(domainCol).as("__dom")).distinct()
+    // NULL-SAFE touched test (<=>): the batch window groups null
+    // domains as ONE partition, so the merge must too — a plain
+    // equi-join never matches null, which would classify every prior
+    // null-domain row as "untouched" forever while each tranche's null
+    // rows got a fresh rank 1..k (snapshot grows by k per tranche and
+    // diverges from the one-shot; CurationSpec pins the null-domain
+    // tranche case).
     val untouched = prior
-      .join(touched, Seq(domainCol), "left_anti")
+      .join(touched, col(domainCol) <=> col("__dom"), "left_anti")
       .select(col(idCol), col(domainCol), col("score_milli"),
         col("domain_rank"))
     val contested = prior
-      .join(touched, Seq(domainCol), "left_semi")
+      .join(touched, col(domainCol) <=> col("__dom"), "left_semi")
       .select(cols: _*)
       .unionByName(scored.select(cols: _*))
     untouched.unionByName(

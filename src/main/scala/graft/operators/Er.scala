@@ -198,7 +198,13 @@ object Er {
     * blocking key — but any combo with lev ≤ maxEdit shares a key by
     * the SymSpell theorem, so the extra combos are all confirm-
     * rejected and the output set is identical to confirming on the
-    * raw keyed rows (ErSpec pins the equivalence). */
+    * raw keyed rows (ErSpec pins the equivalence). CONTRACT: roster
+    * ids identify records (one name per id). With duplicate ids AND
+    * `maxKeyFreq` set, the identity argument has a hole — a combo
+    * whose only shared keys were frequency-capped away still reaches
+    * the confirm through another combo's surviving key and can emit a
+    * row the keyed-row confirm would not have; unique ids (or no cap)
+    * make the two orderings exactly equal. */
   def fuzzyPairs(
       df: DataFrame,
       idCol: String,

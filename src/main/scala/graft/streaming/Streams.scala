@@ -867,7 +867,6 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        import s.implicits._
         val scored = TextAnalysis
           .quality(batch, idCol, textCol, carryCols = Seq(domainCol))
           .select(col(idCol), col(domainCol), col("score_milli"))
@@ -880,8 +879,11 @@ object Streams {
           case (Some(df), Some(m)) =>
             df.where(col("batch_id").cast("long") === m).drop("batch_id")
           case _ =>
-            Seq.empty[(Long, String, Long, Long)]
-              .toDF(idCol, domainCol, "score_milli", "domain_rank")
+            // empty prior DERIVED from the tranche's own scored schema
+            // (idCol/domainCol are caller-typed — a hardcoded
+            // (bigint, string) template would fail or silently coerce
+            // the first snapshot for any other id/domain types)
+            scored.limit(0).withColumn("domain_rank", lit(0L))
         }
         writeBatchPartition(
           Curation.domainCapMerge(prior, scored, k, domainCol, idCol),

@@ -975,6 +975,29 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(s3) === oneShot(t1 ++ t2 ++ t3))
     // the cap actually bites: domain a has 5 docs, snapshot carries 2
     assert(rows(s3).count(_._2 == "a") === k)
+
+    // NULL domains across tranches: the batch window groups nulls as
+    // ONE partition, so the merge's touched test must be null-safe —
+    // a plain equi-join would park prior null rows as "untouched"
+    // forever while each tranche's nulls got a fresh rank 1..k (the
+    // snapshot would grow by k per tranche). Nullable-domain rows and
+    // a null-safe collect (getString -> Option).
+    def rowsN(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3))).toSet
+    val n1 = Seq((21L, null.asInstanceOf[String], "the cat and the dog are on the mat"),
+      (22L, null.asInstanceOf[String], "x9$ 77## @@q 123 456"))
+    val n2 = Seq((23L, null.asInstanceOf[String], "the cat and the dog are on the hat"),
+      (24L, "a", "the dog and the cat are on the mat"))
+    def dfN(xs: Seq[(Long, String, String)]) = xs.toDF("doc_id", "source", "text")
+    def scoredN(xs: Seq[(Long, String, String)]) = TextAnalysis
+      .quality(dfN(xs), carryCols = Seq("source"))
+      .select(col("doc_id"), col("source"), col("score_milli"))
+    val m1 = Curation.domainCapMerge(empty, scoredN(n1), k)
+    val m2 = Curation.domainCapMerge(m1, scoredN(n2), k)
+    assert(rowsN(m2) === rowsN(Curation.domainCap(dfN(n1 ++ n2), k)))
+    assert(rowsN(m2).count(_._2.isEmpty) === k,
+      "null domain must cap at k across tranches")
   }
 
   test("transitions counts adjacent pairs per user with exact permille shares") {
