@@ -102,25 +102,42 @@ object Bpe {
     *     disjointness forces below the cut) — strictness means no
     *     minted or surviving pair can TIE a batch member and steal
     *     its turn through the (l, r) tie-break.
+    *  4. SELF-PAIR TERMINATES — a member with l == r ends the batch
+    *     (kept only if it is the FIRST member, i.e. the plain argmax).
+    *     Merging (b, b) mints the pair (bb, bb) from its OWN
+    *     occurrences ("b b b b" → "bb bb"), so the minted count is
+    *     bounded by the self-pair's own count — NOT by any
+    *     below-the-cut pair — and can outrank every later batch
+    *     member (dict {bbbb:9, caa:4, cacba:3}: sequential rank 2 is
+    *     (bb,bb) count 9, but a 2-batch would record (c,a) count 7).
+    *     Conditions 1-3's minted-count bound only holds for l != r,
+    *     where the minted pair's flank is a DIFFERENT old pair that
+    *     disjointness forces outside the batch (hence ≤ the cut; and
+    *     in the list-exhausted case, nonexistent).
     *
     * A batch of size 1 is the plain argmax — always safe, no
     * strictness needed — so progress is guaranteed. BpeSpec pins
     * batched == sequential == the in-memory model on corpora crafted
-    * to trip each condition. */
-  private[operators] def safeBatch(
+    * to trip each condition, plus a randomized differential search. */
+  private[graft] def safeBatch(
       top: Seq[(String, String, Long)], maxBatch: Int): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String] // symbols + concats
     var n = 0
     var stop = false
     while (!stop && n < math.min(maxBatch, top.size)) {
       val (l, r, _) = top(n)
-      if (used(l) || used(r)) stop = true
+      if (l == r) { // condition 4: keep only as the sole leading member
+        if (n == 0) n = 1
+        stop = true
+      } else if (used(l) || used(r)) stop = true
       else { used += l; used += r; used += (l + r); n += 1 }
     }
     // strictness at the cut (condition 3); n == top.size means the
     // collected list was exhausted — the caller collects maxBatch + 1,
-    // so that only happens when these are ALL remaining pairs and no
-    // outside pair exists to tie
+    // so that only happens when these are ALL remaining OLD pairs (and
+    // with self-pairs excluded by condition 4, every minted pair's
+    // flank would be an old pair sharing a batch symbol, which
+    // disjointness makes impossible — no outside pair exists to tie)
     while (n > 1 && n < top.size && top(n - 1)._3 == top(n)._3) n -= 1
     top.take(math.max(n, 1))
   }

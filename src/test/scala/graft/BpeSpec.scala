@@ -150,6 +150,78 @@ class BpeSpec extends SparkSpecBase {
       val seqr = runB(dict, 10, 1)
       assert(runB(dict, 10, 16) === seqr, s"seed $seed batched diverged")
     }
+    // the self-pair counterexample (safeBatch condition 4): merging
+    // (b,b) over "bbbb" MINTS (bb,bb) with the self-pair's own count 9,
+    // which sequential greedy picks at rank 2 ahead of (c,a) count 7 —
+    // a batch that extended past the self-pair recorded (c,a) instead
+    val selfPair = Seq(("bbbb", 9L), ("caa", 4L), ("cacba", 3L))
+    val sp1 = runB(selfPair, 4, 1)
+    assert(sp1.take(2).map(t => (t._2, t._3, t._4)) ===
+      Seq(("b", "b", 27L), ("bb", "bb", 9L)))
+    for (b <- Seq(2, 4, 16))
+      assert(runB(selfPair, 4, b) === sp1, s"self-pair batched(b=$b) diverged")
+  }
+
+  /** In-memory mirror of [[Bpe.trainMerges]]'s batched driver loop —
+    * same top-(maxBatch+1) collection, same [[Bpe.safeBatch]], same
+    * greedy left-to-right application — so the batched==sequential
+    * contract can be differential-searched over thousands of random
+    * dicts without scheduling a Spark job per trial. */
+  private def modelTrainBatched(
+      dict: Seq[(String, Long)], k: Int, maxBatch: Int): Seq[(Long, String, String, Long)] = {
+    var seqs = dict.map { case (w, n) => (w.map(_.toString).toList, n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var dry = false
+    while (rank <= k && !dry) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, n) <- seqs if s.length >= 2; Seq(a, b) <- s.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+      val top = counts.toSeq.sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        .take(math.min(maxBatch, k - rank + 1) + 1)
+        .map { case ((l, r), c) => (l, r, c) }
+      dry = top.isEmpty
+      if (!dry) {
+        val batch = Bpe.safeBatch(top, math.min(maxBatch, k - rank + 1))
+        batch.foreach { case (l, r, c) => merges += ((rank.toLong, l, r, c)); rank += 1 }
+        seqs = seqs.map { case (s, n) =>
+          (batch.foldLeft(s) { case (cur, (l, r, _)) =>
+            val out = scala.collection.mutable.ListBuffer[String]()
+            var i = 0
+            while (i < cur.length) {
+              if (i + 1 < cur.length && cur(i) == l && cur(i + 1) == r) { out += (l + r); i += 2 }
+              else { out += cur(i); i += 1 }
+            }
+            out.toList
+          }, n)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("differential search: batched == sequential over 4000 random dicts") {
+    // brute-force re-validation of every safeBatch condition: mixed-
+    // character words (each position drawn independently) over small
+    // alphabets maximize self-pairs, concat collisions, and count ties;
+    // this family finds the pre-fix condition-4 divergence within a few
+    // hundred trials. Pure in-memory, so thousands of trials are cheap.
+    val rnd = new scala.util.Random(20260816L)
+    var trials = 0
+    while (trials < 4000) {
+      val alphabet = "abc" + ("defg".take(rnd.nextInt(4)))
+      val dict = (0 until (2 + rnd.nextInt(8))).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq.sorted
+      val k = 1 + rnd.nextInt(10)
+      val b = 2 + rnd.nextInt(15)
+      val seqr = modelTrainBatched(dict, k, 1)
+      assert(seqr === modelTrain(dict, seqr.size), s"trial $trials: sequential != model ($dict k=$k)")
+      assert(modelTrainBatched(dict, k, b) === seqr, s"trial $trials: batched(b=$b) diverged ($dict k=$k)")
+      trials += 1
+    }
   }
 
   test("wordDict lowercases, splits on whitespace and drops empties") {
