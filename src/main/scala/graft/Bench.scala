@@ -30,6 +30,60 @@ object Bench {
   def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** Host-calibration probe: a FIXED amount of deterministic CPU work
+    * (a 64-bit fmix-style hash loop — pure register arithmetic, no
+    * allocation, no I/O) timed on one thread and on all battery
+    * threads, immediately before and after the battery. The committed
+    * record then carries its own evidence of host conditions: two runs
+    * of identical code whose totals differ 1.3× but whose probe times
+    * differ 1.3× are the same build on a degraded host, not a
+    * regression — adjudicable from the artifact alone instead of from
+    * unreplayable re-runs (the r13 verdict needed four same-HEAD
+    * batteries to prove a 28% swing was host noise). The checksum is
+    * deterministic for fixed (seed, iters), so the record also proves
+    * the work was actually done and identical across rounds. */
+  object HostProbe {
+    /** Mixer rounds per thread per measurement (~0.2-0.4 s on an idle
+      * core: the probe adds well under 2 s to the battery). */
+    val Iters: Long =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", (1L << 27).toString).toLong
+
+    /** MurmurHash3-fmix64-style loop; the running index feed keeps the
+      * loop non-collapsible and the returned checksum makes dead-code
+      * elimination impossible (the caller records it). */
+    def mixChecksum(seed: Long, iters: Long): Long = {
+      var x = seed
+      var i = 0L
+      while (i < iters) {
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33; x += i
+        i += 1
+      }
+      x
+    }
+
+    /** (seconds on 1 thread, seconds for `threads` threads running the
+      * SAME per-thread work concurrently, xor of all checksums). On an
+      * unloaded host the two are nearly equal; external contention
+      * inflates the multi-thread reading first and hardest — the same
+      * resource the battery competes for. */
+    def measure(threads: Int): (Double, Double, Long) = {
+      val t0 = System.nanoTime()
+      var chk = mixChecksum(42L, Iters)
+      val oneT = (System.nanoTime() - t0) / 1e9
+      val results = new Array[Long](threads)
+      val ts = (0 until threads).map { t =>
+        new Thread(() => results(t) = mixChecksum(42L + t, Iters))
+      }
+      val t1 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val multiT = (System.nanoTime() - t1) / 1e9
+      results.foreach(chk ^= _)
+      (oneT, multiT, chk)
+    }
+  }
+
   /** Timed repetitions per query; the reported time is their min.
     * Clamped to ≥1 — a zero/negative override would skip the timing
     * loop entirely and record Double.MaxValue as a "measurement". */
@@ -85,17 +139,12 @@ object Bench {
     * spuriously retry its first clean, slower run. Absent file, sf
     * mismatch, renamed queries → missing entries → no drift retry for
     * them; parse failures degrade to empty, never abort a bench. */
-  def priorSecs(
-      sfDir: String,
-      historyPath: String = "BENCH_HISTORY.jsonl"): Map[String, Double] = {
+  /** The last [[HistoryDepth]] matching-sf full-battery records (sf
+    * filter BEFORE takeRight — see [[priorSecs]]'s scaladoc). */
+  private def recentRecords(sfDir: String, historyPath: String): Seq[String] = {
     def matchesSf(record: String): Boolean =
       s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
         .findFirstIn(record).isDefined
-    def okSecs(record: String): Map[String, Double] =
-      """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ok":true""".r
-        .findAllMatchIn(record)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files
@@ -104,9 +153,34 @@ object Bench {
         .asScala.toSeq.filter(_.nonEmpty)
         .filter(matchesSf)
         .takeRight(HistoryDepth)
-        .flatMap(r => okSecs(r).toSeq)
-        .groupMapReduce(_._1)(_._2)(math.min)
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => Seq.empty }
+  }
+
+  def priorSecs(
+      sfDir: String,
+      historyPath: String = "BENCH_HISTORY.jsonl"): Map[String, Double] = {
+    def okSecs(record: String): Map[String, Double] =
+      """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+),"ok":true""".r
+        .findAllMatchIn(record)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    recentRecords(sfDir, historyPath)
+      .flatMap(r => okSecs(r).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
+  }
+
+  /** Best (min) multi-thread probe time across the same history records
+    * [[priorSecs]] reads — the steady-state host speed those baseline
+    * times were measured under. None when no record carries a probe
+    * (pre-probe history), which disables host-ratio drift scaling. */
+  def priorProbeMt(
+      sfDir: String,
+      historyPath: String = "BENCH_HISTORY.jsonl"): Option[Double] = {
+    val vals = recentRecords(sfDir, historyPath)
+      .flatMap(""""pre_mt":([0-9.]+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toDouble)
+      .filter(_ > 0)
+    if (vals.isEmpty) None else Some(vals.min)
   }
 
   /** Append this run's full record to BENCH_HISTORY.jsonl, pruning to
@@ -160,6 +234,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+
+    // host-calibration probe, taken immediately before the battery (and
+    // again after it): fixed deterministic work whose wall time lets a
+    // record prove — by itself — whether a round-over-round swing is
+    // host drift or a plan change. A short untimed call first absorbs
+    // the probe loop's own JIT compilation.
+    val nThreads = cpus.toInt
+    HostProbe.mixChecksum(7L, HostProbe.Iters / 16)
+    val (pre1t, preMt, preChk) = HostProbe.measure(nThreads)
 
     def esc(s: String): String =
       s.flatMap {
@@ -259,13 +342,25 @@ object Bench {
     // battery slot can't be the only sample; the min of both passes is
     // reported.
     val prior = if (soakScale.isDefined) Map.empty[String, Double] else priorSecs(sfDir)
+    // host-ratio drift scaling: baselines were measured at the history
+    // records' probe speed; if THIS host is currently slower (probe
+    // ratio > 1), every query rides that slowdown and a fixed 1.5×
+    // trigger would mass-retry — scale the trigger by the ratio,
+    // clamped (≥1 keeps the tight trigger on an equal-or-faster host;
+    // ≤3 keeps a pathological probe reading from disabling drift
+    // detection entirely). No probe in history → ratio 1 (old behavior).
+    val hostRatio: Double =
+      if (soakScale.isDefined) 1.0
+      else priorProbeMt(sfDir)
+        .map(h => math.min(3.0, math.max(1.0, preMt / h)))
+        .getOrElse(1.0)
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalResults =
       if (soakScale.isDefined) results
       else results.map {
         case r @ (name, sec, rows, cand, None, None)
             if sec > RetrySec ||
-              prior.get(name).exists(p => p > 0 && sec > DriftFactor * p) =>
+              prior.get(name).exists(p => p > 0 && sec > DriftFactor * hostRatio * p) =>
           retried += name
           val fn = SparkEntry.queries(name)
           var best = sec
@@ -282,6 +377,8 @@ object Bench {
           (name, best, rows, cand, None, None)
         case r => r
       }
+
+    val (post1t, postMt, postChk) = HostProbe.measure(nThreads)
 
     val qs = finalResults.map { case (name, sec, rows, cand, err, growthBad) =>
       val candPart = if (soakScale.isDefined) ",\"candidates\":" + cand else ""
@@ -315,8 +412,14 @@ object Bench {
       if (retried.isEmpty) ""
       else retried.map(r => "\"" + esc(r) + "\"")
         .mkString(""","retried":[""", ",", "]")
+    // fixed-work host calibration: 1-thread and all-thread wall times
+    // before/after the battery + the deterministic checksum (proof the
+    // work is identical across rounds). host_ratio is what the drift
+    // trigger actually used this run.
+    val probePart =
+      f""","probe":{"pre_1t":$pre1t%.4f,"pre_mt":$preMt%.4f,"post_1t":$post1t%.4f,"post_mt":$postMt%.4f,"threads":$nThreads,"iters":${HostProbe.Iters},"chk":"${(preChk * 31 + postChk).toHexString}","host_ratio":${f"$hostRatio%.3f"}}"""
     val line =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart$retriedPart}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart$retriedPart$probePart}"""
     println(line)
     // Also persist the full per-query map: harness-side artifacts keep
     // only an stdout tail, which cannot substantiate per-query failures
