@@ -37,6 +37,25 @@ import org.apache.spark.sql.functions._
   */
 object Er {
 
+  /** MEASURED NEGATIVE RESULT — key-domain bloom pruning (r14): the
+    * obvious next lever for the candidate sort ("semi-join/bloom-prune
+    * each side's keys against the other side's key domain so
+    * partnerless keys never enter the sort") was implemented with
+    * Spark's native `BloomFilterAggregate` + `BloomFilterMightContain`
+    * (8 MB single-probe filter as a scalar subquery, probed at the key
+    * scan) and REGRESSED at every scale: er_link_dirty2 8.4 → 14.6 s
+    * at sf0.1, 27.9 → 75.7 s at the 100× soak; er_fuzzy_pairs (freq≥2
+    * self-join variant) 1.8 → 3.2 s / 2.9 → 6.8 s. The cost structure
+    * is unfixable, not a tuning miss: the filter build must pass over
+    * the SAME ~26M-row key volume the sort would (one extra explode
+    * pass per side), every map partition emits a full filter-sized
+    * partial into a single-reducer merge (≥ 32 × 8 MB per filter), and
+    * a filter small enough to make partials cheap saturates (k=1 fpp
+    * 1−e^(−n/m) ≈ 95 % at 26M keys in 1 MB) exactly at the scale where
+    * pruning would matter. The narrow (key, id) sort-merge join is
+    * already the cheapest discoverer of partnerless keys at this row
+    * width; don't re-attempt a same-volume pre-pass. */
+
   /** The SymSpell blocking keys of a name: the name itself plus every
     * single-character deletion, de-duplicated (a run of equal chars
     * yields equal deletions). Null-safe at the caller (rows with null
