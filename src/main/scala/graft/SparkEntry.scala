@@ -1483,7 +1483,10 @@ object SparkEntry {
     * against the Scala dials): full integer signature on both sample
     * grids, band-pair candidates (HAVING count(*) >= 2 ⇔ the Spark
     * side's minSharedBands = 2 pair keys), dual-grid Hamming confirm. */
-  private def phashSql(blocks: Int, bands: Int, maxHamming: Int): String = {
+  private def phashSql(
+      blocks: Int, bands: Int, maxHamming: Int,
+      midMaxHamming: Option[Int] = None): String = {
+    val midCut = midMaxHamming.getOrElse(maxHamming)
     val bandBits = blocks / bands
     s"""WITH b0 AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
@@ -1541,7 +1544,7 @@ object SparkEntry {
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, hamming_dist
        |FROM ham WHERE hamming_dist <= $maxHamming
-       |  AND ham_m <= $maxHamming""".stripMargin
+       |  AND ham_m <= $midCut""".stripMargin
   }
 
   private def simhashScaledSql: String = {
@@ -2795,6 +2798,25 @@ object SparkEntry {
       Eval.pairRecall(
         Multimodal.pHashPairsScaled(base.unionByName(twins)),
         // the planted truth IS the twin relation: (origin, -origin-1)
+        base.where(col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (-col("doc_id") - 1L).as("doc_b")),
+        aCol = "doc_a", bCol = "doc_b")
+    }),
+
+    // The recall DIAL row: same banding, same primary pigeonhole
+    // envelope, midpoint confirm widened 14 → 20 (the measured twin
+    // distances — dev probe phash_twin_ham — put the one missed twin
+    // at primary 12 / midpoint 17: the second grid's sampling, not the
+    // banding, is what the default cutoff trades away). Candidates are
+    // IDENTICAL to the default row by construction (the midpoint test
+    // is post-join); together the two rows make the recall/cutoff
+    // trade a table instead of a point.
+    "multimodal_phash_recall_wide" -> ((s, dir) => {
+      val (base, twins) = phashCorpus(s, dir)
+      Eval.pairRecall(
+        Multimodal.pHashPairsScaled(base.unionByName(twins),
+          midMaxHamming = Some(Multimodal.PHashScaledMidHammingWide)),
         base.where(col("doc_id") % 101 === 0)
           .select(col("doc_id").as("doc_a"),
             (-col("doc_id") - 1L).as("doc_b")),
@@ -4621,6 +4643,15 @@ object SparkEntry {
       phashSql(
         Multimodal.PHashScaledBlocks, Multimodal.PHashScaledBands,
         Multimodal.PHashScaledMaxHamming),
+      "SELECT doc_id AS doc_a, -doc_id - 1 AS doc_b FROM documents " +
+        "WHERE doc_id % 101 = 0"),
+
+    // the dial row's oracle: identical generator, midpoint cutoff wide
+    "multimodal_phash_recall_wide" -> pairRecallSql(
+      phashSql(
+        Multimodal.PHashScaledBlocks, Multimodal.PHashScaledBands,
+        Multimodal.PHashScaledMaxHamming,
+        midMaxHamming = Some(Multimodal.PHashScaledMidHammingWide)),
       "SELECT doc_id AS doc_a, -doc_id - 1 AS doc_b FROM documents " +
         "WHERE doc_id % 101 = 0"),
 

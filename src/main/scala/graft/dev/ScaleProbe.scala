@@ -91,6 +91,37 @@ object ScaleProbe {
             f""""sec":$sec%.2f,"rows":$n}"""
         }
         println(s"""{"probe":"frontier_wall","cells":[${cells.mkString(",")}]}""")
+      case "phash_twin_ham" =>
+        // dual-grid Hamming distance of every PLANTED re-encode twin
+        // to its origin under the scaled 256-bit signature — the
+        // evidence behind the recall-dial cutoffs (which twins sit
+        // past Hamming 14, and where a wider cutoff must land to
+        // catch them). args: phash_twin_ham [sfDir]
+        import org.apache.spark.sql.functions._
+        import graft.operators.Multimodal
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.01")
+        val base = spark.read.parquet(s"$dir2/documents.parquet")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val twins = base.where(col("doc_id") % 101 === 0)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+        val words = Multimodal.PHashScaledBlocks / 64
+        val sigs = Multimodal.pHashSignaturesWide(
+          base.unionByName(twins), "doc_id", "payload")
+        val a = sigs.where(col("doc_id") % 101 === 0 && col("doc_id") >= 0)
+        val b = sigs.where(col("doc_id") < 0)
+          .select(col("doc_id").as("__tid") +: (0 until words).flatMap(w =>
+            Seq(col(s"__sig$w").as(s"__tb$w"), col(s"__sigm$w").as(s"__tm$w"))): _*)
+        val ham = (0 until words)
+          .map(w => bit_count(col(s"__sig$w").bitwiseXOR(col(s"__tb$w")))).reduce(_ + _)
+        val hamM = (0 until words)
+          .map(w => bit_count(col(s"__sigm$w").bitwiseXOR(col(s"__tm$w")))).reduce(_ + _)
+        val rows = a.join(b, col("doc_id") === -col("__tid") - 1L)
+          .select(col("doc_id"), ham.as("ham_primary"), hamM.as("ham_midpoint"))
+          .orderBy(col("doc_id")).collect()
+        val cells = rows.map(r =>
+          s"""{"doc_id":${r.getLong(0)},"ham_primary":${r.get(1)},"ham_midpoint":${r.get(2)}}""")
+        println(s"""{"probe":"phash_twin_ham","twins":[${cells.mkString(",")}]}""")
       case "explain" =>
         // print the EXECUTED adaptive plan of a named battery query
         // (args: explain <query> [sfDir]) — AQE finalizes reuse

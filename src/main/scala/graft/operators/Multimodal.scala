@@ -563,6 +563,16 @@ object Multimodal {
   val PHashScaledBands = 16
   val PHashScaledMaxHamming = 14
 
+  /** Widened MIDPOINT-grid cutoff for the recall-dial battery row
+    * (`multimodal_phash_recall_wide`): the measured twin distances
+    * (dev probe `phash_twin_ham`) put the one default-missed planted
+    * twin at primary 12 / midpoint 17 — banding and the primary
+    * pigeonhole envelope already catch it; only the unbanded
+    * second-grid confirm rejects it. 20 clears the measured miss with
+    * headroom while keeping the dual-grid collision squaring (see
+    * [[pHashPairsScaled]]'s `midMaxHamming` note). */
+  val PHashScaledMidHammingWide = 20
+
   /** The 64 block features of [[pHash64]] as an array column —
     * exposed separately so callers materialize it ONCE before both
     * the sort and the per-bit comparisons consume it.
@@ -855,18 +865,35 @@ object Multimodal {
     * candidate join keys span 32 bits and the random-collision floor
     * drops ~2¹⁶×. Pigeonhole-exact at Hamming ≤ `maxHamming` on the
     * primary grid (bands − maxHamming ≥ 2), midpoint-grid cutoff
-    * equal, `hamming_dist` = the primary distance — the same output
-    * contract as the 64-bit mode at its own cutoff. */
+    * equal by default, `hamming_dist` = the primary distance — the
+    * same output contract as the 64-bit mode at its own cutoff.
+    *
+    * `midMaxHamming` is the RECALL dial the measured twin distances
+    * motivate (dev probe `phash_twin_ham`): a 1-byte re-encode can
+    * land primary-close but midpoint-far (the planted sf0.01 twin the
+    * default cutoff misses sits at primary 12 / midpoint 17), because
+    * the two grids sample different windows. The midpoint test is a
+    * POST-JOIN filter — not banded — so widening it NEVER changes the
+    * candidate volume or the primary pigeonhole envelope; it only
+    * trades the dual-grid random-collision squaring (a collision must
+    * now survive ≤ midMaxHamming instead of ≤ maxHamming on the second
+    * grid — still a ~2⁻¹⁰⁰-ish event for 256-bit signatures of
+    * unrelated payloads at either cutoff). */
   def pHashPairsScaled(
       df: DataFrame,
       idCol: String = "doc_id",
       binCol: String = "payload",
       blocks: Int = PHashScaledBlocks,
       bands: Int = PHashScaledBands,
-      maxHamming: Int = PHashScaledMaxHamming): DataFrame = {
+      maxHamming: Int = PHashScaledMaxHamming,
+      midMaxHamming: Option[Int] = None): DataFrame = {
     require(bands - maxHamming >= 2,
       s"pHash pairing is exact only when bands - maxHamming >= 2 " +
         s"(band-pair candidates); got bands=$bands, maxHamming=$maxHamming")
+    val midCut = midMaxHamming.getOrElse(maxHamming)
+    require(midCut >= maxHamming,
+      s"midMaxHamming widens the midpoint confirm; narrowing it below " +
+        s"maxHamming would break the dual-grid contract (got $midCut < $maxHamming)")
     val words = (blocks + 63) / 64
     // same materialize-once seam as pHashPairs: one exchange of
     // 2·words longs per payload feeds the band join's sides and both
@@ -886,7 +913,7 @@ object Multimodal {
         (0 until words).map(w => col(s"__sigm$w").as(s"__ma$w")): _*), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b") +:
         (0 until words).map(w => col(s"__sigm$w").as(s"__mb$w")): _*), "doc_b")
-      .where(hamM <= maxHamming)
+      .where(hamM <= midCut)
       .select(col("doc_a"), col("doc_b"), col("hamming_dist"))
   }
 

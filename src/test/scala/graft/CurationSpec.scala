@@ -969,6 +969,13 @@ class CurationSpec extends SparkSpecBase {
       .toDF("doc_id", "source", "score_milli", "domain_rank")
     val s1 = Curation.domainCapMerge(empty, scored(t1), k)
     assert(rows(s1) === oneShot(t1))
+    // domain_rank is LongType on BOTH surfaces (batch topKPerKey cast,
+    // merge output) — pinned explicitly so a drift on either side can
+    // never reconcile silently through union type coercion
+    assert(Curation.domainCap(df(t1), k).schema("domain_rank").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(s1.schema("domain_rank").dataType ===
+      org.apache.spark.sql.types.LongType)
     val s2 = Curation.domainCapMerge(s1, scored(t2), k)
     assert(rows(s2) === oneShot(t1 ++ t2))
     val s3 = Curation.domainCapMerge(s2, scored(t3), k)

@@ -199,6 +199,30 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Multimodal.pHashPairsScaled(df, maxHamming = 15)
     }
+    // midMaxHamming only ever WIDENS the midpoint confirm — narrowing
+    // below the primary cutoff is a contract error, not a dial
+    intercept[IllegalArgumentException] {
+      Multimodal.pHashPairsScaled(df, midMaxHamming = Some(10))
+    }
+  }
+
+  test("midpoint recall dial: wide cutoff catches the measured primary-close twin") {
+    // the sf0.01 battery corpus carries the measured case the dial
+    // exists for (dev probe phash_twin_ham): planted twin of doc 0
+    // sits at primary Hamming 12 (inside banding + primary cutoff)
+    // but midpoint 17 (outside the default 14). The default row must
+    // miss exactly that twin (recall 800‰ of 5), the wide row must
+    // catch it (1000‰) with IDENTICAL candidate machinery — the
+    // midpoint test is post-join, so found pairs may only be added.
+    val dir = "/root/testdata/sf0.01"
+    def recallRow(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect().head
+    val base = recallRow("multimodal_phash_recall")
+    val wide = recallRow("multimodal_phash_recall_wide")
+    val recallIx = SparkEntry.queries("multimodal_phash_recall")(spark, dir)
+      .schema.fieldIndex("recall_permille")
+    assert(base.getLong(recallIx) === 800L)
+    assert(wide.getLong(recallIx) === 1000L)
   }
 
   test("pHash64 is deterministic and edge-safe on tiny/empty payloads") {

@@ -802,6 +802,11 @@ class StreamingSpec extends SparkSpecBase {
     Streams.ingestDomainCap(spark, inDir.toString, statePath, ckpt, k)
       .awaitTermination()
     assert(snapshot() === oneShot(t1))
+    // the persisted snapshot's rank is LongType — the empty-prior
+    // template (lit(0L)) and topKPerKey's cast must agree, pinned here
+    // so neither side can drift and reconcile via union coercion
+    assert(spark.read.parquet(statePath).schema("domain_rank").dataType ===
+      org.apache.spark.sql.types.LongType)
 
     stageTranche(t2.toDF("doc_id", "source", "text"), inDir, "t2")
     Streams.ingestDomainCap(spark, inDir.toString, statePath, ckpt, k)
