@@ -62,6 +62,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn: $what must be a foldable integer expression, got ${e.sql}", e)
     }
 
+  /** Foldable map<string, integral> argument of a table function
+    * (per-stratum budget overrides): a `map('web', 1000, …)` literal,
+    * evaluated at analysis time like every other table-function
+    * argument. */
+  private def foldStringLongMap(
+      fn: String, what: String, e: Expression): Seq[(String, Long)] = {
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    (if (e.resolved) e.dataType else org.apache.spark.sql.types.NullType) match {
+      case org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, vt, _)
+          if e.foldable && integral(vt) =>
+        e.eval() match {
+          case null => analysisError(s"$fn: $what must not be NULL", e)
+          case m: org.apache.spark.sql.catalyst.util.MapData =>
+            val keys = m.keyArray()
+            val vals = m.valueArray()
+            (0 until m.numElements()).map { i =>
+              if (keys.isNullAt(i) || vals.isNullAt(i))
+                analysisError(s"$fn: $what entries must not be NULL", e)
+              val v = vt match {
+                case LongType => vals.getLong(i)
+                case IntegerType => vals.getInt(i).toLong
+                case ShortType => vals.getShort(i).toLong
+                case _ => vals.getByte(i).toLong
+              }
+              (keys.getUTF8String(i).toString, v)
+            }
+          case v => analysisError(s"$fn: $what out of range: $v", e)
+        }
+      // an empty `map()` literal types as map<string,string> — accept
+      // any foldable EMPTY map as "no overrides"
+      case _: org.apache.spark.sql.types.MapType if e.foldable &&
+          (e.eval() match {
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.numElements() == 0
+            case _ => false
+          }) =>
+        Seq.empty
+      case _ => analysisError(
+        s"$fn: $what must be a foldable map(string, integer) literal " +
+          s"(e.g. map('web', 1000)), got ${e.sql}", e)
+    }
+  }
+
   /** Foldable boolean argument of a table function. */
   private def foldBool(fn: String, what: String, e: Expression): Boolean =
     (if (e.resolved) e.dataType else org.apache.spark.sql.types.NullType) match {
@@ -667,6 +711,95 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val toks = graft.operators.Tokenize.splitTokens(inputCol = textCol)(
           docs.select(idCol, textCol))
         graft.operators.Relevance.search(toks, terms, k.toInt, idCol)
+          .queryExecution.logical
+      }))
+
+    // the corpus-to-batches curation chain as SQL: per-domain capping,
+    // budgeted mixing, and fixed-budget packing — previously Scala-only
+    ext.injectTableFunction((
+      FunctionIdentifier("domain_cap"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "domain_cap",
+        "domain_cap(table, k[, domain_col, id_col, text_col]) - top-k " +
+          "documents per domain by the integer quality score " +
+          "(score DESC, id ASC): (id, domain, score_milli, domain_rank)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 5) analysisError(
+          s"domain_cap takes 2 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val docs = tableOf("domain_cap", exprs.head)
+        val k = foldLong("domain_cap", "k", exprs(1))
+        if (k < 1 || k > Int.MaxValue) analysisError(
+          s"domain_cap: k must be in [1, ${Int.MaxValue}], got $k", exprs(1))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("domain_cap", what, exprs(i))
+          else default
+        graft.operators.Curation.domainCap(docs, k.toInt,
+          strArg(2, "domain_col", "source"), strArg(3, "id_col", "doc_id"),
+          strArg(4, "text_col", "text"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("mixture_budget"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "mixture_budget",
+        "mixture_budget(table, budgets_map, default_budget[, strata_col, " +
+          "id_col, weight_col]) - keep each stratum's hash-order prefix up " +
+          "to its token budget (map('src', tokens, ...); strata absent from " +
+          "the map get default_budget). Deterministic, replayable.",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 3 || exprs.length > 6) analysisError(
+          s"mixture_budget takes 3 to 6 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val df = tableOf("mixture_budget", exprs.head)
+        val budgets = foldStringLongMap("mixture_budget", "budgets_map", exprs(1))
+        val dflt = foldLong("mixture_budget", "default_budget", exprs(2))
+        (budgets.map(_._2) :+ dflt).find(_ < 0).foreach { b =>
+          analysisError(
+            s"mixture_budget: budgets are token counts and must be >= 0, got $b",
+            exprs(if (dflt < 0) 2 else 1))
+        }
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("mixture_budget", what, exprs(i))
+          else default
+        graft.operators.Curation.mixtureByBudget(df, budgets, dflt,
+          strArg(3, "strata_col", "source"), strArg(4, "id_col", "doc_id"),
+          strArg(5, "weight_col", "n_tokens"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("pack"),
+      new ExpressionInfo(
+        graft.operators.Curation.getClass.getName,
+        null,
+        "pack",
+        "pack(table, budget_tokens[, strata_col, id_col, weight_col]) - " +
+          "assign each row a pack_id so every pack holds ~budget_tokens " +
+          "of weight within its stratum, in the same deterministic hash " +
+          "order as mixture_budget (the context-window batching step)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 5) analysisError(
+          s"pack takes 2 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val df = tableOf("pack", exprs.head)
+        val budget = foldLong("pack", "budget_tokens", exprs(1))
+        if (budget < 1) analysisError(
+          s"pack: budget_tokens must be >= 1, got $budget", exprs(1))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("pack", what, exprs(i))
+          else default
+        graft.operators.Curation.packByBudget(df, budget,
+          strArg(2, "strata_col", "source"), strArg(3, "id_col", "doc_id"),
+          strArg(4, "weight_col", "n_tokens"))
           .queryExecution.logical
       }))
   }

@@ -136,6 +136,12 @@ object Soak {
       q.startsWith("events_") || q.startsWith("graph_") ||
       q == "text_winnow_pairs" || q == "text_tfidf_sim" ||
       q == "docs_split_leakage" ||
+      // substring-granular dedup: the duplicated-gram detection is a
+      // positional-gram self-join (60-bit sha keys) — a candidate-
+      // generating shape whose quadratic failure mode is exactly what
+      // the gate exists to catch; replicas are token-disjoint so
+      // duplicated grams stay within-replica and the join is linear
+      q == "docs_dup_ngrams" ||
       // the embedding bucket-join family: LSH/IVF-cell candidate
       // stages whose dials (batteryKnnPlanes, centroidStepFor) must
       // TURN with the corpus — gate them so a frozen dial's quadratic

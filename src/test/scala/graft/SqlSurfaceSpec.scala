@@ -282,6 +282,73 @@ class SqlSurfaceSpec extends SparkSpecBase {
       nonLiteralQ.getMessage)
   }
 
+  test("domain_cap('docs', k) equals Curation.domainCap") {
+    val viaSql = s2.sql("SELECT * FROM domain_cap('docs', 2)")
+    val viaApi = Curation.domainCap(s2.table("docs"), 2)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // explicit column names behind the same definition
+    assert(rows(s2.sql(
+      "SELECT * FROM domain_cap('docs', 3, 'source', 'doc_id', 'text')"))
+      === rows(Curation.domainCap(s2.table("docs"), 3)))
+  }
+
+  test("mixture_budget / pack equal Curation.mixtureByBudget / packByBudget") {
+    // the weighted view both surfaces consume (token counts attached)
+    s2.table("docs")
+      .select(col("doc_id"), col("source"),
+        graft.operators.FoldGroup.tokenCountExpr(col("text")).as("n_tokens"))
+      .createOrReplaceTempView("docs_weighted")
+    val weighted = s2.table("docs_weighted")
+    val viaSql = s2.sql(
+      "SELECT * FROM mixture_budget('docs_weighted', map('src0', 0, 'src1', 300), 600)")
+    val viaApi = Curation.mixtureByBudget(
+      weighted, Seq("src0" -> 0L, "src1" -> 300L), 600L)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // empty overrides map: every stratum on the default budget
+    assert(rows(s2.sql(
+      "SELECT * FROM mixture_budget('docs_weighted', map(), 600)"))
+      === rows(Curation.mixtureByBudget(weighted, Seq.empty, 600L)))
+    val packSql = s2.sql("SELECT * FROM pack('docs_weighted', 512)")
+    val packApi = Curation.packByBudget(weighted, 512L)
+    assert(packSql.columns.toSeq === packApi.columns.toSeq)
+    assert(rows(packSql) === rows(packApi))
+    assert(packSql.count() > 0)
+  }
+
+  test("domain_cap / mixture_budget / pack argument errors fail analysis") {
+    val badK = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM domain_cap('docs', 0)").collect()
+    }
+    assert(badK.getMessage.contains("k must be"), badK.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM domain_cap('docs')").collect() // missing k
+    }
+    val badMap = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM mixture_budget('docs', 'not_a_map', 600)").collect()
+    }
+    assert(badMap.getMessage.contains("foldable map"), badMap.getMessage)
+    val negBudget = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM mixture_budget('docs', map('a', -5), 600)").collect()
+    }
+    assert(negBudget.getMessage.contains(">= 0"), negBudget.getMessage)
+    val negDefault = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM mixture_budget('docs', map(), -1)").collect()
+    }
+    assert(negDefault.getMessage.contains(">= 0"), negDefault.getMessage)
+    val badPack = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM pack('docs', 0)").collect()
+    }
+    assert(badPack.getMessage.contains(">= 1"), badPack.getMessage)
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM pack('no_such_docs', 512)").collect()
+    }
+    assert(missing.getMessage.contains("no_such_docs"), missing.getMessage)
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
