@@ -91,6 +91,33 @@ object ScaleProbe {
             f""""sec":$sec%.2f,"rows":$n}"""
         }
         println(s"""{"probe":"frontier_wall","cells":[${cells.mkString(",")}]}""")
+      case "bpe_k1024" =>
+        // the real-vocabulary wall: k=1024 merges, incremental count
+        // maintenance vs full per-round recount (both batched at the
+        // default 16). The plain documents dict EXHAUSTS at 89 merges
+        // (measured — the fixture vocabulary is too small to carry a
+        // 1024-merge wall), so the dict comes from the 100×-replicated
+        // corpus (token-disjoint suffixed replicas: ~100× the words,
+        // and each suffix family's merges touch ~1% of the dict — the
+        // small-affected-fraction regime incremental exists for).
+        // Reports wall, merge counts, equality of the merge lists;
+        // SCALE.md extrapolates the 32k wall from these.
+        val kProbe = args.lift(1).map(_.toInt).getOrElse(1024)
+        val docs = graft.Soak.replicatedDocs(spark, "/root/testdata/sf0.01", 100)
+        val dict = graft.operators.Bpe.wordDict(docs).localCheckpoint()
+        graft.operators.Bpe.trainMerges(dict, 8).count() // warmup
+        // ONE training per mode: the timed run's own collected merge
+        // list doubles as the equality evidence (k rows — model-sized)
+        def once(inc: Boolean): (Double, Seq[String]) = {
+          val t0 = System.nanoTime()
+          val rows = graft.operators.Bpe
+            .trainMerges(dict, kProbe, maxBatch = 16, incremental = inc)
+            .collect().map(_.toString).sorted.toSeq
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (fullSec, fullRows) = once(inc = false)
+        val (incSec, incRows) = once(inc = true)
+        println(f"""{"probe":"bpe_k1024","k":$kProbe,"dict_words":${dict.count()},"full_recount_sec":$fullSec%.2f,"incremental_sec":$incSec%.2f,"merges":${fullRows.size},"merges_inc":${incRows.size},"equal":${fullRows == incRows}}""")
       case "phash_twin_ham" =>
         // dual-grid Hamming distance of every PLANTED re-encode twin
         // to its origin under the scaled 256-bit signature — the

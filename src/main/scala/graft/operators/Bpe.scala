@@ -142,33 +142,80 @@ object Bpe {
     top.take(math.max(n, 1))
   }
 
-  def trainMerges(dict: DataFrame, k: Int, maxBatch: Int = 16): DataFrame = {
+  /** Overlap-counted adjacent-pair frequencies of a symbol-sequence
+    * frame: (l, r, c) with c = Σ n over every adjacency. One explode +
+    * one hash-agg (map-side partials). */
+  private def pairCounts(seqDf: DataFrame): DataFrame =
+    seqDf
+      .select(col("n"), split(trim(col("s")), " +").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS l, ts[i + 1] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("c"))
+
+  /** `incremental = true` (the 100 TB dial; default off): maintain the
+    * pair-count table ACROSS rounds instead of re-counting the whole
+    * dictionary per batch. Exactness rests on two facts BPE's
+    * batching already guarantees:
+    *
+    *  1. AFFECTED = pattern match on the ORIGINAL string. Batch members
+    *     are pairwise symbol-disjoint, so merging member i never
+    *     creates or destroys a site of member j (pairs not touching
+    *     i's symbols are preserved verbatim; pairs minted by i involve
+    *     i's concat symbol, which disjointness bars from the batch) —
+    *     the OR of `contains(" l  r ")` over the batch, evaluated on
+    *     the pre-merge string, finds exactly the words whose pair
+    *     multiset can change.
+    *  2. DELTA = (new pairs of affected words) − (old pairs of affected
+    *     words), merged by one union + hash-agg, zero rows dropped
+    *     (a zero-count pair is a non-adjacency; keeping it would let
+    *     the tie-break surface phantom merges near exhaustion).
+    *
+    * Unaffected words contribute nothing — their counts ride the
+    * maintained table untouched. Per round the dictionary is SCANNED
+    * (two narrow codegen'd projections: the contains filter and the
+    * conditional replace) but only the affected subset pays the
+    * explode + aggregate, which is the round's real data cost. On a
+    * Zipf dictionary the affected fraction collapses once the head
+    * merges are done.
+    *
+    * DEFAULT OFF because the trade is measured, not assumed (dev probe
+    * `bpe_k1024`, numbers in SCALE.md): at fixture dict sizes the
+    * per-round wall is DRIVER/job overhead, and incremental adds one
+    * scheduled job per round (the maintained-table checkpoint) — the
+    * battery's k=8 vocab query ran 2× slower under incremental. The
+    * dial pays off when the dictionary is large enough that the full
+    * explode+aggregate dominates a round AND the affected fraction is
+    * small — the regime a 100 TB corpus's multi-GB dictionary lives
+    * in. BpeSpec pins incremental == full-recount == the in-memory
+    * model either way. */
+  def trainMerges(
+      dict: DataFrame, k: Int, maxBatch: Int = 16,
+      incremental: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     val session = dict.sparkSession
     var seq = dict.select(col("word"), col("n"), charSeq(col("word")).as("s"))
       .localCheckpoint()
+    var counts: DataFrame =
+      if (incremental) pairCounts(seq).localCheckpoint() else null
 
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var rank = 1
     var dry = false
     while (rank <= k && !dry) {
-      // one recount per BATCH, not per merge: the top (maxBatch + 1)
-      // pairs come to the driver — model-sized (≤ 17 narrow rows at
-      // the default), the same discipline as encode's merge-literal
-      // load — and the longest provably-sequential-equivalent prefix
-      // is applied in ONE projection pass. A 32k-merge vocabulary is
-      // then ~32k/batch scheduled rounds instead of 32k (the driver
-      // loop, not the data, is the wall at real vocabulary sizes).
-      val top = seq
-        .select(col("n"), split(trim(col("s")), " +").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("n"), explode(expr(
-          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS l, ts[i + 1] AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("c"))
+      // one recount (or maintained-table read) per BATCH, not per
+      // merge: the top (maxBatch + 1) pairs come to the driver —
+      // model-sized (≤ 17 narrow rows at the default), the same
+      // discipline as encode's merge-literal load — and the longest
+      // provably-sequential-equivalent prefix is applied in ONE
+      // projection pass. A 32k-merge vocabulary is then ~32k/batch
+      // scheduled rounds instead of 32k (the driver loop, not the
+      // data, is the wall at real vocabulary sizes).
+      val top = (if (incremental) counts else pairCounts(seq))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(math.min(maxBatch, k - rank + 1) + 1)
         .collect()
@@ -185,11 +232,33 @@ object Bpe {
         }
         if (rank <= k) {
           val prev = seq
-          seq = seq
-            .withColumn("s", batch.foldLeft(col("s")) { case (s, (l, r, _)) =>
-              applyMerge(s, lit(l), lit(r))
-            })
-            .localCheckpoint()
+          val applied = batch.foldLeft(col("s")) { case (s, (l, r, _)) =>
+            applyMerge(s, lit(l), lit(r))
+          }
+          if (incremental) {
+            // affected = any member's site present pre-merge (exact by
+            // symbol-disjointness — see the contract note above)
+            val hit = batch.map { case (l, r, _) =>
+              col("s").contains(s" $l  $r ")
+            }.reduce(_ || _)
+            val affectedOld = prev.where(hit)
+            val affectedNew = affectedOld.withColumn("s", applied)
+            val prevCounts = counts
+            counts = counts
+              .unionByName(pairCounts(affectedNew))
+              .unionByName(pairCounts(affectedOld)
+                .withColumn("c", -col("c")))
+              .groupBy(col("l"), col("r"))
+              .agg(sum(col("c")).as("c"))
+              .where(col("c") > 0)
+              .localCheckpoint()
+            graft.core.IterCheckpoint.release(prevCounts)
+            seq = prev
+              .withColumn("s", when(hit, applied).otherwise(col("s")))
+              .localCheckpoint()
+          } else {
+            seq = prev.withColumn("s", applied).localCheckpoint()
+          }
           // prev's word-dict-sized blocks are dead once the new round
           // has materialized from them
           graft.core.IterCheckpoint.release(prev)

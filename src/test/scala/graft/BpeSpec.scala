@@ -117,8 +117,8 @@ class BpeSpec extends SparkSpecBase {
 
   test("batched rounds == sequential rounds == model (the safe-batch contract)") {
     import spark.implicits._
-    def runB(dict: Seq[(String, Long)], k: Int, b: Int) =
-      Bpe.trainMerges(dict.toDF("word", "n"), k, maxBatch = b)
+    def runB(dict: Seq[(String, Long)], k: Int, b: Int, inc: Boolean = true) =
+      Bpe.trainMerges(dict.toDF("word", "n"), k, maxBatch = b, incremental = inc)
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .sortBy(_._1).toSeq
@@ -160,6 +160,13 @@ class BpeSpec extends SparkSpecBase {
       Seq(("b", "b", 27L), ("bb", "bb", 9L)))
     for (b <- Seq(2, 4, 16))
       assert(runB(selfPair, 4, b) === sp1, s"self-pair batched(b=$b) diverged")
+    // incremental count maintenance == full per-round recount, on the
+    // corpus crafted to trip every batching condition (affected-word
+    // filter + delta merge must track the same counts the full recount
+    // sees, including near-exhaustion where zero-count rows must drop)
+    for ((d, k) <- Seq((crafted, 12), (selfPair, 4), (Seq(("ab", 3L)), 5)))
+      assert(runB(d, k, 16, inc = false) === runB(d, k, 16),
+        s"incremental diverged on $d")
   }
 
   /** In-memory mirror of [[Bpe.trainMerges]]'s batched driver loop —
