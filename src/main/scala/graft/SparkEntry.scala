@@ -3105,12 +3105,22 @@ object SparkEntry {
 
     // … continued to the finished training set: the curated pool
     // packed into fixed token-budget sequences per source — curate →
-    // mix → pack, the whole corpus-to-batches story in one DAG.
+    // mix → pack, the whole corpus-to-batches story in one DAG. The
+    // curated frame is localCheckpoint'd before packing: it is TINY
+    // (the survivor rows — 295 at the 100× soak) with the engine's
+    // most expensive lineage (quality × langid × dedup × clustering),
+    // and packByBudget's prefix scan consumes its input twice (bucket
+    // totals + running sums). Exchange reuse cannot collapse the two
+    // consumers here — the self-join re-alias clones the subtree and
+    // the token-count lambdas defeat canonical equality — so the
+    // materialization is the seam (same rationale as the iterative
+    // resolvers' internal checkpoints; measured in SCALE.md r14).
     "docs_training_set" -> ((s, dir) =>
       Curation.packByBudget(
         curatedDocs(s, dir).select(col("doc_id"), col("n_tokens"))
           .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
-            "doc_id"),
+            "doc_id")
+          .localCheckpoint(),
         budgetTokens = PackBudgetTokens)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))),
 

@@ -157,7 +157,9 @@ object ScaleProbe {
         val name = args.lift(1).getOrElse(sys.error("explain <query> [sfDir]"))
         val dir2 = args.lift(2).getOrElse("/root/testdata/sf0.01")
         val df = graft.SparkEntry.queries(name)(spark, dir2)
-        df.write.format("noop").mode("overwrite").save()
+        // execute THIS queryExecution (a write would execute a copy and
+        // leave this plan isFinalPlan=false, hiding runtime reuse)
+        df.queryExecution.toRdd.count()
         println(df.queryExecution.executedPlan.toString)
       case other =>
         System.err.println(s"unknown probe: $other")

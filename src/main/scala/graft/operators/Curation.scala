@@ -616,23 +616,44 @@ object Curation {
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val bucketWidth = math.max(1L, 4294967296L / buckets)
+    // materialized-once seam: both consumers below need clustering on
+    // (strata, __b), so one explicit repartition on exactly those keys
+    // is the only big-frame exchange — AQE's ReusedExchange then
+    // computes the upstream ONCE. For the seam to actually reuse, the
+    // two consumers' exchange SUBTREES must be identical after column
+    // pruning, which is why the bucket total is computed as a WINDOW
+    // over the same (partition, order) spec as the running sum instead
+    // of a groupBy aggregate: the aggregate's branch pruned __o/idCol
+    // out of its exchange child (it needs neither), splitting the
+    // exchange in two and re-running the entire input DAG per
+    // consumer — for docs_training_set that input is the curate
+    // pipeline (quality × langid × dedup), the capstone's dominant
+    // cost at the 100× soak.
     val tagged = df
       .withColumn("__o", hashOrder(col(idCol)))
       .withColumn("__b", expr(s"__o div ${bucketWidth}L"))
-    val offsets = tagged
+      .repartition(col(strataCol), col("__b"))
+    val wBucket = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__o"), col(idCol))
+    val bucketed = tagged
+      .withColumn("__run", sum(col(weightCol)).over(
+        wBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__btot", sum(col(weightCol)).over(
+        wBucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // cross-bucket offsets: one row per (stratum, bucket) — the frame
+    // is buckets-sized after the no-exchange aggregate (input already
+    // clustered on the keys), so its own stratum window is tiny
+    val offsets = bucketed
       .groupBy(col(strataCol), col("__b"))
-      .agg(sum(col(weightCol)).as("__bw"))
+      .agg(max(col("__btot")).as("__bw"))
       .withColumn("__off", coalesce(
         sum(col("__bw")).over(Window.partitionBy(col(strataCol)).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(strataCol), col("__b"), col("__off"))
-    val wBucket = Window.partitionBy(col(strataCol), col("__b"))
-      .orderBy(col("__o"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
+    bucketed
       .join(broadcast(offsets), Seq(strataCol, "__b"))
-      .withColumn("__cum", col("__off") + sum(col(weightCol)).over(wBucket))
-      .drop("__off")
+      .withColumn("__cum", col("__off") + col("__run"))
+      .drop("__off", "__run", "__btot")
   }
 
   /** Per-domain document cap — the C4/RefinedWeb-style "at most k
