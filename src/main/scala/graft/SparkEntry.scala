@@ -3132,6 +3132,12 @@ object SparkEntry {
     // list, identical to one-merge-per-round greedy (BpeSpec pins it).
     "text_bpe_vocab" -> ((s, dir) =>
       Bpe.train(T(s, dir, "documents"), BpeMergeRounds)),
+    // the incremental-maintenance dial (the multi-GB-dictionary path)
+    // certified at the ORACLE level, not just by spec equality: same
+    // greedy contract, so the same DuckDB oracle must hash-match it
+    "text_bpe_vocab_inc" -> ((s, dir) =>
+      Bpe.trainMerges(Bpe.wordDict(T(s, dir, "documents")),
+        BpeMergeRounds, incremental = true)),
     // … and the encode step under that vocabulary: the collected merge
     // list (the model artifact — k rows) enters the plan as literals;
     // the corpus pass is one narrow per-word projection + one doc agg.
@@ -5295,6 +5301,9 @@ object SparkEntry {
          |      < permille""".stripMargin,
 
     "text_bpe_vocab" -> bpeOracleSql,
+    // the incremental dial must produce the SAME merge list — one
+    // oracle, two engine paths
+    "text_bpe_vocab_inc" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
 
     // the oracle runs the selection as ONE global cumsum per source in
