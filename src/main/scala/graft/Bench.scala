@@ -73,8 +73,11 @@ object Bench {
       var chk = mixChecksum(42L, Iters)
       val oneT = (System.nanoTime() - t0) / 1e9
       val results = new Array[Long](threads)
+      // thread seeds are DISJOINT from the 1-thread run's seed 42: a
+      // shared seed would XOR-cancel in the recorded checksum and the
+      // artifact could no longer prove both loops actually ran
       val ts = (0 until threads).map { t =>
-        new Thread(() => results(t) = mixChecksum(42L + t, Iters))
+        new Thread(() => results(t) = mixChecksum(1042L + t, Iters))
       }
       val t1 = System.nanoTime()
       ts.foreach(_.start()); ts.foreach(_.join())
@@ -164,9 +167,13 @@ object Bench {
         .findAllMatchIn(record)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .toMap
-    recentRecords(sfDir, historyPath)
+    // parse failures degrade to empty, never abort a bench: a
+    // hand-edited line like "sec":1..5 still matches [0-9.]+ and its
+    // toDouble would otherwise crash main AFTER the battery ran
+    try recentRecords(sfDir, historyPath)
       .flatMap(r => okSecs(r).toSeq)
       .groupMapReduce(_._1)(_._2)(math.min)
+    catch { case _: Throwable => Map.empty }
   }
 
   /** Best (min) multi-thread probe time across the same history records
@@ -176,11 +183,13 @@ object Bench {
   def priorProbeMt(
       sfDir: String,
       historyPath: String = "BENCH_HISTORY.jsonl"): Option[Double] = {
-    val vals = recentRecords(sfDir, historyPath)
-      .flatMap(""""pre_mt":([0-9.]+)""".r.findFirstMatchIn(_))
-      .map(_.group(1).toDouble)
-      .filter(_ > 0)
-    if (vals.isEmpty) None else Some(vals.min)
+    try {
+      val vals = recentRecords(sfDir, historyPath)
+        .flatMap(""""pre_mt":([0-9.]+)""".r.findFirstMatchIn(_))
+        .map(_.group(1).toDouble)
+        .filter(_ > 0)
+      if (vals.isEmpty) None else Some(vals.min)
+    } catch { case _: Throwable => None } // malformed value ≠ no bench
   }
 
   /** Append this run's full record to BENCH_HISTORY.jsonl, pruning to

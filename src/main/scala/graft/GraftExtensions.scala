@@ -74,7 +74,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType, vt, _)
           if e.foldable && integral(vt) =>
-        e.eval() match {
+        // CreateMap.eval throws a raw RuntimeException on duplicate
+        // keys (mapKeyDedupPolicy=EXCEPTION) — surface it as the same
+        // positioned AnalysisException as every other argument error
+        (try e.eval()
+        catch {
+          case ex: RuntimeException =>
+            analysisError(s"$fn: $what is not a valid map literal: " +
+              s"${ex.getMessage}", e)
+        }) match {
           case null => analysisError(s"$fn: $what must not be NULL", e)
           case m: org.apache.spark.sql.catalyst.util.MapData =>
             val keys = m.keyArray()
@@ -761,11 +769,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val df = tableOf("mixture_budget", exprs.head)
         val budgets = foldStringLongMap("mixture_budget", "budgets_map", exprs(1))
         val dflt = foldLong("mixture_budget", "default_budget", exprs(2))
-        (budgets.map(_._2) :+ dflt).find(_ < 0).foreach { b =>
+        // anchor the error to the argument the offending value came
+        // from (a negative map entry points at the map even when the
+        // default is also negative)
+        budgets.map(_._2).find(_ < 0).foreach { b =>
           analysisError(
             s"mixture_budget: budgets are token counts and must be >= 0, got $b",
-            exprs(if (dflt < 0) 2 else 1))
+            exprs(1))
         }
+        if (dflt < 0) analysisError(
+          s"mixture_budget: budgets are token counts and must be >= 0, got $dflt",
+          exprs(2))
         def strArg(i: Int, what: String, default: String) =
           if (exprs.length > i) foldString("mixture_budget", what, exprs(i))
           else default

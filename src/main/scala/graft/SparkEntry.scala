@@ -816,7 +816,7 @@ object SparkEntry {
     * gate). The twin overwrites ONE byte in place at offset 11 — the
     * byte-level corruption a pixel tweak / bit-rot produces, the
     * perturbation class phash exists for. */
-  private def phashCorpus(
+  private[graft] def phashCorpus(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = T(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -127,11 +127,10 @@ object ScaleProbe {
         import org.apache.spark.sql.functions._
         import graft.operators.Multimodal
         val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.01")
-        val base = spark.read.parquet(s"$dir2/documents.parquet")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        val twins = base.where(col("doc_id") % 101 === 0)
-          .select((-col("doc_id") - 1L).as("doc_id"),
-            overlay(col("payload"), lit(Array[Byte](0x00)), lit(11)).as("payload"))
+        // the battery's OWN corpus/twin generator — one definition, so
+        // the measured distances can never drift from what the battery
+        // (and the PHashScaledMidHammingWide cutoff it justifies) sees
+        val (base, twins) = graft.SparkEntry.phashCorpus(spark, dir2)
         val words = Multimodal.PHashScaledBlocks / 64
         val sigs = Multimodal.pHashSignaturesWide(
           base.unionByName(twins), "doc_id", "payload")

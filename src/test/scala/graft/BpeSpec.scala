@@ -148,7 +148,11 @@ class BpeSpec extends SparkSpecBase {
         (Seq.fill(len)("abcdef" (rnd.nextInt(6))).mkString, 1L + rnd.nextInt(9))
       }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
       val seqr = runB(dict, 10, 1)
-      assert(runB(dict, 10, 16) === seqr, s"seed $seed batched diverged")
+      // BOTH engine paths on the random dicts: full recount (the
+      // production default) and incremental count maintenance
+      assert(runB(dict, 10, 16, inc = false) === seqr,
+        s"seed $seed full-recount batched diverged")
+      assert(runB(dict, 10, 16) === seqr, s"seed $seed incremental diverged")
     }
     // the self-pair counterexample (safeBatch condition 4): merging
     // (b,b) over "bbbb" MINTS (bb,bb) with the self-pair's own count 9,

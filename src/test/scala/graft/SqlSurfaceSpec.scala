@@ -331,6 +331,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
       s2.sql("SELECT * FROM mixture_budget('docs', 'not_a_map', 600)").collect()
     }
     assert(badMap.getMessage.contains("foldable map"), badMap.getMessage)
+    // duplicate map keys: CreateMap.eval raises a raw RuntimeException
+    // under mapKeyDedupPolicy=EXCEPTION — the surface must translate it
+    // into the same positioned AnalysisException as other bad arguments
+    val dupKey = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM mixture_budget('docs', map('web', 1, 'web', 2), 600)")
+        .collect()
+    }
+    assert(dupKey.getMessage.contains("not a valid map literal"),
+      dupKey.getMessage)
+    // a negative map entry anchors to the MAP argument even when the
+    // default budget is also negative
+    val bothNeg = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM mixture_budget('docs', map('a', -5), -1)").collect()
+    }
+    assert(bothNeg.getMessage.contains("got -5"), bothNeg.getMessage)
     val negBudget = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM mixture_budget('docs', map('a', -5), 600)").collect()
     }
