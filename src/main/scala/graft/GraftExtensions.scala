@@ -101,9 +101,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case v => analysisError(s"$fn: $what out of range: $v", e)
         }
       // an empty `map()` literal types as map<string,string> — accept
-      // any foldable EMPTY map as "no overrides"
+      // any foldable EMPTY map as "no overrides". The guard's eval gets
+      // the same duplicate-key translation as the integral path: a
+      // foldable map('a','x','a','y') throws from CreateMap.eval right
+      // here, and must surface as the positioned argument error, not a
+      // raw SparkRuntimeException (the r14 advice).
       case _: org.apache.spark.sql.types.MapType if e.foldable &&
-          (e.eval() match {
+          ((try e.eval()
+          catch {
+            case ex: RuntimeException =>
+              analysisError(s"$fn: $what is not a valid map literal: " +
+                s"${ex.getMessage}", e)
+          }) match {
             case m: org.apache.spark.sql.catalyst.util.MapData => m.numElements() == 0
             case _ => false
           }) =>

@@ -48,6 +48,25 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("score_milli"))
   }
 
+  /** One-slot localCheckpoint seam per (session, key): releases the
+    * PREVIOUS build's blocks when a query re-checkpoints the same seam
+    * (bench reps, drift retries, soak baselines, tests), so repeated
+    * builds don't accumulate blocks for the session lifetime — the
+    * same release discipline as the iterative resolvers' in-loop
+    * checkpoints (the r14 advice). Single-builder contract: queries
+    * are built sequentially in every harness path (Bench, Verify,
+    * sbt test default), so releasing the predecessor is safe. */
+  private val seamSlots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def seamCheckpoint(key: String, df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    val prev = seamSlots.put((df.sparkSession, key), cp)
+    if (prev != null)
+      try graft.core.IterCheckpoint.release(prev)
+      catch { case _: IllegalArgumentException => () }
+    cp
+  }
+
   /** Exact decimal for prices / balances / values (≤ 10^10, 2 dp). */
   private def decP(c: Column): Column = c.cast("decimal(12,2)")
 
@@ -3117,10 +3136,10 @@ object SparkEntry {
     // resolvers' internal checkpoints; measured in SCALE.md r14).
     "docs_training_set" -> ((s, dir) =>
       Curation.packByBudget(
-        curatedDocs(s, dir).select(col("doc_id"), col("n_tokens"))
-          .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
-            "doc_id")
-          .localCheckpoint(),
+        seamCheckpoint("docs_training_set:" + dir,
+          curatedDocs(s, dir).select(col("doc_id"), col("n_tokens"))
+            .join(T(s, dir, "documents").select(col("doc_id"), col("source")),
+              "doc_id")),
         budgetTokens = PackBudgetTokens)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))),
 

@@ -265,6 +265,12 @@ object Bpe {
         }
       }
     }
+    // the merge list is fully collected — the final round's seq (and,
+    // in incremental mode, the final maintained counts) blocks are
+    // dead; release them like every per-round predecessor so repeated
+    // trainings don't accumulate blocks for the session lifetime
+    graft.core.IterCheckpoint.release(seq)
+    if (counts != null) graft.core.IterCheckpoint.release(counts)
     import session.implicits._
     val out =
       if (merges.isEmpty)

@@ -50,14 +50,17 @@ class BenchProbeSpec extends AnyFunSuite {
     }
   }
 
-  test("priorProbeMt: min pre_mt over the same matching-sf records; None when absent") {
+  test("priorProbeMt: MEDIAN pre_mt over the same matching-sf records; None when absent") {
     withHistory(Seq(
       rec("/d/sf1", "q1", 9.0, ok = true, probeMt = Some(0.1)), // wrong sf
       rec("/d/sf0.1", "q1", 2.0, ok = true),                    // probe-less era
       rec("/d/sf0.1", "q1", 1.5, ok = true, probeMt = Some(0.42)),
       rec("/d/sf0.1", "q1", 1.6, ok = true, probeMt = Some(0.37))
     )) { path =>
-      assert(Bench.priorProbeMt("/d/sf0.1", path) === Some(0.37))
+      // median, not min (r14 advice: a min denominator turns ordinary
+      // probe jitter into a permanently loosened drift trigger) —
+      // even count takes the upper median: sorted [0.37, 0.42] → 0.42
+      assert(Bench.priorProbeMt("/d/sf0.1", path) === Some(0.42))
       // no probe anywhere in matching records → None → host-ratio 1
       withHistory(Seq(rec("/d/sf0.1", "q1", 2.0, ok = true))) { p2 =>
         assert(Bench.priorProbeMt("/d/sf0.1", p2) === None)
@@ -70,8 +73,17 @@ class BenchProbeSpec extends AnyFunSuite {
       rec("/d/sf0.1", "q1", i.toDouble, ok = true, probeMt = Some(i.toDouble))
     }
     withHistory(lines) { path =>
-      // probes 1.0 and 2.0 fell off the takeRight(HistoryDepth) window
-      assert(Bench.priorProbeMt("/d/sf0.1", path) === Some(3.0))
+      // probes 1.0 and 2.0 fell off the takeRight(HistoryDepth) window;
+      // median of the surviving [3,4,5] is 4
+      assert(Bench.priorProbeMt("/d/sf0.1", path) === Some(4.0))
     }
+  }
+
+  test("host-ratio noise floor: sub-1.15 jitter must not loosen the trigger") {
+    // the floor is applied in main()'s hostRatio; assert the constant
+    // here so a silent removal fails a test, and pin the arithmetic
+    // the floor exists for: 0.68/0.62 ≈ 1.10 < floor → ratio stays 1
+    assert(Bench.HostRatioFloor === 1.15)
+    assert(0.68 / 0.62 < Bench.HostRatioFloor)
   }
 }

@@ -340,6 +340,15 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
     assert(dupKey.getMessage.contains("not a valid map literal"),
       dupKey.getMessage)
+    // … and so must a duplicate-key NON-integral map: it types as
+    // map<string,string>, so it reaches the empty-map fallback guard,
+    // whose eval must get the same translation (r14 advice)
+    val dupKeyStr = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM mixture_budget('docs', map('a', 'x', 'a', 'y'), 600)")
+        .collect()
+    }
+    assert(dupKeyStr.getMessage.contains("not a valid map literal"),
+      dupKeyStr.getMessage)
     // a negative map entry anchors to the MAP argument even when the
     // default budget is also negative
     val bothNeg = intercept[org.apache.spark.sql.AnalysisException] {
