@@ -1032,6 +1032,12 @@ object SparkEntry {
   /** Token budget per pack for the sequence-packing query. */
   val PackBudgetTokens: Long = 512L
 
+  /** Q18-shape HAVING threshold: sum(l_quantity) per order must exceed
+    * this. 250 keeps the subquery selective (~1.4% of orders at
+    * sf0.01) while leaving enough qualifiers that the top-100 limit
+    * actually bites. */
+  val Q18MinQty: Int = 250
+
   /** percentile_approx accuracy dial: rank error ≤ n/accuracy. */
   val ApproxQuantileAccuracy: Int = 10000
 
@@ -2109,6 +2115,34 @@ object SparkEntry {
           (lit(1) - decQ(col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q18 shape: a group-agg SUBQUERY over the fact table feeding
+    // a top-k join pipeline at the fact-fact level (big-quantity
+    // orders × orders × customer). One deliberate improvement over the
+    // textbook formulation: the classic Q18 re-joins lineitem and
+    // re-aggregates sum(l_quantity) a second time after the HAVING
+    // subquery — but the subquery already computed exactly that sum
+    // per order, so this plan reuses it and scans lineitem ONCE. The
+    // agg→filter side stays a shuffle equijoin (it is fact-derived and
+    // grows with the corpus — broadcasting it would be a 100× trap);
+    // AQE converts it at runtime when the HAVING is selective enough.
+    // Top-k compiles to TakeOrderedAndProject (never a global sort);
+    // ties on (o_totalprice, o_orderdate) are broken by the unique
+    // o_orderkey so the limit is deterministic. PlanShapeSpec pins
+    // the shape; lineitem's scan must read only 2 of 11 columns.
+    "q18_big_orders" -> ((s, dir) => {
+      val bigOrders = T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(money(sum(decQ(col("l_quantity")))).as("sum_qty"))
+        .filter(col("sum_qty") > Q18MinQty)
+      T(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
     }),
 
     "q5_region_revenue" -> ((s, dir) => {
@@ -4068,6 +4102,18 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q18_big_orders" ->
+      s"""WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(4,2))), 2) AS DOUBLE) > ${Q18MinQty})
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

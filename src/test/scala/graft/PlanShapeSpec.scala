@@ -55,6 +55,32 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("q18 shape: single lineitem scan pruned to 2 columns, top-k never sorts globally") {
+    val p = plan("q18_big_orders")
+    // the agg subquery's sum is REUSED — exactly one lineitem scan
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1,
+      s"q18 must scan lineitem once (sum_qty reused from the subquery):\n${p.take(3000)}")
+    // ... and that scan reads only (l_orderkey, l_quantity) of 11 cols
+    assert(p.contains("l_quantity") && !p.contains("l_extendedprice"),
+      "lineitem scan reads columns q18 never uses:\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q18 top-100 must be TakeOrderedAndProject, not a global sort:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the fact-derived big-orders side must NOT be a structural
+    // broadcast: with size-based broadcasting off (the 100 TB
+    // situation), both joins stay shuffle joins for AQE to re-plan
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p2 = plan("q18_big_orders")
+      val shuffleJoins =
+        "SortMergeJoin".r.findAllIn(p2).size + "ShuffledHashJoin".r.findAllIn(p2).size
+      assert(shuffleJoins === 2,
+        s"q18's two joins must stay shuffle joins:\n${p2.take(3000)}")
+    } finally spark.conf.set(key, old)
+  }
+
   test("similarity operators use the native dot product, not HOFs") {
     for (q <- Seq("emb_topk", "emb_ann_lsh", "emb_ann_ivf", "emb_neardup",
         "emb_ann_lsh_scaled", "emb_ann_ivf_scaled")) {
