@@ -825,5 +825,138 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg(4, "weight_col", "n_tokens"))
           .queryExecution.logical
       }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("substring_dedup"),
+      new ExpressionInfo(
+        graft.operators.NearDup.getClass.getName,
+        null,
+        "substring_dedup",
+        "substring_dedup(table[, id_col, text_col, n, min_docs]) - rewrite " +
+          "each doc with cross-doc duplicated n-gram spans removed except " +
+          "on the canonical (min-id) doc (Lee et al. substring dedup)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 5) analysisError(
+          s"substring_dedup takes 1 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val docs = tableOf("substring_dedup", exprs.head)
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("substring_dedup", what, exprs(i))
+          else default
+        val n =
+          if (exprs.length > 3) foldLong("substring_dedup", "n", exprs(3))
+          else graft.operators.NearDup.ShingleN.toLong
+        if (n < 1 || n > 64) analysisError(
+          s"substring_dedup: n must be in [1, 64], got $n", exprs(3))
+        val minDocs =
+          if (exprs.length > 4) foldLong("substring_dedup", "min_docs", exprs(4))
+          else 2L
+        if (minDocs < 2 || minDocs > Int.MaxValue) analysisError(
+          s"substring_dedup: min_docs must be >= 2, got $minDocs", exprs(4))
+        graft.operators.NearDup.substringDedup(docs,
+          strArg(1, "id_col", "doc_id"), strArg(2, "text_col", "text"),
+          n.toInt, minDocs.toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("winnow_pairs"),
+      new ExpressionInfo(
+        graft.operators.TextAnalysis.getClass.getName,
+        null,
+        "winnow_pairs",
+        "winnow_pairs(table[, id_col, text_col]) - partial-overlap candidate " +
+          "pairs from winnowed fingerprints (the MOSS shape): doc_a, doc_b, " +
+          "shared_fps over the ~2/(w+1) selected k-gram subset",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 3) analysisError(
+          s"winnow_pairs takes 1 to 3 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val docs = tableOf("winnow_pairs", exprs.head)
+        val idCol =
+          if (exprs.length > 1) foldString("winnow_pairs", "id_col", exprs(1))
+          else "doc_id"
+        val textCol =
+          if (exprs.length > 2) foldString("winnow_pairs", "text_col", exprs(2))
+          else "text"
+        graft.operators.TextAnalysis.winnowPairs(docs, idCol, textCol)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("phash_pairs"),
+      new ExpressionInfo(
+        graft.operators.Multimodal.getClass.getName,
+        null,
+        "phash_pairs",
+        "phash_pairs(table[, id_col, bin_col, bands, max_hamming]) - exact " +
+          "perceptual-hash near-duplicate pairs of binary payloads within " +
+          "max_hamming signature bits (band-PAIR candidates; exact only " +
+          "while bands - max_hamming >= 2)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 5) analysisError(
+          s"phash_pairs takes 1 to 5 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val df = tableOf("phash_pairs", exprs.head)
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("phash_pairs", what, exprs(i))
+          else default
+        val bands =
+          if (exprs.length > 3) foldLong("phash_pairs", "bands", exprs(3))
+          else graft.operators.Multimodal.PHashBands.toLong
+        if (bands < 2 || bands > 64) analysisError(
+          s"phash_pairs: bands must be in [2, 64], got $bands", exprs(3))
+        val maxHamming =
+          if (exprs.length > 4) foldLong("phash_pairs", "max_hamming", exprs(4))
+          else graft.operators.Multimodal.PHashMaxHamming.toLong
+        if (maxHamming < 0) analysisError(
+          s"phash_pairs: max_hamming must be >= 0, got $maxHamming", exprs(4))
+        // the operator's own exactness precondition, surfaced as a
+        // positioned analysis error instead of a builder-time require
+        if (bands - maxHamming < 2) analysisError(
+          s"phash_pairs: exact only when bands - max_hamming >= 2, " +
+            s"got bands=$bands, max_hamming=$maxHamming",
+          exprs(math.min(exprs.length - 1, 4)))
+        graft.operators.Multimodal.pHashPairs(df,
+          strArg(1, "id_col", "doc_id"), strArg(2, "bin_col", "payload"),
+          bands.toInt, maxHamming.toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("bfs"),
+      new ExpressionInfo(
+        graft.operators.Graph.getClass.getName,
+        null,
+        "bfs",
+        "bfs(edges_table, seeds_table[, max_hops, src_col, dst_col, seed_id_col]) - " +
+          "frontier BFS distances (id, dist) from the seed set over the " +
+          "edge list, up to max_hops",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 6) analysisError(
+          s"bfs takes 2 to 6 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val edges = tableOf("bfs", exprs.head)
+        val seeds = tableOf("bfs", exprs(1))
+        val maxHops =
+          if (exprs.length > 2) foldLong("bfs", "max_hops", exprs(2))
+          else 4L
+        // cap the DRIVER loop: each hop is two shuffle joins built at
+        // analysis time — an unbounded literal would let one SQL call
+        // schedule thousands of stages
+        if (maxHops < 1 || maxHops > 1000) analysisError(
+          s"bfs: max_hops must be in [1, 1000], got $maxHops", exprs(2))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("bfs", what, exprs(i))
+          else default
+        graft.operators.Graph.bfs(edges, seeds, maxHops.toInt,
+          strArg(3, "src_col", "src"), strArg(4, "dst_col", "dst"),
+          strArg(5, "seed_id_col", "id"))
+          .queryExecution.logical
+      }))
   }
 }

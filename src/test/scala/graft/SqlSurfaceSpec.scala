@@ -373,6 +373,102 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(missing.getMessage.contains("no_such_docs"), missing.getMessage)
   }
 
+  test("substring_dedup('docs') equals NearDup.substringDedup") {
+    val viaSql = s2.sql("SELECT * FROM substring_dedup('docs')")
+    val viaApi = NearDup.substringDedup(s2.table("docs"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // every dial rides through: n and min_docs
+    assert(rows(s2.sql("SELECT * FROM substring_dedup('docs', 'doc_id', 'text', 4, 3)"))
+      === rows(NearDup.substringDedup(s2.table("docs"), n = 4, minDocs = 3)))
+  }
+
+  test("winnow_pairs('docs') equals TextAnalysis.winnowPairs") {
+    val viaSql = s2.sql("SELECT * FROM winnow_pairs('docs')")
+    val viaApi = graft.operators.TextAnalysis.winnowPairs(s2.table("docs"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+  }
+
+  test("phash_pairs('bins') equals Multimodal.pHashPairs") {
+    // binary payloads synthesized from the docs fixture (text bytes),
+    // plus planted exact twins (id-offset copies of every 20th doc) so
+    // the non-empty assertion can't depend on fixture luck
+    val base = s2.table("docs")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    base.unionByName(
+      base.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("payload")))
+      .createOrReplaceTempView("bins")
+    val viaSql = s2.sql("SELECT * FROM phash_pairs('bins')")
+    val viaApi = graft.operators.Multimodal.pHashPairs(s2.table("bins"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // the geometry dials ride through
+    assert(rows(s2.sql("SELECT * FROM phash_pairs('bins', 'doc_id', 'payload', 8, 4)"))
+      === rows(graft.operators.Multimodal.pHashPairs(
+        s2.table("bins"), bands = 8, maxHamming = 4)))
+  }
+
+  test("bfs('edges', 'seeds') equals Graph.bfs") {
+    import s2.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 1L))
+      .toDF("src", "dst").createOrReplaceTempView("edges")
+    Seq(Tuple1(1L), Tuple1(5L)).toDF("id").createOrReplaceTempView("seeds")
+    val viaSql = s2.sql("SELECT * FROM bfs('edges', 'seeds', 2)")
+    val viaApi = graft.operators.Graph.bfs(
+      s2.table("edges"), s2.table("seeds"), maxHops = 2)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    // seed 1 reaches 2 (1 hop) then 3 (2 hops); seed 5 reaches 6 then 1
+    // (already seeded → not re-reached): exactly {1,5}@0 {2,6}@1 {3}@2
+    assert(rows(viaSql) === Set("[1,0]", "[5,0]", "[2,1]", "[6,1]", "[3,2]"))
+    // custom column names ride through
+    Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("edges2")
+    Seq(Tuple1(1L)).toDF("n").createOrReplaceTempView("seeds2")
+    assert(rows(s2.sql("SELECT * FROM bfs('edges2', 'seeds2', 1, 'a', 'b', 'n')"))
+      === Set("[1,0]", "[2,1]"))
+  }
+
+  test("substring_dedup / winnow_pairs / phash_pairs / bfs argument errors fail analysis") {
+    val badN = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM substring_dedup('docs', 'doc_id', 'text', 0)").collect()
+    }
+    assert(badN.getMessage.contains("n must be"), badN.getMessage)
+    val badMinDocs = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM substring_dedup('docs', 'doc_id', 'text', 3, 1)").collect()
+    }
+    assert(badMinDocs.getMessage.contains("min_docs must be >= 2"), badMinDocs.getMessage)
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM winnow_pairs('no_such_view')").collect()
+    }
+    assert(missing.getMessage.contains("no_such_view"), missing.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM winnow_pairs('docs', 'doc_id', 'text', 'extra')").collect()
+    }
+    // the pigeonhole exactness precondition is an ANALYSIS error, not a
+    // builder-time require: bands - max_hamming < 2
+    val inexact = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM phash_pairs('docs', 'doc_id', 'text', 8, 7)").collect()
+    }
+    assert(inexact.getMessage.contains("bands - max_hamming >= 2"), inexact.getMessage)
+    val badBands = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM phash_pairs('docs', 'doc_id', 'text', 1, 0)").collect()
+    }
+    assert(badBands.getMessage.contains("bands must be"), badBands.getMessage)
+    val badHops = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM bfs('docs', 'docs', 0)").collect()
+    }
+    assert(badHops.getMessage.contains("max_hops must be"), badHops.getMessage)
+    val hugeHops = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM bfs('docs', 'docs', 100000)").collect()
+    }
+    assert(hugeHops.getMessage.contains("max_hops must be"), hugeHops.getMessage)
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
