@@ -845,7 +845,7 @@ object SparkEntry {
     (base, twins)
   }
 
-  private def dirtyCustomers(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dirtyCustomers(s: SparkSession, dir: String): DataFrame = {
     val nm = col("c_name")
     val pos = (col("c_custkey") % length(nm).cast("long")).cast("int") + 1
     val orig = nm.substr(pos, lit(1))

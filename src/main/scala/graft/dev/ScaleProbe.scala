@@ -118,6 +118,41 @@ object ScaleProbe {
         val (fullSec, fullRows) = once(inc = false)
         val (incSec, incRows) = once(inc = true)
         println(f"""{"probe":"bpe_k1024","k":$kProbe,"dict_words":${dict.count()},"full_recount_sec":$fullSec%.2f,"incremental_sec":$incSec%.2f,"merges":${fullRows.size},"merges_inc":${incRows.size},"equal":${fullRows == incRows}}""")
+      case "bpe_crossover" =>
+        // the full incremental-vs-recount crossover table the r14
+        // verdict asked for: k ∈ {64, 256, 1024, 4096} × dict ∈
+        // {1× = sf0.01 replicated 100×, 10× = sf0.1 replicated 100×}
+        // wall for both paths, merge-list equality per cell. SCALE.md
+        // records the table; the crossover point is where the
+        // incremental dial starts winning per dict size.
+        val ks = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(64, 256, 1024, 4096))
+        val dicts = Seq(
+          ("d1", "/root/testdata/sf0.01"),
+          ("d10", "/root/testdata/sf0.1"))
+        val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+        dicts.foreach { case (tag, dir2) =>
+          val dict = graft.operators.Bpe.wordDict(
+            graft.Soak.replicatedDocs(spark, dir2, 100)).localCheckpoint()
+          val words = dict.count()
+          graft.operators.Bpe.trainMerges(dict, 8).count() // warmup
+          ks.foreach { k =>
+            def once(inc: Boolean): (Double, Seq[String]) = {
+              val t0 = System.nanoTime()
+              val rows = graft.operators.Bpe
+                .trainMerges(dict, k, maxBatch = 16, incremental = inc)
+                .collect().map(_.toString).sorted.toSeq
+              ((System.nanoTime() - t0) / 1e9, rows)
+            }
+            val (fullSec, fullRows) = once(inc = false)
+            val (incSec, incRows) = once(inc = true)
+            cells += f"""{"dict":"$tag","words":$words,"k":$k,"full_sec":$fullSec%.2f,"inc_sec":$incSec%.2f,"speedup":${fullSec / incSec}%.2f,"merges":${fullRows.size},"equal":${fullRows == incRows}}"""
+            System.err.println(s"[bpe_crossover] done $tag k=$k")
+          }
+          graft.core.IterCheckpoint.release(dict)
+        }
+        println(s"""{"probe":"bpe_crossover","cells":[${cells.mkString(",")}]}""")
+
       case "phash_twin_ham" =>
         // dual-grid Hamming distance of every PLANTED re-encode twin
         // to its origin under the scaled 256-bit signature — the
@@ -148,6 +183,32 @@ object ScaleProbe {
         val cells = rows.map(r =>
           s"""{"doc_id":${r.getLong(0)},"ham_primary":${r.get(1)},"ham_midpoint":${r.get(2)}}""")
         println(s"""{"probe":"phash_twin_ham","twins":[${cells.mkString(",")}]}""")
+      case "er_join_hint" =>
+        // third lever on the er_link_dirty2 100x wall: the candidate
+        // equijoin's ALGORITHM. merge (the default; fully spillable)
+        // vs shuffle_hash (per-task hash build over narrow (key, id)
+        // rows — the layout the 10x OOM predates). args:
+        // er_join_hint [sfDir] [soakScale]
+        import org.apache.spark.sql.functions._
+        val scale = args.lift(2).map(_.toInt).filter(_ > 1)
+        val dir2 = scale match {
+          case Some(n) => graft.Soak.materializeDir(spark, sfDir, n)
+          case None => sfDir
+        }
+        def run(hint: String): org.apache.spark.sql.DataFrame =
+          graft.operators.Er.fuzzyJoinBetween(
+            graft.SparkEntry.dirtyCustomers(spark, dir2), "dirty_id", "name",
+            spark.read.parquet(s"$dir2/customer.parquet"), "c_custkey", "c_name",
+            maxEdit = 2, joinHint = hint)
+        run("merge").queryExecution.toRdd.count() // warmup
+        val results = Seq("merge", "shuffle_hash").map { h =>
+          val (sec, _) = minOf2(run(h).queryExecution.toRdd.count())
+          val n = run(h).queryExecution.toRdd.count()
+          (h, sec, n)
+        }
+        val Seq((_, mSec, mN), (_, hSec, hN)) = results
+        println(f"""{"probe":"er_join_hint","sf":"$dir2","scale":${scale.getOrElse(1)},"merge_sec":$mSec%.2f,"shuffle_hash_sec":$hSec%.2f,"ratio":${hSec / mSec}%.3f,"rows_merge":$mN,"rows_shuffle_hash":$hN,"rows_equal":${mN == hN}}""")
+
       case "explain" =>
         // print the EXECUTED adaptive plan of a named battery query
         // (args: explain <query> [sfDir]) — AQE finalizes reuse

@@ -271,21 +271,38 @@ object Er {
       left: DataFrame, leftId: String, leftName: String,
       right: DataFrame, rightId: String, rightName: String,
       maxEdit: Int = 1,
-      maxKeyFreq: Option[Long] = None): DataFrame = {
+      maxKeyFreq: Option[Long] = None,
+      joinHint: String = "merge"): DataFrame = {
     require(maxEdit >= 0 && maxEdit <= 2,
       s"deletion blocking implemented to depth 2 (maxEdit <= 2), got $maxEdit")
     val l = keyed(left, leftId, leftName, maxKeyFreq, maxEdit)
       .select(col("__key"), col("__id").as("left_id"))
     val r = keyed(right, rightId, rightName, maxKeyFreq, maxEdit)
       .select(col("__key"), col("__id").as("right_id"))
-    // sort-merge for the same post-explode underestimation reason as
-    // candidatePairs (both sides are inline key explodes here; the
-    // parquet-backed streaming path — fuzzyPairsFromKeys — keeps
-    // Spark's choice, its store stats are real file sizes); narrow
-    // (key, id) rows through the big sort, names joined back onto the
-    // distinct pair frame — see rawCandidates for the rationale.
+    // sort-merge BY DEFAULT for the same post-explode underestimation
+    // reason as candidatePairs (both sides are inline key explodes
+    // here; the parquet-backed streaming path — fuzzyPairsFromKeys —
+    // keeps Spark's choice, its store stats are real file sizes);
+    // narrow (key, id) rows through the big sort, names joined back
+    // onto the distinct pair frame — see rawCandidates.
+    //
+    // `joinHint` exists because the join ALGORITHM is the third
+    // measured lever on the 100× er_link_dirty2 wall (r15): after the
+    // r12 narrow-key layout cut the sorted row to (key, id), a
+    // shuffle_hash build is ~volume/partitions rows of 2 narrow
+    // columns per task — no longer the 10× OOM shape measured on the
+    // pre-narrow layout. MEASURED (ScaleProbe "er_join_hint", 32
+    // partitions): sf0.1 merge 4.34 s vs shuffle_hash 3.51 s (0.81×);
+    // 100× soak corpus merge 32.8 s vs shuffle_hash 21.9 s (0.67×) at
+    // identical 35.8M-candidate / 6.8M-link output — the sort, not the
+    // shuffle, was the tail. Default stays "merge": it is the one
+    // fully-SPILLABLE shape, and the hash build's per-task memory
+    // grows with volume/partitions — a deployment that turns this dial
+    // sizes partitions to its executors; the battery runs the dial
+    // (er_link_dirty2 → shuffle_hash) because the soak measures its
+    // envelope at every scale the gates cover.
     confirmJoinedBack(
-      l.join(r.hint("merge"), Seq("__key"))
+      l.join(r.hint(joinHint), Seq("__key"))
         .select(col("left_id"), col("right_id")).distinct(),
       nameSide(left, leftId, leftName, "left_id", "__nl"),
       nameSide(right, rightId, rightName, "right_id", "__nr"),
