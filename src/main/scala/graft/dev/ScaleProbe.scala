@@ -17,9 +17,12 @@ object ScaleProbe {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions override: per-task memory experiments (e.g. the ER
+    // shuffle_hash build) need partitions sized independently of cores
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -201,13 +204,21 @@ object ScaleProbe {
             spark.read.parquet(s"$dir2/customer.parquet"), "c_custkey", "c_name",
             maxEdit = 2, joinHint = hint)
         run("merge").queryExecution.toRdd.count() // warmup
+        // failure-honest per hint: a hash-build OOM is a RESULT here
+        // (the measured null result), not a probe crash
         val results = Seq("merge", "shuffle_hash").map { h =>
-          val (sec, _) = minOf2(run(h).queryExecution.toRdd.count())
-          val n = run(h).queryExecution.toRdd.count()
-          (h, sec, n)
+          try {
+            // minOf2 returns the LAST run's row count — no extra pass
+            val (sec, n) = minOf2(run(h).queryExecution.toRdd.count())
+            (h, f""""${h}_sec":$sec%.2f,"rows_$h":$n""")
+          } catch { case e: Throwable =>
+            val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .toSeq.last.getClass.getSimpleName
+            (h, s""""${h}_error":"$root"""")
+          }
         }
-        val Seq((_, mSec, mN), (_, hSec, hN)) = results
-        println(f"""{"probe":"er_join_hint","sf":"$dir2","scale":${scale.getOrElse(1)},"merge_sec":$mSec%.2f,"shuffle_hash_sec":$hSec%.2f,"ratio":${hSec / mSec}%.3f,"rows_merge":$mN,"rows_shuffle_hash":$hN,"rows_equal":${mN == hN}}""")
+        val parts = spark.conf.get("spark.sql.shuffle.partitions")
+        println(s"""{"probe":"er_join_hint","sf":"$dir2","scale":${scale.getOrElse(1)},"partitions":$parts,${results.map(_._2).mkString(",")}}""")
 
       case "explain" =>
         // print the EXECUTED adaptive plan of a named battery query

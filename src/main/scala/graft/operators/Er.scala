@@ -286,21 +286,29 @@ object Er {
     // narrow (key, id) rows through the big sort, names joined back
     // onto the distinct pair frame — see rawCandidates.
     //
-    // `joinHint` exists because the join ALGORITHM is the third
-    // measured lever on the 100× er_link_dirty2 wall (r15): after the
-    // r12 narrow-key layout cut the sorted row to (key, id), a
-    // shuffle_hash build is ~volume/partitions rows of 2 narrow
-    // columns per task — no longer the 10× OOM shape measured on the
-    // pre-narrow layout. MEASURED (ScaleProbe "er_join_hint", 32
-    // partitions): sf0.1 merge 4.34 s vs shuffle_hash 3.51 s (0.81×);
-    // 100× soak corpus merge 32.8 s vs shuffle_hash 21.9 s (0.67×) at
-    // identical 35.8M-candidate / 6.8M-link output — the sort, not the
-    // shuffle, was the tail. Default stays "merge": it is the one
-    // fully-SPILLABLE shape, and the hash build's per-task memory
-    // grows with volume/partitions — a deployment that turns this dial
-    // sizes partitions to its executors; the battery runs the dial
-    // (er_link_dirty2 → shuffle_hash) because the soak measures its
-    // envelope at every scale the gates cover.
+    // `joinHint` exists because the join ALGORITHM was the third
+    // measured lever on the 100× er_link_dirty2 wall — and it is the
+    // THIRD NULL RESULT (r15, ScaleProbe "er_join_hint"; bloom prune
+    // and hashed keys are the first two, documented above/at the
+    // sibling). The hypothesis: after the r12 narrow-key layout cut
+    // the sorted row to (key, id), a shuffle_hash build might be
+    // ~volume/partitions narrow rows per task — no longer the 10× OOM
+    // shape measured on the pre-narrow layout. MEASURED: at 1×
+    // (sf0.1, 32 partitions) shuffle_hash wins 5.63 vs 7.01 s (0.80×)
+    // at identical 1,367,813-row output — real but irrelevant at that
+    // scale. At the committed 100× spot scale (sf0.01×100, 32
+    // partitions): merge 23.2 s (6.79 M links), shuffle_hash →
+    // SparkOutOfMemoryError in buildHashedRelation. At sf0.1×100 it
+    // OOMs at 32 partitions AND at 256 (static partition sizing is
+    // defeated by AQE coalescing: the narrow key shuffle compresses
+    // small, so AQE merges the 256 back into few giant build
+    // partitions). Rescuing the hint means re-tuning AQE's advisory
+    // size session-wide for one join — not a lever, a liability. The
+    // wall is hereby characterized: merge is the floor for this
+    // contract (fully spillable, survives any key-table size); the
+    // dial stays for executor-rich deployments that can afford the
+    // build memory at THEIR volume/partitions ratio (ErSpec pins
+    // output equality and that the hint actually takes).
     confirmJoinedBack(
       l.join(r.hint(joinHint), Seq("__key"))
         .select(col("left_id"), col("right_id")).distinct(),

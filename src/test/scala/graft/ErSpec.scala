@@ -77,6 +77,15 @@ class ErSpec extends SparkSpecBase {
     val best = Er.bestMatch(links).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(best === Set((100L, 10L, 1)), "dist tie -> smallest right_id")
+    // the joinHint dial changes the join ALGORITHM, never the rows —
+    // and the hint must actually take (a typo'd hint falls back to the
+    // planner silently; the plan assert catches that)
+    val hashed = Er.fuzzyJoinBetween(dirty, "id", "name", clean, "id", "name",
+      joinHint = "shuffle_hash")
+    assert(hashed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === got)
+    assert(hashed.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "shuffle_hash hint did not reach the candidate join")
   }
 
   test("null names are dropped, not matched") {
