@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses a JSON record out of the last ~2000
+// chars of stdout, so the measurement mains' final println must be the
+// LITERAL last stdout line. Two sbt defaults break that: forked runMain
+// output goes through the logger (an "[info] " prefix on every line),
+// and a "[success] Total time: …" banner prints after the run. Pass the
+// forked process's stdout straight through and drop the banner.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by any task — the
+// unused-key lint can't see that; exclude it so every build stays quiet
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,6 +63,23 @@ object Bench {
       x
     }
 
+    /** The multi-thread reading alone — the mid-run re-probe's shape:
+      * the drift baseline ([[Bench.priorProbeMt]]) is a multi-thread
+      * time, so a ratio refresh needs only this half (~0.3-0.9 s
+      * instead of the full pre/post pair). */
+    def measureMt(threads: Int): Double = {
+      val results = new Array[Long](threads)
+      val ts = (0 until threads).map { t =>
+        new Thread(() => results(t) = mixChecksum(1042L + t, Iters))
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      // fold the checksums into a sink the JIT can't elide
+      if (results.foldLeft(0L)(_ ^ _) == 0x5ca1ab1eL) System.err.print("")
+      sec
+    }
+
     /** (seconds on 1 thread, seconds for `threads` threads running the
       * SAME per-thread work concurrently, xor of all checksums). On an
       * unloaded host the two are nearly equal; external contention
@@ -202,6 +219,84 @@ object Bench {
     * healthy host keeps the tight 1.5× trigger (the r14 advice). */
   val HostRatioFloor: Double = 1.15
 
+  /** Floor-and-clamp a probe reading into a trigger-scaling ratio:
+    * sub-floor jitter keeps the tight trigger (ratio 1); a pathological
+    * reading can't disable drift detection entirely (≤ 3). `priorMt`
+    * None (no probe in history) → 1, the pre-probe era's behavior. */
+  def clampRatio(mt: Double, priorMt: Option[Double]): Double =
+    priorMt.map { h =>
+      val r = mt / h
+      if (r < HostRatioFloor) 1.0 else math.min(3.0, r)
+    }.getOrElse(1.0)
+
+  /** After this many CONSECUTIVE drift-trigger firings the retry pass
+    * re-probes the host instead of trusting the pre-run reading. One
+    * contention window hits a couple of adjacent queries; a genuine
+    * mid-run host slowdown makes EVERY query trigger — the r15 driver
+    * record fired 80 futile retries exactly because host_ratio was
+    * computed from the pre-run probe only, while the host degraded 19%
+    * during the battery (post_mt 0.68→0.93). Clustered triggers are
+    * the signature of the latter; the refreshed ratio re-scales the
+    * trigger so a degraded host de-flags the cluster. */
+  val ReprobeAfter: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPROBE_AFTER", "5").toInt)
+
+  /** The retry pass's decision state — extracted from main so the
+    * mid-run re-probe policy is a testable unit (BenchProbeSpec).
+    *
+    * Trigger policy (tightened from the r1-r15 absolute threshold):
+    *  - a query WITH a history baseline retries only on the drift
+    *    trigger `sec > DriftFactor · ratio · prior` — a slow query
+    *    matching its own committed baseline carries no information a
+    *    second pass could correct (the r15 record's 33 legitimately-
+    *    slow queries all re-ran under the old unconditional RetrySec
+    *    rule, pure wasted wall);
+    *  - a query WITHOUT a baseline (new or renamed) keeps the absolute
+    *    [[RetrySec]] threshold — one decorrelated re-pass before its
+    *    first committed time becomes everyone's baseline.
+    *
+    * Re-probe policy: [[ReprobeAfter]] consecutive triggers → call
+    * `probeMt`, refresh `ratio` from the fresh reading (the LATEST
+    * host state, not a running max: if the host recovered, the tight
+    * trigger returns and retries actually help again), and re-evaluate
+    * the query that tripped the re-probe under the new ratio. */
+  final class RetryGate(
+      prior: Map[String, Double],
+      priorMt: Option[Double],
+      preRatio: Double,
+      reprobeAfter: Int = ReprobeAfter,
+      probeMt: () => Double = () => Double.NaN) {
+    private var consecutive = 0
+    /** The ratio the drift trigger is currently using. */
+    var ratio: Double = preRatio
+    /** Mid-run probe readings taken (committed into the record). */
+    val reprobeMts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    /** Wall spent inside mid-run probes. */
+    var reprobeSec: Double = 0.0
+
+    private def triggers(name: String, sec: Double): Boolean =
+      prior.get(name) match {
+        case Some(p) if p > 0 => sec > DriftFactor * ratio * p
+        case _ => sec > RetrySec
+      }
+
+    def shouldRetry(name: String, sec: Double): Boolean =
+      if (!triggers(name, sec)) { consecutive = 0; false }
+      else {
+        consecutive += 1
+        // re-probe only helps when a baseline exists to re-scale against
+        if (consecutive >= reprobeAfter && priorMt.isDefined) {
+          consecutive = 0
+          val t0 = System.nanoTime()
+          val mt = probeMt()
+          reprobeSec += (System.nanoTime() - t0) / 1e9
+          reprobeMts += mt
+          ratio = clampRatio(mt, priorMt)
+          triggers(name, sec) // the tripping query, under the fresh ratio
+        } else true
+      }
+  }
+
   /** Append this run's full record to BENCH_HISTORY.jsonl, pruning to
     * the newest 2×[[HistoryDepth]] lines. Full-battery non-soak runs
     * only (the caller gates): a warm-cache subset run's faster times
@@ -296,6 +391,11 @@ object Bench {
       .filter { case (name, _) =>
         soakScale.isEmpty || Soak.soakQueries(SparkEntry.queries.keySet)(name) }
 
+    // per-query attempt counts (pass-1 reps + retry reps) and the wall
+    // spent in the retry pass — committed so round-over-round totals can
+    // separate battery overhead (retries, probes) from engine cost
+    val attempts = scala.collection.mutable.Map.empty[String, Int]
+
     val results = selected.map { case (name, fn) =>
       // min over Reps runs; stop timing at the first failure (reps of a
       // throwing query would just re-throw and double the error path).
@@ -320,6 +420,7 @@ object Bench {
         if (err.isEmpty && sec < best) best = sec
         rep += 1
       }
+      attempts(name) = rep
       // soak gate: untimed single run against the UNSCALED fixture for
       // the row/candidate baselines the growth bounds compare against.
       // BOTH frames are gated: output rows (what the query emits) and
@@ -353,37 +454,29 @@ object Bench {
     }
 
     // Decorrelated retry pass (non-soak only; soak gates rows, and its
-    // per-query walls would double the run): any clean query slower
-    // than RetrySec — OR slower than DriftFactor× its previous
-    // committed bench entry, which catches sub-second contention
-    // victims the absolute threshold misses — is re-timed now, after
-    // every other query has run, so a contention window during its
-    // battery slot can't be the only sample; the min of both passes is
-    // reported.
+    // per-query walls would double the run): a clean query slower than
+    // DriftFactor × hostRatio × its committed history baseline — or,
+    // for a query with NO baseline yet, slower than the absolute
+    // RetrySec — is re-timed now, after every other query has run, so a
+    // contention window during its battery slot can't be the only
+    // sample; the min of both passes is reported. The trigger's host
+    // ratio starts from the PRE-run probe and is REFRESHED mid-pass by
+    // [[RetryGate]] whenever ReprobeAfter consecutive queries trigger:
+    // that clustering is the signature of a mid-run host slowdown the
+    // pre-only ratio can't see (the r15 record's 80-query storm), and
+    // the refreshed ratio de-flags the cluster instead of burning a
+    // futile retry per query.
     val prior = if (soakScale.isDefined) Map.empty[String, Double] else priorSecs(sfDir)
-    // host-ratio drift scaling: baselines were measured at the history
-    // records' probe speed; if THIS host is currently slower (probe
-    // ratio > 1), every query rides that slowdown and a fixed 1.5×
-    // trigger would mass-retry — scale the trigger by the ratio,
-    // clamped (≥1 keeps the tight trigger on an equal-or-faster host;
-    // ≤3 keeps a pathological probe reading from disabling drift
-    // detection entirely). No probe in history → ratio 1 (old behavior).
-    val hostRatio: Double =
-      if (soakScale.isDefined) 1.0
-      else priorProbeMt(sfDir)
-        .map { h =>
-          val r = preMt / h
-          // sub-floor jitter is not drift: keep the tight trigger
-          if (r < HostRatioFloor) 1.0 else math.min(3.0, r)
-        }
-        .getOrElse(1.0)
+    val priorMt = if (soakScale.isDefined) None else priorProbeMt(sfDir)
+    val hostRatioPre: Double = clampRatio(preMt, priorMt)
+    val gate = new RetryGate(prior, priorMt, hostRatioPre,
+      probeMt = () => HostProbe.measureMt(nThreads))
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    var retrySec = 0.0
     val finalResults =
       if (soakScale.isDefined) results
       else results.map {
-        case r @ (name, sec, rows, cand, None, None)
-            if sec > RetrySec ||
-              prior.get(name).exists(p => p > 0 && sec > DriftFactor * hostRatio * p) =>
+        case (name, sec, rows, cand, None, None) if gate.shouldRetry(name, sec) =>
           retried += name
           val fn = SparkEntry.queries(name)
           var best = sec
@@ -394,14 +487,26 @@ object Bench {
             try materialize(fn(spark, benchDir))
             catch { case _: Throwable => failed = true } // keep pass-1 result
             val s = (System.nanoTime() - t0) / 1e9
+            retrySec += s
             if (!failed && s < best) best = s
             rep += 1
           }
+          attempts(name) = attempts.getOrElse(name, 0) + rep
           (name, best, rows, cand, None, None)
         case r => r
       }
+    retrySec += gate.reprobeSec
 
     val (post1t, postMt, postChk) = HostProbe.measure(nThreads)
+    // raw (unfloored) pre/post ratios + their mean: the record's own
+    // evidence of host conditions across the WHOLE run. The advisory
+    // drift-adjusted total divides by the interpolated slowdown
+    // (clamped ≥ 1 — a faster-than-baseline host never inflates), so a
+    // degraded record adjudicates itself instead of reading as a code
+    // regression (the r15 227 s vs 193 s same-HEAD verdict work).
+    val ratioPreRaw = priorMt.map(preMt / _).getOrElse(1.0)
+    val ratioPostRaw = priorMt.map(postMt / _).getOrElse(1.0)
+    val ratioInterp = (ratioPreRaw + ratioPostRaw) / 2
 
     val qs = finalResults.map { case (name, sec, rows, cand, err, growthBad) =>
       val candPart = if (soakScale.isDefined) ",\"candidates\":" + cand else ""
@@ -414,7 +519,10 @@ object Bench {
           "\"ok\":true,\"rows\":" + rows + candPart
         case (None, None) => "\"ok\":true"
       }
-      "\"" + esc(name) + "\":{\"sec\":" + f"$sec%.4f" + "," + okPart + "}"
+      // attempts AFTER ok: priorSecs' history regex anchors on
+      // `"sec":X,"ok":true` and must keep matching old and new records
+      "\"" + esc(name) + "\":{\"sec\":" + f"$sec%.4f" + "," + okPart +
+        ",\"attempts\":" + attempts.getOrElse(name, Reps) + "}"
     }.mkString("{", ",", "}")
     val okResults = finalResults.collect { case (_, sec, _, _, None, None) => sec }
     val total = okResults.sum
@@ -437,12 +545,23 @@ object Bench {
         .mkString(""","retried":[""", ",", "]")
     // fixed-work host calibration: 1-thread and all-thread wall times
     // before/after the battery + the deterministic checksum (proof the
-    // work is identical across rounds). host_ratio is what the drift
-    // trigger actually used this run.
+    // work is identical across rounds). host_ratio is the FINAL value
+    // the drift trigger used (pre-probe seeded, mid-run refreshed);
+    // ratio_pre/ratio_post are the raw unfloored readings against the
+    // history median, host_ratio_interp their mean, mid_mts any mid-run
+    // re-probe readings the retry pass took.
+    val midMts = gate.reprobeMts
+      .map(v => f"$v%.4f").mkString("[", ",", "]")
     val probePart =
-      f""","probe":{"pre_1t":$pre1t%.4f,"pre_mt":$preMt%.4f,"post_1t":$post1t%.4f,"post_mt":$postMt%.4f,"threads":$nThreads,"iters":${HostProbe.Iters},"chk":"${(preChk * 31 + postChk).toHexString}","host_ratio":${f"$hostRatio%.3f"}}"""
+      f""","probe":{"pre_1t":$pre1t%.4f,"pre_mt":$preMt%.4f,"post_1t":$post1t%.4f,"post_mt":$postMt%.4f,"threads":$nThreads,"iters":${HostProbe.Iters},"chk":"${(preChk * 31 + postChk).toHexString}","host_ratio":${f"${gate.ratio}%.3f"},"ratio_pre":$ratioPreRaw%.3f,"ratio_post":$ratioPostRaw%.3f,"host_ratio_interp":$ratioInterp%.3f,"mid_mts":$midMts}"""
+    // drift-adjusted advisory total: total ÷ the interpolated slowdown
+    // (≥ 1). NOT the headline — the measured total stays `value`; this
+    // is the "what would an un-degraded host have measured" companion.
+    val totalAdj = total / math.max(1.0, ratioInterp)
+    val retryCostPart =
+      f""","retry_sec":$retrySec%.2f,"total_drift_adjusted":$totalAdj%.2f"""
     val line =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart$retriedPart$probePart}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart$retriedPart$retryCostPart$probePart}"""
     // The harness keeps only the last ~2000 chars of stdout and parses a
     // JSON line out of that tail — the full 169-query record is ~9 KB,
     // so every round r1-r14 landed `parsed: null`. Print a COMPACT
@@ -453,9 +572,11 @@ object Bench {
     val slowest = finalResults
       .collect { case (nm, sec, _, _, None, None) => nm -> sec }
       .sortBy(-_._2).take(5).map(_._1).toSet
-    val failed = finalResults
+    val failedAll = finalResults
       .collect { case (nm, _, _, _, e, g) if e.isDefined || g.isDefined => nm }
-      .take(20).toSet
+    // the compact line names at most 20 failures but ALWAYS carries the
+    // true count — a >20-failure run must be visible from stdout alone
+    val failed = failedAll.take(20).toSet
     val compactQs = finalResults
       .filter { case (nm, _, _, _, _, _) =>
         headline(nm) || slowest(nm) || failed(nm) }
@@ -464,7 +585,7 @@ object Bench {
         "\"" + esc(nm) + "\":{\"sec\":" + f"$sec%.4f" + ",\"ok\":" + ok + "}"
       }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$compactQs,"queries_full":"${if (soakScale.isDefined) "SOAK_LAST.json" else "BENCH_LAST.json"}","sf":"$sfDir","host_ratio":${f"$hostRatio%.3f"},"probe_pre_mt":${f"$preMt%.4f"}}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"failed_total":${failedAll.size},"retried":${retried.size},"retry_sec":${f"$retrySec%.2f"},"total_drift_adjusted":${f"$totalAdj%.2f"},"queries":$compactQs,"queries_full":"${if (soakScale.isDefined) "SOAK_LAST.json" else "BENCH_LAST.json"}","sf":"$sfDir","host_ratio":${f"${gate.ratio}%.3f"},"host_ratio_interp":${f"$ratioInterp%.3f"},"probe_pre_mt":${f"$preMt%.4f"}}"""
     println(compact)
     // Also persist the full per-query map: harness-side artifacts keep
     // only an stdout tail, which cannot substantiate per-query failures

@@ -86,4 +86,79 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(Bench.HostRatioFloor === 1.15)
     assert(0.68 / 0.62 < Bench.HostRatioFloor)
   }
+
+  test("clampRatio: floor, passthrough, clamp, and the no-probe default") {
+    val h = Some(0.5)
+    assert(Bench.clampRatio(0.55, h) === 1.0)        // 1.10 < floor → 1
+    assert(Bench.clampRatio(0.75, h) === 1.5)        // genuine drift
+    assert(Bench.clampRatio(9.0, h) === 3.0)         // pathological → clamp
+    assert(Bench.clampRatio(0.75, None) === 1.0)     // probe-less history
+  }
+
+  test("RetryGate: baseline queries use the drift trigger, new queries the absolute one") {
+    val prior = Map("slow_known" -> 8.0, "fast_known" -> 0.4)
+    val gate = new Bench.RetryGate(prior, Some(0.5), preRatio = 1.0)
+    // 8.5 s but within 1.5× of its committed 8.0 s baseline: matching
+    // your own history is not a contention signal — no retry (the r15
+    // record re-ran 33 legitimately-slow queries under the old
+    // unconditional RetrySec rule)
+    assert(!gate.shouldRetry("slow_known", 8.5))
+    // 3× its 0.4 s baseline → drift trigger fires even under RetrySec
+    assert(gate.shouldRetry("fast_known", 1.2))
+    // no baseline → absolute threshold governs
+    assert(gate.shouldRetry("brand_new", 2.5))
+    assert(!gate.shouldRetry("brand_new2", 1.9))
+  }
+
+  test("RetryGate: clustered triggers re-probe and a degraded host de-flags the cluster") {
+    // 20 queries, all with a 1.0 s committed baseline, all measured at
+    // 1.6 s — a uniform +60% is the signature of a host slowdown, not
+    // of 20 independent contention windows. Pre-probe was healthy
+    // (ratio 1.0); the mid-run probe reads 0.75 vs the 0.5 history
+    // median → ratio 1.5 → trigger loosens to 1.5·1.5 = 2.25× → the
+    // cluster de-flags after ReprobeAfter firings instead of 20
+    // futile retries (the r15 80-query storm, bounded).
+    var probes = 0
+    val prior = (1 to 20).map(i => f"q$i%02d" -> 1.0).toMap
+    val gate = new Bench.RetryGate(prior, Some(0.5), preRatio = 1.0,
+      reprobeAfter = 5, probeMt = () => { probes += 1; 0.75 })
+    val flagged = (1 to 20).map(i => f"q$i%02d").filter(gate.shouldRetry(_, 1.6))
+    assert(flagged.size === 4)   // the 5th firing re-probed and de-flagged
+    assert(probes === 1)         // one re-probe settled the whole cluster
+    assert(gate.ratio === 1.5)
+    assert(gate.reprobeMts.toSeq === Seq(0.75))
+  }
+
+  test("RetryGate: consecutive counter resets on a non-trigger; recovery re-tightens") {
+    var reading = 0.75 // degraded
+    val prior = (1 to 30).map(i => f"q$i%02d" -> 1.0).toMap
+    val gate = new Bench.RetryGate(prior, Some(0.5), preRatio = 1.0,
+      reprobeAfter = 3, probeMt = () => reading)
+    // two triggers, then a clean query: the counter must reset — no probe
+    assert(gate.shouldRetry("q01", 1.6) && gate.shouldRetry("q02", 1.6))
+    assert(!gate.shouldRetry("q03", 1.1))
+    assert(gate.reprobeMts.isEmpty)
+    // three consecutive → probe → ratio 1.5 → 1.6 s de-flags
+    assert(gate.shouldRetry("q04", 1.6) && gate.shouldRetry("q05", 1.6))
+    assert(!gate.shouldRetry("q06", 1.6))
+    assert(gate.ratio === 1.5)
+    // host recovers; the NEXT cluster (2.0 s > 2.25 still under... use
+    // 2.4 s > 2.25 to fire) re-probes, reads healthy, and the gate
+    // re-tightens to the pre-drift trigger instead of max-ratcheting
+    reading = 0.5
+    assert(gate.shouldRetry("q07", 2.4) && gate.shouldRetry("q08", 2.4))
+    assert(gate.shouldRetry("q09", 2.4)) // probe fired; 2.4 > 1.5·1.0·1.0 still triggers
+    assert(gate.ratio === 1.0)
+    assert(gate.reprobeMts.toSeq === Seq(0.75, 0.5))
+  }
+
+  test("priorSecs still parses records that carry the attempts field") {
+    // r16 records append "attempts" AFTER "ok" — the history regex
+    // anchors on `"sec":X,"ok":true` and must keep matching both eras
+    withHistory(Seq(
+      s"""{"metric":"total_ok","value":1.5,"queries":{"q1":{"sec":1.5,"ok":true,"attempts":3},"q2":{"sec":0.2,"ok":false,"attempts":1}},"sf":"/d/sf0.1"}"""
+    )) { path =>
+      assert(Bench.priorSecs("/d/sf0.1", path) === Map("q1" -> 1.5))
+    }
+  }
 }
