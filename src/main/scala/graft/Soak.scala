@@ -188,7 +188,15 @@ object Soak {
       // so the capstones gate as wholes: replicas are token-disjoint,
       // every stage is per-doc or banded, output must stay ~N×.
       q == "docs_curated" || q == "docs_training_set" ||
-      q == "docs_survivorship") &&
+      q == "docs_survivorship" ||
+      // the agg-feeds-join TPC-H shape: the fact-derived big-orders
+      // side must stay a SHUFFLE join as it grows (its size is ∝ the
+      // fact table — a silent broadcast of it is the 100× trap the
+      // plan comment names); orders/lineitem/customer replicate in
+      // key-lockstep so the whole three-way join does true N× work
+      // while output stays the fixed top-100 (rows gate trivially
+      // linear; the JOIN-FRAME gate is the measurement here)
+      q == "q18_big_orders") &&
       // documented-quadratic small-corpus modes and exact-truth recall
       // reports — rationale and membership at ONE definition above
       !isExcluded(q)
@@ -322,6 +330,35 @@ object Soak {
     }.reduce(_ unionByName _)
   }
 
+  /** N× orders for the TPC-H agg-feeds-join family (q18): replica i's
+    * o_orderkey AND o_custkey offset by the same `IdOffset` multiple,
+    * so within a replica orders↔lineitem↔customer joins are exactly the
+    * original's (per-replica work = one replica; no cross-replica key
+    * ever matches). Dates/prices unchanged — the scale-up is "more
+    * orders over the same calendar", which is what a growing fact
+    * table looks like. */
+  def replicatedOrders(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+    (0 until n).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * IdOffset))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+  }
+
+  /** N× lineitem: l_orderkey offset in lockstep with
+    * [[replicatedOrders]] — the one foreign key the gated shapes join
+    * on. Quantities/prices unchanged, so every per-order aggregate
+    * (q18's sum_qty) is bit-identical per replica. */
+  def replicatedLineitem(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (0 until n).map { i =>
+      if (i == 0) base
+      else base.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+  }
+
   /** N× events: replica users/event-ids offset into disjoint ranges,
     * timestamps/types/values UNCHANGED — the realistic event-stream
     * scale-up is more concurrent keys over the same time window, so
@@ -351,8 +388,11 @@ object Soak {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     replicatedCustomers(spark, sfDir, n)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    val others = Seq("region", "nation", "supplier", "part",
-      "orders", "lineitem")
+    replicatedOrders(spark, sfDir, n)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicatedLineitem(spark, sfDir, n)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val others = Seq("region", "nation", "supplier", "part")
     others.foreach { t =>
       Files.copy(Paths.get(s"$sfDir/$t.parquet"),
         Paths.get(s"$out/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)

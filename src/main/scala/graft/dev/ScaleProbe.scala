@@ -226,6 +226,35 @@ object ScaleProbe {
         val parts = spark.conf.get("spark.sql.shuffle.partitions")
         println(s"""{"probe":"er_join_hint","sf":"$dir2","scale":${scale.getOrElse(1)},"partitions":$parts,${results.map(_._2).mkString(",")}}""")
 
+      case "q18_soak" =>
+        // the agg-feeds-join 100× trap, executed at scale: q18 on the
+        // N×-replicated corpus with size-based broadcasting OFF (at
+        // 100 TB nothing fits in a broadcast), asserting the EXECUTED
+        // adaptive plan kept both joins shuffle and recording the wall
+        // + the largest join frame. args: q18_soak [sfDir] [scale]
+        val scale = args.lift(2).map(_.toInt).getOrElse(100)
+        val dir2 =
+          if (scale > 1) graft.Soak.materializeDir(spark, sfDir, scale)
+          else sfDir
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def q18() = graft.SparkEntry.queries("q18_big_orders")(spark, dir2)
+        q18().queryExecution.toRdd.count() // warmup
+        val df = q18()
+        val (sec, rows) = minOf2 { df.queryExecution.toRdd.count() }
+        val p = df.queryExecution.executedPlan.toString
+        val shuffleJoins = "SortMergeJoin".r.findAllIn(p).size +
+          "ShuffledHashJoin".r.findAllIn(p).size
+        val broadcastJoins = "BroadcastHashJoin".r.findAllIn(p).size +
+          "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        val maxJoin = graft.Soak.maxJoinOutputRows(df)
+        println(s"""{"probe":"q18_soak","sf":"$sfDir","scale":$scale,"sec":${f"$sec%.2f"},"rows":$rows,"shuffle_joins":$shuffleJoins,"broadcast_joins":$broadcastJoins,"max_join_rows":$maxJoin}""")
+        if (shuffleJoins != 2 || broadcastJoins != 0) {
+          System.err.println(
+            s"q18_soak: expected 2 shuffle joins / 0 broadcasts, got " +
+              s"$shuffleJoins/$broadcastJoins:\n${p.take(3000)}")
+          spark.stop(); sys.exit(1)
+        }
+
       case "explain" =>
         // print the EXECUTED adaptive plan of a named battery query
         // (args: explain <query> [sfDir]) — AQE finalizes reuse

@@ -70,7 +70,7 @@ class DocSyncSpec extends AnyFunSuite {
         s"no gated soak query left in documented family $family")
     }
     for (q <- Seq("multimodal_phash_scaled", "dedup_clusters", "text_winnow_pairs",
-        "er_fuzzy_pairs"))
+        "er_fuzzy_pairs", "q18_big_orders"))
       assert(gated.contains(q), s"documented gated query $q missing")
     // the two documented-quadratic small-corpus modes and the
     // exact-truth recall reports must stay EXCLUDED (reclassifying one

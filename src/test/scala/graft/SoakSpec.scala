@@ -129,6 +129,41 @@ class SoakSpec extends SparkSpecBase {
     repPairs.unpersist(); rep.unpersist()
   }
 
+  test("orders/lineitem replicas: key-lockstep joins, per-replica q18 work exact") {
+    val n = 3
+    val o = Soak.replicatedOrders(spark, sfDir, n).cache()
+    val l = Soak.replicatedLineitem(spark, sfDir, n).cache()
+    val baseO = spark.read.parquet(s"$sfDir/orders.parquet")
+    val baseL = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(o.count() === n * baseO.count())
+    assert(l.count() === n * baseL.count())
+    // replica 0 is the original, byte-identical
+    assert(o.filter(col("o_orderkey") < Soak.IdOffset)
+      .exceptAll(baseO).count() === 0)
+    // the one foreign key the gated shape joins on stays in lockstep:
+    // the N× orders↔lineitem join does exactly N× the base join's work
+    // and never crosses replicas
+    val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    assert(joined.count() ===
+      n * baseO.join(baseL, col("o_orderkey") === col("l_orderkey")).count())
+    assert(joined.filter(
+      (col("o_orderkey") / Soak.IdOffset).cast("int") =!=
+        (col("o_custkey") / Soak.IdOffset).cast("int")).count() === 0,
+      "an order's custkey crossed into another replica's key range")
+    // per-replica q18 big-order counts all equal the base corpus's
+    // (quantities unchanged ⇒ per-order aggregates bit-identical)
+    val baseBig = baseL.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 250).count()
+    val perRep = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 250)
+      .groupBy((col("l_orderkey") / Soak.IdOffset).cast("int").as("rep"))
+      .count().collect().map(_.getLong(1)).toSeq
+    assert(perRep.length === n && perRep.forall(_ === baseBig),
+      s"per-replica big-order counts $perRep must all equal base $baseBig")
+    o.unpersist(); l.unpersist()
+  }
+
   test("embedding replicas: exact intra-replica geometry, no shared neighborhood") {
     val n = 3
     val rep = Soak.replicatedEmbeddings(spark, sfDir, n).cache()
