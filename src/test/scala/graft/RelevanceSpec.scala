@@ -144,4 +144,30 @@ class RelevanceSpec extends SparkSpecBase {
     val got = (1 to 6).map(row.head.getLong)
     assert(got === Seq(10L, 1L, 5L, 9L, 10L, 10L))
   }
+
+  test("search/hybridSearch rank windows keep a partition spec after optimization") {
+    // The ≤ k-row rank windows partition by a constant-valued but
+    // NON-foldable key so WindowExec's "No Partition Defined" warning
+    // (which buried real signal in every bench tail) never fires.
+    // EliminateWindowPartitions strips FOLDABLE partition keys — assert
+    // the key survives the optimizer, so a refactor to lit(1) (folded
+    // away, warning returns) fails here instead of in a bench tail.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val corpus = toks(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"), (2L, "gamma gamma zeta"))
+    for (df <- Seq(
+        Relevance.search(corpus, Seq("alpha", "gamma"), k = 2),
+        Relevance.hybridSearch(corpus, Seq("alpha", "gamma"), k = 2))) {
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        "rank window lost its partition spec — the no-partition " +
+          "WindowExec warning is back"))
+    }
+    // and the constant key leaves ranks exactly as the empty spec had
+    val ranks = Relevance.search(corpus, Seq("alpha", "gamma"), k = 2)
+      .select("rnk").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === Seq(1L, 2L))
+  }
 }
