@@ -958,5 +958,113 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg(5, "seed_id_col", "id"))
           .queryExecution.logical
       }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_search"),
+      new ExpressionInfo(
+        graft.operators.Embeddings.getClass.getName,
+        null,
+        "ann_search",
+        "ann_search(queries_table, icents_table, pcents_table, cells_table, " +
+          "codes_table[, k, nprobe, m, id_col, vec_col]) - IVF-PQ top-k " +
+          "search of the query batch against a frozen/maintained index: " +
+          "coarse centroids + PQ codebooks + per-id cell assignments + PQ " +
+          "codes, PQ-code (ADC) ranked; only the query batch touches raw " +
+          "vectors; m must match the codebook build",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 5 || exprs.length > 10) analysisError(
+          s"ann_search takes 5 to 10 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val queries = tableOf("ann_search", exprs.head)
+        val icents = tableOf("ann_search", exprs(1))
+        val pcents = tableOf("ann_search", exprs(2))
+        val cells = tableOf("ann_search", exprs(3))
+        val codes = tableOf("ann_search", exprs(4))
+        val k =
+          if (exprs.length > 5) foldLong("ann_search", "k", exprs(5)) else 3L
+        if (k < 1) analysisError(
+          s"ann_search: k must be >= 1, got $k", exprs(5))
+        val nprobe =
+          if (exprs.length > 6) foldLong("ann_search", "nprobe", exprs(6))
+          else 1L
+        if (nprobe < 1) analysisError(
+          s"ann_search: nprobe must be >= 1, got $nprobe", exprs(6))
+        // m splits the QUERY vectors into the same subspaces the
+        // codebook was built with — it must match the build dial (the
+        // codes/pcents tables join by sub, so a mismatch surfaces as
+        // empty or partial per-sub joins, not an error: validate here)
+        val m =
+          if (exprs.length > 7) foldLong("ann_search", "m", exprs(7))
+          else graft.operators.Embeddings.PqSubspaces.toLong
+        if (m < 1 || m > 4096) analysisError(
+          s"ann_search: m must be in [1, 4096], got $m", exprs(7))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("ann_search", what, exprs(i))
+          else default
+        graft.operators.Embeddings.annIvfPqServe(queries, icents, pcents,
+          cells, codes, k.toInt, m.toInt,
+          idCol = strArg(8, "id_col", "vec_id"),
+          vecCol = strArg(9, "vec_col", "embedding"),
+          nprobe = nprobe.toInt)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_search_refined"),
+      new ExpressionInfo(
+        graft.operators.Embeddings.getClass.getName,
+        null,
+        "ann_search_refined",
+        "ann_search_refined(queries_table, corpus_table, icents_table, " +
+          "pcents_table, cells_table, codes_table[, k, nprobe, refine, m, " +
+          "id_col, vec_col]) - ann_search + exact rerank: the PQ-ranked " +
+          "top-refine shortlist per query re-scored by exact int64 squared " +
+          "L2 against the corpus vectors (bounded id-equijoins, never a " +
+          "corpus scan); final top-k in exact order (sqdist)",
+        "", "", "", "table_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < 6 || exprs.length > 12) analysisError(
+          s"ann_search_refined takes 6 to 12 arguments, got ${exprs.length}",
+          exprs.headOption.getOrElse(Literal(null)))
+        val queries = tableOf("ann_search_refined", exprs.head)
+        val corpus = tableOf("ann_search_refined", exprs(1))
+        val icents = tableOf("ann_search_refined", exprs(2))
+        val pcents = tableOf("ann_search_refined", exprs(3))
+        val cells = tableOf("ann_search_refined", exprs(4))
+        val codes = tableOf("ann_search_refined", exprs(5))
+        val k =
+          if (exprs.length > 6) foldLong("ann_search_refined", "k", exprs(6))
+          else 3L
+        if (k < 1) analysisError(
+          s"ann_search_refined: k must be >= 1, got $k", exprs(6))
+        val nprobe =
+          if (exprs.length > 7) foldLong("ann_search_refined", "nprobe", exprs(7))
+          else 1L
+        if (nprobe < 1) analysisError(
+          s"ann_search_refined: nprobe must be >= 1, got $nprobe", exprs(7))
+        val refine =
+          if (exprs.length > 8) foldLong("ann_search_refined", "refine", exprs(8))
+          else 8 * k
+        // the operator's own precondition, surfaced as a positioned
+        // analysis error instead of a builder-time require
+        if (refine < k) analysisError(
+          s"ann_search_refined: refine ($refine) must be >= k ($k)",
+          exprs(math.min(exprs.length - 1, 8)))
+        val m =
+          if (exprs.length > 9) foldLong("ann_search_refined", "m", exprs(9))
+          else graft.operators.Embeddings.PqSubspaces.toLong
+        if (m < 1 || m > 4096) analysisError(
+          s"ann_search_refined: m must be in [1, 4096], got $m", exprs(9))
+        def strArg(i: Int, what: String, default: String) =
+          if (exprs.length > i) foldString("ann_search_refined", what, exprs(i))
+          else default
+        graft.operators.Embeddings.annIvfPqServeRefined(queries, corpus,
+          icents, pcents, cells, codes, k.toInt, m.toInt,
+          idCol = strArg(10, "id_col", "vec_id"),
+          vecCol = strArg(11, "vec_col", "embedding"),
+          nprobe = nprobe.toInt, refine = refine.toInt)
+          .queryExecution.logical
+      }))
   }
 }

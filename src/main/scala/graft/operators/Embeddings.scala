@@ -1087,33 +1087,63 @@ object Embeddings {
       refine: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(refine.forall(_ >= k), s"refine (${refine.get}) must be >= k ($k)")
-    val byCode = annIvfPqServe(emb.filter(queryPred), icents, pcents,
-      cells, codes, refine.getOrElse(k), m, idCol, vecCol, nprobe)
     refine match {
-      case None => byCode
-      case Some(_) =>
-        // exact rerank: the shortlist (already ≤ refine rows per query,
-        // ranked by code distance) re-scored by exact int64 squared L2
-        // — two id-equijoins against the prepped corpus projection,
-        // sized by the shortlist, then the final top-k window.
-        val p = prepped(emb, idCol, vecCol)
-        val q = p.select(col(idCol).as("query_id"),
-          col("__qv").as("__qqv"), col("__nsq").as("__qnsq"))
-        val c = p.select(col(idCol).as("neighbor_id"),
-          col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("__sqd"), col("neighbor_id"))
-        byCode.select(col("query_id"), col("neighbor_id"))
-          .join(q, "query_id")
-          .join(c, "neighbor_id")
-          .withColumn("__sqd",
-            col("__qnsq") + col("__nnsq") -
-              lit(2L) * dotQ(col("__qqv"), col("__nqv")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .where(col("rank") <= k)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            col("__sqd").as("sqdist"))
+      case None =>
+        annIvfPqServe(emb.filter(queryPred), icents, pcents,
+          cells, codes, k, m, idCol, vecCol, nprobe)
+      case Some(r) =>
+        annIvfPqServeRefined(emb.filter(queryPred), emb, icents, pcents,
+          cells, codes, k, m, idCol, vecCol, nprobe, r)
     }
+  }
+
+  /** [[annIvfPqServe]] + the exact-rerank refinement, against SEPARATE
+    * query and corpus frames — the full deployment serving shape (and
+    * the `ann_search` SQL table function's body): the PQ code-ranked
+    * top-`refine` shortlist per query is re-scored by EXACT int64
+    * squared L2 and the final top-k comes from that exact order
+    * (output column `sqdist`). The rerank is two bounded id-equijoins
+    * (shortlist × query vectors, shortlist × corpus vectors) — never a
+    * corpus scan; only the shortlist's ≤ refine·|queries| rows ever
+    * touch raw vectors. [[annIvfPqFromIndex]] with `refine = Some(r)`
+    * is exactly this with queries = corpus.filter(pred). */
+  def annIvfPqServeRefined(
+      queries: DataFrame,
+      corpus: DataFrame,
+      icents: DataFrame,
+      pcents: DataFrame,
+      cells: DataFrame,
+      codes: DataFrame,
+      k: Int = 3,
+      m: Int = PqSubspaces,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 1,
+      refine: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val byCode = annIvfPqServe(queries, icents, pcents,
+      cells, codes, refine, m, idCol, vecCol, nprobe)
+    // exact rerank: the shortlist (already ≤ refine rows per query,
+    // ranked by code distance) re-scored by exact int64 squared L2
+    // — two id-equijoins against the prepped projections, sized by
+    // the shortlist, then the final top-k window.
+    val q = prepped(queries, idCol, vecCol).select(col(idCol).as("query_id"),
+      col("__qv").as("__qqv"), col("__nsq").as("__qnsq"))
+    val c = prepped(corpus, idCol, vecCol).select(col(idCol).as("neighbor_id"),
+      col("__qv").as("__nqv"), col("__nsq").as("__nnsq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sqd"), col("neighbor_id"))
+    byCode.select(col("query_id"), col("neighbor_id"))
+      .join(q, "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("__sqd",
+        col("__qnsq") + col("__nnsq") -
+          lit(2L) * dotQ(col("__qqv"), col("__nqv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__sqd").as("sqdist"))
   }
 
   /** The SERVE half of IVF-PQ, split from index maintenance: search

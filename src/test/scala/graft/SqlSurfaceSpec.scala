@@ -469,6 +469,103 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(hugeHops.getMessage.contains("max_hops must be"), hugeHops.getMessage)
   }
 
+  // ---- the ANN serving path (ann_search / ann_search_refined) -------
+
+  private def annViews(): Unit = {
+    import graft.operators.Embeddings
+    val emb = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("ann_corpus")
+    emb.where(col("vec_id") % 20 === 0).createOrReplaceTempView("ann_q")
+    val icents = Embeddings.ivfCentroids(emb)
+    val pcents = Embeddings.pqCentroids(emb, Embeddings.CentroidStep,
+      Embeddings.PqSubspaces)
+    icents.createOrReplaceTempView("ann_icents")
+    pcents.createOrReplaceTempView("ann_pcents")
+    Embeddings.ivfAssign(emb, icents).createOrReplaceTempView("ann_cells")
+    Embeddings.pqEncode(emb, pcents, Embeddings.PqSubspaces)
+      .select("vec_id", "sub", "code").createOrReplaceTempView("ann_codes")
+  }
+
+  test("ann_search over frozen index tables equals Embeddings.annIvfPqServe") {
+    import graft.operators.Embeddings
+    annViews()
+    val viaSql = s2.sql(
+      "SELECT * FROM ann_search('ann_q', 'ann_icents', 'ann_pcents', " +
+        "'ann_cells', 'ann_codes', 3, 4)")
+    val viaApi = Embeddings.annIvfPqServe(
+      s2.table("ann_q"), s2.table("ann_icents"), s2.table("ann_pcents"),
+      s2.table("ann_cells"), s2.table("ann_codes"), k = 3, nprobe = 4)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // defaulted dials (k=3, nprobe=1) behind both surfaces
+    assert(rows(s2.sql(
+      "SELECT * FROM ann_search('ann_q', 'ann_icents', 'ann_pcents', " +
+        "'ann_cells', 'ann_codes')"))
+      === rows(Embeddings.annIvfPqServe(
+        s2.table("ann_q"), s2.table("ann_icents"), s2.table("ann_pcents"),
+        s2.table("ann_cells"), s2.table("ann_codes"))))
+  }
+
+  test("ann_search_refined (exact rerank) equals Embeddings.annIvfPqServeRefined") {
+    import graft.operators.Embeddings
+    annViews()
+    val viaSql = s2.sql(
+      "SELECT * FROM ann_search_refined('ann_q', 'ann_corpus', 'ann_icents', " +
+        "'ann_pcents', 'ann_cells', 'ann_codes', 3, 4, 12)")
+    val viaApi = Embeddings.annIvfPqServeRefined(
+      s2.table("ann_q"), s2.table("ann_corpus"), s2.table("ann_icents"),
+      s2.table("ann_pcents"), s2.table("ann_cells"), s2.table("ann_codes"),
+      k = 3, nprobe = 4, refine = 12)
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(viaSql.columns.contains("sqdist")) // exact order, not code order
+    assert(rows(viaSql) === rows(viaApi))
+    assert(viaSql.count() > 0)
+    // and the refined SQL path is bit-identical to the inline
+    // annIvfPqFromIndex deployment shape given the same tables
+    val viaFromIndex = Embeddings.annIvfPqFromIndex(
+      s2.table("ann_corpus"), col("vec_id") % 20 === 0,
+      s2.table("ann_icents"), s2.table("ann_pcents"),
+      s2.table("ann_cells"), s2.table("ann_codes"),
+      k = 3, nprobe = 4, refine = Some(12))
+    assert(rows(viaSql) === rows(viaFromIndex))
+  }
+
+  test("ann_search / ann_search_refined argument errors fail analysis") {
+    annViews()
+    val badK = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM ann_search('ann_q', 'ann_icents', 'ann_pcents', " +
+        "'ann_cells', 'ann_codes', 0)").collect()
+    }
+    assert(badK.getMessage.contains("k must be >= 1"), badK.getMessage)
+    val badNprobe = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM ann_search('ann_q', 'ann_icents', 'ann_pcents', " +
+        "'ann_cells', 'ann_codes', 3, 0)").collect()
+    }
+    assert(badNprobe.getMessage.contains("nprobe must be >= 1"), badNprobe.getMessage)
+    val badM = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM ann_search('ann_q', 'ann_icents', 'ann_pcents', " +
+        "'ann_cells', 'ann_codes', 3, 1, 0)").collect()
+    }
+    assert(badM.getMessage.contains("m must be"), badM.getMessage)
+    // refine < k violates the rerank precondition — an analysis error,
+    // not a builder-time require
+    val badRefine = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM ann_search_refined('ann_q', 'ann_corpus', " +
+        "'ann_icents', 'ann_pcents', 'ann_cells', 'ann_codes', 5, 1, 3)").collect()
+    }
+    assert(badRefine.getMessage.contains("refine (3) must be >= k (5)"),
+      badRefine.getMessage)
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM ann_search('no_such_index_table', 'ann_icents', " +
+        "'ann_pcents', 'ann_cells', 'ann_codes')").collect()
+    }
+    assert(missing.getMessage.contains("no_such_index_table"), missing.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT * FROM ann_search('ann_q', 'ann_icents')").collect()
+    }
+  }
+
   test("table-function argument errors fail analysis with positions") {
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       s2.sql("SELECT * FROM near_dup_pairs('no_such_table')").collect()
