@@ -48,22 +48,38 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("score_milli"))
   }
 
-  /** One-slot localCheckpoint seam per (session, key): releases the
-    * PREVIOUS build's blocks when a query re-checkpoints the same seam
-    * (bench reps, drift retries, soak baselines, tests), so repeated
-    * builds don't accumulate blocks for the session lifetime — the
-    * same release discipline as the iterative resolvers' in-loop
-    * checkpoints (the r14 advice). Single-builder contract: queries
-    * are built sequentially in every harness path (Bench, Verify,
-    * sbt test default), so releasing the predecessor is safe. */
+  /** Bounded localCheckpoint seam per (session, key): when a query
+    * re-checkpoints the same seam (bench reps, drift retries, soak
+    * baselines, tests), the build TWO generations back is released, so
+    * repeated builds don't accumulate blocks for the session lifetime —
+    * the same release discipline as the iterative resolvers' in-loop
+    * checkpoints (the r14 advice). Release is deferred ONE generation
+    * deliberately (the r15 advice): a localCheckpointed RDD cannot
+    * recompute after unpersist, and releasing the immediate predecessor
+    * would strand a caller that builds the query twice and then acts on
+    * the FIRST result — build-twice-act-on-either is common (a soak's
+    * scaled run + unscaled baseline, a spec comparing two builds).
+    * Contract: at most the TWO most recent builds of a seam are live;
+    * accumulation stays bounded at two checkpoints per seam.
+    * Single-builder contract: queries are built sequentially in every
+    * harness path (Bench, Verify, sbt test default). Entries whose
+    * session has stopped are evicted on the next call from any session
+    * (their blocks died with the executors; holding the DataFrames
+    * would pin stopped sessions for process lifetime across
+    * test-suite sessions). */
   private val seamSlots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), List[DataFrame]]()
   private def seamCheckpoint(key: String, df: DataFrame): DataFrame = {
+    val it = seamSlots.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     val cp = df.localCheckpoint()
-    val prev = seamSlots.put((df.sparkSession, key), cp)
-    if (prev != null)
-      try graft.core.IterCheckpoint.release(prev)
+    val skey = (df.sparkSession, key)
+    val prev = Option(seamSlots.get(skey)).getOrElse(Nil)
+    seamSlots.put(skey, cp :: prev.take(1))
+    prev.drop(1).foreach { grandparent =>
+      try graft.core.IterCheckpoint.release(grandparent)
       catch { case _: IllegalArgumentException => () }
+    }
     cp
   }
 

@@ -1007,6 +1007,26 @@ class CurationSpec extends SparkSpecBase {
       "null domain must cap at k across tranches")
   }
 
+  test("seam checkpoint: build-twice-act-on-FIRST survives (release is one generation deferred)") {
+    // The r15 advice scenario: docs_training_set localCheckpoints its
+    // curated seam; a same-key rebuild used to release the previous
+    // build's blocks immediately, so acting on the FIRST returned
+    // DataFrame after a second build threw an unrecoverable
+    // "checkpoint block not found" far from the cause (a checkpointed
+    // RDD cannot recompute after unpersist). Release is now deferred
+    // one generation: the two newest builds stay live, the
+    // grandparent is what gets released.
+    val dir = "/root/testdata/sf0.001"
+    val fn = SparkEntry.queries("docs_training_set")
+    val first = fn(spark, dir)
+    val second = fn(spark, dir) // re-checkpoints the same seam key
+    val n1 = first.count()      // the pre-fix failure point
+    assert(n1 > 0)
+    assert(second.count() === n1)
+    // a third build releases generation 1; the newest build still works
+    assert(fn(spark, dir).count() === n1)
+  }
+
   test("transitions counts adjacent pairs per user with exact permille shares") {
     // user 1: a→b→a→b ; user 2: b→b→c
     val events = Seq(
