@@ -57,7 +57,7 @@ object ScaleAnchor {
     sb.toString
   }
 
-  private def generate(outDir: java.nio.file.Path, targetBytes: Long): (Long, Int, Int) = {
+  private[graft] def generate(outDir: java.nio.file.Path, targetBytes: Long): (Long, Int, Int) = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.createDirectories(outDir)
     val books = java.nio.file.Files.list(java.nio.file.Paths.get(BooksDir))
@@ -76,11 +76,19 @@ object ScaleAnchor {
       var bytes = 0L
       bookLines.foreach { case (name, lines) =>
         val f = outDir.resolve(s"${name}$marker.txt")
+        // write-to-temp + atomic rename: a run interrupted mid-write
+        // must never leave a truncated replica that a later run's
+        // exists() check silently reuses (corrupting the corpus bytes
+        // AND the replica sizing, since replica 0 sizes them all)
         if (!java.nio.file.Files.exists(f)) {
-          val w = java.nio.file.Files.newBufferedWriter(f,
+          val tmp = outDir.resolve(s".${name}$marker.txt.tmp")
+          val w = java.nio.file.Files.newBufferedWriter(tmp,
             java.nio.charset.StandardCharsets.UTF_8)
           try lines.foreach { ln => w.write(suffixTokens(ln, marker)); w.write("\n") }
           finally w.close()
+          java.nio.file.Files.move(tmp, f,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         bytes += java.nio.file.Files.size(f)
       }
@@ -98,21 +106,66 @@ object ScaleAnchor {
           def call(): Long = writeReplica(r)
         })
       }
-      val total = perReplica + futs.map(_.get()).sum
+      // every replica must be byte-identical in size to replica 0 (the
+      // fixed-width marker guarantees it) — a mismatch means a stale
+      // truncated file from an interrupted pre-atomic-rename run
+      // survives on disk; fail loudly rather than anchor on a corrupt
+      // corpus
+      val sizes = futs.map(_.get())
+      sizes.zipWithIndex.find(_._1 != perReplica).foreach { case (b, i) =>
+        throw new IllegalStateException(
+          s"replica ${i + 1} is $b bytes, expected $perReplica — stale or " +
+            s"truncated replica files under $outDir; delete the dir and rerun")
+      }
+      val total = perReplica + sizes.sum
       (total, nReplicas, books.size)
     } finally pool.shutdown()
   }
 
+  /** A hard-linked subset directory holding replicas 0..(n-1) of the
+    * generated corpus — how one generated 4 GB corpus serves every
+    * point of the size curve without re-suffixing a byte. Idempotent;
+    * links cost no disk. */
+  private[graft] def subsetDir(
+      full: java.nio.file.Path, n: Int): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val sub = full.resolveSibling(s"${full.getFileName}_first$n")
+    java.nio.file.Files.createDirectories(sub)
+    val ls = java.nio.file.Files.list(full)
+    val wanted =
+      try ls.iterator().asScala.toSeq.filter { p =>
+        val name = p.getFileName.toString
+        name.endsWith(".txt") && {
+          val i = name.lastIndexOf("_r")
+          i >= 0 && name.slice(i + 2, i + 6).forall(_.isDigit) &&
+            name.slice(i + 2, i + 6).toInt < n
+        }
+      } finally ls.close()
+    wanted.foreach { p =>
+      val link = sub.resolve(p.getFileName)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createLink(link, p)
+    }
+    sub
+  }
+
   def main(args: Array[String]): Unit = {
-    val targetMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MB", "4096").toLong
+    // the size CURVE (the r15 verdict ask): one measured point is a
+    // point, not a scaling claim — run the pipeline at each size and
+    // record MB/s per size; flat throughput = true scan-bound scaling
+    val sizesMb: Seq[Long] = sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_SIZES_MB",
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MB", "1024,2048,4096"))
+      .split(",").map(_.trim.toLong).toSeq.sorted
     val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale4g/books")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val genT0 = System.nanoTime()
-    val (bytes, nReplicas, nBooks) =
-      generate(java.nio.file.Paths.get(outRoot), targetMb << 20)
+    val fullDir = java.nio.file.Paths.get(outRoot)
+    val (bytes, nReplicas, nBooks) = generate(fullDir, sizesMb.max << 20)
     val genSec = (System.nanoTime() - genT0) / 1e9
+    val perReplica = bytes / nReplicas
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -122,29 +175,42 @@ object ScaleAnchor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def pipeline() = graft.operators.WordStats.fromLines(
-      graft.sources.ChunkedTextSource(Seq(outRoot)).load(spark))
+    def pipeline(dir: String) = graft.operators.WordStats.fromLines(
+      graft.sources.ChunkedTextSource(Seq(dir)).load(spark))
 
     // untimed warmup on ONE replica's worth absorbs JVM/codegen cost
     Bench.materialize(graft.operators.WordStats.fromLines(
       graft.sources.ChunkedTextSource(Seq(outRoot), glob = "*_r0000.txt")
         .load(spark)))
 
-    var best = Double.MaxValue
-    var rows = 0L
-    for (_ <- 1 to reps) {
-      val t0 = System.nanoTime()
-      rows = Bench.materialize(pipeline())
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (sec < best) best = sec
+    final case class Point(mb: Double, replicas: Int, wall: Double,
+        rows: Long, mbPerSec: Double)
+    val points = sizesMb.map { sizeMb =>
+      val nWant = math.min(nReplicas.toLong,
+        math.max(1L, math.ceil((sizeMb << 20).toDouble / perReplica).toLong)).toInt
+      // always the hard-linked subset: the corpus dir may hold replicas
+      // from an earlier larger-target run (generate() only adds files),
+      // so "nWant == this run's nReplicas" does not imply the dir holds
+      // exactly nWant replicas
+      val dir = subsetDir(fullDir, nWant)
+      val sizeBytes = nWant.toLong * perReplica
+      var best = Double.MaxValue
+      var rows = 0L
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        rows = Bench.materialize(pipeline(dir.toString))
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+      }
+      val mb = sizeBytes / 1048576.0
+      Point(mb, nWant, best, rows, mb / best)
     }
-    val mb = bytes / 1048576.0
-    val mbPerSec = mb / best
+    val top = points.last // the headline: the largest (reference-scale) size
 
     // golden invariant at full scale: first-seen dedup leaves no
     // duplicate (file, word_norm) — 0 rows, the reference's own audit
     val auditT0 = System.nanoTime()
-    val audit = pipeline()
+    val audit = pipeline(subsetDir(fullDir, nReplicas).toString)
       .groupBy(col("file_path"),
         graft.functions.Scalars.wordNorm(col("word")).as("word_norm"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
@@ -160,8 +226,14 @@ object ScaleAnchor {
       (1.0 + (1.0 - nCpu.toDouble / cpus.toInt))
     val modelMbPerSec = 1.0 / (modelSecPerKb * 1024)
 
+    val curve = points.map(p =>
+      f"""{"mb":${p.mb}%.1f,"replicas":${p.replicas},"wall_sec":${p.wall}%.2f,"rows":${p.rows},"mb_per_sec":${p.mbPerSec}%.2f}""")
+      .mkString("[", ",", "]")
+    // flatness of the curve: max/min MB/s across sizes (1.0 = perfectly
+    // scan-bound; the verdict's bar is ±15% ⇒ ≤ ~1.35 max/min)
+    val flat = points.map(_.mbPerSec).max / points.map(_.mbPerSec).min
     val line =
-      f"""{"metric":"scale4g_wordstats_mb_per_sec","value":$mbPerSec%.2f,"unit":"MB/s","bytes":$bytes,"mb":$mb%.1f,"files":${nReplicas * nBooks},"replicas":$nReplicas,"gen_sec":$genSec%.1f,"wall_sec":$best%.2f,"reps":$reps,"rows":$rows,"dedup_audit_rows":$audit,"audit_sec":$auditSec%.2f,"baseline_published_mb_per_sec":1.95,"baseline_model_mb_per_sec":$modelMbPerSec%.2f,"x_published":${mbPerSec / 1.95}%.1f,"x_model":${mbPerSec / modelMbPerSec}%.1f,"cpus":$cpus}"""
+      f"""{"metric":"scale4g_wordstats_mb_per_sec","value":${top.mbPerSec}%.2f,"unit":"MB/s","bytes":$bytes,"mb":${top.mb}%.1f,"files":${nReplicas * nBooks},"replicas":$nReplicas,"gen_sec":$genSec%.1f,"wall_sec":${top.wall}%.2f,"reps":$reps,"rows":${top.rows},"dedup_audit_rows":$audit,"audit_sec":$auditSec%.2f,"curve":$curve,"curve_flat_max_over_min":$flat%.2f,"baseline_published_mb_per_sec":1.95,"baseline_model_mb_per_sec":$modelMbPerSec%.2f,"x_published":${top.mbPerSec / 1.95}%.1f,"x_model":${top.mbPerSec / modelMbPerSec}%.1f,"cpus":$cpus}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALE4G.json"), line)

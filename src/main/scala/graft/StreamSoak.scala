@@ -38,11 +38,31 @@ object StreamSoak {
   private def stage(df: DataFrame, inDir: java.nio.file.Path, tag: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val tmp = Files.createTempDirectory(s"graft_ssoak_$tag")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.toString.endsWith(".parquet"))
-      .foreach(p => Files.copy(p, inDir.resolve(s"$tag-${p.getFileName}"),
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // close the directory stream (a leaked handle per tranche adds up
+      // over 4 families × 8 tranches × repeated runs) and copy the part
+      // files out before the whole temp dir is deleted below
+      val ls = Files.list(tmp)
+      val parts =
+        try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet"))
+        finally ls.close()
+      parts.foreach(p => Files.copy(p, inDir.resolve(s"$tag-${p.getFileName}"),
         StandardCopyOption.REPLACE_EXISTING))
+    } finally {
+      // best-effort recursive delete — the per-tranche staging dir is
+      // dead once its parts are copied into the ingest input dir
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val ls = Files.list(p)
+          try ls.toArray.map(_.asInstanceOf[java.nio.file.Path]).foreach(rm)
+          finally ls.close()
+        }
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+      }
+      rm(tmp)
+    }
   }
 
   private def rowsAt(spark: SparkSession, path: String): Long =
@@ -56,7 +76,11 @@ object StreamSoak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOAK_TRANCHES", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    require(n >= 4, s"need >= 4 tranches for a flatness ratio, got $n")
+    // n >= 5 keeps the LAST tranche out of its own flatness baseline:
+    // at n = 4 the last tranche (index 3) would sit inside the 2..4
+    // median window, biasing last/median toward 1 and weakening the
+    // growth signal this record exists to certify
+    require(n >= 5, s"need >= 5 tranches for a flatness ratio, got $n")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
