@@ -391,10 +391,22 @@ object NearDup {
       k: Int = NumMinHashes,
       rowsPerBand: Int = 2,
       word: (Int, Column) => Column = XxMinHashFamily): DataFrame = {
+    bandedCandidatesFromSignatures(
+      minHashSignatures(sh, idCol, k, word), idCol, k, rowsPerBand)
+  }
+
+  /** The banding half of [[minHashBandedCandidates]] over an EXISTING
+    * signature table (id, h0..h(k-1)) — the seam a deployment persists
+    * between runs (k longs per doc), and what a measurement harness
+    * checkpoints so candidate counting never re-scans the corpus. */
+  def bandedCandidatesFromSignatures(
+      sig: DataFrame,
+      idCol: String = "doc_id",
+      k: Int = NumMinHashes,
+      rowsPerBand: Int = 2): DataFrame = {
     require(rowsPerBand >= 1 && k % rowsPerBand == 0,
       s"rowsPerBand ($rowsPerBand) must divide the signature length k ($k)")
     val b = k / rowsPerBand
-    val sig = minHashSignatures(sh, idCol, k, word)
     val banded = sig.select(col(idCol),
       posexplode(array((0 until b).map { bi =>
         concat_ws(",",
