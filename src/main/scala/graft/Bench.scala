@@ -343,6 +343,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the seam/iterative-resolver releases fire one benign WARN per
+    // unpersist ("locally checkpointed ... cannot be recomputed") —
+    // a dozen of them sit right above the final JSON line and eat the
+    // harness's 2000-char stdout tail; the release is deliberate
+    // (IterCheckpoint's contract), so drop that one logger to ERROR
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
     try materialize(SparkEntry.entry(spark))
     catch { case e: Throwable =>
