@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * recipe, `/root/reference/example/generate_test_data.py:66-67`, with
   * the per-replica token markers ScaleAnchor documents).
   *
-  * Three measurements, one committed record (NEARDUP4G.json):
+  * Four measurements, one committed record (NEARDUP4G.json):
   *
   *  1. **MinHash banding curve** (1/2/4 GB): per size, the signature
   *     pass wall (the corpus scan), the banded candidate count off the
@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   *     and score recall/precision against the known book-replica
   *     relation. (This is why the pHash point is not a linearity gate:
   *     no correct operator can emit fewer rows than the truth.)
+  *  4. **MinHash recall of PLANTED token-domain twins** at the FULL
+  *     size: one 2%-token-deleted twin per replica-0 book unioned into
+  *     the whole corpus (exact Jaccard ≈ 0.90 by construction — above
+  *     the 0.8 confirm threshold), found through the same r=2 banding
+  *     the noise curve runs. The curve's 0-confirmed shows rejection;
+  *     this shows detection in the full haystack.
   */
 object NearDupAnchor {
 
@@ -173,18 +179,64 @@ object NearDupAnchor {
     graft.core.IterCheckpoint.release(found)
     graft.core.IterCheckpoint.release(phDocs)
 
+    // ---- 4. MinHash recall of PLANTED token-domain twins, full size --
+    // The curve's 0-confirmed is the noise-rejection half; this is the
+    // detection half: for each replica-0 book, a twin with every 50th
+    // token dropped (2% deletion; with 3-word shingles shared-shingle
+    // fraction ≈ 1 − 3·0.02 = 0.94 ⇒ exact Jaccard ≈ 0.94/1.04 ≈ 0.90,
+    // above the 0.8 confirm threshold with ~8.7% slack, and band-miss
+    // probability (1 − J²)⁸ ≈ 4·10⁻⁶ per pair). The twins are planted
+    // into the FULL corpus — the needle must be found in the whole
+    // 4 GB haystack, through the same banding the noise curve runs.
+    val mhT0 = System.nanoTime()
+    val fullDocs = docs(dirFor(replicasFor(sizesMb.max)))
+    // twins and truth derive from the SAME frame's replica-0 rows —
+    // doc_id is xxhash64(file_path), so the twin and its truth pair
+    // must hash the same path string (a subset dir's path differs)
+    val rep0 = fullDocs.filter(col("file_path").endsWith("_r0000.txt"))
+    val twins = rep0.select(
+      xxhash64(concat(col("file_path"), lit("#twin"))).as("doc_id"),
+      array_join(
+        filter(split(col("text"), "\\s+"), (t, i) => i % 50 =!= 49),
+        " ").as("text"),
+      concat(col("file_path"), lit("#twin")).as("file_path"))
+    val planted = fullDocs.unionByName(twins)
+    val shP = NearDup.shingles(planted).repartition(col("doc_id"))
+    val sigP = NearDup.minHashSignatures(shP).localCheckpoint()
+    val candP = NearDup
+      .bandedCandidatesFromSignatures(sigP, rowsPerBand = 2)
+      .localCheckpoint()
+    val confP = NearDup.confirm(candP, shP, "doc_id").localCheckpoint()
+    val nConfP = confP.count()
+    // truth: (replica-0 book, its twin), id order normalized
+    val truthMh = rep0.select(
+      least(col("doc_id"),
+        xxhash64(concat(col("file_path"), lit("#twin")))).as("doc_a"),
+      greatest(col("doc_id"),
+        xxhash64(concat(col("file_path"), lit("#twin")))).as("doc_b"))
+    val nTruthMh = truthMh.count()
+    val hitMh = confP.select("doc_a", "doc_b")
+      .join(truthMh, Seq("doc_a", "doc_b"), "left_semi").count()
+    val mhRecallMilli = if (nTruthMh > 0) hitMh * 1000 / nTruthMh else 0L
+    val mhSec = (System.nanoTime() - mhT0) / 1e9
+    graft.core.IterCheckpoint.release(sigP)
+    graft.core.IterCheckpoint.release(candP)
+    graft.core.IterCheckpoint.release(confP)
+    System.err.println(f"[neardup4g] planted twins ${mhSec}%.1f s: " +
+      f"$hitMh/$nTruthMh found, $nConfP confirmed total")
+
     // ---- record -------------------------------------------------------
     val curveJson = curve.map { case (mb, nRep, sigSec, nCand, confSec, nConf) =>
       f"""{"mb":$mb%.1f,"replicas":$nRep,"files":${nRep * nBooks},"sig_sec":$sigSec%.2f,"candidates":$nCand,"confirm_sec":$confSec%.2f,"confirmed":$nConf}"""
     }.mkString("[", ",", "]")
     val full =
-      f"""{"metric":"neardup4g","bytes":$bytes,"gen_sec":$genSec%.1f,"minhash_banded_curve":$curveJson,"cand_per_mb_growth_max_over_min":$candGrowth%.2f,"df_cap":{"cap":$dfCap,"sec":$dfSec%.2f,"distinct_shingles":$nShingles,"max_df":$maxDf,"hot_shingles":$hotShingles,"avoided_pairs":$avoided,"paid_pairs":$paid},"phash":{"replicas":$phRep,"files":${phRep * nBooks},"sec":$phSec%.2f,"found":$nFound,"truth":$nTruth,"hit":$hit,"recall_milli":$recallMilli,"precision_milli":$precMilli},"cpus":$cpus}"""
+      f"""{"metric":"neardup4g","bytes":$bytes,"gen_sec":$genSec%.1f,"minhash_banded_curve":$curveJson,"cand_per_mb_growth_max_over_min":$candGrowth%.2f,"df_cap":{"cap":$dfCap,"sec":$dfSec%.2f,"distinct_shingles":$nShingles,"max_df":$maxDf,"hot_shingles":$hotShingles,"avoided_pairs":$avoided,"paid_pairs":$paid},"phash":{"replicas":$phRep,"files":${phRep * nBooks},"sec":$phSec%.2f,"found":$nFound,"truth":$nTruth,"hit":$hit,"recall_milli":$recallMilli,"precision_milli":$precMilli},"minhash_planted_twins":{"sec":$mhSec%.2f,"corpus_docs":${replicasFor(sizesMb.max) * nBooks},"twins":$nTruthMh,"hit":$hitMh,"recall_milli":$mhRecallMilli,"confirmed_total":$nConfP},"cpus":$cpus}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("NEARDUP4G.json"), full)
     catch { case _: Throwable => () }
     // compact final line (the harness tail window)
     println(
-      f"""{"metric":"neardup4g","mb":${curve.last._1}%.1f,"candidates":${curve.last._4},"confirmed":${curve.last._6},"cand_per_mb_growth":$candGrowth%.2f,"df_cap_avoided_pairs":$avoided,"phash_recall_milli":$recallMilli,"full":"NEARDUP4G.json"}""")
+      f"""{"metric":"neardup4g","mb":${curve.last._1}%.1f,"candidates":${curve.last._4},"confirmed":${curve.last._6},"cand_per_mb_growth":$candGrowth%.2f,"df_cap_avoided_pairs":$avoided,"phash_recall_milli":$recallMilli,"minhash_twin_recall_milli":$mhRecallMilli,"full":"NEARDUP4G.json"}""")
     spark.stop()
   }
 }
