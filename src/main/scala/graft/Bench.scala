@@ -241,6 +241,24 @@ object Bench {
   val ReprobeAfter: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPROBE_AFTER", "5").toInt)
 
+  /** Cumulative retry-wall budget, as a fraction of the first-pass
+    * battery total. The r16 driver record burned 115.7 s of retries
+    * (56 % of the 206 s query total) on a host the probe measured
+    * FASTER than history: per-query priors recorded in a different
+    * contention window fire the 1.5×-prior trigger on ordinary
+    * variance, and a retry cannot beat variance — each re-pass costs
+    * real wall and recovers at most noise. The budget bounds the
+    * worst case structurally: however poisoned the priors, the retry
+    * pass can spend at most this fraction of the battery again
+    * (≈13 s on the sf0.1 battery), and the record reports what the
+    * cap denied (`retry_denied`) so a capped run adjudicates itself. */
+  val RetryBudgetFrac: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_FRAC", "0.15").toDouble
+
+  /** Budget floor: a tiny subset battery still gets one meaningful
+    * retry rather than a sub-second budget denying everything. */
+  val RetryBudgetFloorSec: Double = 5.0
+
   /** The retry pass's decision state — extracted from main so the
     * mid-run re-probe policy is a testable unit (BenchProbeSpec).
     *
@@ -265,7 +283,8 @@ object Bench {
       priorMt: Option[Double],
       preRatio: Double,
       reprobeAfter: Int = ReprobeAfter,
-      probeMt: () => Double = () => Double.NaN) {
+      probeMt: () => Double = () => Double.NaN,
+      budgetSec: Double = Double.PositiveInfinity) {
     private var consecutive = 0
     /** The ratio the drift trigger is currently using. */
     var ratio: Double = preRatio
@@ -273,6 +292,16 @@ object Bench {
     val reprobeMts = scala.collection.mutable.ArrayBuffer.empty[Double]
     /** Wall spent inside mid-run probes. */
     var reprobeSec: Double = 0.0
+    /** Cumulative retry wall charged against [[budgetSec]] (retry reps
+      * via [[charge]] + the mid-run probes, which spend the same
+      * budgeted wall). */
+    var spentSec: Double = 0.0
+    /** Triggered retries the exhausted budget denied — committed so a
+      * capped run names what it skipped instead of silently passing. */
+    var budgetDenied: Int = 0
+
+    /** Charge one retry rep's wall against the budget. */
+    def charge(sec: Double): Unit = spentSec += sec
 
     private def triggers(name: String, sec: Double): Boolean =
       prior.get(name) match {
@@ -282,14 +311,24 @@ object Bench {
 
     def shouldRetry(name: String, sec: Double): Boolean =
       if (!triggers(name, sec)) { consecutive = 0; false }
-      else {
+      else if (spentSec >= budgetSec) {
+        // the trigger fired but the pass has spent its wall allowance:
+        // past this point retries are exactly the r16 failure mode
+        // (variance-chasing at 56% of the battery total), so deny and
+        // count. `consecutive` is left as-is — denial is not evidence
+        // about host drift either way.
+        budgetDenied += 1
+        false
+      } else {
         consecutive += 1
         // re-probe only helps when a baseline exists to re-scale against
         if (consecutive >= reprobeAfter && priorMt.isDefined) {
           consecutive = 0
           val t0 = System.nanoTime()
           val mt = probeMt()
-          reprobeSec += (System.nanoTime() - t0) / 1e9
+          val spent = (System.nanoTime() - t0) / 1e9
+          reprobeSec += spent
+          spentSec += spent
           reprobeMts += mt
           ratio = clampRatio(mt, priorMt)
           triggers(name, sec) // the tripping query, under the fresh ratio
@@ -477,8 +516,15 @@ object Bench {
     val prior = if (soakScale.isDefined) Map.empty[String, Double] else priorSecs(sfDir)
     val priorMt = if (soakScale.isDefined) None else priorProbeMt(sfDir)
     val hostRatioPre: Double = clampRatio(preMt, priorMt)
+    // retry budget: a fraction of the FIRST-PASS battery total — the
+    // retry pass can never again cost more than ~15% of what the
+    // battery itself measured, however poisoned the priors are.
+    val firstPassTotal = results.collect { case (_, s, _, _, None, None) => s }.sum
+    val retryBudget =
+      math.max(RetryBudgetFloorSec, RetryBudgetFrac * firstPassTotal)
     val gate = new RetryGate(prior, priorMt, hostRatioPre,
-      probeMt = () => HostProbe.measureMt(nThreads))
+      probeMt = () => HostProbe.measureMt(nThreads),
+      budgetSec = retryBudget)
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     var retrySec = 0.0
     val finalResults =
@@ -496,6 +542,7 @@ object Bench {
             catch { case _: Throwable => failed = true } // keep pass-1 result
             val s = (System.nanoTime() - t0) / 1e9
             retrySec += s
+            gate.charge(s)
             if (!failed && s < best) best = s
             rep += 1
           }
@@ -567,7 +614,7 @@ object Bench {
     // is the "what would an un-degraded host have measured" companion.
     val totalAdj = total / math.max(1.0, ratioInterp)
     val retryCostPart =
-      f""","retry_sec":$retrySec%.2f,"total_drift_adjusted":$totalAdj%.2f"""
+      f""","retry_sec":$retrySec%.2f,"retry_budget_sec":$retryBudget%.2f,"retry_denied":${gate.budgetDenied},"total_drift_adjusted":$totalAdj%.2f"""
     val line =
       s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"queries":$qs,"sf":"$sfDir"$scalePart$retriedPart$retryCostPart$probePart}"""
     // The harness keeps only the last ~2000 chars of stdout and parses a
@@ -593,7 +640,7 @@ object Bench {
         "\"" + esc(nm) + "\":{\"sec\":" + f"$sec%.4f" + ",\"ok\":" + ok + "}"
       }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"failed_total":${failedAll.size},"retried":${retried.size},"retry_sec":${f"$retrySec%.2f"},"total_drift_adjusted":${f"$totalAdj%.2f"},"queries":$compactQs,"queries_full":"${if (soakScale.isDefined) "SOAK_LAST.json" else "BENCH_LAST.json"}","sf":"$sfDir","host_ratio":${f"${gate.ratio}%.3f"},"host_ratio_interp":${f"$ratioInterp%.3f"},"probe_pre_mt":${f"$preMt%.4f"}}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","ok_queries":$nOk,"n_queries":$n,"failed_total":${failedAll.size},"retried":${retried.size},"retry_sec":${f"$retrySec%.2f"},"retry_budget_sec":${f"$retryBudget%.2f"},"retry_denied":${gate.budgetDenied},"total_drift_adjusted":${f"$totalAdj%.2f"},"queries":$compactQs,"queries_full":"${if (soakScale.isDefined) "SOAK_LAST.json" else "BENCH_LAST.json"}","sf":"$sfDir","host_ratio":${f"${gate.ratio}%.3f"},"host_ratio_interp":${f"$ratioInterp%.3f"},"probe_pre_mt":${f"$preMt%.4f"}}"""
     println(compact)
     // Also persist the full per-query map: harness-side artifacts keep
     // only an stdout tail, which cannot substantiate per-query failures

@@ -115,7 +115,9 @@ object ScaleAnchor {
       sizes.zipWithIndex.find(_._1 != perReplica).foreach { case (b, i) =>
         throw new IllegalStateException(
           s"replica ${i + 1} is $b bytes, expected $perReplica — stale or " +
-            s"truncated replica files under $outDir; delete the dir and rerun")
+            s"truncated replica files under $outDir; delete the dir AND " +
+            "its sibling *_firstN subset dirs (their hard links pin old " +
+            "inodes) and rerun")
       }
       val total = perReplica + sizes.sum
       (total, nReplicas, books.size)
@@ -125,9 +127,11 @@ object ScaleAnchor {
   /** A hard-linked subset directory holding replicas 0..(n-1) of the
     * generated corpus — how one generated 4 GB corpus serves every
     * point of the size curve without re-suffixing a byte. Idempotent;
-    * links cost no disk. */
+    * links cost no disk. `tag` is the replica-index prefix in file
+    * names — "_r" for this generator, "_p" for
+    * [[SubstringAnchor.generatePlain]]'s plain copies. */
   private[graft] def subsetDir(
-      full: java.nio.file.Path, n: Int): java.nio.file.Path = {
+      full: java.nio.file.Path, n: Int, tag: String = "_r"): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val sub = full.resolveSibling(s"${full.getFileName}_first$n")
     java.nio.file.Files.createDirectories(sub)
@@ -136,13 +140,23 @@ object ScaleAnchor {
       try ls.iterator().asScala.toSeq.filter { p =>
         val name = p.getFileName.toString
         name.endsWith(".txt") && {
-          val i = name.lastIndexOf("_r")
-          i >= 0 && name.slice(i + 2, i + 6).forall(_.isDigit) &&
-            name.slice(i + 2, i + 6).toInt < n
+          val i = name.lastIndexOf(tag)
+          val d = i + tag.length
+          i >= 0 && name.slice(d, d + 4).forall(_.isDigit) &&
+            name.slice(d, d + 4).nonEmpty && name.slice(d, d + 4).toInt < n
         }
       } finally ls.close()
     wanted.foreach { p =>
       val link = sub.resolve(p.getFileName)
+      // a pre-existing link is only valid if it still points at the
+      // CURRENT corpus file's inode: generate() replaces files via
+      // ATOMIC_MOVE (new inode), so after a regeneration a leftover
+      // subset link silently retains the OLD (possibly truncated)
+      // bytes — exactly the stale-corpus failure the size assertion
+      // exists to catch. Relink on inode mismatch.
+      if (java.nio.file.Files.exists(link) &&
+          !java.nio.file.Files.isSameFile(link, p))
+        java.nio.file.Files.delete(link)
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createLink(link, p)
     }

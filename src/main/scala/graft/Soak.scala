@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   *    token disjointness.
   *
   * Ids offset by `IdOffset`·replica (even offset: doc-parity-based
-  * queries keep their split). The other eight fixture tables are
-  * file-copied unchanged so every battery query still resolves.
+  * queries keep their split). Orders and lineitem replicate in key
+  * lockstep (`replicatedOrders`/`replicatedLineitem` — the q18 gate);
+  * the four remaining fixture tables (region, nation, supplier, part)
+  * are file-copied unchanged so every battery query still resolves.
   */
 object Soak {
 
@@ -339,6 +341,7 @@ object Soak {
     * table looks like. */
   def replicatedOrders(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/orders.parquet")
+    requireKeyHeadroom(base, "o_orderkey")
     (0 until n).map { i =>
       if (i == 0) base
       else base
@@ -353,10 +356,27 @@ object Soak {
     * (q18's sum_qty) is bit-identical per replica. */
   def replicatedLineitem(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    requireKeyHeadroom(base, "l_orderkey")
     (0 until n).map { i =>
       if (i == 0) base
       else base.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
     }.reduce(_ unionByName _)
+  }
+
+  /** The replication premise the q18 gate rests on, asserted loudly
+    * (mirroring replicatedDocs' marker-clash require): every replica's
+    * key range must be disjoint, i.e. max(base key) < IdOffset. TPC-H
+    * orderkeys reach ~6M at sf1 and cross 10M around sf2 — past that,
+    * replica ranges overlap, cross-replica joins silently match, and
+    * the key-lockstep/disjointness gate measures a fiction. One cheap
+    * agg on the base table (metadata-adjacent scan of one column). */
+  private def requireKeyHeadroom(base: DataFrame, keyCol: String): Unit = {
+    val mx = base.agg(max(col(keyCol)).cast("long")).head().getLong(0)
+    require(mx < IdOffset,
+      s"soak replication premise broken: max($keyCol) = $mx >= IdOffset " +
+        s"($IdOffset) — replica key ranges would overlap and the q18 " +
+        "lockstep/disjointness gate would be silently voided; raise " +
+        "IdOffset (keeping it even) for this corpus")
   }
 
   /** N× events: replica users/event-ids offset into disjoint ranges,

@@ -369,10 +369,29 @@ object SparkEntry {
 
   private val embCte: String = s"WITH ${embQuantBody("embeddings")}"
 
+  /** SQL form of [[Embeddings.stepForBoundedK]] over the LIVE corpus
+    * count — a scalar subquery, so the oracle derives the PQ codebook
+    * step from the same row count the Spark side reads (the battery's
+    * `batteryPqStep`), at ANY scale factor. pow2-ceil parity with the
+    * Scala formula is swept in DialParitySpec's SQL-replica tests
+    * (power-of-two inputs hit exact doubles; non-powers ceil up —
+    * identical to highestOneBit semantics for every n ≤ 2^40). */
+  private def pqStepExprSql(targetK: Long): String =
+    s"(SELECT CAST(power(2, ceil(log2(GREATEST(1, count(*) // $targetK)))) AS BIGINT) FROM embeddings)"
+
+  /** SQL form of [[Embeddings.planesFor]] over the live embeddings
+    * count — the plane-count dial as a scalar expression. Paired with
+    * a [[MaxOraclePlanes]]-row literal weight table + `p < planes`
+    * filter: the Spark plane family is index-contiguous, so a longer
+    * table serves any derived count ≤ MaxOraclePlanes. */
+  private def planesExprSql(targetBucket: Long): String =
+    s"LEAST(62, GREATEST(1, CAST(ceil(log2(GREATEST(1, (SELECT count(*) FROM embeddings) // $targetBucket))) AS INT)))"
+
   /** Parameterized PQ prelude: [[embCte]]'s quantization + an m-way
     * subvector split, id % step seed codebooks, and the exact-L2
-    * argmin encoding (`enc`). */
-  private def pqCteFor(m: Int, step: Long): String = {
+    * argmin encoding (`enc`). `step` is a SQL expression — a literal
+    * for fixed dials, [[pqStepExprSql]] for the corpus-derived ones. */
+  private def pqCteFor(m: Int, step: String): String = {
     s"""$embCte,
        |sv AS (
        |  SELECT vec_id, j AS sub,
@@ -395,17 +414,19 @@ object SparkEntry {
        |    PARTITION BY s.vec_id, s.sub ORDER BY qdist, c.cid) = 1)""".stripMargin
   }
 
-  /** The default-dial PQ prelude ([[Embeddings.PqSubspaces]],
-    * [[Embeddings.CentroidStep]]). */
-  private val pqCte: String =
-    pqCteFor(Embeddings.PqSubspaces, Embeddings.CentroidStep)
+  /** The default-dial PQ prelude: [[Embeddings.PqSubspaces]] and the
+    * corpus-derived bounded-K step (== Embeddings.CentroidStep at the
+    * 500-vector verify corpus, 128 at sf0.1's 2000 — tracking exactly
+    * what the battery's `batteryPqStep` derives at runtime). */
+  private lazy val pqCte: String =
+    pqCteFor(Embeddings.PqSubspaces, pqStepExprSql(PqCodebookK))
 
   /** ADC search oracle at the given PQ dials: per-query exact distance
     * table × the corpus code stream, summed per (query, neighbor),
     * top-3 by (adist, neighbor). Split body/finisher so the recall
     * oracle ([[oracleSql]] `emb_ann_recall`) can reuse the whole
     * pipeline as a CTE prelude. */
-  private def ivfPqSql(m: Int, ivfStep: Long, pqStep: Long, nprobe: Int = 1): String =
+  private def ivfPqSql(m: Int, ivfStep: Long, pqStep: String, nprobe: Int = 1): String =
     s"""${ivfPqBodyCte(m, ivfStep, pqStep, nprobe)}
        |SELECT query_id, neighbor_id,
        |       CAST(row_number() OVER w AS BIGINT) AS rank, adist
@@ -418,7 +439,7 @@ object SparkEntry {
     * `nprobe` replicates the query-side multi-probe: query cells come
     * from the top-nprobe rows of the same ranked cosine grid the
     * corpus assignment takes its top-1 from. */
-  private def ivfPqBodyCte(m: Int, ivfStep: Long, pqStep: Long, nprobe: Int = 1): String =
+  private def ivfPqBodyCte(m: Int, ivfStep: Long, pqStep: String, nprobe: Int = 1): String =
     s"""${pqCteFor(m, pqStep)},
        |icents AS (
        |  SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
@@ -487,7 +508,7 @@ object SparkEntry {
     * nprobe = [[IvfPqNprobe]], its code-ranked top-[[IvfPqRefine]]
     * shortlist re-scored by exact int64 L2, scored against the shared
     * [[l2TruthCte]] exact top-3. */
-  private def refinedRecallSql(m: Int, pqStep: Long): String =
+  private def refinedRecallSql(m: Int, pqStep: String): String =
     s"""${ivfPqBodyCte(m, Embeddings.CentroidStep, pqStep,
            nprobe = IvfPqNprobe)},
        |shortlist AS (
@@ -525,7 +546,7 @@ object SparkEntry {
     * the no-refine arm ranks by raw code distance (emb_ann_recall's
     * fnd). */
   private def frontierCellSql(
-      m: Int, pqStep: Long, nprobe: Int, refine: Option[Int]): String = {
+      m: Int, pqStep: String, nprobe: Int, refine: Option[Int]): String = {
     val fnd = refine match {
       case None =>
         s"""fnd AS (
@@ -567,7 +588,7 @@ object SparkEntry {
        |       (SELECT count(*) FROM tr) = 0 AS vacuous""".stripMargin
   }
 
-  private def pqSearchSql(m: Int, step: Long): String =
+  private def pqSearchSql(m: Int, step: String): String =
     s"""${pqCteFor(m, step)},
        |qd AS (
        |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
@@ -606,6 +627,23 @@ object SparkEntry {
     * any width). */
   val VerifyEmbDims: Int = 64
 
+  /** Plane rows the oracle weight tables emit. The plane-count dial is
+    * a scalar subquery ([[planesExprSql]]) filtered `p < planes`
+    * against this longer literal table — the Spark plane family is
+    * index-contiguous, so one 16-row table serves ANY derived count ≤
+    * 16, i.e. corpora up to targetBucket · 2^16 vectors (2M at the
+    * battery's 32-vector bucket target; the gate corpora top out at 7
+    * planes). DialParitySpec pins planesFor staying ≤ this bound over
+    * the certified corpus range. */
+  val MaxOraclePlanes: Int = 16
+
+  /** Max per-band bits the scaled-SimHash oracle's emitted hash-word
+    * columns cover: 24 × 16 bands = 384-bit signatures = 7 emitted
+    * 60-bit words (two sha256 digests per shingle) — corpora up to
+    * 2^21 docs. The live band width is a scalar subquery over the
+    * documents count (`shdial` in [[simhashScaledSql]]). */
+  val MaxOracleBandBits: Int = 24
+
   /** DuckDB literal weight table for `globalPlanes` sign-LSH planes ×
     * the verify corpus's 64 dims: a nested list literal holding the
     * SAME splitmix-derived values as Embeddings.planeWeight (the
@@ -619,20 +657,28 @@ object SparkEntry {
     }.mkString("[", ", ", "]")
 
   /** Shared LSH bucket body (table-0 sign-LSH over the `n` CTE) —
-    * mirrors Embeddings.bucketOf at the default planes. */
-  private val lshBucketsBody: String =
-    s"""bits AS (
+    * mirrors Embeddings.bucketOf with the plane count derived from the
+    * LIVE base-corpus count (`lshdial`, == planesFor on the Spark
+    * side: the battery's `batteryKnnPlanes`), filtered against the
+    * [[MaxOraclePlanes]]-row literal weight table. The count subquery
+    * reads the BASE embeddings table even under the twin prelude —
+    * exactly what batteryKnnPlanes does (twins add ~2%, inside
+    * planesFor's rounding). */
+  private lazy val lshBucketsBody: String =
+    s"""lshdial AS (SELECT ${planesExprSql(LshTargetBucket)} AS np),
+       |bits AS (
        |  SELECT n.vec_id, p.p,
        |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
-       |                j -> n.qv[j+1] * (${weightTableSql(Embeddings.Planes)})[p.p+1][j+1])) AS BIGINT) > 0
+       |                j -> n.qv[j+1] * (${weightTableSql(MaxOraclePlanes)})[p.p+1][j+1])) AS BIGINT) > 0
        |              THEN (1 << p.p) ELSE 0 END AS bv
-       |  FROM n, range(${Embeddings.Planes}) p(p)),
+       |  FROM n, range($MaxOraclePlanes) p(p), lshdial
+       |  WHERE p.p < lshdial.np),
        |buckets AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1),
        |nb AS (SELECT n.vec_id, n.qv, n.nsq, b.bucket FROM n JOIN buckets b USING (vec_id))""".stripMargin
 
   /** Shared LSH prelude (quantized vectors + buckets) for the
     * emb_ann_lsh oracle. */
-  private val lshBucketsCte: String = s"$embCte,\n$lshBucketsBody"
+  private lazy val lshBucketsCte: String = s"$embCte,\n$lshBucketsBody"
 
   /** Planted-twin dials for the emb_neardup / emb_dedup_clusters
     * fixture augmentation (see [[twinEmbSrc]]): every 83rd vector gets
@@ -666,7 +712,7 @@ object SparkEntry {
 
   /** emb_neardup / emb_dedup_clusters source: the LSH prelude over the
     * corpus UNION its planted twins. */
-  private val twinLshBucketsCte: String =
+  private lazy val twinLshBucketsCte: String =
     s"$twinEmbCte,\n$lshBucketsBody"
 
   /** Fixed-point cosine threshold of the emb_neardup query — a real
@@ -688,7 +734,7 @@ object SparkEntry {
   // runs the same twin-fed 0.95 contract as emb_neardup.)
 
   /** emb_neardup oracle — shared with the emb_dedup_clusters closure. */
-  private val embNearDupSql: String =
+  private lazy val embNearDupSql: String =
     s"""$twinLshBucketsCte,
        |p AS (
        |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -1478,15 +1524,16 @@ object SparkEntry {
     * integer weight formula as [[Embeddings.bucketOf]]; candidates =
     * bucket-mates in ANY table; reported bucket = table 0's. */
   private def lshScaledSql: String = {
-    val planes = ScaledLshPlanes
     val tables = ScaledLshTables
     s"""$embCte,
+       |sdial AS (SELECT ${planesExprSql(ScaledLshTargetBucket)} AS np),
        |bits AS (
        |  SELECT n.vec_id, t.t, p.p,
        |         CASE WHEN CAST(list_sum(list_transform(range(len(n.qv)),
-       |                j -> n.qv[j+1] * (${weightTableSql(tables * planes)})[t.t * $planes + p.p + 1][j+1])) AS BIGINT) > 0
+       |                j -> n.qv[j+1] * (${weightTableSql(tables * MaxOraclePlanes)})[t.t * sdial.np + p.p + 1][j+1])) AS BIGINT) > 0
        |              THEN (1 << p.p) ELSE 0 END AS bv
-       |  FROM n, range($tables) t(t), range($planes) p(p)),
+       |  FROM n, range($tables) t(t), range($MaxOraclePlanes) p(p), sdial
+       |  WHERE p.p < sdial.np),
        |buckets AS (SELECT vec_id, t, CAST(sum(bv) AS BIGINT) AS bucket
        |            FROM bits GROUP BY 1, 2),
        |nbt AS (SELECT n.vec_id, n.qv, n.nsq, b.t, b.bucket
@@ -1592,11 +1639,17 @@ object SparkEntry {
     val n = NearDup.ShingleN
     val t = NearDup.ThresholdMilli
     val gram = (0 until n).map(o => s"ts[i+$o]").mkString(" || ' ' || ")
-    val width = ScaledSimHashWidth
-    val bandBits = ScaledSimHashBandBits
+    val bands = ScaledSimHashBands
     val wordBits = 60
-    val hashWords = (width + wordBits - 1) / wordBits
-    // digest selection mirrors NearDup.Sha256Family word-for-word:
+    val maxWidth = bands * MaxOracleBandBits
+    val hashWords = (maxWidth + wordBits - 1) / wordBits
+    // band bits derived from the LIVE documents count (`shdial`) —
+    // the same simHashBandBitsFor formula the Spark side turns
+    // (min(ceil(log2 n) + 3, 60); the 960-bit family budget / 16
+    // bands is the same 60 cap). Hash-word columns are emitted up to
+    // MaxOracleBandBits and bit rows filtered `j < bands · bb`, so
+    // one generated statement serves any corpus ≤ 2^21 docs.
+    // Digest selection mirrors NearDup.Sha256Family word-for-word:
     // words 0-3 slice sha256(s); word w >= 4 slices sha256(s || '#d')
     // (engaged only above 240-bit widths, i.e. corpora past ~4k docs)
     val hwCols = (0 until hashWords).map { w =>
@@ -1606,6 +1659,11 @@ object SparkEntry {
     }.mkString(",\n       |         ")
     val wordCase = (0 until hashWords - 1).map(w => s"WHEN $w THEN h$w").mkString(" ")
     s"""WITH t2 AS (SELECT doc_id, $tokList AS ts FROM documents),
+       |shdial AS (
+       |  SELECT LEAST(60, GREATEST(1,
+       |    (CASE WHEN (SELECT count(*) FROM documents) <= 1 THEN 0
+       |          ELSE CAST(ceil(log2((SELECT count(*) FROM documents))) AS INT)
+       |     END) + 3)) AS bb),
        |sh AS (
        |  SELECT DISTINCT doc_id, $gram AS s
        |  FROM t2, unnest(range(1, greatest(len(ts) - ${n - 2}, 1))) AS u(i)),
@@ -1619,11 +1677,12 @@ object SparkEntry {
        |           ((CASE j.j // $wordBits $wordCase ELSE h${hashWords - 1} END)
        |             >> (j.j % $wordBits)) & 1 = 1 THEN 1 ELSE -1 END) > 0
        |         THEN 1 ELSE 0 END AS b
-       |  FROM hw, range($width) j(j)
+       |  FROM hw, range($maxWidth) j(j), shdial
+       |  WHERE j.j < $bands * shdial.bb
        |  GROUP BY doc_id, j.j),
        |bands AS (
-       |  SELECT doc_id, j // $bandBits AS bi, SUM(b << (j % $bandBits)) AS bv
-       |  FROM bits GROUP BY 1, 2),
+       |  SELECT doc_id, j // shdial.bb AS bi, SUM(b << (j % shdial.bb)) AS bv
+       |  FROM bits, shdial GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id),
@@ -4426,7 +4485,7 @@ object SparkEntry {
     // squared-L2 top-3 per query, the report the counts + permille.
     "emb_ann_recall" ->
       s"""${ivfPqBodyCte(Embeddings.PqSubspaces, Embeddings.CentroidStep,
-             Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK))},
+             pqStepExprSql(PqCodebookK))},
          |fnd AS (
          |  SELECT query_id, neighbor_id FROM sc
          |  WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
@@ -4449,33 +4508,29 @@ object SparkEntry {
     // probe dial.
     "emb_ann_ivfpq_probed" ->
       ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep,
-        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK),
+        pqStepExprSql(PqCodebookK),
         nprobe = IvfPqNprobe),
 
     // probed + refined recall: the PQ top-IvfPqRefine shortlist per
     // query is re-scored by exact int64 L2 (`fnd`), truth is the same
     // exact top-3 as emb_ann_recall's.
     "emb_ann_recall_probed" ->
-      refinedRecallSql(Embeddings.PqSubspaces,
-        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
+      refinedRecallSql(Embeddings.PqSubspaces, pqStepExprSql(PqCodebookK)),
 
     // …and at the accuracy PQ dials (m16, K≈62 codebooks): here the
     // refinement recovers the code loss COMPLETELY — recall equals the
     // nprobe=4 candidate ceiling (547‰ at the verify corpus).
     "emb_ann_recall_m16" ->
-      refinedRecallSql(ScaledPqSubspaces,
-        Embeddings.stepForBoundedK(VerifyEmbCorpus, ScaledPqCodebookK)),
+      refinedRecallSql(ScaledPqSubspaces, pqStepExprSql(ScaledPqCodebookK)),
 
     // the 2×2×2 dial grid, one frontierCellSql per cell, UNION ALLed —
-    // dial constants interpolated at the verify corpus like every
-    // other oracle dial (DialParitySpec pins the derivations).
+    // PQ steps are corpus-derived scalar subqueries like every other
+    // oracle dial (DialParitySpec pins the derivation formulas).
     "emb_ann_frontier" -> {
       val cells = for {
         (m, step) <- Seq(
-          Embeddings.PqSubspaces ->
-            Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK),
-          ScaledPqSubspaces ->
-            Embeddings.stepForBoundedK(VerifyEmbCorpus, ScaledPqCodebookK))
+          Embeddings.PqSubspaces -> pqStepExprSql(PqCodebookK),
+          ScaledPqSubspaces -> pqStepExprSql(ScaledPqCodebookK))
         nprobe <- Seq(1, IvfPqNprobe)
         refine <- Seq(Option.empty[Int], Some(IvfPqRefine))
       } yield s"SELECT * FROM (${frontierCellSql(m, step, nprobe, refine)})"
@@ -4591,28 +4646,29 @@ object SparkEntry {
     // ADC: per-query exact distance table × the corpus code stream,
     // summed per (query, neighbor), top-3 by (adist, neighbor).
     "emb_pq_search" ->
-      pqSearchSql(Embeddings.PqSubspaces, Embeddings.CentroidStep),
-    "emb_pq_search_m16" -> pqSearchSql(ScaledPqSubspaces, ScaledPqStep),
+      pqSearchSql(Embeddings.PqSubspaces, pqStepExprSql(PqCodebookK)),
+    "emb_pq_search_m16" ->
+      pqSearchSql(ScaledPqSubspaces, pqStepExprSql(ScaledPqCodebookK)),
 
     // IVF-PQ: the ivf argmax-cosine assignment (same ordering contract
     // as ivfOracleSql) composed with the PQ prelude — candidates from
     // the cell self-join, ranked by the summed ADC partials.
-    // pq step = stepForBoundedK at the verify corpus (== CentroidStep
-    // there; the Spark side derives it from the live count)
+    // pq step = stepForBoundedK over the live count on BOTH sides
+    // (a scalar subquery here, `batteryPqStep` in the battery)
     "emb_ann_ivfpq" ->
       ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep,
-        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
+        pqStepExprSql(PqCodebookK)),
     // the decoupled-step config: fixed coarse step (constant cells →
     // linear candidate equijoin), corpus-derived PQ step (bounded K →
     // bounded q·m·K ADC distance table) — see the battery wiring.
     "emb_ann_ivfpq_scaled" ->
       ivfPqSql(Embeddings.PqSubspaces, ScaledIvfStep,
-        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
+        pqStepExprSql(PqCodebookK)),
     // frozen == inline by construction (seed-id centroid identities),
     // so the frozen-index search shares emb_ann_ivfpq's oracle verbatim
     "emb_ann_ivfpq_frozen" ->
       ivfPqSql(Embeddings.PqSubspaces, Embeddings.CentroidStep,
-        Embeddings.stepForBoundedK(VerifyEmbCorpus, PqCodebookK)),
+        pqStepExprSql(PqCodebookK)),
 
     // the same scored bucket-mate pairs as emb_neardup's prelude,
     // ranked per vector on the raw double cosine (ties by neighbor).

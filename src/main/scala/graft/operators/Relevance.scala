@@ -190,8 +190,10 @@ object Relevance {
       // WindowExec's "No Partition Defined" warning (tuned for
       // unbounded frames, spurious at ≤ k rows) never fires, and
       // EliminateWindowPartitions can't strip it (not foldable).
+      // xxhash64 first: idCol is a public parameter, and pmod on a
+      // raw STRING id would fail under ANSI's strict cast.
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(pmod(col(idCol), lit(1)))
+        Window.partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
           .orderBy(col("score_x1000").desc, col(idCol))).cast("long"))
   }
 
@@ -229,9 +231,10 @@ object Relevance {
     def ranked(scoreCol: String) = scored
       .orderBy(col(scoreCol).desc, col(idCol))
       .limit(perListK)
-      // constant non-foldable partition key — see [[search]]'s rnk note
+      // constant non-foldable type-agnostic partition key — see
+      // [[search]]'s rnk note
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(pmod(col(idCol), lit(1)))
+        Window.partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
           .orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
       .select(col(idCol), col("rnk"))
     rrfFuse(Seq(ranked("__sbm"), ranked("__sti")), k, c, idCol)

@@ -152,6 +152,46 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(gate.reprobeMts.toSeq === Seq(0.75, 0.5))
   }
 
+  test("RetryGate: the retry budget denies triggered retries once spent, and counts them") {
+    // 10 poisoned priors (recorded in a different contention window):
+    // every query fires the 1.5×-prior trigger on ordinary variance.
+    // With a 3 s budget and each retry costing 2 s, the pass affords
+    // two retries (the second crosses the line mid-flight — bounded
+    // overshoot, not a hard mid-query stop); the remaining 8 triggers
+    // are denied and COUNTED, not silently dropped.
+    val prior = (1 to 10).map(i => f"q$i%02d" -> 1.0).toMap
+    val gate = new Bench.RetryGate(prior, Some(0.5), preRatio = 1.0,
+      reprobeAfter = 100, budgetSec = 3.0)
+    var granted = 0
+    for (i <- 1 to 10) {
+      if (gate.shouldRetry(f"q$i%02d", 1.6)) { granted += 1; gate.charge(2.0) }
+    }
+    assert(granted === 2)
+    assert(gate.budgetDenied === 8)
+    assert(gate.spentSec === 4.0)
+  }
+
+  test("RetryGate: mid-run probe wall charges the same budget") {
+    // the re-probe is retry-pass wall too: with a budget smaller than
+    // nothing-at-all, the probe's cost still lands in spentSec so the
+    // accounting in the record (retry_sec vs budget) stays one number
+    val prior = (1 to 6).map(i => f"q$i%02d" -> 1.0).toMap
+    val gate = new Bench.RetryGate(prior, Some(0.5), preRatio = 1.0,
+      reprobeAfter = 2, probeMt = () => 0.5, budgetSec = 100.0)
+    assert(gate.shouldRetry("q01", 1.6))
+    gate.shouldRetry("q02", 1.6) // 2nd consecutive → probes (healthy → stays flagged)
+    assert(gate.reprobeMts.size === 1)
+    assert(gate.spentSec === gate.reprobeSec)
+    assert(gate.spentSec > 0.0)
+  }
+
+  test("RetryGate: an unlimited budget preserves the r15/r16 gate behavior") {
+    val prior = Map("q" -> 1.0)
+    val gate = new Bench.RetryGate(prior, Some(0.5), preRatio = 1.0)
+    assert(gate.shouldRetry("q", 1.6))
+    assert(gate.budgetDenied === 0)
+  }
+
   test("priorSecs still parses records that carry the attempts field") {
     // r16 records append "attempts" AFTER "ok" — the history regex
     // anchors on `"sec":X,"ok":true` and must keep matching both eras

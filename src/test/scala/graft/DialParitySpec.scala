@@ -4,45 +4,76 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Embeddings, NearDup}
 
-/** The runtime-dial contract: battery queries derive their ANN/banding
-  * dials from the LIVE corpus row count (so candidate joins stay linear
-  * as the corpus grows), while the DuckDB oracles interpolate each
-  * dial's value AT THE VERIFY CORPUS (500 docs / 500 vectors). These
-  * tests pin the two sides to each other — if a sizing helper or a
-  * target constant changes, the mismatch fails HERE with a named dial
-  * instead of surfacing as n oracle hash mismatches.
+/** The runtime-dial contract: battery queries AND their DuckDB oracles
+  * both derive the ANN/banding dials from the LIVE corpus row count —
+  * the oracle side as scalar subqueries (`pqStepExprSql`,
+  * `planesExprSql`, `shdial` in simhashScaledSql) emitting the
+  * pow2-ceil-log2 / clamp arithmetic in SQL. These tests pin the SQL
+  * arithmetic (replicated here operation-for-operation on doubles,
+  * exactly what DuckDB evaluates) to the Scala sizing helpers across a
+  * corpus-size sweep, plus the literal-table bounds the longer oracle
+  * tables rely on — if a helper or an emitted formula drifts, the
+  * mismatch fails HERE with a named dial instead of surfacing as n
+  * oracle hash mismatches at some scale factor.
   */
 class DialParitySpec extends AnyFunSuite {
 
-  test("LSH planes at the verify corpus equal the 4-plane oracle CTEs") {
-    assert(Embeddings.planesFor(SparkEntry.VerifyEmbCorpus, SparkEntry.LshTargetBucket)
-      === Embeddings.Planes)
+  /** Corpus sizes the sweep certifies: every count up to 10k (covers
+    * sf0.001/0.01/0.1 and the 10×/100× soaks with big margin), then
+    * log-spaced points to 10^12. */
+  private val sweep: Seq[Long] =
+    (1L to 10000L) ++ Seq(100000L, 1000000L, 10000000L, 1000000000L, 1000000000000L)
+
+  /** The SQL `CAST(power(2, ceil(log2(GREATEST(1, n // k)))) AS BIGINT)`
+    * replicated on doubles — the exact expression pqStepExprSql emits. */
+  private def sqlPqStep(n: Long, k: Long): Long =
+    math.pow(2.0, math.ceil(math.log(math.max(1L, n / k).toDouble) / math.log(2.0))).toLong
+
+  /** The SQL `LEAST(62, GREATEST(1, CAST(ceil(log2(GREATEST(1, n // b))) AS INT)))`. */
+  private def sqlPlanes(n: Long, b: Long): Int =
+    math.min(62, math.max(1,
+      math.ceil(math.log(math.max(1L, n / b).toDouble) / math.log(2.0)).toInt))
+
+  /** The SQL `LEAST(60, GREATEST(1, (CASE n<=1 THEN 0 ELSE ceil(log2 n) END) + 3))`. */
+  private def sqlBandBits(n: Long): Int =
+    math.min(60, math.max(1,
+      (if (n <= 1L) 0
+       else math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt) + 3))
+
+  test("pqStepExprSql's pow2-ceil arithmetic == stepForBoundedK over the sweep") {
+    for (n <- sweep; k <- Seq(SparkEntry.PqCodebookK, SparkEntry.ScaledPqCodebookK))
+      assert(sqlPqStep(n, k) === Embeddings.stepForBoundedK(n, k),
+        s"pq step diverged at n=$n k=$k")
   }
 
-  test("scaled LSH planes at the verify corpus equal lshScaledSql's constant") {
-    assert(Embeddings.planesFor(SparkEntry.VerifyEmbCorpus, SparkEntry.ScaledLshTargetBucket)
-      === SparkEntry.ScaledLshPlanes)
+  test("planesExprSql's clamp arithmetic == planesFor over the sweep") {
+    for (n <- sweep;
+         b <- Seq(SparkEntry.LshTargetBucket, SparkEntry.ScaledLshTargetBucket))
+      assert(sqlPlanes(n, b) === Embeddings.planesFor(n, b),
+        s"planes diverged at n=$n b=$b")
   }
 
-  test("PQ codebook step at the verify corpus equals pqCteFor's constant") {
-    assert(Embeddings.stepForBoundedK(SparkEntry.VerifyEmbCorpus, SparkEntry.PqCodebookK)
-      === Embeddings.CentroidStep)
+  test("shdial's band-bits arithmetic == simHashBandBitsFor over the sweep") {
+    for (n <- sweep) {
+      assert(sqlBandBits(n) === NearDup.simHashBandBitsFor(n),
+        s"band bits diverged at n=$n")
+      // the Spark battery applies the family-width cap too — a no-op
+      // for the sha256 family (960/16 = 60 == the formula's own cap)
+      assert(NearDup.Sha256Family.maxWidthBits / SparkEntry.ScaledSimHashBands === 60)
+    }
   }
 
-  test("m16 PQ step at the verify corpus equals pqSearchSql's constant") {
-    assert(Embeddings.stepForBoundedK(SparkEntry.VerifyEmbCorpus, SparkEntry.ScaledPqCodebookK)
-      === SparkEntry.ScaledPqStep)
-  }
-
-  test("SimHash band bits at the verify corpus equal simhashScaledSql's width") {
-    // ScaledSimHashWidth is DEFINED as bands * simHashBandBitsFor(500),
-    // so asserting the product against it would be a tautology — pin
-    // the literal values the oracle SQL actually interpolates instead,
-    // so a drift in either the helper or the bands constant fails here
-    // with a named dial.
-    assert(NearDup.simHashBandBitsFor(SparkEntry.VerifyDocCorpus) === 12)
-    assert(SparkEntry.ScaledSimHashBands === 16)
-    assert(SparkEntry.ScaledSimHashWidth === 192)
+  test("the oracle literal tables cover every dial the gate corpora can derive") {
+    // MaxOraclePlanes-row weight tables serve any planesFor count up
+    // to corpora of targetBucket * 2^MaxOraclePlanes vectors; the gate
+    // corpora (≤ 2k vectors, soaked to 100×) stay far under that.
+    val maxGateVectors = 2000L * 100L
+    for (b <- Seq(SparkEntry.LshTargetBucket, SparkEntry.ScaledLshTargetBucket))
+      assert(Embeddings.planesFor(maxGateVectors, b) <= SparkEntry.MaxOraclePlanes,
+        s"planesFor($maxGateVectors, $b) escapes the ${SparkEntry.MaxOraclePlanes}-row table")
+    // simhash hash words are emitted to MaxOracleBandBits — corpora to 2^21 docs
+    assert(NearDup.simHashBandBitsFor(1L << 21) <= SparkEntry.MaxOracleBandBits)
+    assert(NearDup.simHashBandBitsFor(5000L * 100L) <= SparkEntry.MaxOracleBandBits)
   }
 
   test("the dials actually TURN as the corpus grows (the 100 TB premise)") {
@@ -57,5 +88,19 @@ class DialParitySpec extends AnyFunSuite {
       s"K at 10x = $k10 escaped (targetK/2, targetK]")
     assert(NearDup.simHashBandBitsFor(10 * SparkEntry.VerifyDocCorpus)
       > NearDup.simHashBandBitsFor(SparkEntry.VerifyDocCorpus))
+  }
+
+  test("the sf0.01 instantiations the old constant oracles pinned still hold") {
+    // the historical anchor values — kept so an accidental helper
+    // change that happens to keep formula parity but moves the
+    // certified corpora's dials is still named here
+    assert(Embeddings.planesFor(500L, SparkEntry.LshTargetBucket) === Embeddings.Planes)
+    assert(Embeddings.stepForBoundedK(500L, SparkEntry.PqCodebookK) === Embeddings.CentroidStep)
+    assert(Embeddings.stepForBoundedK(500L, SparkEntry.ScaledPqCodebookK) === SparkEntry.ScaledPqStep)
+    assert(NearDup.simHashBandBitsFor(500L) === 12)
+    // …and the sf0.1 values the first full-sweep mismatch list measured
+    assert(Embeddings.stepForBoundedK(2000L, SparkEntry.PqCodebookK) === 128L)
+    assert(Embeddings.planesFor(2000L, SparkEntry.LshTargetBucket) === 6)
+    assert(NearDup.simHashBandBitsFor(5000L) === 16)
   }
 }
