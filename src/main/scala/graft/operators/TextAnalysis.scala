@@ -25,22 +25,39 @@ object TextAnalysis {
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic; real corpora would
     * load a bigger lexicon through the same join.
+    *
+    * Widened in r17, driven by the real-text measurement
+    * ([[graft.LangIdAnchor]] → LANGID_REAL.json): the original
+    * 5-language lexicon had no fi/pt rows at all, and the shared
+    * Romance stopwords ("de", "la", "que", "un") voted only for the
+    * single language that happened to list them — so real French prose
+    * leaked "es" votes it could never win back. A marker now appears
+    * once per language that owns it (the join fans out per owning
+    * language; membership uses of the word list are unaffected by the
+    * duplicates). The DuckDB oracle regenerates from this constant
+    * (SparkEntry.markersValues), so both engines move in lockstep.
     */
   val LangMarkers: Seq[(String, String)] = Seq(
     "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "in" -> "en",
     "el" -> "es", "la" -> "es", "de" -> "es", "y" -> "es", "que" -> "es",
+    "un" -> "es",
     "der" -> "de", "die" -> "de", "und" -> "de", "das" -> "de", "ist" -> "de",
     "le" -> "fr", "les" -> "fr", "et" -> "fr", "un" -> "fr", "est" -> "fr",
+    "la" -> "fr", "de" -> "fr", "que" -> "fr", "des" -> "fr", "il" -> "fr",
+    "ja" -> "fi", "ei" -> "fi", "että" -> "fi", "oli" -> "fi", "hän" -> "fi",
+    "o" -> "pt", "e" -> "pt", "do" -> "pt", "da" -> "pt", "em" -> "pt",
+    "de" -> "pt", "que" -> "pt", "não" -> "pt", "um" -> "pt", "a" -> "pt",
     "的" -> "zh", "是" -> "zh", "了" -> "zh", "在" -> "zh", "我" -> "zh")
 
-  /** Deterministic tie-break priority (smaller wins ties). */
+  /** Deterministic tie-break priority (smaller wins ties; alphabetic). */
   val LangPriority: Seq[(String, Int)] =
-    Seq("de" -> 0, "en" -> 1, "es" -> 2, "fr" -> 3, "zh" -> 4)
+    Seq("de" -> 0, "en" -> 1, "es" -> 2, "fi" -> 3, "fr" -> 4,
+      "pt" -> 5, "zh" -> 6)
 
   /** Language ID: count marker-stopword hits per candidate language,
     * pick the argmax (ties → LangPriority order); no hits → "und".
     *
-    * Plan shape: explode tokens → broadcast-join the 25-row marker
+    * Plan shape: explode tokens → broadcast-join the dictionary-sized marker
     * table → two-level aggregation. The marker join is a broadcast hash
     * join, so the only shuffle is the per-doc aggregation — scales to
     * arbitrary corpus size.
