@@ -1919,14 +1919,22 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"), col("kmv_distinct"))
     }),
 
-    "rel_approx_count_distinct" -> ((s, dir) =>
-      T(s, dir, "lineitem")
+    // HLL registers are a function of the value SET, so aggregating the
+    // pre-deduplicated keys gives a bit-identical estimate — and sidesteps
+    // the distinct-agg rewrite that was keeping one 1,640-word HLL buffer
+    // PER DISTINCT KEY (13 KB/row × 200k keys through the exchange;
+    // measured 3.0 s at sf0.1, ~0.3 s after). n_exact = count over the
+    // same distinct frame, unchanged.
+    "rel_approx_count_distinct" -> ((s, dir) => {
+      val keys = T(s, dir, "lineitem").select(col("l_partkey")).distinct()
+      keys
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("__a"),
-          countDistinct(col("l_partkey")).as("n_exact"))
+          count(lit(1)).as("n_exact"))
         .select(col("n_exact"),
           (abs(col("__a") - col("n_exact")) * 100 <= col("n_exact") * 2)
-            .as("within_2pct"))),
+            .as("within_2pct"))
+    }),
     // KLL/GK-sketch quantiles — the 100 TB percentile form (one pass,
     // mergeable partials; rank error ≤ n/accuracy). Same pattern as
     // rel_approx_count_distinct: the query emits the sketch's rank

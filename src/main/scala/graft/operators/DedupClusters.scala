@@ -96,7 +96,20 @@ object DedupClusters {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       checkpointDir: Option[String] = None): DataFrame = {
-    def trunc(df: DataFrame) = graft.core.IterCheckpoint.truncate(df, checkpointDir)
+    // One ACTION per round, not two: the truncation is LAZY for the
+    // localCheckpoint path, so the star-forest probe's own job is what
+    // materializes the round's blocks (the probe's aggregation reads
+    // every edge anyway — its map stage computes and persists the
+    // checkpoint as a side effect). An eager truncate + separate probe
+    // re-ran the round's whole AQE pipeline as a second driver action;
+    // at fixture scale that fixed per-action latency was the bulk of
+    // the contraction's wall (the resolve family is job-count-bound:
+    // dedup_clusters measured 24 driver jobs for ~5 task-seconds of
+    // work). The reliable-checkpoint dial stays EAGER: a lazy reliable
+    // checkpoint recomputes the round to write its files (a second job
+    // by construction), so laziness buys nothing there.
+    def trunc(df: DataFrame) = graft.core.IterCheckpoint.truncate(
+      df, checkpointDir, eager = checkpointDir.isDefined)
     // orient big→small up front: the star-forest probe assumes the
     // child→min convention, and this lets an already-star input (all
     // disjoint pairs) converge with zero contraction rounds
@@ -111,18 +124,18 @@ object DedupClusters {
     while (!converged && round < MaxRounds) {
       val prev = edges
       edges = trunc(smallStar(largeStar(edges)))
-      // prev's blocks are dead the moment the new round has EAGERLY
-      // materialized from them (trunc above) — release now instead of
-      // waiting for driver GC, or a multi-round contraction holds every
-      // round's corpus-sized edge list in executor memory at once (the
-      // measured cause of the 100×-soak memory thrash; see
-      // IterCheckpoint.release). Every released frame was created
-      // inside THIS call (the round-0 input truncation included — its
-      // release cannot touch the caller's own plans or checkpoints);
-      // the final round is never prev, so the returned DataFrame keeps
-      // its blocks.
-      graft.core.IterCheckpoint.release(prev)
+      // the probe is the materializing action for the lazy round; only
+      // AFTER it has run are prev's blocks dead (the new round read
+      // them) — release then, instead of waiting for driver GC, or a
+      // multi-round contraction holds every round's corpus-sized edge
+      // list in executor memory at once (the measured cause of the
+      // 100×-soak memory thrash; see IterCheckpoint.release). Every
+      // released frame was created inside THIS call (the round-0 input
+      // truncation included — its release cannot touch the caller's
+      // own plans or checkpoints); the final round is never prev, so
+      // the returned DataFrame keeps its blocks.
       converged = isStarForest(edges)
+      graft.core.IterCheckpoint.release(prev)
       round += 1
     }
     require(converged, s"components() did not converge in $MaxRounds rounds")

@@ -99,10 +99,25 @@ object Er {
       nameCol: String,
       maxKeyFreq: Option[Long],
       maxEdit: Int = 1): DataFrame = {
+    // Spread the roster BEFORE the key explode: the explode fans out
+    // ~(L+1)× (depth 1) to ~L²/2× (depth 2) rows per input row, so the
+    // map stage's cost tracks the OUTPUT volume while its input split
+    // count tracks the tiny roster bytes — a one-file roster otherwise
+    // runs the whole L²/2 explode + key materialization on ONE task
+    // (measured at sf0.1: two 3.7 s single-task stages fed the
+    // er_link_dirty2 key join while 31 cores idled). One narrow
+    // (id, name) shuffle of n roster rows buys explode parallelism at
+    // any scale; the partition count is pinned to the session's
+    // shuffle.partitions (scale-adaptive via conf) because AQE's
+    // byte-based coalescing would re-serialize exactly the CPU-dense
+    // stage this exchange exists to spread.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val k = df
       .where(col(nameCol).isNotNull)
-      .select(col(idCol).as("__id"), col(nameCol).as("__name"),
-        explode(keysFor(col(nameCol), maxEdit)).as("__key"))
+      .select(col(idCol).as("__id"), col(nameCol).as("__name"))
+      .repartition(parts, col(idCol))
+      .select(col("__id"), col("__name"),
+        explode(keysFor(col("__name"), maxEdit)).as("__key"))
     maxKeyFreq match {
       case None => k
       case Some(cap) =>

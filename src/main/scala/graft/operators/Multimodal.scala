@@ -738,7 +738,7 @@ object Multimodal {
     // Hamming ≤ 6 over 8 bands always leaves ≥ 2 bands intact. See the
     // dial's scaladoc in [[graft.operators.NearDup.bandedHammingPairs]].
     pHashPairsFromSignatures(
-      pHashSignatures(df, idCol, binCol).repartition(col(idCol)),
+      NearDup.seamRepartition(pHashSignatures(df, idCol, binCol), idCol),
       idCol, bands, maxHamming)
   }
 
@@ -898,8 +898,8 @@ object Multimodal {
     // same materialize-once seam as pHashPairs: one exchange of
     // 2·words longs per payload feeds the band join's sides and both
     // midpoint joins
-    val sigs = pHashSignaturesWide(df, idCol, binCol, blocks)
-      .repartition(col(idCol))
+    val sigs = NearDup.seamRepartition(
+      pHashSignaturesWide(df, idCol, binCol, blocks), idCol)
     val prim = NearDup.bandedHammingPairs(
       sigs.select(col(idCol) +: (0 until words).map(w => col(s"__sig$w")): _*),
       idCol, widthBits = blocks, bands = bands, hammingMax = maxHamming,

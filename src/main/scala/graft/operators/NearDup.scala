@@ -115,6 +115,32 @@ object NearDup {
     docs.select(col(idCol) +: carryCols.map(col) :+ explode(grams).as("s"): _*)
   }
 
+  /** A materialized-once seam exchange with its partition count PINNED
+    * to the session's shuffle.partitions — for seams whose consumers
+    * are CPU-DENSE per byte (sha256 signature aggs, banded-Levenshtein
+    * confirms, pHash decodes): their exchange BYTES are small (narrow
+    * rows), so AQE's byte-based coalescing re-serializes exactly the
+    * work the exchange exists to spread (measured at sf0.1: the
+    * scaled-SimHash signature agg ran its ~4 s of sha256 on 4 of 32
+    * cores behind an un-pinned seam). An explicit partition count is
+    * AQE-exempt by contract; the value follows
+    * spark.sql.shuffle.partitions, which every entry point derives from
+    * the deployment's conf (SPARK_GRAFT_CPUS locally), so the pin stays
+    * scale-adaptive rather than a local[32] constant.
+    *
+    * Pin ONLY dense seams: for cheap-hash consumers (xxhash MinHash
+    * signatures, plain shingle joins) the measured trade INVERTS — a
+    * 32-task stage carries ~8-10× the aggregate task time of the
+    * AQE-coalesced few-task stage (per-task fixed costs: agg hash-map
+    * allocation, codegen warm-up) and the composite resolve-family
+    * queries regressed 0.7-1.8 s each under a blanket pin, so
+    * minHashPairs / ngramJaccardPairs / winnowPairs keep their bare
+    * AQE-coalesced seams deliberately. */
+  private[graft] def seamRepartition(df: DataFrame, keyCols: String*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      keyCols.map(col): _*)
+
   /** doc → distinct-shingle count. */
   private def sizesOf(sh: DataFrame, idCol: String): DataFrame =
     sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
@@ -278,7 +304,7 @@ object NearDup {
     // table when capped), each of which would otherwise re-run the
     // tokenize + n-gram build; the post-exchange sha slice is narrow
     // and cheap next to that.
-    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
+    val sh = seamRepartition(shingles(docs, idCol, textCol), idCol)
     val candSh = maxDocFreq.map(shinglesWithDfCap(sh, idCol, _)).getOrElse(sh)
     // Candidates equijoin on the 60-bit sha slice of the shingle, not
     // the shingle string: the self-join shuffles 8-byte longs instead
@@ -434,7 +460,7 @@ object NearDup {
       thresholdMilli: Int = ThresholdMilli,
       word: (Int, Column) => Column = XxMinHashFamily): DataFrame = {
     // Materialized-once seam — see [[minHashPairs]].
-    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
+    val sh = seamRepartition(shingles(docs, idCol, textCol), idCol)
     confirm(minHashBandedCandidates(sh, idCol, k, rowsPerBand, word),
       sh, idCol, thresholdMilli)
   }
@@ -751,7 +777,7 @@ object NearDup {
     // Same materialized-once seam as [[minHashPairs]]: the narrow
     // shingle generate feeds the signature agg, both confirm sides and
     // the size aggs — one exchange on the doc key, computed once.
-    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
+    val sh = seamRepartition(shingles(docs, idCol, textCol), idCol)
     val cand = simHashCandidatesFromShingles(sh, idCol, widthBits, bands, hammingMax, family)
     confirm(cand, sh, idCol, thresholdMilli)
   }
@@ -813,9 +839,15 @@ object NearDup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val key = conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
       .cast("long").as("__k")
-    // Materialized-once seam on the gram key — see [[minHashPairs]]:
-    // pg (one sha256 per gram occurrence) feeds the dup-set agg, the
-    // flagging join, and the per-doc totals agg.
+    // Materialized-once seam on the gram key — see [[minHashPairs]].
+    // r17 measured-and-left-alone: this seam actually FORKS (the three
+    // consumers prune to different column sets, so three projections
+    // push below the exchange and the generate runs 3×), but both
+    // candidate fixes LOST on wall at sf0.1 — a pinned 32-partition
+    // exchange inflated aggregate task time ~10× (per-task overhead
+    // dominates a <1 s stage), and a lazy localCheckpoint of the seam
+    // paid ~0.8 s of up-front planning+codegen to save ~0.8 s of
+    // duplicated generate. The bare seam is the measured optimum here.
     val pg = positionalNgrams(docs, idCol, textCol, n)
       .select(col(idCol), col("pos"), key)
       .repartition(col("__k"))
@@ -906,9 +938,9 @@ object NearDup {
         col("__w"))
     val key = conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
       .cast("long").as("__k")
-    // Materialized-once seam on the gram key — see [[minHashPairs]]:
-    // the positional-gram generate (one sha256 per gram occurrence)
-    // feeds both the canonical-doc agg and the flagging join.
+    // Materialized-once seam on the gram key — see [[minHashPairs]];
+    // bare (un-pinned, un-checkpointed) deliberately — the same
+    // measured trade as [[dupNgramStats]]'s seam note.
     val pg = positionalNgrams(docs, idCol, textCol, n)
       .select(col(idCol), col("pos"), key)
       .repartition(col("__k"))
