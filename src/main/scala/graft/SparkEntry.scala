@@ -2716,8 +2716,12 @@ object SparkEntry {
       val sharedCells = graft.core.IterCheckpoint.truncate(
         Embeddings.ivfAssign(emb, icents, assertUniqueIds = false),
         None, eager = false)
+      // the 1-in-20 query frame is read by all 8 search cells AND both
+      // cost counters; truncated once so ten subtrees become one scan
+      val qdf = graft.core.IterCheckpoint.truncate(
+        emb.filter(q), None, eager = false)
       def candCount(nprobe: Int) =
-        Embeddings.probedCells(emb.filter(q), icents, nprobe)
+        Embeddings.probedCells(qdf, icents, nprobe)
           .join(sharedCells.select(col("vec_id").as("__nb"), col("cell")),
             Seq("cell"))
           .where(col("query_id") =!= col("__nb"))
@@ -2745,10 +2749,15 @@ object SparkEntry {
         nprobe <- Seq(1, IvfPqNprobe)
         refine <- Seq(Option.empty[Int], Some(IvfPqRefine))
       } yield Eval.topKRecall(
-          Embeddings.annIvfPqFromIndex(emb, q, icents,
-            Embeddings.pqCentroids(emb, step, m),
-            sharedCells, codesFor((m, step)),
-            m = m, nprobe = nprobe, refine = refine),
+          refine match {
+            case None => Embeddings.annIvfPqServe(qdf, icents,
+              Embeddings.pqCentroids(emb, step, m),
+              sharedCells, codesFor((m, step)), m = m, nprobe = nprobe)
+            case Some(r) => Embeddings.annIvfPqServeRefined(qdf, emb, icents,
+              Embeddings.pqCentroids(emb, step, m),
+              sharedCells, codesFor((m, step)), m = m, nprobe = nprobe,
+              refine = r)
+          },
           truth)
         .crossJoin(candFor(nprobe))
         .select(lit(m.toLong).as("m"), lit(nprobe.toLong).as("nprobe"),

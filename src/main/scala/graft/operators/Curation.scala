@@ -936,6 +936,13 @@ object Curation {
     val toks = graft.operators.Tokenize.splitTokens(inputCol = textCol)(
       docs.select(col(idCol), col(textCol), isTarget.as("__tgt")))
       .select(col(idCol), col("__tgt"), bucket.as("__b"))
+    // r17 measured-and-left-alone: tf's two consumers (bucket model,
+    // per-doc weights) do re-run the tokenize + sha bucket pass (two
+    // 0.8 s single-task map stages at sf0.1), but a repartition seam
+    // made it WORSE (three map stages) — column pruning pushes each
+    // consumer's projection below a RepartitionByExpression, so the
+    // seam exchange forks unless every consumer needs identical
+    // columns, which these don't.
     val tf = toks.groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__tf"))
     val model = tf.groupBy(col("__b")).agg(

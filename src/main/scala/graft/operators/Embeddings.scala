@@ -304,9 +304,18 @@ object Embeddings {
         array((0 until tables).map(t => bucketOf(col("__qv"), planes, t)): _*))
       .withColumn("__bucket", col("__tb")(0))
 
+    // Materialized-once seam (the winnowPairs structure): both join
+    // sides below re-run the quantize + plane-hash generate without an
+    // exchange of their own — the bucketOf lambdas defeat canonical
+    // plan equality, so AQE never reuses the sides' exchanges (measured
+    // at sf0.1: two identical ~1.3 s single-task bucket stages in
+    // emb_ann_lsh_scaled, and the same pair inside every knnGraph
+    // consumer). One repartition on the bucket key is the shared
+    // canonical shuffle; the self-join then needs no further exchange.
     val exploded = base.select(
       col(idCol), col("__qv"), col("__nsq"),
       posexplode(col("__tb")).as(Seq("__ti", "__b")))
+      .repartition(col("__ti"), col("__b"))
     val a = exploded.select(
       col(idCol), col("__ti"), col("__b"), col("__qv"), col("__nsq"))
     val b = exploded.select(
@@ -424,9 +433,11 @@ object Embeddings {
     val base = prepped(emb, idCol, vecCol)
       .withColumn("__tb",
         array((0 until tables).map(t => bucketOf(col("__qv"), planes, t)): _*))
+    // same materialized-once bucket seam as lshScoredCandidates
     val exploded = base.select(
       col(idCol), col("__qv"), col("__nsq"),
       posexplode(col("__tb")).as(Seq("__ti", "__b")))
+      .repartition(col("__ti"), col("__b"))
     val a = exploded.select(
       col(idCol).as("vec_a"), col("__ti"), col("__b"),
       col("__qv"), col("__nsq"))

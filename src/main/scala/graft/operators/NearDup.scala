@@ -242,7 +242,13 @@ object NearDup {
     // winnowPairs, so a recall report whose found and truth sides both
     // shingle the same corpus reuses ONE shingle exchange across the
     // two operators.
-    val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
+    // PINNED like the SimHash/banded seams — not for this operator's
+    // own consumers (string-shingle joins are cheap per byte) but for
+    // the recall reports: their found side (scaledSimHashPairs /
+    // sha-banded MinHash) seams the SAME shingle generate pinned, and
+    // only byte-identical exchanges unify — a bare seam here made
+    // every pairRecall run the shingle generate twice (one per side).
+    val sh = seamRepartition(shingles(docs, idCol, textCol), idCol)
     maxDocFreq match {
       case None =>
         val a = sh.select(col(idCol).as("doc_a"), col("s"))

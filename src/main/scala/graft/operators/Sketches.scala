@@ -107,11 +107,22 @@ object Sketches {
       depth: Int = CmsDepth,
       width: Long = CmsWidth): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    val cms = cmsBuild(items, keyCol, depth, width)
-    val survivors = cmsEstimate(items, cms, keyCol, depth, width)
+    // Materialized-once seam (the minHashPairs structure): `items` is
+    // typically a narrow tokenize/explode pipeline and feeds THREE
+    // consumers here — the sketch build, the estimate probe, and the
+    // exact audit join — each re-running the generate without an
+    // exchange of its own. All three prune to the same single keyCol
+    // column, so one pinned repartition is the shared canonical
+    // exchange (AQE stage reuse); the pin spreads the two sha256-dense
+    // consumers (build + probe hash every occurrence), which AQE's
+    // byte-based coalescing otherwise serializes onto few tasks — see
+    // NearDup.seamRepartition.
+    val keyed = NearDup.seamRepartition(items.select(col(keyCol)), keyCol)
+    val cms = cmsBuild(keyed, keyCol, depth, width)
+    val survivors = cmsEstimate(keyed, cms, keyCol, depth, width)
       .filter(col("est") >= threshold)
       .select(col(keyCol), col("est")).distinct()
-    val exact = items.join(survivors.select(col(keyCol)), Seq(keyCol))
+    val exact = keyed.join(survivors.select(col(keyCol)), Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_count"))
     survivors.join(exact, Seq(keyCol))
       .select(col(keyCol), col("est").as("est_count"), col("exact_count"))

@@ -215,8 +215,16 @@ object TextAnalysis {
       t => !(t === "" || t.rlike("^\\s+$")))
     // DISTINCT per doc: a phrase repeated inside one doc is one
     // fingerprint; shared_chunks counts distinct shared windows.
+    // Materialized-once seam (the winnowPairs structure): both join
+    // sides re-run the tokenize + rolling-hash chunking without an
+    // exchange of their own — the chunksOf lambdas defeat canonical
+    // plan equality, so AQE never reuses the sides' exchanges
+    // (measured at sf0.1: two identical 0.7 s single-task fingerprint
+    // stages). One repartition on the fingerprint key is the shared
+    // canonical shuffle, and the join then needs no further exchange.
     val ch = docs.select(col(idCol), tokArr.as(toksC))
       .select(col(idCol), explode(array_distinct(chunksOf(col(toksC)))).as("__fp"))
+      .repartition(col("__fp"))
     ch.select(col(idCol).as("doc_a"), col("__fp"))
       .join(ch.select(col(idCol).as("doc_b"), col("__fp")), Seq("__fp"))
       .filter(col("doc_a") < col("doc_b"))
