@@ -40,7 +40,17 @@ object DedupClusters {
   val MaxRounds = 40
 
   /** Large-star: every node connects its LARGER neighbors to the
-    * minimum of its neighborhood (incl. itself). Two shuffles. */
+    * minimum of its neighborhood (incl. itself). Two shuffles.
+    *
+    * NO distinct here (r17): within a round the output feeds ONLY
+    * [[smallStar]], whose min-agg is duplicate-insensitive and whose
+    * own round-end distinct restores set semantics — so the edge SET
+    * per round (and the Kiveris et al. |E| non-increase guarantee,
+    * which needs dedup once per round) is unchanged, while each round
+    * saves one full exchange + aggregation pass. Pre-distinct volume
+    * is exactly one row per input edge (each undirected edge survives
+    * the v > u filter once), so the duplicates smallStar absorbs are
+    * bounded by per-node degree, never a blow-up. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
@@ -48,7 +58,6 @@ object DedupClusters {
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient edges large→small, then every node connects its

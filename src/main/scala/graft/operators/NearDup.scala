@@ -387,7 +387,17 @@ object NearDup {
     // one-phase on already-id-partitioned shingles and confirm's
     // a-side join needs no further exchange.
     val sh = shingles(docs, idCol, textCol).repartition(col(idCol))
-    val sig = minHashSignatures(sh, idCol, k)
+    // Signature-table seam (r17): the hash-agreement self-join below
+    // consumes the k-word signature agg on BOTH alias branches, and
+    // branch-cloned aggs never canonicalize equal, so without an
+    // exchange of its own the agg (and its k hashes per shingle) runs
+    // once per side. BARE repartition, not the pinned seam: this
+    // family's consumers are cheap per byte (xxhash words, posexplode)
+    // and the resolve-family queries built on minHashPairs are
+    // job-count-bound — AQE coalescing keeps their per-task fixed
+    // costs down (the measured blanket-pin regression, scaladoc of
+    // [[seamRepartition]]).
+    val sig = minHashSignatures(sh, idCol, k).repartition(col(idCol))
       .select(col(idCol),
         posexplode(array((0 until k).map(i => col(s"h$i")): _*)).as(Seq("__hi", "__hv")))
     val cand = sig.select(col(idCol).as("doc_a"), col("__hi"), col("__hv"))
@@ -423,8 +433,15 @@ object NearDup {
       k: Int = NumMinHashes,
       rowsPerBand: Int = 2,
       word: (Int, Column) => Column = XxMinHashFamily): DataFrame = {
+    // Signature-table seam — same rationale as
+    // [[simHashCandidatesFromShingles]]: the band self-join otherwise
+    // recomputes the k-word signature agg once per alias branch (the
+    // battery's sha-sliced family pays k sha256 digests per shingle,
+    // twice), and the seam splits the signature agg out of the banded
+    // join's codegen span. k longs per doc — free to shuffle.
     bandedCandidatesFromSignatures(
-      minHashSignatures(sh, idCol, k, word), idCol, k, rowsPerBand)
+      seamRepartition(minHashSignatures(sh, idCol, k, word), idCol),
+      idCol, k, rowsPerBand)
   }
 
   /** The banding half of [[minHashBandedCandidates]] over an EXISTING
@@ -749,8 +766,21 @@ object NearDup {
       bands: Int = SimHashBands,
       hammingMax: Int = HammingMax,
       family: SimHashFamily = XxHashFamily): DataFrame =
+    // The signature table is seamed like the pHash path
+    // ([[Multimodal.pHashPairs]]): the banded join consumes it on BOTH
+    // alias branches, and without an exchange of its own the
+    // widthBits-sum signature aggregation (the family's sha256 work,
+    // ~4 digests per shingle at scaled widths) runs once PER SIDE —
+    // AQE's broadcast conversion of the self-join leaves the probe
+    // branch exchange-less, so only a seam here lets the two branches
+    // unify (measured r17: the recall report's found side burned ~7×
+    // the standalone's task time through exactly this fork, plus a
+    // single fused codegen span too large to stay JIT-compiled). The
+    // signature table is |docs| rows of ⌈width/64⌉ longs — the seam
+    // shuffles kilobytes per million docs at any scale.
     bandedHammingPairs(
-      simHashSignatures(sh, idCol, widthBits, family),
+      seamRepartition(
+        simHashSignatures(sh, idCol, widthBits, family), idCol),
       idCol, widthBits, bands, hammingMax)
       .select("doc_a", "doc_b")
 
